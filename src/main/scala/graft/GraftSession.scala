@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory for the graft engine.
+  *
+  * Tuned for the test harness (local[N], single JVM) but every setting is
+  * chosen to also be correct on a large cluster:
+  *  - AQE on: runtime coalescing / skew-join handling is the scale story.
+  *  - shuffle.partitions kept small locally; on a real cluster this is
+  *    overridden by AQE's coalescing + initialPartitionNum.
+  *  - autoBroadcastJoinThreshold left at default; we additionally broadcast
+  *    explicitly where dimension sizes are known (region/nation/supplier).
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet stores TIMESTAMP(NANOS); read as long + convert
+      // (see Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Deterministic FP behavior for oracle comparison.
+      .config("spark.sql.ansi.enabled", "false")
+
+  /** Local session used by tests and ad-hoc runs. */
+  def local(cores: Int = 4): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

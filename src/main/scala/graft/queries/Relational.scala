@@ -1,0 +1,404 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational extension surface (SURVEY.md §2.6): scans, joins (broadcast /
+  * shuffle / semi / anti / as-of / range), aggregation, windows, top-k, set
+  * ops, distinct, rollup. The reference has none of these by design — here
+  * they are Spark builtins arranged for scale:
+  *
+  *  - dimension tables (region/nation/supplier) are broadcast explicitly;
+  *  - fact-fact joins shuffle on their keys and rely on AQE for skew;
+  *  - aggregates are partial (map-side combine) by construction (groupBy.agg);
+  *  - every scan is pruned: filters + column selection reach the parquet
+  *    reader (verified via explain: PushedFilters / ReadSchema).
+  */
+object Relational {
+  import QueryUtil._
+
+  private val one = lit(1).cast(DecimalType(18, 2))
+
+  /** TPC-H Q1 (pricing summary) adapted to the driver schema. */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val discPrice =
+      (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast(DecimalType(18, 4))
+    val charge =
+      (discPrice * (one + dec(col("l_tax")))).cast(DecimalType(18, 6))
+    l.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+        sum(charge).cast(DoubleType).as("sum_charge"),
+        avgd(col("l_quantity"), count(lit(1))).as("avg_qty"),
+        avgd(col("l_extendedprice"), count(lit(1))).as("avg_price"),
+        avgd(col("l_discount"), count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1AggSql: String = {
+    val discPrice =
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+    val charge =
+      s"CAST($discPrice * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))"
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSumd("l_quantity")} AS sum_qty,
+       |  ${sqlSumd("l_extendedprice")} AS sum_base_price,
+       |  CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
+       |  CAST(sum($charge) AS DOUBLE) AS sum_charge,
+       |  ${sqlAvgd("l_quantity", "count(*)")} AS avg_qty,
+       |  ${sqlAvgd("l_extendedprice", "count(*)")} AS avg_price,
+       |  ${sqlAvgd("l_discount", "count(*)")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  /** TPC-H Q3 shape: 3-way fact join + group + top-k by revenue. */
+  def q3JoinTopk(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("2000-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("2000-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val revenue =
+      (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast(DecimalType(18, 4))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"))
+      .select(
+        col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_orderpriority"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopkSql: String =
+    """SELECT o_orderkey,
+      |  epoch_us(o_orderdate) AS o_orderdate_us,
+      |  o_orderpriority,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: star join, dimensions broadcast explicitly. */
+  def q5StarBroadcast(s: SparkSession, d: String): DataFrame = {
+    val r = broadcast(Tables.region(s, d))
+    val n = broadcast(Tables.nation(s, d))
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val revenue =
+      (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast(DecimalType(18, 4))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q5StarBroadcastSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem, orders, customer, nation, region
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Left-semi join: customers having at least one big order (EXISTS). */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+      .select("o_custkey")
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers with no big order (NOT EXISTS). */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+      .select("o_custkey")
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Window functions: per-user event ranking, first 3 events per user.
+    * Shuffles once on user_id; the window sort is within-partition. */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    e.select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        row_number().over(w).as("rn"),
+        sum(dec(col("value"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_value"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT * FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    row_number() OVER w AS rn,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |) WHERE rn <= 3
+      |ORDER BY user_id, rn""".stripMargin
+
+  /** Global top-k: TakeOrderedAndProject, no full sort at scale. */
+  def qTopk(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  val qTopkSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** Set ops: high-value clickers who never had a high-value error. */
+  def qSetExcept(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).filter(col("value") > 90.0)
+    val clickers = e.filter(col("event_type") === "click").select("user_id")
+    val erroring = e.filter(col("event_type") === "error").select("user_id")
+    clickers.distinct().except(erroring.distinct()).orderBy("user_id")
+  }
+
+  val qSetExceptSql: String =
+    """SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 90.0
+      |EXCEPT
+      |SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 90.0
+      |ORDER BY user_id""".stripMargin
+
+  def qSetIntersect(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    e.filter(col("event_type") === "purchase").select("user_id")
+      .intersect(e.filter(col("event_type") === "signup").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  val qSetIntersectSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'signup'
+      |ORDER BY user_id""".stripMargin
+
+  def qUnionAll(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val hi = e.filter(col("value") > 90.0)
+      .select(col("event_id"), lit("high").as("tag"))
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id"), lit("err").as("tag"))
+    hi.unionAll(err).orderBy("event_id", "tag")
+  }
+
+  val qUnionAllSql: String =
+    """SELECT * FROM (
+      |  SELECT event_id, 'high' AS tag FROM events WHERE value > 90.0
+      |  UNION ALL
+      |  SELECT event_id, 'err' AS tag FROM events WHERE event_type = 'error'
+      |) ORDER BY event_id, tag""".stripMargin
+
+  /** Distinct / dedup of a projection. */
+  def qDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select("user_id", "event_type")
+      .distinct().orderBy("user_id", "event_type")
+
+  val qDistinctSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"
+
+  /** Rollup with grouping-id — hierarchical aggregates in one pass. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val qRollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSumd("l_quantity")} AS sum_qty, count(*) AS n
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Cube over two low-cardinality dims. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .cube(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+      .agg(sumd(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first,
+        col("user_bucket").asc_nulls_first)
+
+  val qCubeSql: String =
+    s"""SELECT event_type, user_id % 10 AS user_bucket,
+       |  ${sqlSumd("value")} AS sum_value, count(*) AS n
+       |FROM events
+       |GROUP BY CUBE (event_type, user_id % 10)
+       |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin
+
+  /** As-of join: latest order (by o_orderdate) at or before each event's ts
+    * for that user. Implemented as join + window-pick; DuckDB oracle uses its
+    * native ASOF JOIN. At scale the join shuffles both sides on the key and
+    * AQE handles skew; per-key order cardinality is bounded (orders/customer).
+    */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(s, d)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val joined = e.join(o,
+      e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT event_id, user_id, o_orderkey,
+      |  epoch_us(o_orderdate) AS o_orderdate_us, o_totalprice
+      |FROM events ASOF JOIN (
+      |  SELECT o_custkey, o_orderdate,
+      |         max(o_orderkey) AS o_orderkey,
+      |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY o_custkey, o_orderdate
+      |) o ON events.user_id = o.o_custkey AND events.ts >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
+  /** Range (interval) self-join: pairs of events from the same user within
+    * 5 minutes of each other. Equi-part on user_id keeps the shuffle keyed;
+    * the range predicate is applied post-join (band join). */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.events(s, d).select(
+      col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+    val b = Tables.events(s, d).select(
+      col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_ts"))
+    a.join(b,
+        col("user_id") === col("b_user") &&
+          col("a_id") < col("b_id") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT a.user_id, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
+  /** Tumbling event-time window aggregation (batch twin of the streaming
+    * path in graft.streaming): 1-hour buckets of event value. */
+  def qWindowTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(sumd(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("sum_value"), col("n"))
+      .orderBy("win_start_us", "event_type")
+
+  val qWindowTumblingSql: String =
+    s"""SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_us,
+       |  event_type, ${sqlSumd("value")} AS sum_value, count(*) AS n
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY win_start_us, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join_topk" -> (q3JoinTopk _),
+    "q5_star_broadcast" -> (q5StarBroadcast _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_topk" -> (qTopk _),
+    "q_set_except" -> (qSetExcept _),
+    "q_set_intersect" -> (qSetIntersect _),
+    "q_union_all" -> (qUnionAll _),
+    "q_distinct" -> (qDistinct _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_window_tumbling" -> (qWindowTumbling _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join_topk" -> q3JoinTopkSql,
+    "q5_star_broadcast" -> q5StarBroadcastSql,
+    "q_semi_join" -> qSemiJoinSql,
+    "q_anti_join" -> qAntiJoinSql,
+    "q_window_rank" -> qWindowRankSql,
+    "q_topk" -> qTopkSql,
+    "q_set_except" -> qSetExceptSql,
+    "q_set_intersect" -> qSetIntersectSql,
+    "q_union_all" -> qUnionAllSql,
+    "q_distinct" -> qDistinctSql,
+    "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_window_tumbling" -> qWindowTumblingSql
+  )
+}

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *  - every scan is pruned: filters + column selection reach the parquet
   *    reader (verified via explain: PushedFilters / ReadSchema).
   */
-object Relational {
+object Relational extends Serializable {
   import QueryUtil._
 
   private val one = lit(1).cast(DecimalType(18, 2))

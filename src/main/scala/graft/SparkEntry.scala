@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Dataflow.queries ++
-      graft.queries.Scalars.queries
+      graft.queries.Scalars.queries ++
+      graft.queries.LlmPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Dataflow.oracle ++
-      graft.queries.Scalars.oracle
+      graft.queries.Scalars.oracle ++
+      graft.queries.LlmPipeline.oracle
 }

@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.security.MessageDigest
+
+/** Multimodal column handling for training-data pipelines.
+  *
+  * Model: media is an opaque `binary` column plus a typed metadata struct
+  * (format, width, height, …). Decode / feature-extract / resize /
+  * frame-sample run as BATCHED partition-level transforms
+  * (Dataset.mapPartitions) so a real decoder could amortize native-library
+  * init per batch — the Scala twin of Python's mapInPandas shape. The
+  * Spark-side plumbing (schema, partitioning, batch iteration) is real and
+  * tested; the pixel decode itself is STUBBED (no image/audio libs in this
+  * container) behind `decodeStub`, which derives deterministic fake
+  * dimensions/features from a SHA-256 of the bytes.
+  *
+  * At scale: decode is a narrow map (no shuffle); binary columns ride
+  * parquet; `spark.sql.files.maxPartitionBytes` bounds per-task memory, and
+  * frame-sampled outputs explode row counts predictably (sampleFrames
+  * controls the fan-out).
+  */
+object Multimodal extends Serializable {
+
+  final case class MediaRow(media_id: Long, content: Array[Byte])
+  final case class DecodedMeta(media_id: Long, format: String, width: Int,
+                               height: Int, n_bytes: Long, checksum: String)
+  final case class Frame(media_id: Long, frame_idx: Int, feature: Double)
+
+  /** STUB decoder: a real implementation would call an image codec here.
+    * Deterministic: all fake fields derive from sha256(content). */
+  def decodeStub(content: Array[Byte]): (String, Int, Int, String) = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val h = md.digest(content)
+    val hex = h.map("%02x".format(_)).mkString
+    val width = 64 + (((h(0) & 0xFF) << 8 | (h(1) & 0xFF)) % 1984) // 64..2047
+    val height = 64 + (((h(2) & 0xFF) << 8 | (h(3) & 0xFF)) % 1984)
+    val format = Seq("png", "jpeg", "webp")((h(4) & 0xFF) % 3)
+    (format, width, height, hex)
+  }
+
+  /** Batched decode: one codec init per partition, streaming batches. */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: init native decoder once per partition here
+      it.map { m =>
+        val (fmt, w, h, sum) = decodeStub(m.content)
+        DecodedMeta(m.media_id, fmt, w, h, m.content.length.toLong, sum)
+      }
+    }
+  }
+
+  /** Frame sampling (video-shaped fan-out): emit `n` frames per media row
+    * with a deterministic per-frame feature. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val (_, w, h, _) = decodeStub(m.content)
+      (0 until n).iterator.map { i =>
+        Frame(m.media_id, i, (w.toLong * (i + 1) % h).toDouble / h)
+      }
+    }
+  }
+
+  /** Build a fake media table from documents (text bytes as the opaque
+    * payload) — exercises the binary-column path end-to-end. */
+  def mediaFromDocuments(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRow]
+  }
+}

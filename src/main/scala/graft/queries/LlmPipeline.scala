@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline operators over documents/embeddings
+  * (BASELINE.json north star): dedup family, similarity search, text
+  * analysis, multimodal plumbing. Exact variants carry DuckDB oracles; the
+  * probabilistic scale paths (MinHash-LSH, SimHash, hyperplane-LSH) are
+  * rows-only here and consistency-tested against the exact variants in
+  * LlmPipelineSpec. */
+object LlmPipeline extends Serializable {
+
+  private val ws = "\\s+"
+
+  /** Exact dedup on normalized content (sorted distinct word bag). The
+    * shuffle key is the normalized string (at scale: its sha2 digest —
+    * identical grouping, 32-byte keys). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), ws)))).as("key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+      .orderBy("keep_id")
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents
+      |GROUP BY array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+'))), ' ')
+      |ORDER BY keep_id""".stripMargin
+
+  /** Blocked exact word-set Jaccard near-dup (oracle baseline; quadratic
+    * within lang blocks — MinHash below is the 100 TB path). */
+  def dedupJaccardBlocked(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), ws).as("toks"))
+    val a = t.select(col("doc_id").as("a"), col("lang"),
+      col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("b"), col("lang").as("lang_b"),
+      col("toks").as("tb"))
+    a.join(b, col("lang") === col("lang_b") && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(Dedup.wordSetJaccard(col("ta"), col("tb")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.95)
+      .orderBy("a", "b")
+  }
+
+  val dedupJaccardBlockedSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |             list_distinct(string_split_regex(text, '\s+')) AS ws
+      |           FROM documents)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      |  round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6) AS jaccard
+      |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6) >= 0.95
+      |ORDER BY a, b""".stripMargin
+
+  /** MinHash+LSH near-dup (rows-only; recall-tested in spec). */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(s, Tables.documents(s, d),
+      w = 3, k = 64, bands = 16, threshold = 0.2)
+
+  /** SimHash near-dup (rows-only; semantics tested in spec). */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(s, Tables.documents(s, d), maxDist = 12)
+
+  /** Exact brute-force ANN: top-10 cosine neighbors of query vecs 0-4. */
+  def annCosineTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.bruteForceTopK(emb, queries, 10)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  val annCosineTopkSql: String =
+    """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, e AS qe FROM t WHERE vec_id < 5),
+      |sims AS (
+      |  SELECT q.q_id, t.vec_id,
+      |    round(list_dot_product(t.e, q.qe) /
+      |      (sqrt(list_dot_product(t.e, t.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS sim
+      |  FROM t CROSS JOIN q WHERE t.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM sims)
+      |SELECT q_id, vec_id, sim, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** Exact embedding near-dup pairs (cosine >= 0.35). */
+  def embedNeardup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.35)
+
+  val embedNeardupSql: String =
+    """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      |SELECT a.vec_id AS a, b.vec_id AS b,
+      |  round(list_dot_product(a.e, b.e) /
+      |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+      |FROM t a JOIN t b ON a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.e, b.e) /
+      |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+      |ORDER BY a, b""".stripMargin
+
+  /** Hyperplane-LSH near-dup (rows-only; recall-tested vs exact in spec). */
+  def annLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshNearDupPairs(s, Tables.embeddings(s, d), 0.35,
+      nBits = 6, tables = 8)
+
+  /** Language-ID via marker-word scores, deterministic tie-break. */
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        TextAnalysis.langId(col("text")).as("detected_lang"))
+      .orderBy("doc_id")
+
+  val textLangidSql: String = {
+    val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      l -> s"len(list_filter(string_split_regex(text, '\\s+'), t -> t IN ($inList)))"
+    }
+    val names = scores.map(_._1)
+    // mirror the fold: a later lang wins only on strictly-greater score
+    val cases = names.tail.reverse.map { l =>
+      val prior = names.take(names.indexOf(l))
+      val prevMax =
+        if (prior.size == 1) s"s_${prior.head}"
+        else s"greatest(${prior.map("s_" + _).mkString(", ")})"
+      s"WHEN s_$l > $prevMax THEN '$l'"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS declared_lang,
+       |    ${scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n    ")}
+       |  FROM documents)
+       |SELECT doc_id, declared_lang,
+       |  CASE WHEN ${names.map("s_" + _).mkString(" + ")} = 0 THEN 'und'
+       |    ${cases.mkString("\n    ")}
+       |    ELSE '${names.head}' END AS detected_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring (rational arithmetic only — cross-engine stable). */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS n,
+      |    CAST(list_aggregate(list_transform(string_split_regex(text, '\s+'), t -> length(t)), 'sum') AS DOUBLE) AS sum_len,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t IN ('the','a','and','of','to','is','in'))) AS DOUBLE) AS stop
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round(least(sum_len / n, 10.0) / 10.0 * 0.2 + stop / n * 0.5 +
+      |        least(n, 100.0) / 100.0 * 0.3, 6) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace + BPE-ish regex segmentation. */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeishCount(col("text")).as("n_bpeish_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish_tokens,
+      |  length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Content fingerprints (md5 + sha256, cross-engine identical). */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+        TextAnalysis.fingerprintSha(col("text")).as("fp_sha256"))
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multimodal: binary column → batched stub decode → typed metadata.
+    * The stub's fake dims derive from sha256(content) so even this is
+    * oracle-checkable. */
+  def multimodalDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+    Multimodal.decodeMeta(media).toDF().orderBy("media_id")
+  }
+
+  val multimodalDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(('0x' || substr(sha256(text), 9, 2)) AS INTEGER) % 3
+      |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+      |  CAST(64 + CAST(('0x' || substr(sha256(text), 1, 4)) AS INTEGER) % 1984 AS INTEGER) AS width,
+      |  CAST(64 + CAST(('0x' || substr(sha256(text), 5, 4)) AS INTEGER) % 1984 AS INTEGER) AS height,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS checksum
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_jaccard_blocked" -> (dedupJaccardBlocked _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "ann_cosine_topk" -> (annCosineTopk _),
+    "embed_neardup" -> (embedNeardup _),
+    "ann_lsh" -> (annLsh _),
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "multimodal_decode" -> (multimodalDecode _)
+  )
+
+  /** dedup_minhash_lsh / dedup_simhash / ann_lsh are probabilistic scale
+    * paths — no SQL oracle (driver records rows-only); their consistency
+    * with the exact variants is spec-tested. */
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_jaccard_blocked" -> dedupJaccardBlockedSql,
+    "ann_cosine_topk" -> annCosineTopkSql,
+    "embed_neardup" -> embedNeardupSql,
+    "text_langid" -> textLangidSql,
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "multimodal_decode" -> multimodalDecodeSql
+  )
+}

@@ -1,0 +1,116 @@
+package graft.similarity
+
+import graft.dedup.Dedup.splitmix64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Scale design:
+  *  - brute-force top-k: broadcast the (small) query set, one narrow pass
+  *    over the corpus computing cosine via zip_with/aggregate HOFs (codegen,
+  *    no UDF), then per-query top-k. This is the exact baseline — a single
+  *    scan, no corpus shuffle, O(|corpus|·|queries|·dim) flops.
+  *  - LSH (random hyperplane) bucketing: deterministic pseudo-random
+  *    hyperplanes hashed from (seed, plane, dim) — signature is a narrow
+  *    map; candidate generation touches only same-bucket pairs. The scale
+  *    path for corpus-vs-corpus near-dup joins.
+  *  - IVF-style coarse quantization would slot in the same way (assign →
+  *    per-centroid buckets); hyperplane LSH chosen here because it needs no
+  *    training pass.
+  *
+  * Cosine determinism: sums fold left-to-right over array order in both
+  * Spark (aggregate HOF) and the DuckDB oracle; results are rounded to 6dp
+  * before any ordering/compare so the last-ulp never decides ranks.
+  */
+object Similarity extends Serializable {
+
+  /** Cosine similarity of two double-array columns (codegen'd HOFs). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  def toDoubleArr(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * queries: (q_id, q_emb); corpus: (vec_id, embedding). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    val joined = corpus
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("emb"))
+      .crossJoin(broadcast(queries.select(col("q_id"),
+        toDoubleArr(col("q_emb")).as("qe"))))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("emb"), col("qe")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
+  /** All corpus pairs with cosine >= threshold (exact; quadratic — the
+    * oracle baseline for embedding near-dup; LSH below is the scale path).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("a"),
+      toDoubleArr(col("embedding")).as("ea"))
+    val b = corpus.select(col("vec_id").as("b"),
+      toDoubleArr(col("embedding")).as("eb"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i).
+    * Maps splitmix64 to [-1, 1). */
+  private def planeComponent(seed: Long, p: Int, i: Int): Double = {
+    val h = splitmix64(splitmix64(seed ^ (p + 1L)) ^ (i + 1L))
+    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** nBits-bit random-hyperplane signature of an embedding. */
+  def lshSignature(emb: Array[Float], seed: Long, nBits: Int): Int = {
+    var sig = 0
+    var p = 0
+    while (p < nBits) {
+      var dotv = 0.0
+      var i = 0
+      while (i < emb.length) { dotv += emb(i) * planeComponent(seed, p, i); i += 1 }
+      if (dotv >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed near-dup: bucket by hyperplane signature (multi-probe via
+    * `tables` independent signatures), exact-verify within buckets. */
+  def lshNearDupPairs(s: SparkSession, corpus: DataFrame, threshold: Double,
+                      nBits: Int = 12, tables: Int = 4): DataFrame = {
+    import s.implicits._
+    val typed = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val buckets = typed.flatMap { case (id, emb) =>
+      (0 until tables).iterator.map { t =>
+        (id, emb, t, lshSignature(emb, 42L + t, nBits))
+      }
+    }.toDF("vec_id", "emb", "table", "bucket")
+    val l = buckets.select(col("vec_id").as("a"), col("emb").as("ea"),
+      col("table"), col("bucket"))
+    val r = buckets.select(col("vec_id").as("b"), col("emb").as("eb"),
+      col("table"), col("bucket"))
+    l.join(r, Seq("table", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(toDoubleArr(col("ea")), toDoubleArr(col("eb"))), 6)
+          .as("sim"))
+      .where(col("sim") >= threshold)
+      .distinct()
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class LlmPipelineSpec extends SparkSpec {
+
+  test("minhash-LSH verified pairs are a subset of exact-jaccard pairs") {
+    val lsh = LlmPipeline.dedupMinhashLsh(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact shingle-jaccard over all pairs, kernel-side, small sf only
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val exact = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      if Dedup.shingleJaccard(ta, tb, 3) >= 0.2
+    } yield (a, b)).toSet
+    assert(lsh.subsetOf(exact), s"LSH reported a pair below threshold")
+    // identical docs must always be caught (identical signatures)
+    if (exact.nonEmpty) assert(lsh.nonEmpty)
+  }
+
+  test("minhash finds planted exact duplicates with certainty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about spark query engines"),
+      (4L, "the quick brown fox jumps over the lazy dog again and AGAIN")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(spark, docs, 3, 64, 16, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must collide in every band")
+  }
+
+  test("simhash hamming<=3 pairs found by chunk banding are exhaustive") {
+    import spark.implicits._
+    val base = "spark table query join filter agg window sort merge batch"
+    val docs = Seq(
+      (1L, base), (2L, base),                        // identical: hamming 0
+      (3L, base + " extra"),                         // near: small hamming
+      (4L, "zebra xylophone quantum banana umbrella")
+    ).toDF("doc_id", "text")
+    val found = Dedup.simhashNearDups(spark, docs, 3)
+      .select("a", "b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(found.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    // exhaustiveness: compare against brute-force hamming
+    val sigs = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> Dedup.simhash64(t) }
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(found.map(p => (p._1, p._2)) == brute)
+  }
+
+  test("hyperplane LSH finds planted near-identical vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v = vec()
+    val vNear = v.map(x => x + 0.01f)   // cosine ~1
+    val rows = (0 until 50).map(i => (i.toLong, vec())) :+
+      (100L, v) :+ (101L, vNear)
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairs(spark, df, 0.9, nBits = 8,
+        tables = 8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)))
+  }
+
+  test("LSH near-dup pairs are a subset of exact near-dup pairs") {
+    val exact = LlmPipeline.embedNeardup(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = LlmPipeline.annLsh(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("multimodal decode is deterministic, batched, and typed") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(
+      spark, graft.Tables.documents(spark, sf))
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.nonEmpty)
+    assert(meta.forall(m => m.width >= 64 && m.width < 2048))
+    assert(meta.forall(m => m.checksum.length == 64))
+    val again = Multimodal.decodeMeta(media).collect()
+    assert(meta.sortBy(_.media_id).sameElements(again.sortBy(_.media_id)))
+    // frame sampling fan-out is exact
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() == media.count() * 4)
+  }
+
+  test("brute-force ANN ranks are strictly ordered per query") {
+    val rows = LlmPipeline.annCosineTopk(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+}

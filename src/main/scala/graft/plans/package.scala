@@ -1,0 +1,13 @@
+package graft
+
+import org.apache.spark.sql.Column
+
+/** Public facade for graft's custom Catalyst expressions (implemented under
+  * org.apache.spark.sql.graft for access to private[sql] plumbing). */
+package object plans {
+  object DotProduct {
+    /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
+    def dot(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.GraftExprs.dot(a, b)
+  }
+}

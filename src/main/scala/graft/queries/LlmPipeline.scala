@@ -35,18 +35,28 @@ object LlmPipeline extends Serializable {
       |GROUP BY array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+'))), ' ')
       |ORDER BY keep_id""".stripMargin
 
-  /** Blocked exact word-set Jaccard near-dup (oracle baseline; quadratic
-    * within lang blocks — MinHash below is the 100 TB path). */
+  /** Blocked exact word-set Jaccard near-dup (oracle baseline; MinHash
+    * below is the 100 TB path). Semantics: same-lang pairs whose distinct
+    * word counts differ by at most 1 (necessary for j >= 0.95 at these doc
+    * sizes) with Jaccard >= 0.95. Blocking: the b-side replicates to count
+    * keys {n-1, n, n+1}, so the join is equi on (lang, count) — no
+    * quadratic-in-lang pair blowup, and the distinct-token arrays are
+    * computed once per doc, not per pair. */
   def dedupJaccardBlocked(s: SparkSession, d: String): DataFrame = {
     val t = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), split(col("text"), ws).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        array_sort(array_distinct(split(col("text"), ws))).as("ws"))
+      .withColumn("n", size(col("ws")))
     val a = t.select(col("doc_id").as("a"), col("lang"),
-      col("toks").as("ta"))
-    val b = t.select(col("doc_id").as("b"), col("lang").as("lang_b"),
-      col("toks").as("tb"))
-    a.join(b, col("lang") === col("lang_b") && col("a") < col("b"))
-      .select(col("a"), col("b"),
-        round(Dedup.wordSetJaccard(col("ta"), col("tb")), 6).as("jaccard"))
+      col("ws").as("wa"), col("n").as("na"))
+    val b = t.select(col("doc_id").as("b"), col("lang"),
+      col("ws").as("wb"), col("n").as("nb"))
+      .withColumn("key", explode(array(col("nb") - 1, col("nb"), col("nb") + 1)))
+    val j = size(array_intersect(col("wa"), col("wb"))).cast("double") /
+      size(array_union(col("wa"), col("wb"))).cast("double")
+    a.join(b, Seq("lang"))
+      .where(col("a") < col("b") && col("na") === col("key"))
+      .select(col("a"), col("b"), round(j, 6).as("jaccard"))
       .where(col("jaccard") >= 0.95)
       .orderBy("a", "b")
   }
@@ -55,12 +65,13 @@ object LlmPipeline extends Serializable {
     """WITH t AS (SELECT doc_id, lang,
       |             list_distinct(string_split_regex(text, '\s+')) AS ws
       |           FROM documents)
-      |SELECT a.doc_id AS a, b.doc_id AS b,
-      |  round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-      |        CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6) AS jaccard
-      |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-      |        CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6) >= 0.95
+      |SELECT a, b, jaccard FROM (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |    round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |          CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6) AS jaccard
+      |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |   AND abs(len(a.ws) - len(b.ws)) <= 1
+      |) WHERE jaccard >= 0.95
       |ORDER BY a, b""".stripMargin
 
   /** MinHash+LSH near-dup (rows-only; recall-tested in spec). */

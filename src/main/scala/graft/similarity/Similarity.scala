@@ -26,12 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends Serializable {
 
-  /** Cosine similarity of two double-array columns (codegen'd HOFs). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  /** Dot product: native codegen'd expression (graft.plans.DotProduct) —
+    * same left-fold order as the HOF formulation and DuckDB's
+    * list_dot_product, ~10x cheaper per pair (no intermediate array). */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
+
+  /** Cosine similarity of two double-array columns. Prefer the
+    * precomputed-norm join paths below when evaluating many pairs. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   def toDoubleArr(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -41,11 +44,14 @@ object Similarity extends Serializable {
       : DataFrame = {
     val joined = corpus
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("emb"))
-      .crossJoin(broadcast(queries.select(col("q_id"),
-        toDoubleArr(col("q_emb")).as("qe"))))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .crossJoin(broadcast(queries
+        .select(col("q_id"), toDoubleArr(col("q_emb")).as("qe"))
+        .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("emb"), col("qe")), 6).as("sim"))
+        round(dot(col("emb"), col("qe")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
@@ -57,13 +63,17 @@ object Similarity extends Serializable {
     * oracle baseline for embedding near-dup; LSH below is the scale path).
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("a"),
-      toDoubleArr(col("embedding")).as("ea"))
-    val b = corpus.select(col("vec_id").as("b"),
-      toDoubleArr(col("embedding")).as("eb"))
+    val t = corpus
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val a = t.select(col("vec_id").as("a"), col("e").as("ea"),
+      col("nrm").as("na"))
+    val b = t.select(col("vec_id").as("b"), col("e").as("eb"),
+      col("nrm").as("nb"))
     a.crossJoin(b).where(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(cosine(col("ea"), col("eb")), 6).as("sim"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
       .where(col("sim") >= threshold)
       .orderBy("a", "b")
   }
@@ -107,8 +117,11 @@ object Similarity extends Serializable {
       col("table"), col("bucket"))
     l.join(r, Seq("table", "bucket")).where(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(cosine(toDoubleArr(col("ea")), toDoubleArr(col("eb"))), 6)
-          .as("sim"))
+        toDoubleArr(col("ea")).as("da"), toDoubleArr(col("eb")).as("db"))
+      .select(col("a"), col("b"),
+        round(dot(col("da"), col("db")) /
+          (sqrt(dot(col("da"), col("da"))) * sqrt(dot(col("db"), col("db")))),
+          6).as("sim"))
       .where(col("sim") >= threshold)
       .distinct()
       .orderBy("a", "b")

@@ -202,6 +202,32 @@ object Dataflow extends Serializable {
       |  CASE WHEN event_type = 'error' THEN 'boom:error' ELSE event_type END AS info
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** D5: ingest validation (manual.md:48-49) — declared-schema semantic
+    * checks with DLQ routing; good rows continue with parsed fields. All
+    * driver events are valid (spec exercises the invalid paths). */
+  def d5Validation(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ValidatedIngest._
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(s, d)
+    val rules = Seq(
+      enumCheck("event_type",
+        Seq("click", "view", "purchase", "signup", "error")),
+      rangeCheck("value", 0.0, 1000.0),
+      jsonParses("props", StructType(Seq(StructField("k", LongType)))))
+    val v = validate(ev, rules, Dlq)
+    v.good.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+  }
+
+  val d5ValidationSql: String =
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE event_type IN ('click','view','purchase','signup','error')
+      |  AND value >= 0.0 AND value <= 1000.0
+      |  AND json_valid(props)
+      |ORDER BY event_id""".stripMargin
+
   /** P1/P2: Dot field access + Has presence test over the props JSON column
     * (ast.rs:235-236). Note: get_json_object conflates absent and null —
     * the full absent-vs-null story (README.md:220-228) is handled at schema
@@ -248,6 +274,7 @@ object Dataflow extends Serializable {
     "d8_comprehension" -> (d8Comprehension _),
     "d9_suppose" -> (d9Suppose _),
     "d11_throw_dlq" -> (d11ThrowDlq _),
+    "d5_validation" -> (d5Validation _),
     "p1_dot_has" -> (p1DotHas _),
     "p3_index" -> (p3Index _)
   )
@@ -261,6 +288,7 @@ object Dataflow extends Serializable {
     "d8_comprehension" -> d8ComprehensionSql,
     "d9_suppose" -> d9SupposeSql,
     "d11_throw_dlq" -> d11ThrowDlqSql,
+    "d5_validation" -> d5ValidationSql,
     "p1_dot_has" -> p1DotHasSql,
     "p3_index" -> p3IndexSql
   )

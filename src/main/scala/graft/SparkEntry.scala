@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Dataflow.queries ++
       graft.queries.Scalars.queries ++
-      graft.queries.LlmPipeline.queries
+      graft.queries.LlmPipeline.queries ++
+      graft.queries.UdLang.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Dataflow.oracle ++
       graft.queries.Scalars.oracle ++
-      graft.queries.LlmPipeline.oracle
+      graft.queries.LlmPipeline.oracle ++
+      graft.queries.UdLang.oracle
 }

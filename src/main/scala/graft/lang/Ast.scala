@@ -1,0 +1,107 @@
+package graft.lang
+
+/** uDLang AST — the declared capability surface of the reference
+  * (ast.rs:166-309, grammar.lalrpop), re-expressed as Scala ADTs.
+  * This is a clean-room model of the documented language, not a port:
+  * only the shapes needed to type and lower scripts are kept.
+  */
+object Ast {
+
+  // ---- types (ast.rs:166-206, manual.md:85-121) ----
+  sealed trait UdType
+  case object TBool extends UdType
+  case object TInt extends UdType
+  case object TFloat extends UdType
+  case object TStr extends UdType
+  case object TNone extends UdType
+  case object TAny extends UdType
+  final case class TOption(t: UdType) extends UdType
+  final case class TList(t: UdType) extends UdType
+  final case class TMap(v: UdType) extends UdType // string keys (ir.rs:268)
+  final case class TTuple(ts: Seq[UdType]) extends UdType
+  /** field? (absent-optional) vs T? (nullable) both surface as Option
+    * in-script but are distinct at schema level (README.md:220-228). */
+  final case class TField(name: String, t: UdType, absentOptional: Boolean)
+  final case class TRecord(fields: Seq[TField]) extends UdType
+  final case class TUnion(ts: Seq[UdType]) extends UdType
+  final case class TLambda(args: Seq[UdType], ret: UdType) extends UdType
+  /** ValueType: string-literal lifted to type level (manual.md:97). */
+  final case class TValue(lit: String) extends UdType
+  /** Named type reference, resolved by the typechecker. */
+  final case class TRef(name: String) extends UdType
+
+  // ---- operators (§2.3 of SURVEY; ast.rs:140-156) ----
+  sealed trait BinOp
+  case object Add extends BinOp; case object Sub extends BinOp
+  case object Mul extends BinOp; case object Div extends BinOp
+  case object Mod extends BinOp; case object Pow extends BinOp
+  case object Min extends BinOp; case object Max extends BinOp
+  case object And extends BinOp; case object Or extends BinOp
+  case object Xor extends BinOp
+  case object Shl extends BinOp; case object Shr extends BinOp
+  case object Lt extends BinOp; case object Gt extends BinOp
+  case object Lte extends BinOp; case object Gte extends BinOp
+  case object Eq extends BinOp; case object Neq extends BinOp
+
+  sealed trait UnOp
+  case object Not extends UnOp; case object Neg extends UnOp
+  case object Abs extends UnOp
+
+  // ---- expressions ----
+  sealed trait Expr
+  final case class LitInt(v: Long) extends Expr
+  final case class LitFloat(v: Double) extends Expr
+  final case class LitStr(v: String) extends Expr
+  final case class LitBool(v: Boolean) extends Expr
+  case object LitNone extends Expr
+  case object In extends Expr                       // current input record
+  final case class Id(name: String) extends Expr
+  final case class Bin(op: BinOp, l: Expr, r: Expr) extends Expr
+  final case class Un(op: UnOp, e: Expr) extends Expr
+  final case class Cond(cases: Seq[(Expr, Expr)], otherwise: Expr) extends Expr
+  final case class BlockExpr(stmts: Seq[Stmt], result: Expr) extends Expr
+  final case class Lambda(params: Seq[(String, UdType)], ret: UdType,
+                          body: Expr) extends Expr
+  final case class Call(f: Expr, args: Seq[Expr]) extends Expr
+  final case class Dot(e: Expr, field: String) extends Expr
+  final case class Has(e: Expr, field: String) extends Expr   // rec.?.field
+  final case class Index(e: Expr, i: Expr) extends Expr       // 0-based
+  final case class ListExpr(es: Seq[Expr]) extends Expr
+  final case class MapExpr(entries: Seq[(String, Expr)]) extends Expr
+  /** match with literal + type patterns (README.md:124-137, DOC-level). */
+  final case class Match(scrutinee: Expr, cases: Seq[(Pattern, Expr)],
+                         default: Option[Expr]) extends Expr
+
+  sealed trait Pattern
+  final case class PLitStr(v: String) extends Pattern
+  final case class PLitInt(v: Long) extends Pattern
+  final case class PType(binder: String, t: UdType) extends Pattern
+
+  // ---- statements ----
+  sealed trait Stmt
+  final case class OutStmt(e: Expr) extends Stmt
+  final case class LetStmt(name: String, e: Expr) extends Stmt
+  /** func f(a: T, ...) -> R { body } — sugar for let f = lambda
+    * (ast.rs:527-541); proc = func returning None. */
+  final case class FuncStmt(name: String, params: Seq[(String, UdType)],
+                            ret: UdType, body: Expr) extends Stmt
+  final case class ForStmt(v: String, coll: Expr, body: Seq[Stmt]) extends Stmt
+  final case class ForKvStmt(k: String, v: String, coll: Expr,
+                             body: Seq[Stmt]) extends Stmt
+  final case class IfStmt(cases: Seq[(Expr, Seq[Stmt])],
+                          otherwise: Seq[Stmt]) extends Stmt
+  /** suppose (delegate) { branch with ...; } else { leaf } (vm.rs:602-638).
+    */
+  final case class SupposeStmt(delegate: Expr, branch: Seq[Stmt],
+                               leaf: Seq[Stmt]) extends Stmt
+  case object SpliceStmt extends Stmt               // `...;` inside branch
+  final case class ExprStmt(e: Expr) extends Stmt
+  final case class DebugStmt(e: Expr) extends Stmt  // `! expr`
+  final case class ThrowStmt(e: Expr) extends Stmt
+  final case class TypeDecl(name: String, t: UdType) extends Stmt
+
+  /** A parsed script: metadata + init-block decls + per-record body
+    * (ir.rs:746-773 block split). */
+  final case class Script(desc: String, input: UdType, output: UdType,
+                          decls: Seq[Stmt], body: Seq[Stmt])
+}

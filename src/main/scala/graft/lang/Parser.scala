@@ -1,0 +1,276 @@
+package graft.lang
+
+import scala.util.parsing.combinator.RegexParsers
+import Ast._
+
+/** uDLang surface-syntax parser (clean-room from the grammar the reference
+  * documents: grammar.lalrpop, README.md, manual.md, examples dir). Covers
+  * script/version/input/output decls, let/func/proc/type, lambdas (incl.
+  * function types with named params), control flow (if/elif/else expr+stmt,
+  * for, suppose with `...;` splice), out/throw/`!` debug, match, and the
+  * expression grammar with the reference's precedence
+  * (grammar.lalrpop:398-507).
+  */
+object UdParser extends RegexParsers {
+  // whitespace, line comments, block comments, shebang line
+  override protected val whiteSpace =
+    """(\s|//.*|#!.*|(?s)/\*.*?\*/)+""".r
+
+  // ---- lexical ----
+  private val ident = """[A-Za-z_][A-Za-z0-9_]*""".r
+  private val intLit = """-?\d+(?![\d.eE])""".r
+  private val floatLit = """-?\d+\.\d+([eE][+-]?\d+)?""".r
+  private val strLit = """"([^"\\]|\\.)*"""".r
+
+  private def unescape(s: String): String =
+    s.substring(1, s.length - 1)
+      .replace("\\\"", "\"").replace("\\n", "\n")
+      .replace("\\t", "\t").replace("\\\\", "\\")
+
+  /** keyword parser with word boundary (so `out` != prefix of `outer`) */
+  private def kw(w: String): Parser[String] = (w + "\\b").r ^^ (_ => w)
+
+  // keywords must not lex as identifiers
+  private val keywords = Set("if", "elif", "else", "for", "in", "out", "let",
+    "func", "proc", "type", "suppose", "match", "case", "throw", "not",
+    "and", "or", "xor", "true", "false", "none", "input", "output",
+    "script", "version")
+  private def name: Parser[String] =
+    ident.filter(!keywords.contains(_)).withFailureMessage("identifier expected")
+
+  // ---- types ----
+  def tyLambda: Parser[UdType] =
+    ("(" ~> repsep(lamParamTy, ",") <~ ")") ~ ("->" ~> ty) ^^ {
+      case args ~ r => TLambda(args, r)
+    }
+
+  private def lamParamTy: Parser[UdType] =
+    (name ~ (":" ~> ty) ^^ { case _ ~ t => t }) | ty
+
+  def tyAtom: Parser[UdType] =
+    "Bool" ^^^ TBool | "Int" ^^^ TInt | "Float" ^^^ TFloat |
+      "Str" ^^^ TStr | "None" ^^^ TNone | "Any" ^^^ TAny |
+      ("U8" | "U16" | "U32" | "U64" | "I8" | "I16" | "I32" | "I64" | "Nat") ^^^ TInt |
+      ("F32" | "F64") ^^^ TFloat |
+      strLit ^^ (s => TValue(unescape(s))) |
+      "[" ~> ty <~ "]" ^^ TList |
+      "Map" ~> "[" ~> ty <~ "]" ^^ TMap |
+      "{" ~> repsep(recField, ",") <~ opt(",") ~ "}" ^^ (fs => TRecord(fs)) |
+      tyLambda |
+      "(" ~> rep1sep(ty, ",") <~ ")" ^^ {
+        case Seq(t) => t
+        case ts     => TTuple(ts)
+      } |
+      name ^^ TRef
+
+  def recField: Parser[TField] =
+    opt("field") ~> name ~ opt("?") ~ (":" ~> ty) ^^ {
+      case n ~ q ~ t => TField(n, t, q.isDefined)
+    }
+
+  def ty: Parser[UdType] =
+    rep1sep(tyPostfix, "|") ^^ (ts => if (ts.size == 1) ts.head else TUnion(ts))
+
+  def tyPostfix: Parser[UdType] =
+    tyAtom ~ rep("?") ^^ { case t ~ qs => qs.foldLeft(t)((a, _) => TOption(a)) }
+
+  // ---- expressions ----
+  def expr: Parser[Expr] = orExpr
+
+  def orExpr: Parser[Expr] =
+    andExpr ~ rep((kw("or") | kw("xor")) ~ andExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) {
+        case (l, "or" ~ r) => Bin(Or, l, r)
+        case (l, _ ~ r)    => Bin(Xor, l, r)
+      }
+    }
+
+  def andExpr: Parser[Expr] =
+    cmpExpr ~ rep(kw("and") ~> cmpExpr) ^^ { case h ~ t =>
+      t.foldLeft(h)((l, r) => Bin(And, l, r))
+    }
+
+  def cmpExpr: Parser[Expr] =
+    shiftExpr ~ opt(("<=" | ">=" | "==" | "!=" | "<" | ">") ~ shiftExpr) ^^ {
+      case l ~ None => l
+      case l ~ Some(op ~ r) => op match {
+        case "<"  => Bin(Lt, l, r);  case ">"  => Bin(Gt, l, r)
+        case "<=" => Bin(Lte, l, r); case ">=" => Bin(Gte, l, r)
+        case "==" => Bin(Eq, l, r);  case _    => Bin(Neq, l, r)
+      }
+    }
+
+  def shiftExpr: Parser[Expr] =
+    addExpr ~ rep(("<<" | ">>") ~ addExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) {
+        case (l, "<<" ~ r) => Bin(Shl, l, r)
+        case (l, _ ~ r)    => Bin(Shr, l, r)
+      }
+    }
+
+  def addExpr: Parser[Expr] =
+    mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) {
+        case (l, "+" ~ r) => Bin(Add, l, r)
+        case (l, _ ~ r)   => Bin(Sub, l, r)
+      }
+    }
+
+  def mulExpr: Parser[Expr] =
+    unaryExpr ~ rep(("*" | "/" | "%") ~ unaryExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) {
+        case (l, "*" ~ r) => Bin(Mul, l, r)
+        case (l, "/" ~ r) => Bin(Div, l, r)
+        case (l, _ ~ r)   => Bin(Mod, l, r)
+      }
+    }
+
+  def unaryExpr: Parser[Expr] =
+    kw("not") ~> unaryExpr ^^ (Un(Not, _)) |
+      "-" ~> postfixExpr ^^ (Un(Neg, _)) |
+      "!" ~> unaryExpr ^^ identity | // `!` debug is a passthrough in exprs
+      postfixExpr
+
+  def postfixExpr: Parser[Expr] =
+    atom ~ rep(postfixOp) ^^ { case h ~ ops => ops.foldLeft(h)((e, f) => f(e)) }
+
+  private def postfixOp: Parser[Expr => Expr] =
+    "(" ~> repsep(expr, ",") <~ ")" ^^ (args => (e: Expr) => Call(e, args)) |
+      ".?." ~> name ^^ (f => (e: Expr) => Has(e, f)) |
+      "." ~> name ^^ (f => (e: Expr) => Dot(e, f)) |
+      "[" ~> expr <~ "]" ^^ (i => (e: Expr) => Index(e, i))
+
+  def atom: Parser[Expr] =
+    floatLit ^^ (s => LitFloat(s.toDouble)) |
+      intLit ^^ (s => LitInt(s.toLong)) |
+      strLit ^^ (s => LitStr(unescape(s))) |
+      """true\b""".r ^^^ LitBool(true) | """false\b""".r ^^^ LitBool(false) |
+      """none\b""".r ^^^ LitNone |
+      """in\b""".r ^^^ In |
+      ifExpr | matchExpr | lambdaExpr |
+      "[" ~> repsep(expr, ",") <~ "]" ^^ ListExpr |
+      "{" ~> rep1sep((name | strLit ^^ unescape) ~ (":" ~> expr), ",") <~ opt(",") ~ "}" ^^
+      (es => MapExpr(es.map { case k ~ v => (k, v) })) |
+      "(" ~> expr <~ ")" |
+      name ^^ Id
+
+  def ifExpr: Parser[Expr] =
+    (kw("if") ~> "(" ~> expr <~ ")") ~ blockValue ~
+      rep((kw("elif") ~> "(" ~> expr <~ ")") ~ blockValue) ~
+      (kw("else") ~> blockValue) ^^ { case c ~ t ~ elifs ~ e =>
+      Cond((c, t) +: elifs.map { case cc ~ tt => (cc, tt) }, e)
+    }
+
+  def matchExpr: Parser[Expr] =
+    (kw("match") ~> "(" ~> expr <~ ")") ~ ("{" ~> rep(matchCase) ~
+      opt(kw("else") ~> "=>" ~> expr <~ ";") <~ "}") ^^ {
+      case scrut ~ (cases ~ dflt) => Match(scrut, cases, dflt)
+    }
+
+  def matchCase: Parser[(Pattern, Expr)] =
+    (kw("case") ~> pattern) ~ ("=>" ~> expr <~ ";") ^^ { case p ~ e => (p, e) }
+
+  def pattern: Parser[Pattern] =
+    strLit ^^ (s => PLitStr(unescape(s))) |
+      intLit ^^ (s => PLitInt(s.toLong)) |
+      name ~ (":" ~> ty) ^^ { case n ~ t => PType(n, t) }
+
+  /** lambda literal: (x: T) -> R = e | (x: T) -> R {block} | (x: T) {block}
+    * (grammar.lalrpop:365-384). */
+  def lambdaExpr: Parser[Expr] =
+    ("(" ~> repsep(param, ",") <~ ")") ~ ("->" ~> ty) ~
+      (("=" ~> expr) | blockValueBraced) ^^ {
+      case ps ~ r ~ b => Lambda(ps, r, b)
+    } |
+      ("(" ~> repsep(param, ",") <~ ")") ~ blockValueBraced ^^ {
+        case ps ~ b => Lambda(ps, TNone, b)
+      }
+
+  def param: Parser[(String, UdType)] =
+    name ~ (":" ~> ty) ^^ { case n ~ t => (n, t) }
+
+  /** `{ stmts* expr? }` with a value result; statements-only blocks result
+    * in none (proc bodies). */
+  def blockValueBraced: Parser[Expr] =
+    "{" ~> rep(stmt) ~ opt(expr <~ opt(";")) <~ "}" ^^ {
+      case Nil ~ Some(e) => e
+      case ss ~ Some(e)  => BlockExpr(ss, e)
+      case ss ~ None     => BlockExpr(ss, LitNone)
+    }
+
+  def blockValue: Parser[Expr] = blockValueBraced | expr
+
+  // ---- statements ----
+  def stmt: Parser[Stmt] =
+    kw("out") ~> expr <~ ";" ^^ OutStmt |
+      kw("let") ~> name ~ ("=" ~> expr) <~ ";" ^^ { case n ~ e => LetStmt(n, e) } |
+      kw("type") ~> name ~ (":" ~ "type" ~ "=" ~> ty) <~ ";" ^^ {
+        case n ~ t => TypeDecl(n, t)
+      } |
+      (kw("func") ~> name) ~ ("(" ~> repsep(param, ",") <~ ")") ~
+        ("->" ~> ty) ~ (("=" ~> expr <~ ";") | blockValueBraced) ^^ {
+        case n ~ ps ~ r ~ b => FuncStmt(n, ps, r, b)
+      } |
+      (kw("proc") ~> name) ~ ("(" ~> repsep(param, ",") <~ ")") ~ blockValueBraced ^^ {
+        case n ~ ps ~ b => FuncStmt(n, ps, TNone, b)
+      } |
+      (kw("for") ~> "(" ~> name ~ ("," ~> name) <~ ")") ~ (kw("in") ~> expr) ~ stmtBlock ^^ {
+        case k ~ v ~ c ~ b => ForKvStmt(k, v, c, b)
+      } |
+      (kw("for") ~> name) ~ (kw("in") ~> expr) ~ stmtBlock ^^ {
+        case v ~ c ~ b => ForStmt(v, c, b)
+      } |
+      (kw("suppose") ~> "(" ~> expr <~ ")") ~ stmtBlock ~ (kw("else") ~> stmtBlock) ^^ {
+        case d ~ br ~ lf => SupposeStmt(d, br, lf)
+      } |
+      "..." ~ ";" ^^^ SpliceStmt |
+      kw("throw") ~> expr <~ ";" ^^ ThrowStmt |
+      "!" ~> expr <~ ";" ^^ DebugStmt |
+      ifStmt |
+      expr <~ ";" ^^ ExprStmt
+
+  def ifStmt: Parser[Stmt] =
+    (kw("if") ~> "(" ~> expr <~ ")") ~ stmtBlock ~
+      rep((kw("elif") ~> "(" ~> expr <~ ")") ~ stmtBlock) ~
+      opt(kw("else") ~> stmtBlock) ^^ { case c ~ t ~ elifs ~ e =>
+      IfStmt((c, t) +: elifs.map { case cc ~ tt => (cc, tt) },
+        e.getOrElse(Nil))
+    }
+
+  def stmtBlock: Parser[Seq[Stmt]] = "{" ~> rep(stmt) <~ "}"
+
+  // ---- program ----
+  private sealed trait TopItem
+  private final case class TI(t: UdType) extends TopItem
+  private final case class TO(t: UdType) extends TopItem
+  private final case class TS(s: Stmt) extends TopItem
+
+  private def topItem: Parser[TopItem] =
+    kw("input") ~> ty <~ ";" ^^ TI |
+      kw("output") ~> ty <~ ";" ^^ TO |
+      stmt ^^ TS
+
+  def program: Parser[Script] =
+    opt(kw("version") ~> """[^;]+""".r <~ ";") ~>
+      (kw("script") ~> strLit <~ ";") ~ rep(topItem) ^^ { case desc ~ items =>
+      val in = items.collectFirst { case TI(t) => t }
+        .getOrElse(TAny)
+      val out = items.collectFirst { case TO(t) => t }
+        .getOrElse(TAny)
+      val stmts = items.collect { case TS(s) => s }
+      // block split (ir.rs:746-773): decls → init, the rest → per-record body
+      val (decls, body) = stmts.partition {
+        case _: LetStmt | _: FuncStmt | _: TypeDecl => true
+        case _                                      => false
+      }
+      Script(unescape(desc), in, out, decls, body)
+    }
+
+  def parse(src: String): Either[String, Script] =
+    parseAll(program, src) match {
+      case Success(s, _) => Right(s)
+      case NoSuccess(m, rest) =>
+        Left(s"parse error at line ${rest.pos.line}, col ${rest.pos.column}: $m")
+      case other => Left(other.toString)
+    }
+}

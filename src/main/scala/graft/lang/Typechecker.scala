@@ -1,0 +1,271 @@
+package graft.lang
+
+import Ast._
+
+/** Static typechecker — full, in-pipeline (the reference wrote one but
+  * never wired it in: typechecker.rs is invoked only by its own tests).
+  * Structural subtyping, union narrowing on match, strict arithmetic (no
+  * implicit Int/Float mix, manual.md:118-121), out-type checking against
+  * the declared output (NotImplemented in the reference,
+  * typechecker.rs:349-351). Collects all errors rather than failing fast.
+  */
+object Typechecker {
+
+  final case class TypeError(msg: String)
+
+  private final class TEnv(var vars: Map[String, UdType],
+                           val parent: Option[TEnv]) {
+    def lookup(n: String): Option[UdType] =
+      vars.get(n).orElse(parent.flatMap(_.lookup(n)))
+    def define(n: String, t: UdType): Unit = vars += (n -> t)
+    def child(): TEnv = new TEnv(Map.empty, Some(this))
+  }
+
+  def check(script: Script): Seq[TypeError] = {
+    val errs = Seq.newBuilder[TypeError]
+    def error(m: String): UdType = { errs += TypeError(m); TAny }
+
+    var typeDefs: Map[String, UdType] = Map.empty
+
+    def resolve(t: UdType): UdType = t match {
+      case TRef(n) => typeDefs.getOrElse(n,
+        { errs += TypeError(s"unknown type: $n"); TAny })
+      case TList(x)   => TList(resolve(x))
+      case TMap(x)    => TMap(resolve(x))
+      case TOption(x) => TOption(resolve(x))
+      case TTuple(xs) => TTuple(xs.map(resolve))
+      case TUnion(xs) => TUnion(xs.map(resolve))
+      case TRecord(fs) =>
+        TRecord(fs.map(f => f.copy(t = resolve(f.t))))
+      case TLambda(as, r) => TLambda(as.map(resolve), resolve(r))
+      case other => other
+    }
+
+    /** structural subtype (manual.md:110-115) */
+    def subtype(a: UdType, b: UdType): Boolean = (a, b) match {
+      case (x, y) if x == y       => true
+      case (_, TAny)              => true
+      case (TValue(_), TStr)      => true
+      case (TNone, TOption(_))    => true
+      case (x, TOption(y))        => subtype(x, y)
+      case (TOption(x), y)        => subtype(x, y) // narrowed use
+      case (TList(x), TList(y))   => subtype(x, y)
+      case (TMap(x), TMap(y))     => subtype(x, y)
+      case (TTuple(xs), TTuple(ys)) =>
+        xs.size == ys.size && xs.zip(ys).forall { case (x, y) => subtype(x, y) }
+      case (x, TUnion(ys))        => ys.exists(subtype(x, _))
+      case (TUnion(xs), y)        => xs.forall(subtype(_, y))
+      case (TRecord(xs), TRecord(ys)) => // width+depth structural
+        ys.forall(yf => xs.exists(xf =>
+          xf.name == yf.name && subtype(xf.t, yf.t)))
+      case (TLambda(xa, xr), TLambda(ya, yr)) =>
+        xa.size == ya.size &&
+          ya.zip(xa).forall { case (y, x) => subtype(y, x) } &&
+          subtype(xr, yr)
+      case _ => false
+    }
+
+    def lub(a: UdType, b: UdType): UdType =
+      if (subtype(a, b)) b
+      else if (subtype(b, a)) a
+      else (a, b) match {
+        case (TUnion(xs), TUnion(ys)) => TUnion((xs ++ ys).distinct)
+        case (TUnion(xs), y)          => TUnion((xs :+ y).distinct)
+        case (x, TUnion(ys))          => TUnion((x +: ys).distinct)
+        case _                        => TUnion(Seq(a, b))
+      }
+
+    val numeric = Set[UdType](TInt, TFloat)
+
+    def checkExpr(e: Expr, env: TEnv): UdType = e match {
+      case LitInt(_)   => TInt
+      case LitFloat(_) => TFloat
+      case LitStr(s)   => TValue(s) // literal carries its value type
+      case LitBool(_)  => TBool
+      case LitNone     => TNone
+      case In          => env.lookup("in").getOrElse(error("no input type"))
+      case Id(n) => env.lookup(n).getOrElse(error(s"unbound identifier: $n"))
+      case Bin(op, l, r) =>
+        val lt0 = checkExpr(l, env); val rt0 = checkExpr(r, env)
+        // literal string types decay to Str for operator purposes
+        def decay(t: UdType): UdType = t match {
+          case TValue(_) => TStr
+          case other     => other
+        }
+        val lt = decay(lt0); val rt = decay(rt0)
+        op match {
+          case Add | Sub | Mul | Div | Mod | Pow | Min | Max =>
+            if (lt == TInt && rt == TInt) TInt
+            else if (lt == TFloat && rt == TFloat) TFloat
+            else if (op == Add && lt == TStr && rt == TStr) TStr
+            else if (op == Add && (lt, rt).productIterator.forall(_.isInstanceOf[TList]))
+              lub(lt, rt)
+            else if (numeric(lt) && numeric(rt))
+              error(s"no implicit Int/Float mix in $op (explicit cast required)")
+            else error(s"type error: $op on ${lt} and ${rt}")
+          case And | Or | Xor =>
+            if (lt == TBool && rt == TBool) TBool
+            else if (lt == TInt && rt == TInt) TInt
+            else error(s"type error: $op needs Bool,Bool or Int,Int")
+          case Shl | Shr =>
+            if (lt == TInt && rt == TInt) TInt
+            else error(s"type error: $op needs Int,Int")
+          case Lt | Gt | Lte | Gte =>
+            if ((lt == rt && (numeric(lt) || lt == TStr))) TBool
+            else error(s"type error: ordering on $lt vs $rt")
+          case Eq | Neq => TBool
+        }
+      case Un(op, x) =>
+        val t = checkExpr(x, env)
+        op match {
+          case Not => if (t == TBool || t == TInt) t
+            else error("not: Bool or Int")
+          case Neg | Abs => if (numeric(t)) t else error(s"$op: numeric")
+        }
+      case Cond(cases, otherwise) =>
+        cases.foreach { case (c, _) =>
+          val ct = checkExpr(c, env)
+          if (!Seq[UdType](TBool, TInt, TFloat, TStr).contains(ct) &&
+            !ct.isInstanceOf[TValue])
+            error(s"condition not coercible to Bool: $ct")
+        }
+        val arms = cases.map(c => checkExpr(c._2, env)) :+
+          checkExpr(otherwise, env)
+        arms.reduce(lub)
+      case BlockExpr(ss, result) =>
+        val scope = env.child()
+        ss.foreach(s => checkStmt(s, scope))
+        checkExpr(result, scope)
+      case Lambda(ps, ret, body) =>
+        val scope = env.child()
+        ps.foreach { case (n, t) => scope.define(n, resolve(t)) }
+        val bt = checkExpr(body, scope)
+        val rt = resolve(ret)
+        if (rt != TNone && rt != TAny && !subtype(bt, rt))
+          error(s"lambda body $bt not <: declared $rt")
+        TLambda(ps.map(p => resolve(p._2)), if (rt == TNone) bt else rt)
+      case Call(f, args) =>
+        val ft = checkExpr(f, env)
+        val ats = args.map(a => checkExpr(a, env))
+        ft match {
+          case TLambda(params, ret) =>
+            if (params.size != ats.size)
+              error(s"arity: expected ${params.size}, got ${ats.size}")
+            else {
+              params.zip(ats).zipWithIndex.foreach { case ((p, a), i) =>
+                if (!subtype(a, p)) error(s"arg ${i + 1}: $a not <: $p")
+              }
+              ret
+            }
+          case TAny => TAny
+          case other => error(s"not callable: $other")
+        }
+      case Dot(x, field) =>
+        checkExpr(x, env) match {
+          case TRecord(fs) => fs.find(_.name == field)
+            .map(f => if (f.absentOptional) TOption(f.t) else f.t)
+            .getOrElse(error(s"no field $field"))
+          case TMap(v)            => v
+          case TStr | TList(_) if field == "length" => TInt
+          case TValue(_) if field == "length"       => TInt
+          case TAny               => TAny
+          case other              => error(s"dot on $other")
+        }
+      case Has(x, _) => checkExpr(x, env); TBool
+      case Index(x, i) =>
+        val xt = checkExpr(x, env); val it = checkExpr(i, env)
+        xt match {
+          case TList(t)  =>
+            if (it != TInt) error("list index must be Int") else t
+          case TMap(v)   => v
+          case TTuple(ts) => i match {
+            case LitInt(n) if n >= 0 && n < ts.size => ts(n.toInt)
+            case _ => error("tuple index must be a literal in range")
+          }
+          case TAny => TAny
+          case other => error(s"index on $other")
+        }
+      case ListExpr(es) =>
+        if (es.isEmpty) TList(TAny)
+        else TList(es.map(x => checkExpr(x, env)).reduce(lub))
+      case MapExpr(entries) =>
+        // MapExpr context-converts to record (ast.rs:192-194)
+        TRecord(entries.map { case (k, v) =>
+          TField(k, checkExpr(v, env), absentOptional = false)
+        })
+      case Match(scrut, cases, default) =>
+        val st = checkExpr(scrut, env)
+        val arms = cases.map { case (p, body) =>
+          val scope = env.child()
+          p match {
+            case PType(binder, t) => scope.define(binder, resolve(t)) // narrow
+            case _                => ()
+          }
+          checkExpr(body, scope)
+        } ++ default.map(d => checkExpr(d, env)).toSeq
+        if (cases.isEmpty && default.isEmpty) error("empty match")
+        else arms.reduce(lub)
+    }
+
+    def checkStmt(s: Stmt, env: TEnv): Unit = s match {
+      case OutStmt(e) =>
+        val t = checkExpr(e, env)
+        val out = env.lookup("__output__").getOrElse(TAny)
+        // `out proc()` quirk: None-valued out emits nothing
+        if (t != TNone && t != TAny && !subtype(t, out))
+          error(s"out value $t not <: declared output $out")
+      case LetStmt(n, e)  => env.define(n, checkExpr(e, env))
+      case FuncStmt(n, ps, ret, body) =>
+        val declared = TLambda(ps.map(p => resolve(p._2)), resolve(ret))
+        env.define(n, declared) // pre-bind for recursion
+        val scope = env.child()
+        ps.foreach { case (pn, pt) => scope.define(pn, resolve(pt)) }
+        val bt = checkExpr(body, scope)
+        val rt = resolve(ret)
+        if (rt != TNone && rt != TAny && !subtype(bt, rt))
+          error(s"func $n body $bt not <: declared $rt")
+      case ForStmt(v, coll, body) =>
+        checkExpr(coll, env) match {
+          case TList(t) =>
+            val scope = env.child(); scope.define(v, t)
+            body.foreach(st => checkStmt(st, scope))
+          case TAny => body.foreach(st => checkStmt(st, env.child()))
+          case other => error(s"for over non-list: $other")
+        }
+      case ForKvStmt(k, v, coll, body) =>
+        checkExpr(coll, env) match {
+          case TMap(t) =>
+            val scope = env.child()
+            scope.define(k, TStr); scope.define(v, t)
+            body.foreach(st => checkStmt(st, scope))
+          case TRecord(_) | TAny =>
+            val scope = env.child()
+            scope.define(k, TStr); scope.define(v, TAny)
+            body.foreach(st => checkStmt(st, scope))
+          case other => error(s"for (k,v) over non-map: $other")
+        }
+      case IfStmt(cases, otherwise) =>
+        cases.foreach { case (c, blk) =>
+          checkExpr(c, env)
+          blk.foreach(st => checkStmt(st, env.child()))
+        }
+        otherwise.foreach(st => checkStmt(st, env.child()))
+      case SupposeStmt(delegate, branch, leaf) =>
+        checkExpr(delegate, env)
+        branch.foreach(st => checkStmt(st, env.child()))
+        leaf.foreach(st => checkStmt(st, env.child()))
+      case SpliceStmt    => ()
+      case ThrowStmt(e)  => checkExpr(e, env); ()
+      case DebugStmt(e)  => checkExpr(e, env); ()
+      case ExprStmt(e)   => checkExpr(e, env); ()
+      case TypeDecl(n, t) => typeDefs += (n -> resolve(t))
+    }
+
+    val root = new TEnv(Map.empty, None)
+    root.define("in", resolve(script.input))
+    root.define("__output__", resolve(script.output))
+    script.decls.foreach(s => checkStmt(s, root))
+    script.body.foreach(s => checkStmt(s, root))
+    errs.result()
+  }
+}

@@ -1,0 +1,328 @@
+package graft.lang
+
+import graft.kernel.UdException
+import Ast._
+import scala.collection.mutable
+
+/** Runtime value model + tree-walking evaluator for the kernel tier.
+  *
+  * Mirrors the reference's Value enum and operator semantics
+  * (ir.rs:276-295, 469-696) without porting the stack machine: the
+  * evaluator IS the compiled kernel body, closed over by a Dataset.flatMap.
+  * Strict same-type arithmetic (manual.md:118-121), truncating int
+  * division, deep Eq, Str-lexicographic compares, truthiness coercion for
+  * conditions (ir.rs:510-529).
+  */
+object Values {
+
+  sealed trait Value extends Serializable
+  case object VNone extends Value
+  final case class VBool(b: Boolean) extends Value
+  final case class VInt(i: Long) extends Value
+  final case class VFloat(d: Double) extends Value
+  final case class VStr(s: String) extends Value
+  final case class VList(xs: Vector[Value]) extends Value
+  /** insertion-ordered string-keyed map (AList, ir.rs:268-269) */
+  final case class VMap(entries: Vector[(String, Value)]) extends Value {
+    lazy val index: Map[String, Value] = entries.toMap
+  }
+  /** params carry declared types: the front-end inserts a widening Coerce
+    * at call boundaries (Int->Float per declared param; ir.rs:205), which
+    * is how the reference examples pass Int inputs to Float functions. */
+  final case class VLambda(params: Seq[(String, Ast.UdType)], body: Expr,
+                           env: Env) extends Value
+
+  /** Lexical scope chain (env.rs). Mutable frame map so recursive and
+    * forward-referencing decls resolve (define-then-capture). */
+  final class Env(val vars: mutable.Map[String, Value], val parent: Option[Env])
+      extends Serializable {
+    def lookup(n: String): Option[Value] =
+      vars.get(n).orElse(parent.flatMap(_.lookup(n)))
+    def define(n: String, v: Value): Unit = vars(n) = v
+    def child(): Env = new Env(mutable.Map.empty, Some(this))
+  }
+  object Env { def root(): Env = new Env(mutable.Map.empty, None) }
+
+  def err(m: String): Nothing = throw UdException(m)
+
+  def truthy(v: Value): Boolean = v match {
+    case VBool(b)  => b
+    case VInt(i)   => i != 0
+    case VFloat(d) => d != 0.0
+    case VStr(s)   => s.nonEmpty
+    case VList(xs) => xs.nonEmpty
+    case VMap(es)  => es.nonEmpty
+    case VNone     => false
+    case _         => err("not a condition value")
+  }
+
+  def binop(op: BinOp, l: Value, r: Value): Value = (op, l, r) match {
+    case (Add, VInt(a), VInt(b))     => VInt(a + b)
+    case (Add, VFloat(a), VFloat(b)) => VFloat(a + b)
+    case (Add, VStr(a), VStr(b))     => VStr(a + b) // doc-intended concat
+    case (Add, VList(a), VList(b))   => VList(a ++ b)
+    case (Sub, VInt(a), VInt(b))     => VInt(a - b)
+    case (Sub, VFloat(a), VFloat(b)) => VFloat(a - b)
+    case (Mul, VInt(a), VInt(b))     => VInt(a * b)
+    case (Mul, VFloat(a), VFloat(b)) => VFloat(a * b)
+    case (Div, VInt(a), VInt(b))     =>
+      if (b == 0) err("div by zero") else VInt(a / b) // truncates (Rust /)
+    case (Div, VFloat(a), VFloat(b)) => VFloat(a / b)
+    case (Mod, VInt(a), VInt(b))     =>
+      if (b == 0) err("mod by zero") else VInt(a % b)
+    case (Mod, VFloat(a), VFloat(b)) => VFloat(a % b)
+    case (Pow, VInt(a), VInt(b))     =>
+      VInt(math.pow(a.toDouble, b.toDouble).toLong) // exp as u32, ir.rs:592
+    case (Pow, VFloat(a), VFloat(b)) => VFloat(math.pow(a, b))
+    case (Min, VInt(a), VInt(b))     => VInt(math.min(a, b))
+    case (Min, VFloat(a), VFloat(b)) => VFloat(math.min(a, b))
+    case (Max, VInt(a), VInt(b))     => VInt(math.max(a, b))
+    case (Max, VFloat(a), VFloat(b)) => VFloat(math.max(a, b))
+    case (And, VBool(a), VBool(b))   => VBool(a && b)
+    case (And, VInt(a), VInt(b))     => VInt(a & b)
+    case (Or, VBool(a), VBool(b))    => VBool(a || b)
+    case (Or, VInt(a), VInt(b))      => VInt(a | b)
+    case (Xor, VBool(a), VBool(b))   => VBool(a ^ b)
+    case (Xor, VInt(a), VInt(b))     => VInt(a ^ b)
+    case (Shl, VInt(a), VInt(b))     => VInt(a << b)
+    case (Shr, VInt(a), VInt(b))     => VInt(a >> b)
+    case (Lt, _, _) | (Gt, _, _) | (Lte, _, _) | (Gte, _, _) =>
+      val c = compare(l, r)
+      VBool(op match {
+        case Lt => c < 0; case Gt => c > 0
+        case Lte => c <= 0; case _ => c >= 0
+      })
+    case (Eq, _, _)  => VBool(deepEq(l, r))
+    case (Neq, _, _) => VBool(!deepEq(l, r))
+    case _ => err(s"type error: $op on ${l.getClass.getSimpleName}/${r.getClass.getSimpleName}")
+  }
+
+  private def compare(l: Value, r: Value): Int = (l, r) match {
+    case (VInt(a), VInt(b))     => java.lang.Long.compare(a, b)
+    case (VFloat(a), VFloat(b)) => java.lang.Double.compare(a, b)
+    case (VStr(a), VStr(b))     => a.compareTo(b)
+    case _                      => err("type error: ordering")
+  }
+
+  /** deep structural equality; cross-type compares false (ir.rs:679-695) */
+  def deepEq(l: Value, r: Value): Boolean = (l, r) match {
+    case (VList(a), VList(b)) =>
+      a.size == b.size && a.zip(b).forall { case (x, y) => deepEq(x, y) }
+    case (VMap(a), VMap(b)) =>
+      a.size == b.size && a.zip(b).forall {
+        case ((k1, v1), (k2, v2)) => k1 == k2 && deepEq(v1, v2)
+      }
+    case _ => l == r
+  }
+
+  def unop(op: UnOp, v: Value): Value = (op, v) match {
+    case (Not, VBool(b))  => VBool(!b)
+    case (Not, VInt(i))   => VInt(~i)
+    case (Neg, VInt(i))   => VInt(-i)
+    case (Neg, VFloat(d)) => VFloat(-d)
+    case (Abs, VInt(i))   => VInt(math.abs(i))
+    case (Abs, VFloat(d)) => VFloat(math.abs(d))
+    case _                => err(s"type error: $op")
+  }
+
+  def render(v: Value): String = v match {
+    case VNone     => "none"
+    case VBool(b)  => b.toString
+    case VInt(i)   => i.toString
+    case VFloat(d) => d.toString
+    case VStr(s)   => s
+    case VList(xs) => xs.map(render).mkString("[", ", ", "]")
+    case VMap(es)  => es.map { case (k, x) => s"$k: ${render(x)}" }
+      .mkString("{", ", ", "}")
+    case _: VLambda => "<lambda>"
+  }
+}
+
+/** The evaluator. One instance per script; `exec` runs the per-record body.
+  * Emission goes through a capture-aware sink mirroring vm.rs:583-638. */
+final class Interp(script: Ast.Script) extends Serializable {
+  import Values._
+  import Ast._
+
+  /** emit sink with suppose-capture stack; spliceSrc is the captured
+    * output of the nearest enclosing suppose branch (for `...;`). */
+  private final class Ctx(val emit: Value => Unit, val spliceSrc: Vector[Value])
+
+  /** Run init decls once → base env (driver side; result broadcast with the
+    * closure). */
+  lazy val initEnv: Env = {
+    val env = Env.root()
+    script.decls.foreach(d => execStmt(d, env,
+      new Ctx(_ => err("out not allowed in init block"), Vector.empty)))
+    env
+  }
+
+  def run(in: Value, sink: Value => Unit): Unit = {
+    val env = initEnv.child()
+    env.define("in", in)
+    val ctx = new Ctx(sink, Vector.empty)
+    script.body.foreach(s => execStmt(s, env, ctx))
+  }
+
+  private def execBlock(ss: Seq[Stmt], env: Env, ctx: Ctx): Unit = {
+    val scope = env.child()
+    ss.foreach(s => execStmt(s, scope, ctx))
+  }
+
+  private def execStmt(s: Stmt, env: Env, ctx: Ctx): Unit = s match {
+    case OutStmt(e) =>
+      eval(e, env, ctx) match {
+        case VNone => () // `out proc(...)` quirk (examples/count.us)
+        case v     => ctx.emit(v)
+      }
+    case LetStmt(n, e)  => env.define(n, eval(e, env, ctx))
+    case FuncStmt(n, ps, _, body) =>
+      env.define(n, VLambda(ps, body, env))
+    case ForStmt(v, coll, body) =>
+      eval(coll, env, ctx) match {
+        case VList(xs) => xs.foreach { x =>
+          val scope = env.child(); scope.define(v, x)
+          body.foreach(st => execStmt(st, scope, ctx))
+        }
+        case other => err(s"for over non-list: ${render(other)}")
+      }
+    case ForKvStmt(k, v, coll, body) =>
+      eval(coll, env, ctx) match {
+        case VMap(es) => es.foreach { case (key, value) =>
+          val scope = env.child()
+          scope.define(k, VStr(key)); scope.define(v, value)
+          body.foreach(st => execStmt(st, scope, ctx))
+        }
+        case other => err(s"for (k,v) over non-map: ${render(other)}")
+      }
+    case IfStmt(cases, otherwise) =>
+      cases.find { case (c, _) => truthy(eval(c, env, ctx)) } match {
+        case Some((_, blk)) => execBlock(blk, env, ctx)
+        case None           => execBlock(otherwise, env, ctx)
+      }
+    case SupposeStmt(delegate, branch, leaf) =>
+      // capture the delegate's emissions (vm.rs:602-638)
+      val buf = Vector.newBuilder[Value]
+      eval(delegate, env, new Ctx(buf += _, ctx.spliceSrc))
+      val captured = buf.result()
+      if (captured.nonEmpty)
+        execBlock(branch, env, new Ctx(ctx.emit, captured))
+      else execBlock(leaf, env, ctx)
+    case SpliceStmt => ctx.spliceSrc.foreach(ctx.emit)
+    case ThrowStmt(e) => throw UdException(render(eval(e, env, ctx)))
+    case DebugStmt(e) =>
+      System.err.println(s"[ud-debug] ${render(eval(e, env, ctx))}")
+    case ExprStmt(e) => eval(e, env, ctx); ()
+    case TypeDecl(_, _) => ()
+  }
+
+  private def eval(e: Expr, env: Env, ctx: Ctx): Value = e match {
+    case LitInt(v)    => VInt(v)
+    case LitFloat(v)  => VFloat(v)
+    case LitStr(v)    => VStr(v)
+    case LitBool(v)   => VBool(v)
+    case LitNone      => VNone
+    case In           => env.lookup("in").getOrElse(err("no input bound"))
+    case Id(n)        => env.lookup(n).getOrElse(err(s"unbound: $n"))
+    case Bin(op, l, r) =>
+      op match {
+        case And => // short-circuit on bools
+          val lv = eval(l, env, ctx)
+          lv match {
+            case VBool(false) => VBool(false)
+            case VBool(true)  => eval(r, env, ctx)
+            case _            => binop(And, lv, eval(r, env, ctx))
+          }
+        case Or =>
+          val lv = eval(l, env, ctx)
+          lv match {
+            case VBool(true)  => VBool(true)
+            case VBool(false) => eval(r, env, ctx)
+            case _            => binop(Or, lv, eval(r, env, ctx))
+          }
+        case _ => binop(op, eval(l, env, ctx), eval(r, env, ctx))
+      }
+    case Un(op, x) => unop(op, eval(x, env, ctx))
+    case Cond(cases, otherwise) =>
+      cases.find { case (c, _) => truthy(eval(c, env, ctx)) } match {
+        case Some((_, t)) => eval(t, env, ctx)
+        case None         => eval(otherwise, env, ctx)
+      }
+    case BlockExpr(ss, result) =>
+      val scope = env.child()
+      ss.foreach(s => execStmt(s, scope, ctx))
+      eval(result, scope, ctx)
+    case Lambda(ps, _, body) => VLambda(ps, body, env)
+    case Call(f, args) =>
+      val argv = args.map(a => eval(a, env, ctx))
+      callValue(eval(f, env, ctx), argv, e, env, ctx)
+    case Dot(x, field) =>
+      eval(x, env, ctx) match {
+        case m: VMap => m.index.getOrElse(field, err(s"no field $field"))
+        case VStr(s) if field == "length" => VInt(s.length.toLong)
+        case VList(xs) if field == "length" => VInt(xs.size.toLong)
+        case other => err(s"dot on ${render(other)}")
+      }
+    case Has(x, field) =>
+      eval(x, env, ctx) match {
+        case m: VMap => VBool(m.index.contains(field))
+        case _       => VBool(false)
+      }
+    case Index(x, i) =>
+      (eval(x, env, ctx), eval(i, env, ctx)) match {
+        case (VList(xs), VInt(n)) => // 0-based (manual.md:104)
+          if (n >= 0 && n < xs.size) xs(n.toInt) else err(s"index $n out of bounds")
+        case (m: VMap, VStr(k)) => m.index.getOrElse(k, err(s"no key $k"))
+        case _ => err("bad index")
+      }
+    case ListExpr(es) => VList(es.map(x => eval(x, env, ctx)).toVector)
+    case MapExpr(entries) =>
+      VMap(entries.map { case (k, v) => (k, eval(v, env, ctx)) }.toVector)
+    case Match(scrut, cases, default) =>
+      val sv = eval(scrut, env, ctx)
+      cases.collectFirst {
+        case (PLitStr(p), body) if deepEq(sv, VStr(p)) => (None, body)
+        case (PLitInt(p), body) if deepEq(sv, VInt(p)) => (None, body)
+        case (PType(binder, t), body) if matchesType(sv, t) =>
+          (Some(binder -> sv), body)
+      } match {
+        case Some((bind, body)) =>
+          val scope = env.child()
+          bind.foreach { case (n, v) => scope.define(n, v) }
+          eval(body, scope, ctx)
+        case None => default match {
+          case Some(d) => eval(d, env, ctx)
+          case None    => err(s"match failed on ${render(sv)}")
+        }
+      }
+  }
+
+  private def callValue(f: Value, argv: Seq[Value], site: Expr, env: Env,
+                        ctx: Ctx): Value = f match {
+    case VLambda(params, body, closure) =>
+      if (params.size != argv.size)
+        err(s"arity: expected ${params.size}, got ${argv.size}")
+      val frame = closure.child()
+      params.zip(argv).foreach { case ((p, declared), v) =>
+        frame.define(p, coerceDeclared(v, declared))
+      }
+      eval(body, frame, ctx)
+    case other => err(s"not callable: ${render(other)}")
+  }
+
+  /** widening coercion at declared boundaries (Coerce, ir.rs:205/510-529) */
+  private def coerceDeclared(v: Value, t: UdType): Value = (v, t) match {
+    case (VInt(i), TFloat) => VFloat(i.toDouble)
+    case _                 => v
+  }
+
+  private def matchesType(v: Value, t: UdType): Boolean = (v, t) match {
+    case (VInt(_), TInt) | (VFloat(_), TFloat) | (VStr(_), TStr) |
+        (VBool(_), TBool) | (VNone, TNone)  => true
+    case (VStr(s), TValue(lit))             => s == lit
+    case (VList(_), TList(_))               => true
+    case (_, TAny)                          => true
+    case (_, TUnion(ts))                    => ts.exists(matchesType(v, _))
+    case _                                  => false
+  }
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Tables
+import graft.lang.UdScript
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries driven by actual uDLang SOURCE — parse →
+  * typecheck → two-tier lower → DataFrame, over the driver tables. This is
+  * the "a reference user could switch" proof: their scripts, our engine. */
+object UdLang extends Serializable {
+
+  /** Column-tier: pure projection kernel lowers to select (no flatMap). */
+  def uHello(s: SparkSession, d: String): DataFrame = {
+    val src = """script "hello over documents";
+      |input  {doc_id: Int, text: Str};
+      |output {doc_id: Int, greeting: Str};
+      |out {doc_id: in.doc_id, greeting: "Hello, " + in.text};""".stripMargin
+    UdScript.compile(src)
+      .run(Tables.documents(s, d).select("doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
+  val uHelloSql: String =
+    """SELECT doc_id, 'Hello, ' || text AS greeting
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Column-tier: conditional emit (filter) + match dispatch + arithmetic.
+    */
+  def uFilterMatch(s: SparkSession, d: String): DataFrame = {
+    val src = """script "filter + match over events";
+      |input  {event_id: Int, event_type: Str, value: Float};
+      |output {event_id: Int, cat: Str, boosted: Float};
+      |if (in.value > 50.0) {
+      |  out {event_id: in.event_id,
+      |       cat: match (in.event_type) {
+      |         case "click" => "ui";
+      |         case "view" => "ui";
+      |         case "purchase" => "commerce";
+      |         else => "other";
+      |       },
+      |       boosted: in.value * 2.0};
+      |}""".stripMargin
+    UdScript.compile(src)
+      .run(Tables.events(s, d).select("event_id", "event_type", "value"))
+      .orderBy("event_id")
+  }
+
+  val uFilterMatchSql: String =
+    """SELECT event_id,
+      |  CASE event_type WHEN 'click' THEN 'ui' WHEN 'view' THEN 'ui'
+      |       WHEN 'purchase' THEN 'commerce' ELSE 'other' END AS cat,
+      |  value * 2.0 AS boosted
+      |FROM events WHERE value > 50.0 ORDER BY event_id""".stripMargin
+
+  /** Kernel-tier: recursion (fact.us shape) over lineitem. */
+  def uFact(s: SparkSession, d: String): DataFrame = {
+    val src = """script "factorial over lineitem";
+      |input  {l_orderkey: Int, l_linenumber: Int};
+      |output {l_orderkey: Int, n: Int, fact: Int};
+      |func fact(n: Int) -> Int {
+      |  if (n > 1) { n * fact(n - 1) } else { n }
+      |}
+      |out {l_orderkey: in.l_orderkey, n: in.l_linenumber,
+      |     fact: fact(in.l_linenumber)};""".stripMargin
+    UdScript.compile(src)
+      .run(Tables.lineitem(s, d).select("l_orderkey", "l_linenumber"))
+      .orderBy("l_orderkey", "n")
+  }
+
+  val uFactSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS n,
+      |       CAST(factorial(l_linenumber) AS BIGINT) AS fact
+      |FROM lineitem ORDER BY l_orderkey, n""".stripMargin
+
+  /** Kernel-tier: recursive multi-emit (count.us shape). */
+  def uCount(s: SparkSession, d: String): DataFrame = {
+    val src = """script "countdown over lineitem";
+      |input  {l_orderkey: Int, l_linenumber: Int};
+      |output {l_orderkey: Int, n: Int};
+      |proc count(k: Int, n: Int) {
+      |  out {l_orderkey: k, n: n};
+      |  if (n > 0) { count(k, n - 1); }
+      |}
+      |count(in.l_orderkey, in.l_linenumber);""".stripMargin
+    UdScript.compile(src)
+      .run(Tables.lineitem(s, d).select("l_orderkey", "l_linenumber"))
+      .orderBy("l_orderkey", "n")
+  }
+
+  val uCountSql: String =
+    """SELECT l_orderkey,
+      |  unnest(generate_series(0, CAST(l_linenumber AS BIGINT))) AS n
+      |FROM lineitem ORDER BY l_orderkey, n""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_hello" -> (uHello _),
+    "u_filter_match" -> (uFilterMatch _),
+    "u_fact" -> (uFact _),
+    "u_count" -> (uCount _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "u_hello" -> uHelloSql,
+    "u_filter_match" -> uFilterMatchSql,
+    "u_fact" -> uFactSql,
+    "u_count" -> uCountSql
+  )
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import graft.lang.UdScript
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the 100 TB story is in the physical plan, not
+  * the row counts — scans must prune, dims must broadcast, scalar packs
+  * must stay inside whole-stage codegen, and the uDLang column tier must
+  * produce a native plan with no object serialization boundary. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection reach the parquet scan (pushdown + pruning)") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)"),
+      s"filter not pushed: $scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned: $scan")
+  }
+
+  test("star join broadcasts dimensions, q1 aggregates partially") {
+    val p5 = planOf(Relational.q5StarBroadcast(spark, sf))
+    assert(p5.contains("BroadcastHashJoin"))
+    val p1 = planOf(Relational.q1Agg(spark, sf))
+    // partial (map-side) aggregation before the exchange
+    assert(p1.contains("HashAggregate") && p1.contains("Exchange"))
+  }
+
+  test("scalar pack runs inside WholeStageCodegen") {
+    // the projection itself (sans the verify-only orderBy, which wraps the
+    // plan in a not-yet-final AdaptiveSparkPlan)
+    import graft.functions.UdFunctions._
+    val p = planOf(Tables.lineitem(spark, sf).select(
+      (col("l_orderkey") + col("l_partkey")).as("i_add"),
+      divInt(col("l_orderkey"), lit(7)).as("i_div"),
+      shl(col("l_linenumber"), 2).as("b_shl")))
+    assert(p.contains("*("), s"no codegen span in: $p")
+  }
+
+  test("native dot-product expression stays in the codegen'd plan") {
+    val df = Tables.embeddings(spark, sf)
+    val withDot = df.select(
+      graft.plans.DotProduct.dot(
+        org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")),
+        org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")))
+        .as("selfdot"))
+    assert(planOf(withDot).contains("graft_dot_product"))
+    assert(planOf(withDot).contains("*("))
+    // correctness vs HOF formulation
+    val hof = df.select(
+      aggregate(zip_with(transform(col("embedding"), _.cast("double")),
+        transform(col("embedding"), _.cast("double")), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x).as("selfdot"))
+    val nat = withDot.collect().map(_.getDouble(0))
+    val ref = hof.collect().map(_.getDouble(0))
+    assert(nat.sameElements(ref), "native dot != HOF dot")
+  }
+
+  test("uDLang column tier lowers to a native plan (no object boundary)") {
+    val src = """script "proj";
+      |input  {doc_id: Int, text: Str};
+      |output {doc_id: Int, greeting: Str};
+      |out {doc_id: in.doc_id, greeting: "Hello, " + in.text};""".stripMargin
+    val c = UdScript.compile(src)
+    assert(c.tier == UdScript.ColumnTier)
+    val p = planOf(c.run(Tables.documents(spark, sf).select("doc_id", "text")))
+    assert(!p.contains("SerializeFromObject"), s"object boundary in: $p")
+    assert(p.contains("*("))
+  }
+
+  test("uDLang kernel tier is a single narrow flatMap (no shuffle)") {
+    val src = """script "rec";
+      |input  {l_orderkey: Int, l_linenumber: Int};
+      |output {l_orderkey: Int, fact: Int};
+      |func fact(n: Int) -> Int { if (n > 1) { n * fact(n - 1) } else { n } }
+      |out {l_orderkey: in.l_orderkey, fact: fact(in.l_linenumber)};""".stripMargin
+    val c = UdScript.compile(src)
+    assert(c.tier == UdScript.KernelTier)
+    val p = planOf(c.run(Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber")))
+    assert(p.contains("SerializeFromObject")) // kernel boundary exists
+    assert(!p.contains("Exchange"), "kernel must not shuffle")
+  }
+}

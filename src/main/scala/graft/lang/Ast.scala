@@ -71,6 +71,13 @@ object Ast {
   /** match with literal + type patterns (README.md:124-137, DOC-level). */
   final case class Match(scrutinee: Expr, cases: Seq[(Pattern, Expr)],
                          default: Option[Expr]) extends Expr
+  /** comprehension `[coll | f]` (README.md:171-177): map coll through f. */
+  final case class Comprehension(coll: Expr, fn: Expr) extends Expr
+  /** explicit cast `x as T` (README.md:174-176; Coerce, ir.rs:205). */
+  final case class Cast(e: Expr, t: UdType) extends Expr
+  /** partial-application placeholder `$` (grammar.lalrpop:504-507);
+    * desugared to a lambda at parse time, never reaches the checker. */
+  case object Placeholder extends Expr
 
   sealed trait Pattern
   final case class PLitStr(v: String) extends Pattern

@@ -30,11 +30,38 @@ object UdParser extends RegexParsers {
   /** keyword parser with word boundary (so `out` != prefix of `outer`) */
   private def kw(w: String): Parser[String] = (w + "\\b").r ^^ (_ => w)
 
+  /** `$.y`-style expressions become unary lambdas (README.md:261). */
+  private def desugarPlaceholder(e: Expr): Expr = {
+    def contains(x: Expr): Boolean = x match {
+      case Placeholder => true
+      case Bin(_, a, b) => contains(a) || contains(b)
+      case Un(_, a)     => contains(a)
+      case Dot(a, _)    => contains(a)
+      case Has(a, _)    => contains(a)
+      case Index(a, b)  => contains(a) || contains(b)
+      case Call(f, as)  => contains(f) || as.exists(contains)
+      case Cast(a, _)   => contains(a)
+      case _            => false
+    }
+    def replace(x: Expr): Expr = x match {
+      case Placeholder  => Id("$p")
+      case Bin(o, a, b) => Bin(o, replace(a), replace(b))
+      case Un(o, a)     => Un(o, replace(a))
+      case Dot(a, f)    => Dot(replace(a), f)
+      case Has(a, f)    => Has(replace(a), f)
+      case Index(a, b)  => Index(replace(a), replace(b))
+      case Call(f, as)  => Call(replace(f), as.map(replace))
+      case Cast(a, t)   => Cast(replace(a), t)
+      case other        => other
+    }
+    if (contains(e)) Lambda(Seq(("$p", TAny)), TAny, replace(e)) else e
+  }
+
   // keywords must not lex as identifiers
   private val keywords = Set("if", "elif", "else", "for", "in", "out", "let",
     "func", "proc", "type", "suppose", "match", "case", "throw", "not",
     "and", "or", "xor", "true", "false", "none", "input", "output",
-    "script", "version")
+    "script", "version", "as")
   private def name: Parser[String] =
     ident.filter(!keywords.contains(_)).withFailureMessage("identifier expected")
 
@@ -132,10 +159,23 @@ object UdParser extends RegexParsers {
       postfixExpr
 
   def postfixExpr: Parser[Expr] =
-    atom ~ rep(postfixOp) ^^ { case h ~ ops => ops.foldLeft(h)((e, f) => f(e)) }
+    atom ~ rep(postfixOp) ~ opt(kw("as") ~> ty) ^^ {
+      case h ~ ops ~ cast =>
+        val e = ops.foldLeft(h)((x, f) => f(x))
+        cast.fold(e)(t => Cast(e, t))
+    }
 
   private def postfixOp: Parser[Expr => Expr] =
-    "(" ~> repsep(expr, ",") <~ ")" ^^ (args => (e: Expr) => Call(e, args)) |
+    "(" ~> repsep(expr, ",") <~ ")" ^^ (args => (e: Expr) =>
+      if (args.contains(Placeholder)) {
+        // partial application: foo(1, $) => (p0) -> foo(1, p0)
+        var i = -1
+        val filled = args.map {
+          case Placeholder => i += 1; Id(s"$$p$i")
+          case a           => a
+        }
+        Lambda((0 to i).map(k => (s"$$p$k", TAny)), TAny, Call(e, filled))
+      } else Call(e, args)) |
       ".?." ~> name ^^ (f => (e: Expr) => Has(e, f)) |
       "." ~> name ^^ (f => (e: Expr) => Dot(e, f)) |
       "[" ~> expr <~ "]" ^^ (i => (e: Expr) => Index(e, i))
@@ -148,6 +188,10 @@ object UdParser extends RegexParsers {
       """none\b""".r ^^^ LitNone |
       """in\b""".r ^^^ In |
       ifExpr | matchExpr | lambdaExpr |
+      ("[" ~> expr ~ ("|" ~> expr) <~ "]") ^^ { case c ~ f =>
+        Comprehension(c, desugarPlaceholder(f))
+      } |
+      "$" ^^^ Placeholder |
       "[" ~> repsep(expr, ",") <~ "]" ^^ ListExpr |
       "{" ~> rep1sep((name | strLit ^^ unescape) ~ (":" ~> expr), ",") <~ opt(",") ~ "}" ^^
       (es => MapExpr(es.map { case k ~ v => (k, v) })) |

@@ -45,6 +45,7 @@ object Typechecker {
     def subtype(a: UdType, b: UdType): Boolean = (a, b) match {
       case (x, y) if x == y       => true
       case (_, TAny)              => true
+      case (TAny, _)              => true // gradual: $-lambdas defer to runtime
       case (TValue(_), TStr)      => true
       case (TNone, TOption(_))    => true
       case (x, TOption(y))        => subtype(x, y)
@@ -93,7 +94,10 @@ object Typechecker {
           case other     => other
         }
         val lt = decay(lt0); val rt = decay(rt0)
-        op match {
+        if (lt == TAny || rt == TAny) op match {
+          case Lt | Gt | Lte | Gte | Eq | Neq => TBool
+          case _ => TAny // dynamic operand: checked at runtime
+        } else op match {
           case Add | Sub | Mul | Div | Mod | Pow | Min | Max =>
             if (lt == TInt && rt == TInt) TInt
             else if (lt == TFloat && rt == TFloat) TFloat
@@ -144,6 +148,13 @@ object Typechecker {
         if (rt != TNone && rt != TAny && !subtype(bt, rt))
           error(s"lambda body $bt not <: declared $rt")
         TLambda(ps.map(p => resolve(p._2)), if (rt == TNone) bt else rt)
+      case Call(Dot(x, "join"), args) => // list.join(sep) method sugar
+        val xt = checkExpr(x, env)
+        args.foreach(a => checkExpr(a, env))
+        xt match {
+          case TList(_) | TAny => TStr
+          case other           => error(s"join on $other")
+        }
       case Call(f, args) =>
         val ft = checkExpr(f, env)
         val ats = args.map(a => checkExpr(a, env))
@@ -193,6 +204,20 @@ object Typechecker {
         TRecord(entries.map { case (k, v) =>
           TField(k, checkExpr(v, env), absentOptional = false)
         })
+      case Comprehension(coll, fn) =>
+        val ct = checkExpr(coll, env)
+        val ft = checkExpr(fn, env)
+        (ct, ft) match {
+          case (TList(et), TLambda(Seq(at), rt)) =>
+            if (!subtype(et, at) && at != TAny)
+              error(s"comprehension element $et not <: $at")
+            TList(rt)
+          case (TList(_), TAny) => TList(TAny)
+          case (other, _) => error(s"comprehension over non-list: $other")
+        }
+      case Cast(e2, t) =>
+        checkExpr(e2, env); resolve(t) // Coerce: checked at runtime
+      case Placeholder => error("unexpected $ outside partial application")
       case Match(scrut, cases, default) =>
         val st = checkExpr(scrut, env)
         val arms = cases.map { case (p, body) =>
@@ -262,6 +287,9 @@ object Typechecker {
     }
 
     val root = new TEnv(Map.empty, None)
+    // stdlib (README.md:325-328; parser.rs:871-890)
+    Seq("sqrt", "cos", "sin", "floor", "ceil").foreach(f =>
+      root.define(f, TLambda(Seq(TFloat), TFloat)))
     root.define("in", resolve(script.input))
     root.define("__output__", resolve(script.output))
     script.decls.foreach(s => checkStmt(s, root))

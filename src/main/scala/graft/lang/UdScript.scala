@@ -113,7 +113,8 @@ object UdScript {
     case (x: Float, _)      => VFloat(x.toDouble)
     case (x: Boolean, _)    => VBool(x)
     case (x: String, _)     => VStr(x)
-    case (x: Seq[_], TList(et)) => VList(x.map(anyToValue(_, et)).toVector)
+    case (x: scala.collection.Seq[_], TList(et)) => // Rows use mutable.ArraySeq
+      VList(x.map(anyToValue(_, et)).toVector)
     case (x: Row, rt: TRecord)  => rowToValue(x, rt)
     case (x: Map[_, _], TMap(vt)) =>
       VMap(x.toVector.map { case (k, v) =>
@@ -176,6 +177,10 @@ private[lang] object Lowering {
         case Dot(x, _)  => exprOk(x, stack, bound)
         case Has(x, _)  => exprOk(x, stack, bound)
         case Index(x, i) => exprOk(x, stack, bound) && exprOk(i, stack, bound)
+        case Call(Id(n), args)
+            if Seq("sqrt", "cos", "sin", "floor", "ceil").contains(n) &&
+              !funcs.contains(n) =>
+          args.forall(exprOk(_, stack, bound))
         case Call(Id(n), args) =>
           funcs.get(n) match {
             case Some(f) if !stack.contains(n) => // recursion ⇒ kernel tier
@@ -189,6 +194,10 @@ private[lang] object Lowering {
             d.forall(exprOk(_, stack, bound))
         case MapExpr(entries) =>
           entries.forall { case (_, v) => exprOk(v, stack, bound) }
+        case Cast(x, _) => exprOk(x, stack, bound)
+        case Comprehension(c, Lambda(ps, _, b)) =>
+          exprOk(c, stack, bound) &&
+            exprOk(b, stack, bound ++ ps.map(_._1))
         case BlockExpr(Seq(), result) => exprOk(result, stack, bound)
         case _ => false
       }
@@ -275,6 +284,16 @@ private[lang] object Lowering {
       case Index(x, LitInt(i)) => element_at(colOf(x, binds), i.toInt + 1)
       case MapExpr(entries) => // record literal → struct
         struct(entries.map { case (k, v) => colOf(v, binds).as(k) }: _*)
+      case Cast(x, t) => colOf(x, binds).cast(sparkType(t))
+      case Comprehension(c, Lambda(Seq((p, _)), _, body)) =>
+        transform(colOf(c, binds), x => colOf(body, binds + (p -> x)))
+      case Call(Id("sqrt"), Seq(a)) => sqrt(colOf(a, binds).cast(DoubleType))
+      case Call(Id("cos"), Seq(a))  => cos(colOf(a, binds).cast(DoubleType))
+      case Call(Id("sin"), Seq(a))  => sin(colOf(a, binds).cast(DoubleType))
+      case Call(Id("floor"), Seq(a)) =>
+        floor(colOf(a, binds).cast(DoubleType)).cast(DoubleType)
+      case Call(Id("ceil"), Seq(a)) =>
+        ceil(colOf(a, binds).cast(DoubleType)).cast(DoubleType)
       case Call(Id(n), args) =>
         val f = funcs.getOrElse(n,
           throw CompileError(s"unknown func in column tier: $n"))

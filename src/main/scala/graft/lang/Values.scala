@@ -253,6 +253,18 @@ final class Interp(script: Ast.Script) extends Serializable {
       ss.foreach(s => execStmt(s, scope, ctx))
       eval(result, scope, ctx)
     case Lambda(ps, _, body) => VLambda(ps, body, env)
+    case Call(Dot(x, "join"), args) => // list.join(sep) (README.md:352)
+      (eval(x, env, ctx), args.map(a => eval(a, env, ctx))) match {
+        case (VList(xs), Seq(VStr(sep))) =>
+          VStr(xs.map(render).mkString(sep))
+        case (rcv, argv) => err(
+          s"join expects a list receiver and a Str separator, got " +
+            s"${render(rcv)} / ${argv.map(render).mkString(",")}")
+      }
+    case Call(Id(fname), args) if builtins.contains(fname) &&
+        env.lookup(fname).isEmpty =>
+      val argv = args.map(a => eval(a, env, ctx))
+      builtins(fname)(argv)
     case Call(f, args) =>
       val argv = args.map(a => eval(a, env, ctx))
       callValue(eval(f, env, ctx), argv, e, env, ctx)
@@ -278,6 +290,14 @@ final class Interp(script: Ast.Script) extends Serializable {
     case ListExpr(es) => VList(es.map(x => eval(x, env, ctx)).toVector)
     case MapExpr(entries) =>
       VMap(entries.map { case (k, v) => (k, eval(v, env, ctx)) }.toVector)
+    case Comprehension(coll, fn) =>
+      (eval(coll, env, ctx), eval(fn, env, ctx)) match {
+        case (VList(xs), f) =>
+          VList(xs.map(x => callValue(f, Seq(x), e, env, ctx)))
+        case (other, _) => err(s"comprehension over ${render(other)}")
+      }
+    case Cast(x, t) => coerceCast(eval(x, env, ctx), t)
+    case Placeholder => err("unexpected $")
     case Match(scrut, cases, default) =>
       val sv = eval(scrut, env, ctx)
       cases.collectFirst {
@@ -310,10 +330,33 @@ final class Interp(script: Ast.Script) extends Serializable {
     case other => err(s"not callable: ${render(other)}")
   }
 
+  /** explicit `as` cast (Coerce semantics, ir.rs:510-529) */
+  private def coerceCast(v: Value, t: UdType): Value = (v, t) match {
+    case (VInt(i), TFloat)  => VFloat(i.toDouble)
+    case (VFloat(d), TInt)  => VInt(d.toLong) // trunc toward zero
+    case (VBool(b), TInt)   => VInt(if (b) 1L else 0L)
+    case (VInt(i), TBool)   => VBool(i != 0)
+    case (VFloat(_), TBool) | (VStr(_), TBool) | (VList(_), TBool) =>
+      VBool(truthy(v))
+    case (x, TStr)          => VStr(render(x))
+    case (x, _)             => x // identity / same-type
+  }
+
   /** widening coercion at declared boundaries (Coerce, ir.rs:205/510-529) */
   private def coerceDeclared(v: Value, t: UdType): Value = (v, t) match {
     case (VInt(i), TFloat) => VFloat(i.toDouble)
     case _                 => v
+  }
+
+  private val builtins: Map[String, Seq[Value] => Value] = {
+    def f1(g: Double => Double): Seq[Value] => Value = {
+      case Seq(VFloat(d)) => VFloat(g(d))
+      case Seq(VInt(i))   => VFloat(g(i.toDouble))
+      case _              => err("expected one numeric arg")
+    }
+    Map("sqrt" -> f1(math.sqrt), "cos" -> f1(math.cos),
+      "sin" -> f1(math.sin), "floor" -> f1(math.floor),
+      "ceil" -> f1(math.ceil))
   }
 
   private def matchesType(v: Value, t: UdType): Boolean = (v, t) match {

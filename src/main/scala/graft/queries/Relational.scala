@@ -364,7 +364,115 @@ object Relational extends Serializable {
        |GROUP BY 1, 2
        |ORDER BY win_start_us, event_type""".stripMargin
 
+  /** Session windows (5-minute inactivity gap) per user — the batch twin
+    * of streaming session_window; oracle via gaps-and-islands SQL. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+
+  val qSessionWindowSql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), y AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM x)
+       |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       |  count(*) AS n, ${sqlSumd("value")} AS sum_value
+       |FROM y GROUP BY user_id, sid
+       |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** Grouping sets: per-(flag,status), per-flag, and grand total in one
+    * pass. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    l.createOrReplaceTempView("graft_lineitem_gs")
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  count(*) AS n
+         |FROM graft_lineitem_gs
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |                        (l_returnflag), ())
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+         |""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSumd("l_quantity")} AS sum_qty, count(*) AS n
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+       |                        (l_returnflag), ())
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Statistical aggregates from exact decimal sums (order-independent →
+    * cross-engine deterministic; builtin stddev is a float fold and is
+    * not). variance = (n·Σx² − (Σx)²) / (n·(n−1)). */
+  def qStatsAgg(s: SparkSession, d: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val sx = sum(x).cast(DoubleType)
+    val sxx = sum((x * x).cast(DecimalType(28, 4))).cast(DoubleType)
+    val n = count(lit(1)).cast(DoubleType)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sx / n, 6).as("mean"),
+        round(sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))), 6)
+          .as("stddev"),
+        min(col("l_quantity")).as("min_q"),
+        max(col("l_quantity")).as("max_q"))
+      .orderBy("l_returnflag")
+  }
+
+  val qStatsAggSql: String = {
+    val sx = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+    val sxx = "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE)"
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  round($sx / CAST(count(*) AS DOUBLE), 6) AS mean,
+       |  round(sqrt((CAST(count(*) AS DOUBLE) * $sxx - $sx * $sx) /
+       |        (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) - 1.0))), 6) AS stddev,
+       |  min(l_quantity) AS min_q, max(l_quantity) AS max_q
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Skew-salted join (graft.operators.Skew): orders⋈customer salted 8
+    * ways — results identical to the plain join, shuffle spread over
+    * (key × salt). */
+  def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        col("o_totalprice"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    graft.operators.Skew
+      .saltedJoin(o, c, "c_custkey", col("o_orderkey"), 8)
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("total"))
+      .orderBy("c_custkey")
+  }
+
+  val qSaltedJoinSql: String =
+    s"""SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+       |  ${sqlSumd("o_totalprice")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY o_custkey ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_window" -> (qSessionWindow _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_stats_agg" -> (qStatsAgg _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopk _),
     "q5_star_broadcast" -> (q5StarBroadcast _),
@@ -384,6 +492,10 @@ object Relational extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_session_window" -> qSessionWindowSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_stats_agg" -> qStatsAggSql,
+    "q_salted_join" -> qSaltedJoinSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopkSql,
     "q5_star_broadcast" -> q5StarBroadcastSql,

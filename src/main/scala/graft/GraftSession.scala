@@ -16,6 +16,7 @@ object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

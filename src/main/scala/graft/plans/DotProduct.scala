@@ -20,8 +20,9 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * DuckDB oracle's list_dot_product, so results are bit-identical.
   *
   * Null handling: null arrays propagate null (BinaryExpression default);
-  * array ELEMENTS are assumed non-null (embedding vectors) — enforce
-  * upstream.
+  * a null ELEMENT nulls the whole result — exactly what the HOF
+  * formulation does (null*x -> null, null+acc -> null), so the optimizer
+  * rule below is semantics-preserving.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -31,13 +32,20 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot_product"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null // zip_with pads→null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -47,10 +55,14 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.lang.Ast._
+import org.apache.spark.sql.functions._
+
+class JsonRecordsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val declared = TRecord(Seq(
+    TField("id", TInt, absentOptional = false),
+    TField("status", TUnion(Seq(TValue("complete"), TValue("incomplete"),
+      TValue("blocked"))), absentOptional = false),
+    TField("blocker", TOption(TInt), absentOptional = true))) // blocker?: U32
+
+  test("declared-schema JSON read preserves absent vs null") {
+    val lines = Seq(
+      """{"id": 1, "status": "blocked", "blocker": 7}""",
+      """{"id": 2, "status": "blocked", "blocker": null}""", // present, null
+      """{"id": 3, "status": "complete"}"""                  // absent
+    ).toDS()
+    val v = JsonRecords.read(spark, lines, declared, ValidatedIngest.Dlq)
+    val rows = v.good.orderBy("id").collect()
+    assert(v.good.columns.toSeq ==
+      Seq("id", "status", "blocker", "blocker__present"))
+    assert(rows(0).getLong(2) == 7L && rows(0).getBoolean(3))
+    assert(rows(1).isNullAt(2) && rows(1).getBoolean(3))  // null but present
+    assert(rows(2).isNullAt(2) && !rows(2).getBoolean(3)) // absent
+  }
+
+  test("malformed payloads route to the DLQ; egress round-trips") {
+    val lines = Seq(
+      """{"id": 1, "status": "complete"}""",
+      """not json at all""").toDS()
+    val v = JsonRecords.read(spark, lines, declared, ValidatedIngest.Dlq)
+    assert(v.good.count() == 1)
+    assert(v.bad.count() == 1)
+    val back = JsonRecords.toJsonLines(v.good.select("id", "status"))
+      .collect()
+    assert(back.toSeq == Seq("""{"id":1,"status":"complete"}"""))
+  }
+}

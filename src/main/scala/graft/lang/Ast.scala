@@ -83,6 +83,9 @@ object Ast {
   final case class PLitStr(v: String) extends Pattern
   final case class PLitInt(v: Long) extends Pattern
   final case class PType(binder: String, t: UdType) extends Pattern
+  /** destructuring over Option (README.md:235-239): case Some(x) / none. */
+  final case class PSome(binder: String) extends Pattern
+  case object PNone extends Pattern
 
   // ---- statements ----
   sealed trait Stmt
@@ -106,6 +109,11 @@ object Ast {
   final case class DebugStmt(e: Expr) extends Stmt  // `! expr`
   final case class ThrowStmt(e: Expr) extends Stmt
   final case class TypeDecl(name: String, t: UdType) extends Stmt
+  /** import a named library's decls (F11); resolved from the compile-time
+    * library registry. */
+  final case class ImportStmt(lib: String) extends Stmt
+  /** call-site spread `...expr` (F7): splices a list into the arg vector. */
+  final case class Spread(e: Expr) extends Expr
 
   /** A parsed script: metadata + init-block decls + per-record body
     * (ir.rs:746-773 block split). */

@@ -61,7 +61,7 @@ object UdParser extends RegexParsers {
   private val keywords = Set("if", "elif", "else", "for", "in", "out", "let",
     "func", "proc", "type", "suppose", "match", "case", "throw", "not",
     "and", "or", "xor", "true", "false", "none", "input", "output",
-    "script", "version", "as")
+    "script", "version", "as", "import", "export")
   private def name: Parser[String] =
     ident.filter(!keywords.contains(_)).withFailureMessage("identifier expected")
 
@@ -165,8 +165,11 @@ object UdParser extends RegexParsers {
         cast.fold(e)(t => Cast(e, t))
     }
 
+  private def callArg: Parser[Expr] =
+    "..." ~> expr ^^ Spread | expr
+
   private def postfixOp: Parser[Expr => Expr] =
-    "(" ~> repsep(expr, ",") <~ ")" ^^ (args => (e: Expr) =>
+    "(" ~> repsep(callArg, ",") <~ ")" ^^ (args => (e: Expr) =>
       if (args.contains(Placeholder)) {
         // partial application: foo(1, $) => (p0) -> foo(1, p0)
         var i = -1
@@ -217,6 +220,8 @@ object UdParser extends RegexParsers {
   def pattern: Parser[Pattern] =
     strLit ^^ (s => PLitStr(unescape(s))) |
       intLit ^^ (s => PLitInt(s.toLong)) |
+      ("Some" ~> "(" ~> name <~ ")") ^^ PSome |
+      """none\b""".r ^^^ PNone |
       name ~ (":" ~> ty) ^^ { case n ~ t => PType(n, t) }
 
   /** lambda literal: (x: T) -> R = e | (x: T) -> R {block} | (x: T) {block}
@@ -268,6 +273,14 @@ object UdParser extends RegexParsers {
         case d ~ br ~ lf => SupposeStmt(d, br, lf)
       } |
       "..." ~ ";" ^^^ SpliceStmt |
+      ("import" ~> name <~ ";") ^^ ImportStmt |
+      // D12 template call: foo(args) { block } — trailing block becomes the
+      // final (zero-arg) closure argument (grammar.lalrpop:219-229)
+      (name ~ ("(" ~> repsep(callArg, ",") <~ ")") ~ stmtBlock) ^^ {
+        case f ~ args ~ blk =>
+          ExprStmt(Call(Id(f), args :+ Lambda(Seq.empty, TNone,
+            BlockExpr(blk, LitNone))))
+      } |
       kw("throw") ~> expr <~ ";" ^^ ThrowStmt |
       "!" ~> expr <~ ";" ^^ DebugStmt |
       ifStmt |
@@ -304,10 +317,20 @@ object UdParser extends RegexParsers {
       val stmts = items.collect { case TS(s) => s }
       // block split (ir.rs:746-773): decls → init, the rest → per-record body
       val (decls, body) = stmts.partition {
-        case _: LetStmt | _: FuncStmt | _: TypeDecl => true
-        case _                                      => false
+        case _: LetStmt | _: FuncStmt | _: TypeDecl | _: ImportStmt => true
+        case _                                                      => false
       }
       Script(unescape(desc), in, out, decls, body)
+    }
+
+  /** Parse a decl-only library source (F11). `export` markers are
+    * accepted and ignored (everything is exported). */
+  def parseDecls(src: String): Either[String, Seq[Stmt]] =
+    parseAll(rep(opt("export") ~> stmt), src) match {
+      case Success(ss, _) => Right(ss)
+      case NoSuccess(m, rest) =>
+        Left(s"parse error at line ${rest.pos.line}: $m")
+      case other => Left(other.toString)
     }
 
   def parse(src: String): Either[String, Script] =

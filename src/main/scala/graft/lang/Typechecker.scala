@@ -155,6 +155,23 @@ object Typechecker {
           case TList(_) | TAny => TStr
           case other           => error(s"join on $other")
         }
+      case Call(Dot(x, m), args) if env.lookup(m)
+          .exists(_.isInstanceOf[TLambda]) =>
+        // method-call sugar (README.md:407-414): x.f(a) checks as f(x, a)
+        checkExpr(Call(Id(m), x +: args), env)
+      case Call(f, args) if args.exists(_.isInstanceOf[Spread]) =>
+        // spread call (F7): arity unknowable statically; check pieces only
+        args.foreach {
+          case Spread(x) => checkExpr(x, env) match {
+            case TList(_) | TAny => ()
+            case other           => error(s"cannot spread $other")
+          }
+          case a => checkExpr(a, env)
+        }
+        checkExpr(f, env) match {
+          case TLambda(_, ret) => ret
+          case _               => TAny
+        }
       case Call(f, args) =>
         val ft = checkExpr(f, env)
         val ats = args.map(a => checkExpr(a, env))
@@ -218,13 +235,19 @@ object Typechecker {
       case Cast(e2, t) =>
         checkExpr(e2, env); resolve(t) // Coerce: checked at runtime
       case Placeholder => error("unexpected $ outside partial application")
+      case Spread(_)   => error("spread outside call arguments")
       case Match(scrut, cases, default) =>
         val st = checkExpr(scrut, env)
         val arms = cases.map { case (p, body) =>
           val scope = env.child()
           p match {
             case PType(binder, t) => scope.define(binder, resolve(t)) // narrow
-            case _                => ()
+            case PSome(binder) => // narrow Option(t) -> t
+              scope.define(binder, st match {
+                case TOption(t) => t
+                case other      => other
+              })
+            case _ => ()
           }
           checkExpr(body, scope)
         } ++ default.map(d => checkExpr(d, env)).toSeq
@@ -284,6 +307,7 @@ object Typechecker {
       case DebugStmt(e)  => checkExpr(e, env); ()
       case ExprStmt(e)   => checkExpr(e, env); ()
       case TypeDecl(n, t) => typeDefs += (n -> resolve(t))
+      case ImportStmt(lib) => env.define(lib, TAny) // module members: gradual
     }
 
     val root = new TEnv(Map.empty, None)

@@ -35,21 +35,23 @@ object UdScript {
   case object KernelTier extends Tier
 
   final case class Compiled(script: Script, tier: Tier,
-                            typeErrors: Seq[Typechecker.TypeError]) {
+                            typeErrors: Seq[Typechecker.TypeError],
+                            libs: Map[String, Values.Value] = Map.empty) {
     val inputSchema: StructType = schemaOf(script.input)
     val outputSchema: StructType = schemaOf(script.output)
 
     /** Run over a DataFrame whose columns match the declared input. */
     def run(df: DataFrame): DataFrame = tier match {
       case ColumnTier => Lowering.runColumn(script, df)
-      case KernelTier => Lowering.runKernel(script, df)
+      case KernelTier => Lowering.runKernel(script, df, libs)
     }
   }
 
   /** Compile a script. strict=false downgrades type errors to warnings
     * (the reference ships examples its own unwired checker would reject —
     * e.g. Int passed to Float params). */
-  def compile(src: String, strict: Boolean = true): Compiled = {
+  def compile(src: String, strict: Boolean = true,
+              libraries: Map[String, String] = Map.empty): Compiled = {
     val script = UdParser.parse(src) match {
       case Right(s) => s
       case Left(m)  => throw CompileError(m)
@@ -57,9 +59,27 @@ object UdScript {
     val errs = Typechecker.check(script)
     if (strict && errs.nonEmpty)
       throw CompileError(errs.map(_.msg).mkString("; "))
+    val libs = libraries.map { case (name, lsrc) =>
+      name -> compileLibrary(lsrc)
+    }
     val tier =
       if (Lowering.columnExpressible(script)) ColumnTier else KernelTier
-    Compiled(script, tier, errs)
+    Compiled(script, tier, errs, libs)
+  }
+
+  /** Compile a library (decl-only source) to a module value: its top-level
+    * decls evaluated once, exposed as an insertion-ordered record (F11;
+    * the reference parses imports but never compiles them, ir.rs:802-803).
+    */
+  def compileLibrary(src: String): Values.Value = {
+    val stmts = UdParser.parseDecls(src) match {
+      case Right(ss) => ss
+      case Left(m)   => throw CompileError(s"library: $m")
+    }
+    val pseudo = Script("library", TAny, TAny, stmts, Seq.empty)
+    val interp = new Interp(pseudo)
+    val env = interp.initEnv
+    Values.VMap(env.vars.toVector.sortBy(_._1))
   }
 
   // ---- declared type → Spark schema ----
@@ -396,8 +416,9 @@ private[lang] object Lowering {
   }
 
   /** Kernel tier: Interp inside a typed flatMap over Rows. */
-  def runKernel(script: Script, df: DataFrame): DataFrame = {
-    val interp = new Interp(script)
+  def runKernel(script: Script, df: DataFrame,
+                libs: Map[String, Values.Value] = Map.empty): DataFrame = {
+    val interp = new Interp(script, libs)
     interp.initEnv // force init on the driver (then ships with the closure)
     val inType = script.input
     val outType = script.output

@@ -140,7 +140,9 @@ object Values {
 
 /** The evaluator. One instance per script; `exec` runs the per-record body.
   * Emission goes through a capture-aware sink mirroring vm.rs:583-638. */
-final class Interp(script: Ast.Script) extends Serializable {
+final class Interp(script: Ast.Script,
+                   libraries: Map[String, Values.Value] = Map.empty)
+    extends Serializable {
   import Values._
   import Ast._
 
@@ -214,6 +216,9 @@ final class Interp(script: Ast.Script) extends Serializable {
       System.err.println(s"[ud-debug] ${render(eval(e, env, ctx))}")
     case ExprStmt(e) => eval(e, env, ctx); ()
     case TypeDecl(_, _) => ()
+    case ImportStmt(lib) =>
+      env.define(lib, libraries.getOrElse(lib,
+        err(s"unknown library: $lib (not in registry)")))
   }
 
   private def eval(e: Expr, env: Env, ctx: Ctx): Value = e match {
@@ -263,11 +268,16 @@ final class Interp(script: Ast.Script) extends Serializable {
       }
     case Call(Id(fname), args) if builtins.contains(fname) &&
         env.lookup(fname).isEmpty =>
-      val argv = args.map(a => eval(a, env, ctx))
-      builtins(fname)(argv)
+      builtins(fname)(evalArgs(args, env, ctx))
+    case Call(Dot(x, m), args) if isMethodSugar(x, m, env) =>
+      // method-call sugar (README.md:407-414): x.f(a) = f(x, a)
+      val recv = eval(x, env, ctx)
+      val argv = recv +: evalArgs(args, env, ctx)
+      callValue(env.lookup(m).get, argv, e, env, ctx)
     case Call(f, args) =>
-      val argv = args.map(a => eval(a, env, ctx))
+      val argv = evalArgs(args, env, ctx)
       callValue(eval(f, env, ctx), argv, e, env, ctx)
+    case Spread(_) => err("spread outside call arguments")
     case Dot(x, field) =>
       eval(x, env, ctx) match {
         case m: VMap => m.index.getOrElse(field, err(s"no field $field"))
@@ -305,6 +315,9 @@ final class Interp(script: Ast.Script) extends Serializable {
         case (PLitInt(p), body) if deepEq(sv, VInt(p)) => (None, body)
         case (PType(binder, t), body) if matchesType(sv, t) =>
           (Some(binder -> sv), body)
+        case (PSome(binder), body) if sv != VNone =>
+          (Some(binder -> sv), body)
+        case (PNone, body) if sv == VNone => (None, body)
       } match {
         case Some((bind, body)) =>
           val scope = env.child()
@@ -316,6 +329,21 @@ final class Interp(script: Ast.Script) extends Serializable {
         }
       }
   }
+
+  /** evaluate call args, splicing `...list` spreads (F7). */
+  private def evalArgs(args: Seq[Expr], env: Env, ctx: Ctx): Seq[Value] =
+    args.flatMap {
+      case Spread(x) => eval(x, env, ctx) match {
+        case VList(xs) => xs
+        case other     => err(s"cannot spread ${render(other)}")
+      }
+      case a => Seq(eval(a, env, ctx))
+    }
+
+  /** x.f(...) is method sugar iff f is a function in scope and the
+    * receiver is not a module/map that owns an f member. */
+  private def isMethodSugar(x: Expr, m: String, env: Env): Boolean =
+    m != "join" && env.lookup(m).exists(_.isInstanceOf[VLambda])
 
   private def callValue(f: Value, argv: Seq[Value], site: Expr, env: Env,
                         ctx: Ctx): Value = f match {

@@ -1,0 +1,66 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, StringType}
+
+/** |a ∩ b| for two SORTED, DISTINCT string arrays via a merge walk —
+  * O(n+m) with zero allocation, vs array_intersect's per-row hash-set
+  * build. The Jaccard near-dup join evaluates this millions of times per
+  * batch; with distinct inputs |a ∪ b| = |a|+|b|−|a∩b|, so one walk yields
+  * the whole similarity. Caller contract: inputs sorted ascending and
+  * deduplicated (array_sort(array_distinct(...))); null arrays → null.
+  */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < n && j < m) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt"); val c = ctx.freshName("c")
+      s"""
+         |int $n = $x.numElements(); int $m = $y.numElements();
+         |int $i = 0; int $j = 0; int $cnt = 0;
+         |while ($i < $n && $j < $m) {
+         |  int $c = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSizeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersect {
+  def size(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectSizeExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

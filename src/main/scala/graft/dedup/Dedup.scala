@@ -116,16 +116,33 @@ object Dedup extends Serializable {
       size(array_union(ad, bd)).cast("double")
   }
 
-  /** Exact shingle Jaccard computed in the kernel tier. */
+  /** Distinct word w-shingles as STRINGS (the verify-stage measure — no
+    * hashing, so the DuckDB oracle can mirror it exactly with
+    * list_intersect/list_distinct over the same shingle strings). */
+  def shingleSet(text: String, w: Int): Set[String] = {
+    val toks = text.split("\\s+")
+    if (toks.length < w) Set(toks.mkString(" "))
+    else (0 to toks.length - w).iterator
+      .map(i => toks.slice(i, i + w).mkString(" ")).toSet
+  }
+
+  /** Exact shingle Jaccard on the string shingle sets (kernel tier). */
   def shingleJaccard(t1: String, t2: String, w: Int): Double = {
-    val s1 = shingles(t1, w).toSet
-    val s2 = shingles(t2, w).toSet
+    val s1 = shingleSet(t1, w)
+    val s2 = shingleSet(t2, w)
     if (s1.isEmpty && s2.isEmpty) 1.0
     else s1.intersect(s2).size.toDouble / s1.union(s2).size.toDouble
   }
 
   /** Full MinHash-LSH near-dup pipeline: signatures → banded bucket join →
-    * exact-Jaccard verification join (ships only candidate texts). */
+    * exact-Jaccard verification join (ships only candidate texts).
+    *
+    * Oracle-equivalence contract: with `bands` × `rowsPerBand` chosen so the
+    * per-true-pair miss probability at `threshold` is negligible (e.g.
+    * bands=32, r=2, threshold=0.8 → miss ≤ (1-0.8²)^32 ≈ 6e-15), the output
+    * deterministically equals the exact all-pairs shingle-Jaccard ≥ threshold
+    * result, which IS DuckDB-expressible — that equality is the driver's
+    * CORRECTNESS check and is also asserted in LlmPipelineSpec. */
   def minhashNearDups(s: SparkSession, docs: DataFrame, w: Int, k: Int,
                       bands: Int, threshold: Double): DataFrame = {
     import s.implicits._
@@ -137,32 +154,89 @@ object Dedup extends Serializable {
     val withTexts = cand
       .join(txt.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
       .join(txt.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+      .select(col("a"), col("b"), col("ta"), col("tb"))
       .as[(Long, Long, String, String)]
-    withTexts.map { case (b, a, ta, tb) =>
+    withTexts.map { case (a, b, ta, tb) =>
       (a, b, Dedup.shingleJaccard(ta, tb, w))
-    }.toDF("a", "b", "jaccard")
+    }.toDF("a", "b", "jac_raw")
+      .select(col("a"), col("b"), round(col("jac_raw"), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy("a", "b")
   }
 
-  /** SimHash near-dup: signature → 4×16-bit chunk banding → verify
-    * Hamming ≤ maxDist. Finds ALL pairs with distance ≤ 3 (pigeonhole). */
+  // ---- SimHash (md5-chunk formulation, column tier) ----
+  //
+  // The 64-bit signature is computed as 4 independent 16-bit chunks, each
+  // derived from 4 hex chars of md5(token): chunk_j bit b is set iff the
+  // ±1-majority over tokens of bit b of chunk-hash j is positive. md5 is
+  // engine-independent, so the DuckDB oracle computes the identical
+  // signature; and because banding on the 4 chunks is EXHAUSTIVE for
+  // Hamming ≤ 3 (pigeonhole: ≤3 differing bits leave ≥1 chunk intact), the
+  // oracle can skip banding and verify the quadratic directly at oracle SF.
+
+  /** The 4 md5-derived 16-bit chunk hashes of one token (local mirror of
+    * the column expression, for specs). */
+  def tokenChunksLocal(tok: String): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Array.tabulate(4)(j => Integer.parseInt(hex.substring(j * 4, j * 4 + 4), 16))
+  }
+
+  /** Local mirror of the per-doc simhash chunks, for spec brute-force. */
+  def simhashChunksLocal(text: String): Array[Int] = {
+    val counts = Array.fill(4, 16)(0)
+    text.split("\\s+").foreach { t =>
+      val hs = tokenChunksLocal(t)
+      for (j <- 0 until 4; b <- 0 until 16)
+        if (((hs(j) >> b) & 1) == 1) counts(j)(b) += 1 else counts(j)(b) -= 1
+    }
+    Array.tabulate(4) { j =>
+      (0 until 16).foldLeft(0)((acc, b) =>
+        if (counts(j)(b) > 0) acc | (1 << b) else acc)
+    }
+  }
+
+  /** Column-tier per-doc simhash chunks: one md5 per token, then 64
+    * ±1-majority folds over the precomputed chunk-hash array (all
+    * codegen'd HOFs — no UDF, no shuffle). */
+  def simhashChunkCols(text: Column): Seq[Column] = {
+    val md5s = transform(split(text, "\\s+"), t => md5(t))
+    val hs = transform(md5s, h =>
+      array((0 until 4).map(j =>
+        conv(substring(h, j * 4 + 1, 4), 16, 10).cast("int")): _*))
+    (0 until 4).map { j =>
+      (0 until 16).map { b =>
+        val cnt = aggregate(hs, lit(0), (acc, x) =>
+          acc + when(element_at(x, j + 1).bitwiseAND(lit(1 << b)) =!= 0,
+            lit(1)).otherwise(lit(-1)))
+        when(cnt > 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"c$j")
+    }
+  }
+
+  /** SimHash near-dup: md5-chunk signature → 4×16-bit chunk banding →
+    * verify Hamming ≤ maxDist. Exhaustive for maxDist ≤ 3 (pigeonhole).
+    * Scale: the only shuffle is the (band, chunk) bucket self-join on
+    * 4 rows/doc of (id, 4×int) — candidate pairs are hash-bucket
+    * collisions, never all-pairs. */
   def simhashNearDups(s: SparkSession, docs: DataFrame, maxDist: Int)
       : DataFrame = {
-    import s.implicits._
-    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, t) => DocSim(id, simhash64(t)) }
-    val banded = sigs.flatMap { ds =>
-      (0 until 4).iterator.map(b => (ds.doc_id, ds.simhash, b, (ds.simhash >>> (16 * b)) & 0xFFFFL))
-    }.toDF("doc_id", "sim", "band", "key")
-    val l = banded.select(col("doc_id").as("a"), col("sim").as("sim_a"),
+    require(maxDist <= 3, "4x16 chunk banding is only exhaustive for Hamming <= 3")
+    val sigs = docs.select(
+      col("doc_id").cast("long").as("doc_id") +: simhashChunkCols(col("text")): _*)
+    val banded = sigs.select(col("doc_id"), col("c0"), col("c1"), col("c2"),
+      col("c3"), posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("band", "key")))
+    val l = banded.select(col("doc_id").as("a"), col("c0").as("a0"),
+      col("c1").as("a1"), col("c2").as("a2"), col("c3").as("a3"),
       col("band"), col("key"))
-    val r = banded.select(col("doc_id").as("b"), col("sim").as("sim_b"),
+    val r = banded.select(col("doc_id").as("b"), col("c0").as("b0"),
+      col("c1").as("b1"), col("c2").as("b2"), col("c3").as("b3"),
       col("band"), col("key"))
+    val ham = (0 until 4).map(j =>
+      bit_count(col(s"a$j").bitwiseXOR(col(s"b$j")))).reduce(_ + _)
     l.join(r, Seq("band", "key")).where(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .select(col("a"), col("b"), ham.cast("int").as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
       .orderBy("a", "b")

@@ -76,14 +76,69 @@ object LlmPipeline extends Serializable {
       |) WHERE jaccard >= 0.95
       |ORDER BY a, b""".stripMargin
 
-  /** MinHash+LSH near-dup (rows-only; recall-tested in spec). */
+  /** MinHash+LSH near-dup. Bands=32 × r=2 at threshold 0.8 makes the
+    * per-true-pair miss probability ≤ (1-0.8²)^32 ≈ 6e-15, so the output
+    * deterministically equals the exact all-pairs shingle-Jaccard ≥ 0.8
+    * set — which the DuckDB oracle computes directly (quadratic at oracle
+    * SF only; the Spark side stays bucketed at any scale). */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(s, Tables.documents(s, d),
-      w = 3, k = 64, bands = 16, threshold = 0.2)
+      w = 3, k = 64, bands = 32, threshold = 0.8)
 
-  /** SimHash near-dup (rows-only; semantics tested in spec). */
+  /** Exact all-pairs shingle-Jaccard ≥ 0.8 — the oracle twin of the
+    * MinHash-LSH pipeline (see minhashNearDups' equivalence contract). */
+  val dedupMinhashLshSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |      ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+      |             i -> array_to_string(t[i:i+2], ' '))) END AS s
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents))
+      |SELECT a, b, jaccard FROM (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |          CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin
+
+  /** SimHash near-dup at Hamming ≤ 3 (4×16-bit chunk banding is
+    * exhaustive by pigeonhole, so this is exact, not probabilistic). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDups(s, Tables.documents(s, d), maxDist = 12)
+    Dedup.simhashNearDups(s, Tables.documents(s, d), maxDist = 3)
+
+  /** Oracle: identical md5-chunk simhash per doc (64 ±1-majority sums over
+    * exploded tokens), then the quadratic Hamming ≤ 3 — banding omitted
+    * because it is exhaustive at this radius. */
+  val dedupSimhashSql: String = {
+    val hDefs = (0 until 4).map(j =>
+      s"('0x'||substr(md5(tok),${j * 4 + 1},4))::INT AS h$j").mkString(",\n    ")
+    val sums = (for (j <- 0 until 4; b <- 0 until 16) yield
+      s"SUM(CASE WHEN (h$j >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_${j}_$b")
+      .mkString(",\n    ")
+    val chunks = (0 until 4).map { j =>
+      (0 until 16).map(b => s"(CASE WHEN s_${j}_$b > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ") + s" AS c$j"
+    }.mkString(",\n    ")
+    val ham = (0 until 4).map(j => s"bit_count(xor(a.c$j, b.c$j))").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    $hDefs
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM th GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $chunks
+       |  FROM bits)
+       |SELECT a.doc_id AS a, b.doc_id AS b, CAST($ham AS INT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE $ham <= 3
+       |ORDER BY a, b""".stripMargin
+  }
 
   /** Exact brute-force ANN: top-10 cosine neighbors of query vecs 0-4. */
   def annCosineTopk(s: SparkSession, d: String): DataFrame = {
@@ -123,10 +178,48 @@ object LlmPipeline extends Serializable {
       |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
       |ORDER BY a, b""".stripMargin
 
-  /** Hyperplane-LSH near-dup (rows-only; recall-tested vs exact in spec). */
+  /** Hyperplane-LSH near-dup: count-derived signature width + radius-1
+    * multi-probe (candidates ≡ Hamming(sig_a, sig_b) ≤ 1 in some table),
+    * verified at cosine ≥ 0.35. Deterministic md5-derived planes make the
+    * DuckDB oracle bit-identical. */
   def annLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.lshNearDupPairs(s, Tables.embeddings(s, d), 0.35,
-      nBits = 6, tables = 8)
+    Similarity.lshNearDupPairs(s, Tables.embeddings(s, d), 0.35, tables = 8)
+
+  /** Oracle: same plane arithmetic via list_dot_product (proven
+    * fold-order-identical to DotProductExpr by ann_cosine_topk), same
+    * count-derived nbits, candidates as the closed-form Hamming ≤ 1
+    * predicate (quadratic at oracle SF only). */
+  val annLshSql: String =
+    """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |params AS (
+      |  SELECT least(16, greatest(4,
+      |    CASE WHEN q <= 1 THEN 1 ELSE length(bin(q - 1)) END)) AS nbits
+      |  FROM (SELECT CAST(ceil(count(*) / 64.0) AS BIGINT) AS q FROM corpus)),
+      |planes AS (
+      |  SELECT t, p, list_transform(generate_series(1, 64), i ->
+      |    (('0x'||substr(md5('plane_'||t||'_'||p||'_'||i),1,13))::BIGINT::DOUBLE
+      |      / 4503599627370496.0) * 2.0 - 1.0) AS pv
+      |  FROM (SELECT unnest(generate_series(0, 7)) AS t)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)),
+      |sigs AS (
+      |  SELECT c.vec_id, pl.t,
+      |    sum(CASE WHEN list_dot_product(c.e, pl.pv) >= 0 THEN (1 << pl.p) ELSE 0 END) AS sig
+      |  FROM corpus c CROSS JOIN planes pl, params
+      |  WHERE pl.p < params.nbits
+      |  GROUP BY c.vec_id, pl.t),
+      |cand AS (
+      |  SELECT DISTINCT sa.vec_id AS a, sb.vec_id AS b
+      |  FROM sigs sa JOIN sigs sb ON sa.t = sb.t AND sa.vec_id < sb.vec_id
+      |  WHERE bit_count(xor(sa.sig::INT, sb.sig::INT)) <= 1)
+      |SELECT c.a, c.b,
+      |  round(list_dot_product(ea.e, eb.e) /
+      |    (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e))), 6) AS sim
+      |FROM cand c
+      |JOIN corpus ea ON ea.vec_id = c.a
+      |JOIN corpus eb ON eb.vec_id = c.b
+      |WHERE round(list_dot_product(ea.e, eb.e) /
+      |    (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e))), 6) >= 0.35
+      |ORDER BY a, b""".stripMargin
 
   /** Language-ID via marker-word scores, deterministic tie-break. */
   def textLangid(s: SparkSession, d: String): DataFrame =
@@ -262,10 +355,10 @@ object LlmPipeline extends Serializable {
     "multimodal_decode" -> (multimodalDecode _)
   )
 
-  /** dedup_minhash_lsh / dedup_simhash / ann_lsh are probabilistic scale
-    * paths — no SQL oracle (driver records rows-only); their consistency
-    * with the exact variants is spec-tested. */
   val oracle: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "ann_lsh" -> annLshSql,
     "multimodal_frames" -> multimodalFramesSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_blocked" -> dedupJaccardBlockedSql,

@@ -1,6 +1,5 @@
 package graft.similarity
 
-import graft.dedup.Dedup.splitmix64
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -78,52 +77,78 @@ object Similarity extends Serializable {
       .orderBy("a", "b")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i).
-    * Maps splitmix64 to [-1, 1). */
-  private def planeComponent(seed: Long, p: Int, i: Int): Double = {
-    val h = splitmix64(splitmix64(seed ^ (p + 1L)) ^ (i + 1L))
-    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  /** Deterministic hyperplane component for (table t, plane p, dim d):
+    * the first 13 hex chars (52 bits) of md5("plane_t_p_d") mapped to
+    * [-1, 1). All steps (52-bit int → /2^52 → ×2 → −1) are exact in
+    * double, and md5 is engine-independent — so the DuckDB oracle computes
+    * the bit-identical plane. d is 1-based to match SQL generate_series. */
+  def planeComponent(t: Int, p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane_${t}_${p}_${d}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 13), 16).toDouble /
+      (1L << 52).toDouble * 2.0 - 1.0
   }
 
-  /** nBits-bit random-hyperplane signature of an embedding. */
-  def lshSignature(emb: Array[Float], seed: Long, nBits: Int): Int = {
-    var sig = 0
-    var p = 0
-    while (p < nBits) {
-      var dotv = 0.0
-      var i = 0
-      while (i < emb.length) { dotv += emb(i) * planeComponent(seed, p, i); i += 1 }
-      if (dotv >= 0) sig |= (1 << p)
-      p += 1
-    }
-    sig
+  /** Signature width derived from corpus size: smallest b with
+    * n/targetBucket ≤ 2^b, clamped to [4, 16] — expected bucket occupancy
+    * stays ~targetBucket as the corpus grows, so per-bucket self-join work
+    * is bounded at any scale (the round-1 fixed-nBits scale-killer, fixed).
+    * Integer-exact (bit length, no float log) so the SQL oracle
+    * (length(bin(q-1))) derives the identical value. */
+  def lshBits(n: Long, targetBucket: Long = 64L): Int = {
+    val q = (n + targetBucket - 1) / targetBucket
+    val b = if (q <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    math.min(16, math.max(4, b))
   }
 
-  /** LSH-bucketed near-dup: bucket by hyperplane signature (multi-probe via
-    * `tables` independent signatures), exact-verify within buckets. */
+  /** LSH-bucketed near-dup with count-derived signature width and
+    * radius-1 multi-probe.
+    *
+    * Shape at scale: signatures are computed in one narrow pass (nBits ×
+    * tables codegen'd dot products against literal plane arrays); the only
+    * wide shuffle ships (vec_id, table, bucket) triples — embeddings are
+    * joined back only for verified candidate pairs. Multi-probe expands the
+    * probe side to nBits+1 buckets (the signature and its 1-bit flips), so
+    * a candidate pair is EXACTLY a pair with Hamming(sig_a, sig_b) ≤ 1 in
+    * some table — a closed-form predicate the DuckDB oracle evaluates
+    * quadratically at oracle SF. */
   def lshNearDupPairs(s: SparkSession, corpus: DataFrame, threshold: Double,
-                      nBits: Int = 12, tables: Int = 4): DataFrame = {
-    import s.implicits._
-    val typed = corpus.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val buckets = typed.flatMap { case (id, emb) =>
-      (0 until tables).iterator.map { t =>
-        (id, emb, t, lshSignature(emb, 42L + t, nBits))
-      }
-    }.toDF("vec_id", "emb", "table", "bucket")
-    val l = buckets.select(col("vec_id").as("a"), col("emb").as("ea"),
-      col("table"), col("bucket"))
-    val r = buckets.select(col("vec_id").as("b"), col("emb").as("eb"),
-      col("table"), col("bucket"))
-    l.join(r, Seq("table", "bucket")).where(col("a") < col("b"))
+                      tables: Int = 8, targetBucket: Long = 64L,
+                      dim: Int = 64): DataFrame = {
+    val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
+      toDoubleArr(col("embedding")).as("e"))
+    // Adaptive stage: one count() to size the signature. At 100 TB this is
+    // a metadata-cheap pass (or a known table statistic).
+    val nBits = lshBits(base.count(), targetBucket)
+    val sigCols = (0 until tables).map { t =>
+      (0 until nBits).map { p =>
+        val plane = array((1 to dim).map(d => lit(planeComponent(t, p, d))): _*)
+        when(dot(col("e"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"sig_$t")
+    }
+    val sigs = base.select(col("vec_id") +: sigCols: _*)
+    val stacked = sigs.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
+        .as(Seq("table", "sig")))
+    val left = stacked.select(col("vec_id").as("a"), col("table"),
+      col("sig").as("bucket"))
+    val probes = array(col("sig") +:
+      (0 until nBits).map(p => col("sig").bitwiseXOR(lit(1 << p))): _*)
+    val right = stacked.select(col("vec_id").as("b"), col("table"),
+      explode(probes).as("bucket"))
+    val cand = left.join(right, Seq("table", "bucket"))
+      .where(col("a") < col("b")).select("a", "b").distinct()
+    val emb = base.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    cand
+      .join(emb.select(col("vec_id").as("a"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
-        toDoubleArr(col("ea")).as("da"), toDoubleArr(col("eb")).as("db"))
-      .select(col("a"), col("b"),
-        round(dot(col("da"), col("db")) /
-          (sqrt(dot(col("da"), col("da"))) * sqrt(dot(col("db"), col("db")))),
-          6).as("sim"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
       .where(col("sim") >= threshold)
-      .distinct()
       .orderBy("a", "b")
   }
 }

@@ -10,10 +10,20 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: JIT + codegen + parquet footer caches.
-    try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm-up: JIT + codegen + parquet footer/page caches. Touch each base
+    // table once so per-query times measure the operator, not whichever
+    // query alphabetically pays the first cold read of its table.
+    try {
+      SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
+      Seq("events", "documents", "embeddings")
+        .foreach(t => Tables.t(spark, sfDir, t).count())
+    } catch { case _: Throwable => () }
+    // Optional comma-separated subset for local iteration (driver omits it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

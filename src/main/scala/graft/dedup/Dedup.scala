@@ -174,12 +174,20 @@ object Dedup extends Serializable {
   // Hamming ≤ 3 (pigeonhole: ≤3 differing bits leave ≥1 chunk intact), the
   // oracle can skip banding and verify the quadratic directly at oracle SF.
 
-  /** The 4 md5-derived 16-bit chunk hashes of one token (local mirror of
-    * the column expression, for specs). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The 4 md5-derived 16-bit chunk hashes of one token (JVM mirror of the
+    * column expression). Hex chars 4j+1..4j+4 of the md5 are digest bytes
+    * 2j, 2j+1 — read them directly; no hex-string round-trip in the hot
+    * loop, and the MessageDigest is thread-local (one per executor core). */
   def tokenChunksLocal(tok: String): Array[Int] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    Array.tabulate(4)(j => Integer.parseInt(hex.substring(j * 4, j * 4 + 4), 16))
+    val md = md5Local.get()
+    md.reset()
+    val b = md.digest(tok.getBytes("UTF-8"))
+    Array.tabulate(4)(j => ((b(2 * j) & 0xFF) << 8) | (b(2 * j + 1) & 0xFF))
   }
 
   /** Local mirror of the per-doc simhash chunks, for spec brute-force. */
@@ -196,23 +204,35 @@ object Dedup extends Serializable {
     }
   }
 
-  /** Column-tier per-doc simhash chunks: one md5 per token, then 64
-    * ±1-majority folds over the precomputed chunk-hash array (all
-    * codegen'd HOFs — no UDF, no shuffle). */
-  def simhashChunkCols(text: Column): Seq[Column] = {
+  /** Column-tier per-doc ±1-majority counters: ONE aggregate pass over the
+    * token array (HOF lambdas are interpreted and don't share
+    * subexpressions, so each md5/conv must be materialized by its own
+    * transform stage and folded exactly once — 64 separate aggregate()
+    * calls would re-run the md5 pipeline per call). */
+  def simhashCounters(text: Column): Column = {
     val md5s = transform(split(text, "\\s+"), t => md5(t))
-    val hs = transform(md5s, h =>
+    val chunkArrs = transform(md5s, h =>
       array((0 until 4).map(j =>
         conv(substring(h, j * 4 + 1, 4), 16, 10).cast("int")): _*))
+    val bits64 = transform(chunkArrs, ca =>
+      array((for (j <- 0 until 4; b <- 0 until 16) yield
+        when(element_at(ca, j + 1).bitwiseAND(lit(1 << b)) =!= 0, lit(1))
+          .otherwise(lit(-1))): _*))
+    aggregate(bits64, array_repeat(lit(0), 64),
+      (acc, x) => zip_with(acc, x, _ + _))
+  }
+
+  /** The 4 16-bit chunk columns from a materialized counter array. The
+    * counters attribute is referenced 64 times, so this must sit in its own
+    * projection above the counters select (CollapseProject keeps the
+    * boundary for expensive multiply-referenced producers). */
+  def simhashChunkColsFrom(counters: Column): Seq[Column] =
     (0 until 4).map { j =>
       (0 until 16).map { b =>
-        val cnt = aggregate(hs, lit(0), (acc, x) =>
-          acc + when(element_at(x, j + 1).bitwiseAND(lit(1 << b)) =!= 0,
-            lit(1)).otherwise(lit(-1)))
-        when(cnt > 0, lit(1 << b)).otherwise(lit(0))
+        when(element_at(counters, j * 16 + b + 1) > 0, lit(1 << b))
+          .otherwise(lit(0))
       }.reduce(_ + _).as(s"c$j")
     }
-  }
 
   /** SimHash near-dup: md5-chunk signature → 4×16-bit chunk banding →
     * verify Hamming ≤ maxDist. Exhaustive for maxDist ≤ 3 (pigeonhole).
@@ -222,8 +242,18 @@ object Dedup extends Serializable {
   def simhashNearDups(s: SparkSession, docs: DataFrame, maxDist: Int)
       : DataFrame = {
     require(maxDist <= 3, "4x16 chunk banding is only exhaustive for Hamming <= 3")
-    val sigs = docs.select(
-      col("doc_id").cast("long").as("doc_id") +: simhashChunkCols(col("text")): _*)
+    // Signature stage: kernel-tier typed map (one fused JVM loop per doc).
+    // A columnar twin exists (simhashCounters/simhashChunkColsFrom, proven
+    // equal in LlmPipelineSpec) but interpreted HOF folds over 64-wide
+    // arrays are ~10x slower than this loop; both are narrow one-pass
+    // stages with no shuffle, so the scale shape is identical.
+    import s.implicits._
+    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val c = simhashChunksLocal(t); (id, c(0), c(1), c(2), c(3))
+      }
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
     val banded = sigs.select(col("doc_id"), col("c0"), col("c1"), col("c2"),
       col("c3"), posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
         .as(Seq("band", "key")))

@@ -183,7 +183,8 @@ object LlmPipeline extends Serializable {
     * verified at cosine ≥ 0.35. Deterministic md5-derived planes make the
     * DuckDB oracle bit-identical. */
   def annLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.lshNearDupPairs(s, Tables.embeddings(s, d), 0.35, tables = 8)
+    Similarity.lshNearDupPairs(s, Tables.embeddings(s, d), 0.35,
+      tables = 4, targetBucket = 16L)
 
   /** Oracle: same plane arithmetic via list_dot_product (proven
     * fold-order-identical to DotProductExpr by ann_cosine_topk), same
@@ -194,12 +195,12 @@ object LlmPipeline extends Serializable {
       |params AS (
       |  SELECT least(16, greatest(4,
       |    CASE WHEN q <= 1 THEN 1 ELSE length(bin(q - 1)) END)) AS nbits
-      |  FROM (SELECT CAST(ceil(count(*) / 64.0) AS BIGINT) AS q FROM corpus)),
+      |  FROM (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS q FROM corpus)),
       |planes AS (
       |  SELECT t, p, list_transform(generate_series(1, 64), i ->
       |    (('0x'||substr(md5('plane_'||t||'_'||p||'_'||i),1,13))::BIGINT::DOUBLE
       |      / 4503599627370496.0) * 2.0 - 1.0) AS pv
-      |  FROM (SELECT unnest(generate_series(0, 7)) AS t)
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS t)
       |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)),
       |sigs AS (
       |  SELECT c.vec_id, pl.t,

@@ -321,16 +321,26 @@ object Relational extends Serializable {
       |ORDER BY event_id""".stripMargin
 
   /** Range (interval) self-join: pairs of events from the same user within
-    * 5 minutes of each other. Equi-part on user_id keeps the shuffle keyed;
-    * the range predicate is applied post-join (band join). */
+    * 5 minutes of each other, as a bucketed band join. Both sides carry a
+    * 5-minute time bucket; since b_ts ∈ [a_ts, a_ts+5min] implies
+    * bucket(b_ts) ∈ {bucket(a_ts), bucket(a_ts)+1}, the a-side probes those
+    * two buckets and the join is equi on (user_id, bucket). Per-task pair
+    * expansion is bounded by (events of one user in one 5-min bucket)² —
+    * never the per-user quadratic of a bare user_id equi-join, so one hot
+    * user cannot kill a task at scale. Each qualifying pair matches exactly
+    * once (b's bucket is a single value), so no dedup is needed. */
   def qRangeJoin(s: SparkSession, d: String): DataFrame = {
-    val a = Tables.events(s, d).select(
-      col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
-    val b = Tables.events(s, d).select(
-      col("event_id").as("b_id"), col("user_id").as("b_user"),
-      col("ts").as("b_ts"))
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("ts"), expr("unix_micros(ts) div 300000000").as("bk"))
+    val a = ev.select(col("event_id").as("a_id"), col("user_id"),
+      col("ts").as("a_ts"),
+      explode(array(col("bk"), col("bk") + 1)).as("jbk"))
+    val b = ev.select(col("event_id").as("b_id"),
+      col("user_id").as("b_user"), col("ts").as("b_ts"),
+      col("bk").as("b_bk"))
     a.join(b,
         col("user_id") === col("b_user") &&
+          col("jbk") === col("b_bk") &&
           col("a_id") < col("b_id") &&
           col("b_ts") >= col("a_ts") &&
           col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))

@@ -137,8 +137,11 @@ object Similarity extends Serializable {
       (0 until nBits).map(p => col("sig").bitwiseXOR(lit(1 << p))): _*)
     val right = stacked.select(col("vec_id").as("b"), col("table"),
       explode(probes).as("bucket"))
+    // Dedup AFTER the verify filter: a pair survives in at most `tables`
+    // copies, all with identical (a, b, sim), so the distinct shuffles only
+    // the (small) verified set instead of the full candidate set.
     val cand = left.join(right, Seq("table", "bucket"))
-      .where(col("a") < col("b")).select("a", "b").distinct()
+      .where(col("a") < col("b")).select("a", "b")
     val emb = base.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
     cand
       .join(emb.select(col("vec_id").as("a"), col("e").as("ea"),
@@ -149,6 +152,7 @@ object Similarity extends Serializable {
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
           .as("sim"))
       .where(col("sim") >= threshold)
+      .distinct()
       .orderBy("a", "b")
   }
 }

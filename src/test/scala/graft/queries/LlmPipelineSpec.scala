@@ -63,6 +63,19 @@ class LlmPipelineSpec extends SparkSpec {
     assert(found.map(p => (p._1, p._2)) == brute)
   }
 
+  test("columnar simhash counters equal the kernel-tier chunk loop") {
+    val docs = graft.Tables.documents(spark, sf).limit(50)
+    val colSide = docs
+      .select(col("doc_id"), Dedup.simhashCounters(col("text")).as("cnt"))
+      .select(col("doc_id") +: Dedup.simhashChunkColsFrom(col("cnt")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt).toSeq).toMap
+    val kernelSide = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Dedup.simhashChunksLocal(r.getString(1)).toSeq)
+      .toMap
+    assert(colSide == kernelSide)
+  }
+
   test("hyperplane LSH finds planted near-identical vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

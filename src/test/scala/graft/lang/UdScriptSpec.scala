@@ -51,7 +51,8 @@ class UdScriptSpec extends SparkSpec {
       |}
       |out count(in);""".stripMargin
     val (tier, out) = runScalar(src, Seq(3L))
-    assert(tier == KernelTier)
+    // recognized counted loop: lowers to explode(sequence), not the kernel
+    assert(tier.isInstanceOf[UdScript.LoopTier])
     assert(out == Seq(3L, 2L, 1L, 0L))
   }
 

@@ -34,10 +34,12 @@ class UdStreamingSpec extends SparkSpec {
   test("kernel-tier script runs over a stream (recursion + multi-emit)") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val src = """script "stream countdown";
+    // step-2 decrement: NOT the counted-loop shape, so this stays a true
+    // kernel-tier recursion over the stream
+    val src = """script "stream countdown by two";
       |input  Int;
       |output Int;
-      |proc count(n: Int) { out n; if (n > 0) { count(n - 1); } }
+      |proc count(n: Int) { out n; if (n > 0) { count(n - 2); } }
       |count(in);""".stripMargin
     val c = UdScript.compile(src)
     assert(c.tier == UdScript.KernelTier)
@@ -46,11 +48,35 @@ class UdStreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("udkern").outputMode("append")
       .start()
     try {
-      input.addData(2L)
+      input.addData(4L)
       q.processAllAvailable()
       input.addData(1L) // second micro-batch reuses the same kernel
       q.processAllAvailable()
       val got = spark.table("udkern").as[Long].collect().sorted
+      assert(got.toSeq == Seq(-1L, 0L, 1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("counted-loop script lowers to explode and runs over a stream") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = """script "stream countdown";
+      |input  Int;
+      |output Int;
+      |proc count(n: Int) { out n; if (n > 0) { count(n - 1); } }
+      |count(in);""".stripMargin
+    val c = UdScript.compile(src)
+    assert(c.tier.isInstanceOf[UdScript.LoopTier])
+    val input = MemoryStream[Long]
+    val q = c.run(input.toDS().toDF("value"))
+      .writeStream.format("memory").queryName("udloop").outputMode("append")
+      .start()
+    try {
+      input.addData(2L)
+      q.processAllAvailable()
+      input.addData(1L)
+      q.processAllAvailable()
+      val got = spark.table("udloop").as[Long].collect().sorted
       assert(got.toSeq == Seq(0L, 0L, 1L, 1L, 2L))
     } finally q.stop()
   }

@@ -265,7 +265,33 @@ object Dataflow extends Serializable {
       |  list_extract(string_split(p_name, ' '), 4) AS w3
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Wire-format round trip: events → msgpack record stream (one file per
+    * partition, Hadoop FS API) → declared-schema read-back. The oracle
+    * reads the same rows from parquet, so a green row proves the codec
+    * preserves every value bit-exactly (int widths, float64, UTF-8). */
+  def msgpackRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.lang.Ast._
+    import graft.sources.{Msgpack, ValidatedIngest}
+    val declared = TRecord(Seq(
+      TField("event_id", TInt, absentOptional = false),
+      TField("user_id", TInt, absentOptional = false),
+      TField("event_type", TStr, absentOptional = false),
+      TField("value", TFloat, absentOptional = false),
+      TField("ts_us", TInt, absentOptional = false)))
+    val src = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+    val dir = "/tmp/graft_msgpack/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Msgpack.write(src, dir)
+    Msgpack.read(s, dir, declared, ValidatedIngest.Abort).good
+      .orderBy("event_id")
+  }
+
+  val msgpackRoundtripSql: String =
+    """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "msgpack_roundtrip" -> (msgpackRoundtrip _),
     "d1_kernel_flatmap" -> (d1KernelFlatmap _),
     "d3_multi_emit_count" -> (d3MultiEmitCount _),
     "d_fact_kernel" -> (dFactKernel _),
@@ -280,6 +306,7 @@ object Dataflow extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "msgpack_roundtrip" -> msgpackRoundtripSql,
     "d1_kernel_flatmap" -> d1KernelFlatmapSql,
     "d3_multi_emit_count" -> d3MultiEmitCountSql,
     "d_fact_kernel" -> dFactKernelSql,

@@ -59,24 +59,28 @@ object ValidatedIngest {
     */
   def validate(df: DataFrame, rules: Seq[Rule], mode: Mode): Validated = {
     val reason = rules.map(_(df)).reduce((a, b) => coalesce(a, b))
-    val tagged = df.withColumn("_invalid_reason", reason)
-    mode match {
-      case Abort =>
-        val good = tagged
-          .withColumn("_check",
-            when(col("_invalid_reason").isNotNull,
-              raise_error(col("_invalid_reason"))).otherwise(lit(true)))
-          .filter(col("_check"))
-          .drop("_invalid_reason", "_check")
-        Validated(good, df.sparkSession.emptyDataFrame)
-      case Skip =>
-        Validated(tagged.filter(col("_invalid_reason").isNull)
-          .drop("_invalid_reason"), df.sparkSession.emptyDataFrame)
-      case Dlq =>
-        Validated(
-          tagged.filter(col("_invalid_reason").isNull)
-            .drop("_invalid_reason"),
-          tagged.filter(col("_invalid_reason").isNotNull))
-    }
+    routeTagged(df.withColumn("_invalid_reason", reason), mode)
+  }
+
+  /** Route a frame that already carries `_invalid_reason` (null = valid)
+    * by mode — shared by rule-based validation and sources that compute
+    * the reason during decode (Msgpack). */
+  def routeTagged(tagged: DataFrame, mode: Mode): Validated = mode match {
+    case Abort =>
+      val good = tagged
+        .withColumn("_check",
+          when(col("_invalid_reason").isNotNull,
+            raise_error(col("_invalid_reason"))).otherwise(lit(true)))
+        .filter(col("_check"))
+        .drop("_invalid_reason", "_check")
+      Validated(good, tagged.sparkSession.emptyDataFrame)
+    case Skip =>
+      Validated(tagged.filter(col("_invalid_reason").isNull)
+        .drop("_invalid_reason"), tagged.sparkSession.emptyDataFrame)
+    case Dlq =>
+      Validated(
+        tagged.filter(col("_invalid_reason").isNull)
+          .drop("_invalid_reason"),
+        tagged.filter(col("_invalid_reason").isNotNull))
   }
 }

@@ -22,7 +22,20 @@ object Ast {
   /** field? (absent-optional) vs T? (nullable) both surface as Option
     * in-script but are distinct at schema level (README.md:220-228). */
   final case class TField(name: String, t: UdType, absentOptional: Boolean)
-  final case class TRecord(fields: Seq[TField]) extends UdType
+
+  /** Record type members beyond fields (grammar.lalrpop:156-167,
+    * ast.rs:211-217; vtables ir.rs:339-345): instance methods (dispatch on
+    * a record value, body sees fields via `self`), statics and consts
+    * (accessed through the TYPE name as a namespace). */
+  sealed trait MemberKind
+  case object MMethod extends MemberKind
+  case object MStatic extends MemberKind
+  case object MConst extends MemberKind
+  final case class RecMember(name: String, kind: MemberKind,
+                             params: Seq[(String, UdType)], ret: UdType,
+                             body: Expr)
+  final case class TRecord(fields: Seq[TField],
+                           members: Seq[RecMember] = Nil) extends UdType
   final case class TUnion(ts: Seq[UdType]) extends UdType
   final case class TLambda(args: Seq[UdType], ret: UdType) extends UdType
   /** ValueType: string-literal lifted to type level (manual.md:97). */
@@ -78,6 +91,9 @@ object Ast {
   /** partial-application placeholder `$` (grammar.lalrpop:504-507);
     * desugared to a lambda at parse time, never reaches the checker. */
   case object Placeholder extends Expr
+  /** `$...` — capture-and-spread rest arguments in a partial application
+    * (README.md:378-380); only valid as the last argument. */
+  case object PlaceholderRest extends Expr
 
   sealed trait Pattern
   final case class PLitStr(v: String) extends Pattern
@@ -109,9 +125,19 @@ object Ast {
   final case class DebugStmt(e: Expr) extends Stmt  // `! expr`
   final case class ThrowStmt(e: Expr) extends Stmt
   final case class TypeDecl(name: String, t: UdType) extends Stmt
+  /** Import selectors (grammar.lalrpop:171-195, ast.rs:263-289). */
+  sealed trait ImportSel
+  case object SelItself extends ImportSel                       // lib._
+  case object SelAll extends ImportSel                          // lib.*
+  final case class SelItem(name: String,
+                           alias: Option[String]) extends ImportSel
+  final case class SelNested(item: String, sel: ImportSel) extends ImportSel
+  final case class SelGroup(sels: Seq[ImportSel]) extends ImportSel
+
   /** import a named library's decls (F11); resolved from the compile-time
-    * library registry. */
-  final case class ImportStmt(lib: String) extends Stmt
+    * registry or library search dirs (file-system resolution). */
+  final case class ImportStmt(lib: String,
+                              sel: Option[ImportSel] = None) extends Stmt
   /** call-site spread `...expr` (F7): splices a list into the arg vector. */
   final case class Spread(e: Expr) extends Expr
 

@@ -41,6 +41,8 @@ object UdParser extends RegexParsers {
       case Index(a, b)  => contains(a) || contains(b)
       case Call(f, as)  => contains(f) || as.exists(contains)
       case Cast(a, _)   => contains(a)
+      case Match(s, cs, d) =>
+        contains(s) || cs.exists(c => contains(c._2)) || d.exists(contains)
       case _            => false
     }
     def replace(x: Expr): Expr = x match {
@@ -52,6 +54,9 @@ object UdParser extends RegexParsers {
       case Index(a, b)  => Index(replace(a), replace(b))
       case Call(f, as)  => Call(replace(f), as.map(replace))
       case Cast(a, t)   => Cast(replace(a), t)
+      case Match(s, cs, d) =>
+        Match(replace(s), cs.map { case (p, b) => (p, replace(b)) },
+          d.map(replace))
       case other        => other
     }
     if (contains(e)) Lambda(Seq(("$p", TAny)), TAny, replace(e)) else e
@@ -75,20 +80,40 @@ object UdParser extends RegexParsers {
     (name ~ (":" ~> ty) ^^ { case _ ~ t => t }) | ty
 
   def tyAtom: Parser[UdType] =
-    "Bool" ^^^ TBool | "Int" ^^^ TInt | "Float" ^^^ TFloat |
-      "Str" ^^^ TStr | "None" ^^^ TNone | "Any" ^^^ TAny |
+    ("Bool" ^^^ TBool | "Int" ^^^ TInt | "Float" ^^^ TFloat |
+      ("String" | "Str") ^^^ TStr | "None" ^^^ TNone | "Any" ^^^ TAny |
       ("U8" | "U16" | "U32" | "U64" | "I8" | "I16" | "I32" | "I64" | "Nat") ^^^ TInt |
-      ("F32" | "F64") ^^^ TFloat |
+      ("F32" | "F64") ^^^ TFloat) <~ not(ident) |
       strLit ^^ (s => TValue(unescape(s))) |
       "[" ~> ty <~ "]" ^^ TList |
-      "Map" ~> "[" ~> ty <~ "]" ^^ TMap |
-      "{" ~> repsep(recField, ",") <~ opt(",") ~ "}" ^^ (fs => TRecord(fs)) |
+      "Map" ~> ("[" ~> ty <~ "]" | "<" ~> ty <~ ">") ^^ TMap |
+      // `{[Str]: T}` map-type sugar (README.md html example)
+      "{" ~> ("[" ~> ty <~ "]") ~> (":" ~> ty) <~ opt(",") ~ "}" ^^ TMap |
+      "{" ~> repsep(recMember, "," | ";") <~ opt("," | ";") ~ "}" ^^ { ms =>
+        TRecord(ms.collect { case Left(f) => f },
+          ms.collect { case Right(m) => m })
+      } |
       tyLambda |
       "(" ~> rep1sep(ty, ",") <~ ")" ^^ {
         case Seq(t) => t
         case ts     => TTuple(ts)
       } |
       name ^^ TRef
+
+  /** field | method | const | static (grammar.lalrpop:156-167). */
+  def recMember: Parser[Either[TField, RecMember]] =
+    (kw("method") ~> name) ~ ("(" ~> repsep(param, ",") <~ ")") ~
+      ("->" ~> ty) ~ blockValueBraced ^^ {
+        case n ~ ps ~ r ~ b => Right(RecMember(n, MMethod, ps, r, b))
+      } |
+      (kw("static") ~> name) ~ ("(" ~> repsep(param, ",") <~ ")") ~
+        ("->" ~> ty) ~ blockValueBraced ^^ {
+        case n ~ ps ~ r ~ b => Right(RecMember(n, MStatic, ps, r, b))
+      } |
+      (kw("const") ~> name) ~ (":" ~> ty) ~ ("=" ~> expr) ^^ {
+        case n ~ t ~ v => Right(RecMember(n, MConst, Nil, t, v))
+      } |
+      recField ^^ (Left(_))
 
   def recField: Parser[TField] =
     opt("field") ~> name ~ opt("?") ~ (":" ~> ty) ^^ {
@@ -166,18 +191,24 @@ object UdParser extends RegexParsers {
     }
 
   private def callArg: Parser[Expr] =
-    "..." ~> expr ^^ Spread | expr
+    "$" ~ "..." ^^^ PlaceholderRest |
+      "..." ~> expr ^^ Spread | expr
 
   private def postfixOp: Parser[Expr => Expr] =
     "(" ~> repsep(callArg, ",") <~ ")" ^^ (args => (e: Expr) =>
-      if (args.contains(Placeholder)) {
-        // partial application: foo(1, $) => (p0) -> foo(1, p0)
+      if (args.contains(Placeholder) || args.contains(PlaceholderRest)) {
+        // partial application: foo(1, $) => (p0) -> foo(1, p0);
+        // a trailing $... becomes a rest param spread through to the callee
         var i = -1
         val filled = args.map {
-          case Placeholder => i += 1; Id(s"$$p$i")
-          case a           => a
+          case Placeholder     => i += 1; Id(s"$$p$i")
+          case PlaceholderRest => Spread(Id("$rest"))
+          case a               => a
         }
-        Lambda((0 to i).map(k => (s"$$p$k", TAny)), TAny, Call(e, filled))
+        val ps = (0 to i).map(k => (s"$$p$k", TAny)) ++
+          (if (args.contains(PlaceholderRest)) Seq(("...$rest", TAny))
+           else Seq.empty)
+        Lambda(ps, TAny, Call(e, filled))
       } else Call(e, args)) |
       ".?." ~> name ^^ (f => (e: Expr) => Has(e, f)) |
       "." ~> name ^^ (f => (e: Expr) => Dot(e, f)) |
@@ -196,7 +227,7 @@ object UdParser extends RegexParsers {
       } |
       "$" ^^^ Placeholder |
       "[" ~> repsep(expr, ",") <~ "]" ^^ ListExpr |
-      "{" ~> rep1sep((name | strLit ^^ unescape) ~ (":" ~> expr), ",") <~ opt(",") ~ "}" ^^
+      "{" ~> repsep((name | strLit ^^ unescape) ~ (":" ~> expr), ",") <~ opt(",") ~ "}" ^^
       (es => MapExpr(es.map { case k ~ v => (k, v) })) |
       "(" ~> expr <~ ")" |
       name ^^ Id
@@ -235,8 +266,12 @@ object UdParser extends RegexParsers {
         case ps ~ b => Lambda(ps, TNone, b)
       }
 
+  /** Rest parameter `...children: T` (README.md:335-336): encoded as a
+    * "..."-prefixed name; only meaningful in last position — the callee
+    * binds it to the list of remaining arguments. */
   def param: Parser[(String, UdType)] =
-    name ~ (":" ~> ty) ^^ { case n ~ t => (n, t) }
+    "..." ~> name ~ (":" ~> ty) <~ opt(",") ^^ { case n ~ t => ("..." + n, t) } |
+      name ~ (":" ~> ty) ^^ { case n ~ t => (n, t) }
 
   /** `{ stmts* expr? }` with a value result; statements-only blocks result
     * in none (proc bodies). */
@@ -253,7 +288,8 @@ object UdParser extends RegexParsers {
   def stmt: Parser[Stmt] =
     kw("out") ~> expr <~ ";" ^^ OutStmt |
       kw("let") ~> name ~ ("=" ~> expr) <~ ";" ^^ { case n ~ e => LetStmt(n, e) } |
-      kw("type") ~> name ~ (":" ~ "type" ~ "=" ~> ty) <~ ";" ^^ {
+      // `type N: type = T;` (manual) and `type N: T;` (README html lib)
+      kw("type") ~> name ~ ((":" ~ "type" ~ "=" ~> ty) | (":" ~> ty)) <~ ";" ^^ {
         case n ~ t => TypeDecl(n, t)
       } |
       (kw("func") ~> name) ~ ("(" ~> repsep(param, ",") <~ ")") ~
@@ -273,7 +309,9 @@ object UdParser extends RegexParsers {
         case d ~ br ~ lf => SupposeStmt(d, br, lf)
       } |
       "..." ~ ";" ^^^ SpliceStmt |
-      ("import" ~> name <~ ";") ^^ ImportStmt |
+      ("import" ~> name) ~ opt("." ~> importSel) <~ ";" ^^ {
+        case l ~ s => ImportStmt(l, s)
+      } |
       // D12 template call: foo(args) { block } — trailing block becomes the
       // final (zero-arg) closure argument (grammar.lalrpop:219-229)
       (name ~ ("(" ~> repsep(callArg, ",") <~ ")") ~ stmtBlock) ^^ {
@@ -295,6 +333,15 @@ object UdParser extends RegexParsers {
     }
 
   def stmtBlock: Parser[Seq[Stmt]] = "{" ~> rep(stmt) <~ "}"
+
+  /** Import selectors (grammar.lalrpop:182-195): `_` the module itself,
+    * `*` all exports, `item`, `item as alias`, `item.nested`, `{a, b}`. */
+  def importSel: Parser[ImportSel] =
+    "_" ^^^ SelItself |
+      "*" ^^^ SelAll |
+      "{" ~> rep1sep(importSel, ",") <~ "}" ^^ SelGroup |
+      name ~ ("." ~> importSel) ^^ { case n ~ s => SelNested(n, s) } |
+      name ~ opt(kw("as") ~> name) ^^ { case n ~ a => SelItem(n, a) }
 
   // ---- program ----
   private sealed trait TopItem
@@ -323,10 +370,20 @@ object UdParser extends RegexParsers {
       Script(unescape(desc), in, out, decls, body)
     }
 
-  /** Parse a decl-only library source (F11). `export` markers are
-    * accepted and ignored (everything is exported). */
+  /** Library decl: everything a script decl can be, plus the bare
+    * `export name = expr;` form of the README html library. */
+  private def libDecl: Parser[Stmt] =
+    opt(kw("export")) ~> (
+      (name ~ ("=" ~> expr) <~ ";") ^^ { case n ~ e => LetStmt(n, e) } |||
+        stmt)
+
+  /** Parse a decl-only library source (F11): optional `version`/`lib`
+    * headers, then exports. `export` markers are accepted and recorded as
+    * "everything is exported" (selector filtering happens at import). */
   def parseDecls(src: String): Either[String, Seq[Stmt]] =
-    parseAll(rep(opt("export") ~> stmt), src) match {
+    parseAll(
+      opt(kw("version") ~> """[^;]+""".r <~ ";") ~>
+        opt(kw("lib") ~> strLit <~ ";") ~> rep(libDecl), src) match {
       case Success(ss, _) => Right(ss)
       case NoSuccess(m, rest) =>
         Left(s"parse error at line ${rest.pos.line}: $m")

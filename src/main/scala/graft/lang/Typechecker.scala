@@ -35,8 +35,8 @@ object Typechecker {
       case TOption(x) => TOption(resolve(x))
       case TTuple(xs) => TTuple(xs.map(resolve))
       case TUnion(xs) => TUnion(xs.map(resolve))
-      case TRecord(fs) =>
-        TRecord(fs.map(f => f.copy(t = resolve(f.t))))
+      case TRecord(fs, ms) =>
+        TRecord(fs.map(f => f.copy(t = resolve(f.t))), ms)
       case TLambda(as, r) => TLambda(as.map(resolve), resolve(r))
       case other => other
     }
@@ -56,9 +56,11 @@ object Typechecker {
         xs.size == ys.size && xs.zip(ys).forall { case (x, y) => subtype(x, y) }
       case (x, TUnion(ys))        => ys.exists(subtype(x, _))
       case (TUnion(xs), y)        => xs.forall(subtype(_, y))
-      case (TRecord(xs), TRecord(ys)) => // width+depth structural
+      case (TRecord(xs, _), TRecord(ys, _)) => // width+depth structural
         ys.forall(yf => xs.exists(xf =>
           xf.name == yf.name && subtype(xf.t, yf.t)))
+      case (TRecord(xs, _), TMap(v)) => // record literal where a map is
+        xs.forall(xf => subtype(xf.t, v)) // declared (MapExpr context-conv)
       case (TLambda(xa, xr), TLambda(ya, yr)) =>
         xa.size == ya.size &&
           ya.zip(xa).forall { case (y, x) => subtype(y, x) } &&
@@ -85,7 +87,10 @@ object Typechecker {
       case LitBool(_)  => TBool
       case LitNone     => TNone
       case In          => env.lookup("in").getOrElse(error("no input type"))
-      case Id(n) => env.lookup(n).getOrElse(error(s"unbound identifier: $n"))
+      case Id(n) => env.lookup(n).getOrElse(
+        // a glob import in scope makes unknown names gradually typed
+        if (env.lookup("__glob_import__").isDefined) TAny
+        else error(s"unbound identifier: $n"))
       case Bin(op, l, r) =>
         val lt0 = checkExpr(l, env); val rt0 = checkExpr(r, env)
         // literal string types decay to Str for operator purposes
@@ -190,9 +195,18 @@ object Typechecker {
         }
       case Dot(x, field) =>
         checkExpr(x, env) match {
-          case TRecord(fs) => fs.find(_.name == field)
+          case TRecord(fs, _) => fs.find(_.name == field)
             .map(f => if (f.absentOptional) TOption(f.t) else f.t)
-            .getOrElse(error(s"no field $field"))
+            .getOrElse {
+              // a `method` member of some declared record type: dispatch
+              // is runtime (vtable), so the access is gradually typed
+              if (typeDefs.values.exists {
+                case TRecord(_, ms) =>
+                  ms.exists(m => m.name == field && m.kind == MMethod)
+                case _ => false
+              }) TAny
+              else error(s"no field $field")
+            }
           case TMap(v)            => v
           case TStr | TList(_) if field == "length" => TInt
           case TValue(_) if field == "length"       => TInt
@@ -206,6 +220,8 @@ object Typechecker {
           case TList(t)  =>
             if (it != TInt) error("list index must be Int") else t
           case TMap(v)   => v
+          case TRecord(fs, _) if fs.nonEmpty => // map literal indexed by key
+            fs.map(_.t).reduce(lub)
           case TTuple(ts) => i match {
             case LitInt(n) if n >= 0 && n < ts.size => ts(n.toInt)
             case _ => error("tuple index must be a literal in range")
@@ -264,10 +280,18 @@ object Typechecker {
           error(s"out value $t not <: declared output $out")
       case LetStmt(n, e)  => env.define(n, checkExpr(e, env))
       case FuncStmt(n, ps, ret, body) =>
-        val declared = TLambda(ps.map(p => resolve(p._2)), resolve(ret))
+        // variadic (rest-param) functions are gradually typed: the static
+        // arity check cannot apply, so the name binds as TAny
+        val declared =
+          if (ps.exists(_._1.startsWith("..."))) TAny
+          else TLambda(ps.map(p => resolve(p._2)), resolve(ret))
         env.define(n, declared) // pre-bind for recursion
         val scope = env.child()
-        ps.foreach { case (pn, pt) => scope.define(pn, resolve(pt)) }
+        ps.foreach { case (pn, pt) =>
+          if (pn.startsWith("..."))
+            scope.define(pn.stripPrefix("..."), TList(resolve(pt)))
+          else scope.define(pn, resolve(pt))
+        }
         val bt = checkExpr(body, scope)
         val rt = resolve(ret)
         if (rt != TNone && rt != TAny && !subtype(bt, rt))
@@ -286,7 +310,7 @@ object Typechecker {
             val scope = env.child()
             scope.define(k, TStr); scope.define(v, t)
             body.foreach(st => checkStmt(st, scope))
-          case TRecord(_) | TAny =>
+          case TRecord(_, _) | TAny =>
             val scope = env.child()
             scope.define(k, TStr); scope.define(v, TAny)
             body.foreach(st => checkStmt(st, scope))
@@ -306,14 +330,33 @@ object Typechecker {
       case ThrowStmt(e)  => checkExpr(e, env); ()
       case DebugStmt(e)  => checkExpr(e, env); ()
       case ExprStmt(e)   => checkExpr(e, env); ()
-      case TypeDecl(n, t) => typeDefs += (n -> resolve(t))
-      case ImportStmt(lib) => env.define(lib, TAny) // module members: gradual
+      case TypeDecl(n, t) =>
+        val rt = resolve(t)
+        typeDefs += (n -> rt)
+        rt match { // member-carrying record types are also a namespace value
+          case TRecord(_, ms) if ms.nonEmpty => env.define(n, TAny)
+          case _                             => ()
+        }
+      case ImportStmt(lib, sel) => // module members: gradually typed
+        def bindSel(s: ImportSel): Unit = s match {
+          case SelItself       => env.define(lib, TAny)
+          case SelAll          => env.define("__glob_import__", TAny)
+          case SelItem(n, a)   => env.define(a.getOrElse(n), TAny)
+          case SelNested(_, i) => bindSel(i)
+          case SelGroup(ss)    => ss.foreach(bindSel)
+        }
+        sel match {
+          case None    => env.define(lib, TAny)
+          case Some(s) => bindSel(s)
+        }
     }
 
     val root = new TEnv(Map.empty, None)
     // stdlib (README.md:325-328; parser.rs:871-890)
     Seq("sqrt", "cos", "sin", "floor", "ceil").foreach(f =>
       root.define(f, TLambda(Seq(TFloat), TFloat)))
+    root.define("keys", TLambda(Seq(TAny), TList(TStr)))
+    root.define("replace", TLambda(Seq(TStr, TStr, TStr), TStr))
     root.define("in", resolve(script.input))
     root.define("__output__", resolve(script.output))
     script.decls.foreach(s => checkStmt(s, root))

@@ -61,9 +61,13 @@ object UdScript {
 
   /** Compile a script. strict=false downgrades type errors to warnings
     * (the reference ships examples its own unwired checker would reject —
-    * e.g. Int passed to Float params). */
+    * e.g. Int passed to Float params). Imports resolve from the explicit
+    * `libraries` registry first, then from `libraryDirs` on the file
+    * system (`<name>.ud` / `<name>.us`), recursively — a library's own
+    * imports resolve the same way; cycles are a compile error. */
   def compile(src: String, strict: Boolean = true,
-              libraries: Map[String, String] = Map.empty): Compiled = {
+              libraries: Map[String, String] = Map.empty,
+              libraryDirs: Seq[String] = Seq.empty): Compiled = {
     val script = UdParser.parse(src) match {
       case Right(s) => s
       case Left(m)  => throw CompileError(m)
@@ -71,26 +75,63 @@ object UdScript {
     val errs = Typechecker.check(script)
     if (strict && errs.nonEmpty)
       throw CompileError(errs.map(_.msg).mkString("; "))
-    val libs = libraries.map { case (name, lsrc) =>
-      name -> compileLibrary(lsrc)
-    }
+    val resolver = new LibResolver(libraries, libraryDirs)
+    val libs = importsOf(script.decls)
+      .map(name => name -> resolver.resolve(name)).toMap
     val tier = Lowering.detectCountedLoop(script).map(LoopTier.apply)
       .getOrElse(
         if (Lowering.columnExpressible(script)) ColumnTier else KernelTier)
     Compiled(script, tier, errs, libs)
   }
 
+  private def importsOf(stmts: Seq[Stmt]): Seq[String] =
+    stmts.collect { case ImportStmt(l, _) => l }.distinct
+
+  /** Driver-side module loader: registry sources win, then the search
+    * dirs; each module compiles once (memoized) and cyclic imports fail
+    * with the chain named. */
+  private final class LibResolver(registry: Map[String, String],
+                                  dirs: Seq[String]) {
+    private val done = scala.collection.mutable.Map.empty[String, Values.Value]
+    private var inFlight = List.empty[String]
+
+    def resolve(name: String): Values.Value = done.getOrElseUpdate(name, {
+      if (inFlight.contains(name))
+        throw CompileError(
+          s"cyclic import: ${(name :: inFlight).reverse.mkString(" -> ")}")
+      val src = registry.get(name).orElse(fromDisk(name)).getOrElse(
+        throw CompileError(s"unknown library: $name (not in registry, " +
+          s"not found under ${if (dirs.isEmpty) "<no dirs>" else dirs.mkString(":")})"))
+      inFlight = name :: inFlight
+      try compileLibrary(src, this)
+      finally inFlight = inFlight.tail
+    })
+
+    private def fromDisk(name: String): Option[String] =
+      dirs.iterator.flatMap { d =>
+        Seq("ud", "us").iterator.map(ext => new java.io.File(d, s"$name.$ext"))
+      }.find(_.isFile).map { f =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      }
+  }
+
   /** Compile a library (decl-only source) to a module value: its top-level
     * decls evaluated once, exposed as an insertion-ordered record (F11;
     * the reference parses imports but never compiles them, ir.rs:802-803).
     */
-  def compileLibrary(src: String): Values.Value = {
+  def compileLibrary(src: String): Values.Value =
+    compileLibrary(src, new LibResolver(Map.empty, Seq.empty))
+
+  private def compileLibrary(src: String, resolver: LibResolver)
+      : Values.Value = {
     val stmts = UdParser.parseDecls(src) match {
       case Right(ss) => ss
       case Left(m)   => throw CompileError(s"library: $m")
     }
+    val nested = importsOf(stmts)
+      .map(name => name -> resolver.resolve(name)).toMap
     val pseudo = Script("library", TAny, TAny, stmts, Seq.empty)
-    val interp = new Interp(pseudo)
+    val interp = new Interp(pseudo, nested)
     val env = interp.initEnv
     Values.VMap(env.vars.toVector.sortBy(_._1))
   }
@@ -110,7 +151,7 @@ object UdScript {
     case TTuple(ts) => StructType(ts.zipWithIndex.map { case (x, i) =>
       StructField(s"_${i + 1}", sparkType(x))
     })
-    case TRecord(fs) => StructType(fs.map(f =>
+    case TRecord(fs, _) => StructType(fs.map(f =>
       StructField(f.name, sparkType(f.t),
         nullable = f.absentOptional || f.t.isInstanceOf[TOption])))
     case TUnion(ts) if ts.forall(_.isInstanceOf[TValue]) => StringType
@@ -120,7 +161,7 @@ object UdScript {
   }
 
   def schemaOf(t: UdType): StructType = t match {
-    case TRecord(fs) => StructType(fs.map(f =>
+    case TRecord(fs, _) => StructType(fs.map(f =>
       StructField(f.name, sparkType(f.t),
         nullable = f.absentOptional || f.t.isInstanceOf[TOption])))
     case scalar => StructType(Seq(StructField("out", sparkType(scalar))))
@@ -128,7 +169,7 @@ object UdScript {
 
   // ---- Row <-> Value ----
   def rowToValue(row: Row, t: UdType): Value = t match {
-    case TRecord(fs) =>
+    case TRecord(fs, _) =>
       VMap(fs.map { f =>
         val i = row.fieldIndex(f.name)
         f.name -> (if (row.isNullAt(i)) VNone
@@ -175,7 +216,7 @@ object UdScript {
   }
 
   def valueToRow(v: Value, t: UdType, schema: StructType): Row = t match {
-    case TRecord(_) => valueToAny(v, schema).asInstanceOf[Row]
+    case TRecord(_, _) => valueToAny(v, schema).asInstanceOf[Row]
     case _          => Row(valueToAny(v, schema.fields(0).dataType))
   }
 }
@@ -216,7 +257,9 @@ private[lang] object Lowering {
           args.forall(exprOk(_, stack, bound))
         case Call(Id(n), args) =>
           funcs.get(n) match {
-            case Some(f) if !stack.contains(n) => // recursion ⇒ kernel tier
+            // recursion or variadic (rest-param) ⇒ kernel tier
+            case Some(f) if !stack.contains(n) &&
+                !f.params.exists(_._1.startsWith("...")) =>
               args.forall(exprOk(_, stack, bound)) &&
                 exprOk(f.body, stack + n, bound ++ f.params.map(_._1))
             case _ => false
@@ -337,7 +380,7 @@ private[lang] object Lowering {
       case LitBool(v)  => lit(v)
       case LitNone     => lit(null)
       case In => script.input match {
-        case TRecord(_) => struct(df.columns.map(df(_)).toSeq: _*)
+        case TRecord(_, _) => struct(df.columns.map(df(_)).toSeq: _*)
         case _          => df(df.columns.head)
       }
       case Dot(In, field) => df(field)
@@ -434,7 +477,7 @@ private[lang] object Lowering {
           })
         case Bin(Add, a, b) => isStr(a) || isStr(b)
         case Dot(In, f) => script.input match {
-          case TRecord(fs) => fs.exists(x => x.name == f &&
+          case TRecord(fs, _) => fs.exists(x => x.name == f &&
             (x.t == TStr || x.t.isInstanceOf[TValue]))
           case _ => false
         }
@@ -447,7 +490,7 @@ private[lang] object Lowering {
       case LitInt(_) => true
       case In        => script.input == TInt
       case Dot(In, f) => script.input match {
-        case TRecord(fs) => fs.exists(x => x.name == f && x.t == TInt)
+        case TRecord(fs, _) => fs.exists(x => x.name == f && x.t == TInt)
         case _ => false
       }
       case Bin(Add | Sub | Mul | Div | Mod, a, b) => isIntExpr(a) && isIntExpr(b)
@@ -460,7 +503,7 @@ private[lang] object Lowering {
                          outE: Expr, binds: Map[String, Column]): DataFrame = {
     val outSchema = schemaOf(script.output)
     script.output match {
-      case TRecord(fs) =>
+      case TRecord(fs, _) =>
         val v = cc.colOf(outE, binds)
         base.select(fs.map(f => v.getField(f.name)
           .cast(outSchema(f.name).dataType).as(f.name)): _*)

@@ -150,6 +150,10 @@ final class Interp(script: Ast.Script,
     * output of the nearest enclosing suppose branch (for `...;`). */
   private final class Ctx(val emit: Value => Unit, val spliceSrc: Vector[Value])
 
+  /** Instance methods of record types declared with `method` members,
+    * keyed by method name (populated when TypeDecls execute). */
+  private val methodRegistry = mutable.Map.empty[String, VLambda]
+
   /** Run init decls once → base env (driver side; result broadcast with the
     * closure). */
   lazy val initEnv: Env = {
@@ -215,10 +219,57 @@ final class Interp(script: Ast.Script,
     case DebugStmt(e) =>
       System.err.println(s"[ud-debug] ${render(eval(e, env, ctx))}")
     case ExprStmt(e) => eval(e, env, ctx); ()
+    case TypeDecl(name, TRecord(_, members)) if members.nonEmpty =>
+      // vtable realization (ir.rs:339-345): statics/consts hang off the
+      // TYPE name as a namespace value; instance methods register for
+      // receiver dispatch with `self` as the implicit first binding.
+      val ns = members.collect {
+        case RecMember(n, MConst, _, _, body) =>
+          n -> eval(body, env, ctx)
+        case RecMember(n, MStatic, ps, _, body) =>
+          n -> VLambda(ps, body, env)
+      }
+      env.define(name, VMap(ns.toVector))
+      members.foreach {
+        case RecMember(n, MMethod, ps, _, body) =>
+          methodRegistry(n) = VLambda(("self", TAny) +: ps, body, env)
+        case _ => ()
+      }
     case TypeDecl(_, _) => ()
-    case ImportStmt(lib) =>
-      env.define(lib, libraries.getOrElse(lib,
-        err(s"unknown library: $lib (not in registry)")))
+    case ImportStmt(lib, sel) =>
+      val module = libraries.getOrElse(lib,
+        err(s"unknown library: $lib (not in registry)"))
+      def bind(m: Value, s: ImportSel): Unit = (m, s) match {
+        case (_, SelItself) => env.define(lib, m)
+        case (mm: VMap, SelAll) =>
+          mm.entries.foreach { case (k, v) => env.define(k, v) }
+        case (mm: VMap, SelItem(n, alias)) =>
+          env.define(alias.getOrElse(n),
+            mm.index.getOrElse(n, err(s"library $lib has no member $n")))
+        case (mm: VMap, SelNested(item, inner)) =>
+          mm.index.get(item) match {
+            case Some(sub: VMap) => bindIn(sub, inner)
+            case Some(_) => err(s"$item is not a module")
+            case None    => err(s"library $lib has no member $item")
+          }
+        case (mm: VMap, SelGroup(ss)) => ss.foreach(bind(mm, _))
+        case _ => err(s"cannot select from non-module library $lib")
+      }
+      def bindIn(m: VMap, s: ImportSel): Unit = s match {
+        case SelItem(n, alias) => env.define(alias.getOrElse(n),
+          m.index.getOrElse(n, err(s"no member $n")))
+        case SelAll => m.entries.foreach { case (k, v) => env.define(k, v) }
+        case SelGroup(ss) => ss.foreach(bindIn(m, _))
+        case SelNested(item, inner) => m.index.get(item) match {
+          case Some(sub: VMap) => bindIn(sub, inner)
+          case _               => err(s"no nested module $item")
+        }
+        case SelItself => err("`_` only applies at the top of the path")
+      }
+      sel match {
+        case None    => env.define(lib, module)
+        case Some(s) => bind(module, s)
+      }
   }
 
   private def eval(e: Expr, env: Env, ctx: Ctx): Value = e match {
@@ -274,6 +325,17 @@ final class Interp(script: Ast.Script,
       val recv = eval(x, env, ctx)
       val argv = recv +: evalArgs(args, env, ctx)
       callValue(env.lookup(m).get, argv, e, env, ctx)
+    case Call(Dot(x, m), args) if methodRegistry.contains(m) &&
+        env.lookup(m).isEmpty =>
+      // record `method` member: dispatch on the receiver, bind as `self`
+      eval(x, env, ctx) match {
+        case recv: VMap if !recv.index.contains(m) =>
+          callValue(methodRegistry(m),
+            recv +: evalArgs(args, env, ctx), e, env, ctx)
+        case recv: VMap => // a same-named field wins over the method
+          callValue(recv.index(m), evalArgs(args, env, ctx), e, env, ctx)
+        case other => err(s"method call on ${render(other)}")
+      }
     case Call(f, args) =>
       val argv = evalArgs(args, env, ctx)
       callValue(eval(f, env, ctx), argv, e, env, ctx)
@@ -348,11 +410,23 @@ final class Interp(script: Ast.Script,
   private def callValue(f: Value, argv: Seq[Value], site: Expr, env: Env,
                         ctx: Ctx): Value = f match {
     case VLambda(params, body, closure) =>
-      if (params.size != argv.size)
-        err(s"arity: expected ${params.size}, got ${argv.size}")
+      val isRest = params.nonEmpty && params.last._1.startsWith("...")
       val frame = closure.child()
-      params.zip(argv).foreach { case ((p, declared), v) =>
-        frame.define(p, coerceDeclared(v, declared))
+      if (isRest) {
+        val fixed = params.init
+        if (argv.size < fixed.size)
+          err(s"arity: expected at least ${fixed.size}, got ${argv.size}")
+        fixed.zip(argv).foreach { case ((p, declared), v) =>
+          frame.define(p, coerceDeclared(v, declared))
+        }
+        frame.define(params.last._1.stripPrefix("..."),
+          VList(argv.drop(fixed.size).toVector))
+      } else {
+        if (params.size != argv.size)
+          err(s"arity: expected ${params.size}, got ${argv.size}")
+        params.zip(argv).foreach { case ((p, declared), v) =>
+          frame.define(p, coerceDeclared(v, declared))
+        }
       }
       eval(body, frame, ctx)
     case other => err(s"not callable: ${render(other)}")
@@ -384,7 +458,14 @@ final class Interp(script: Ast.Script,
     }
     Map("sqrt" -> f1(math.sqrt), "cos" -> f1(math.cos),
       "sin" -> f1(math.sin), "floor" -> f1(math.floor),
-      "ceil" -> f1(math.ceil))
+      "ceil" -> f1(math.ceil),
+      // map introspection (html-library attr iteration)
+      "keys" -> { case Seq(m: VMap) => VList(m.entries.map(e => VStr(e._1)))
+                  case _ => err("keys expects a map") },
+      // str lib: literal substring replacement
+      "replace" -> { case Seq(VStr(s), VStr(from), VStr(to)) =>
+                       VStr(s.replace(from, to))
+                     case _ => err("replace expects (Str, Str, Str)") })
   }
 
   private def matchesType(v: Value, t: UdType): Boolean = (v, t) match {

@@ -93,7 +93,68 @@ object UdLang extends Serializable {
       |  unnest(generate_series(0, CAST(l_linenumber AS BIGINT))) AS n
       |FROM lineitem ORDER BY l_orderkey, n""".stripMargin
 
+  /** The README html library (adapted) driven from FILES through the
+    * module system: per document, render a div with an escaped id attr and
+    * escaped text content. Kernel tier (library calls don't inline); the
+    * oracle mirrors escape/quote with SQL replace chains. */
+  def uHtmlRender(s: SparkSession, d: String): DataFrame = {
+    val libDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/tmp/graft_udlibs")).toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(libDir, "textutil.ud"),
+      """lib "text escaping";
+        |export func escape(text: Str) -> Str {
+        |  replace(replace(replace(text, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        |}
+        |export func quote(text: Str) -> Str { "\"" + escape(text) + "\"" }
+        |""".stripMargin.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(libDir, "html.ud"),
+      """lib "Simple Html Formatting Library";
+        |import textutil.*;
+        |export type Element: {
+        |  tag: String, attrs: {[String]: String},
+        |  children: [Any], requiresClose: Bool
+        |};
+        |export func element(tag: Str, attrs: Map<Str>, allowChildren: Bool,
+        |                    ...children: Any) -> Element {
+        |  {tag: tag, attrs: attrs, children: children,
+        |   requiresClose: allowChildren}
+        |}
+        |export func format(e: Element) -> String {
+        |  let attrStr = [keys(e.attrs) |
+        |    (k: Str) -> Str { " " + escape(k) + "=" + quote(e.attrs[k]) }];
+        |  let openTag = "<" + e.tag + attrStr.join("") + ">";
+        |  if (e.requiresClose) {
+        |    let content = [e.children | (c: Any) -> Str {
+        |      match (c) { case s: Str => escape(s); else => format(c); }
+        |    }];
+        |    openTag + content.join("") + "</" + e.tag + ">"
+        |  } else { openTag }
+        |}
+        |export div = element("div", $, true, $...);
+        |""".stripMargin.getBytes("UTF-8"))
+    val src = """script "render docs as html";
+      |import html.{div, format};
+      |input  {doc_id: Int, text: Str};
+      |output {doc_id: Int, markup: Str};
+      |out {doc_id: in.doc_id,
+      |     markup: format(div({id: "doc-" + (in.doc_id as Str)}, in.text))};
+      |""".stripMargin
+    UdScript.compile(src, libraryDirs = Seq(libDir))
+      .run(Tables.documents(s, d).select("doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
+  val uHtmlRenderSql: String =
+    """SELECT doc_id,
+      |  '<div id="doc-' || CAST(doc_id AS VARCHAR) || '">' ||
+      |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+      |  '</div>' AS markup
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_html_render" -> (uHtmlRender _),
     "u_hello" -> (uHello _),
     "u_filter_match" -> (uFilterMatch _),
     "u_fact" -> (uFact _),
@@ -101,6 +162,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_html_render" -> uHtmlRenderSql,
     "u_hello" -> uHelloSql,
     "u_filter_match" -> uFilterMatchSql,
     "u_fact" -> uFactSql,

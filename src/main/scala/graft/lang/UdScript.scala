@@ -154,10 +154,32 @@ object UdScript {
     case TRecord(fs, _) => StructType(fs.map(f =>
       StructField(f.name, sparkType(f.t),
         nullable = f.absentOptional || f.t.isInstanceOf[TOption])))
+    // string-literal enums ride as plain strings (ValueType, README.md:218)
     case TUnion(ts) if ts.forall(_.isInstanceOf[TValue]) => StringType
-    case TUnion(_) => StringType
+    // general unions are tagged structs: {_tag, v0, v1, ...} — one nullable
+    // slot per branch, discriminated by _tag (SURVEY §1.3); column-tier
+    // `match` narrows with CASE over _tag
+    case TUnion(ts) => StructType(
+      StructField("_tag", StringType, nullable = false) +:
+        ts.zipWithIndex.map { case (t, i) =>
+          StructField(s"v$i", sparkType(t), nullable = true)
+        })
     case TLambda(_, _) => throw CompileError("function type has no schema")
     case other => throw CompileError(s"no schema for $other")
+  }
+
+  /** The _tag discriminator for a union branch type. */
+  def tagOf(t: UdType): String = t match {
+    case TInt    => "Int"
+    case TFloat  => "Float"
+    case TStr    => "Str"
+    case TBool   => "Bool"
+    case TNone   => "None"
+    case TValue(s)   => s"val:$s"
+    case TList(_)    => "list"
+    case TMap(_)     => "map"
+    case TRecord(_, _) => "record"
+    case other       => other.toString
   }
 
   def schemaOf(t: UdType): StructType = t match {
@@ -189,6 +211,15 @@ object UdScript {
     case (x: String, _)     => VStr(x)
     case (x: scala.collection.Seq[_], TList(et)) => // Rows use mutable.ArraySeq
       VList(x.map(anyToValue(_, et)).toVector)
+    case (x: Row, TUnion(ts)) if !ts.forall(_.isInstanceOf[TValue]) =>
+      // tagged-struct union: decode the active branch slot
+      val tag = x.getString(x.fieldIndex("_tag"))
+      val i = ts.indexWhere(t => tagOf(t) == tag)
+      if (i < 0) VNone
+      else {
+        val slot = x.get(x.fieldIndex(s"v$i"))
+        if (slot == null) VNone else anyToValue(slot, ts(i))
+      }
     case (x: Row, rt: TRecord)  => rowToValue(x, rt)
     case (x: Map[_, _], TMap(vt)) =>
       VMap(x.toVector.map { case (k, v) =>
@@ -206,6 +237,30 @@ object UdScript {
     case (VStr(s), StringType) => s
     case (v2, StringType)      => render(v2)
     case (VList(xs), ArrayType(et, _)) => xs.map(valueToAny(_, et))
+    case (v2, st: StructType) if st.fields.nonEmpty &&
+        st.fields(0).name == "_tag" =>
+      // tagged-struct union: route the value into the first slot whose
+      // Spark type accepts it, tag accordingly
+      def accepts(x: Value, dt2: DataType): Boolean = (x, dt2) match {
+        case (VInt(_), LongType) | (VFloat(_), DoubleType) |
+            (VStr(_), StringType) | (VBool(_), BooleanType) |
+            (VList(_), ArrayType(_, _)) | (_: VMap, _: StructType) |
+            (_: VMap, _: MapType) => true
+        case _ => false
+      }
+      val slots = st.fields.drop(1)
+      val i = slots.indexWhere(f => accepts(v2, f.dataType))
+      if (i < 0) throw CompileError(s"no union slot for ${render(v2)}")
+      val tag = v2 match {
+        case VInt(_)   => "Int";  case VFloat(_) => "Float"
+        case VStr(_)   => "Str";  case VBool(_)  => "Bool"
+        case VList(_)  => "list"
+        case _: VMap =>
+          if (slots(i).dataType.isInstanceOf[StructType]) "record" else "map"
+        case other     => render(other)
+      }
+      Row.fromSeq(tag +: slots.indices.map(j =>
+        if (j == i) valueToAny(v2, slots(j).dataType) else null))
     case (m: VMap, st: StructType) =>
       Row.fromSeq(st.fields.toSeq.map(f =>
         m.index.get(f.name).map(valueToAny(_, f.dataType)).orNull))
@@ -265,8 +320,27 @@ private[lang] object Lowering {
             case _ => false
           }
         case Match(s, cs, d) =>
+          // literal patterns always lower; type patterns only when the
+          // scrutinee is a declared (input-rooted) tagged union — anything
+          // else (Some/none, type tests on untyped values) is kernel tier
+          val isTaggedUnion = (s match {
+            case In => Some(script.input)
+            case Dot(In, f) => script.input match {
+              case TRecord(fs, _) => fs.find(_.name == f).map(_.t)
+              case _              => None
+            }
+            case _ => None
+          }).exists {
+            case TUnion(ts) => !ts.forall(_.isInstanceOf[TValue])
+            case _          => false
+          }
           exprOk(s, stack, bound) &&
-            cs.forall(c => exprOk(c._2, stack, bound)) &&
+            cs.forall {
+              case ((_: PLitStr | _: PLitInt), b) => exprOk(b, stack, bound)
+              case (PType(binder, _), b) if isTaggedUnion =>
+                exprOk(b, stack, bound + binder)
+              case _ => false
+            } &&
             d.forall(exprOk(_, stack, bound))
         case MapExpr(entries) =>
           entries.forall { case (_, v) => exprOk(v, stack, bound) }
@@ -447,15 +521,28 @@ private[lang] object Lowering {
         colOf(f.body, binds ++ argCols)
       case Match(scrut, cases, default) =>
         val sc = colOf(scrut, binds)
+        // type patterns narrow a tagged-struct union: CASE over _tag with
+        // the binder bound to the branch slot
+        val unionBranches: Option[Seq[UdType]] = declTypeOf(scrut) match {
+          case Some(TUnion(ts)) if !ts.forall(_.isInstanceOf[TValue]) =>
+            Some(ts)
+          case _ => None
+        }
         val w = cases.foldLeft[Option[Column]](None) {
           case (acc, (p, body)) =>
-            val cond = p match {
-              case PLitStr(v) => sc === lit(v)
-              case PLitInt(v) => sc === lit(v)
-              case PType(_, _) =>
-                throw CompileError("type pattern needs kernel tier")
+            val (cond, caseBinds) = p match {
+              case PLitStr(v) => (sc === lit(v), binds)
+              case PLitInt(v) => (sc === lit(v), binds)
+              case PType(binder, t) if unionBranches.isDefined =>
+                val ts = unionBranches.get
+                val i = ts.indexWhere(b => b == t || tagOf(b) == tagOf(t))
+                if (i < 0) throw CompileError(s"no union branch for $t")
+                (sc.getField("_tag") === lit(tagOf(ts(i))),
+                  binds + (binder -> sc.getField(s"v$i")))
+              case other =>
+                throw CompileError(s"pattern $other needs kernel tier")
             }
-            val bv = colOf(body, binds)
+            val bv = colOf(body, caseBinds)
             Some(acc.fold(when(cond, bv))(_.when(cond, bv)))
         }
         default match {
@@ -495,6 +582,17 @@ private[lang] object Lowering {
       }
       case Bin(Add | Sub | Mul | Div | Mod, a, b) => isIntExpr(a) && isIntExpr(b)
       case _ => false
+    }
+
+    /** Declared type of input-rooted expressions (enough for union
+      * narrowing; anything else is untyped at this layer). */
+    private def declTypeOf(e: Expr): Option[UdType] = e match {
+      case In => Some(script.input)
+      case Dot(In, f) => script.input match {
+        case TRecord(fs, _) => fs.find(_.name == f).map(_.t)
+        case _              => None
+      }
+      case _ => None
     }
   }
 

@@ -153,7 +153,46 @@ object UdLang extends Serializable {
       |  '</div>' AS markup
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Non-string union input ({_tag, v0, v1} tagged struct) narrowed via
+    * `match` type patterns that lower to the COLUMN tier as CASE over
+    * _tag — the VERDICT r1 union-encoding ask. The union column is built
+    * from events (even ids carry Int user_id, odd ids carry Str
+    * event_type), the script never sees the encoding. */
+  def uUnionMatch(s: SparkSession, d: String): DataFrame = {
+    val src = """script "union narrowing";
+      |input  {event_id: Int, v: Int | Str};
+      |output {event_id: Int, shown: Str, doubled: Int};
+      |out {event_id: in.event_id,
+      |     shown: match (in.v) {
+      |       case i: Int => "int";
+      |       case t: Str => t;
+      |     },
+      |     doubled: match (in.v) {
+      |       case i: Int => i * 2;
+      |       case t: Str => 0;
+      |     }};""".stripMargin
+    val compiled = UdScript.compile(src)
+    require(compiled.tier == UdScript.ColumnTier,
+      "union match must lower to the column tier")
+    val nullLong = lit(null).cast("long")
+    val nullStr = lit(null).cast("string")
+    val df = Tables.events(s, d).select(col("event_id"),
+      when(col("event_id") % 2 === 0,
+        struct(lit("Int").as("_tag"), col("user_id").as("v0"),
+          nullStr.as("v1")))
+        .otherwise(struct(lit("Str").as("_tag"), nullLong.as("v0"),
+          col("event_type").as("v1"))).as("v"))
+    compiled.run(df).orderBy("event_id")
+  }
+
+  val uUnionMatchSql: String =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 2 = 0 THEN 'int' ELSE event_type END AS shown,
+      |  CASE WHEN event_id % 2 = 0 THEN user_id * 2 ELSE 0 END AS doubled
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_union_match" -> (uUnionMatch _),
     "u_html_render" -> (uHtmlRender _),
     "u_hello" -> (uHello _),
     "u_filter_match" -> (uFilterMatch _),
@@ -162,6 +201,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_union_match" -> uUnionMatchSql,
     "u_html_render" -> uHtmlRenderSql,
     "u_hello" -> uHelloSql,
     "u_filter_match" -> uFilterMatchSql,

@@ -191,7 +191,82 @@ object UdLang extends Serializable {
       |  CASE WHEN event_id % 2 = 0 THEN user_id * 2 ELSE 0 END AS doubled
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Run a streaming DataFrame to completion into a memory sink and hand
+    * back the materialized result (the driver-visible Structured Streaming
+    * path: readStream file source → script transform → sink). */
+  private def runStream(s: SparkSession, out: DataFrame, sink: String)
+      : DataFrame = {
+    s.catalog.dropTempView(sink)
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+  }
+
+  /** Column-tier script over a FILE STREAM of events — the north-star
+    * "Structured Streaming with custom transformations" as a
+    * driver-checked entry. The oracle is the batch twin's SQL (a finite
+    * file stream in append mode materializes exactly the batch result);
+    * UdStreamingSpec asserts batch ≡ stream on the same compiled value. */
+  def uStreamFilter(s: SparkSession, d: String): DataFrame = {
+    val src = """script "stream filter + match";
+      |input  {event_id: Int, event_type: Str, value: Float};
+      |output {event_id: Int, cat: Str, boosted: Float};
+      |if (in.value > 50.0) {
+      |  out {event_id: in.event_id,
+      |       cat: match (in.event_type) {
+      |         case "click" => "ui";
+      |         case "view" => "ui";
+      |         case "purchase" => "commerce";
+      |         else => "other";
+      |       },
+      |       boosted: in.value * 2.0};
+      |}""".stripMargin
+    val c = UdScript.compile(src)
+    require(c.tier == UdScript.ColumnTier)
+    val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .select("event_id", "event_type", "value")
+    runStream(s, c.run(stream), "u_stream_filter_sink")
+      .orderBy("event_id")
+  }
+
+  val uStreamFilterSql: String = uFilterMatchSql
+
+  /** Kernel-tier script (true recursion — step-2 countdown, not the
+    * counted-loop shape) over the same file stream: the interpreter
+    * flatMap runs unchanged under micro-batching. */
+  def uStreamCount(s: SparkSession, d: String): DataFrame = {
+    val src = """script "stream countdown by two";
+      |input  {l_orderkey: Int, l_linenumber: Int};
+      |output {l_orderkey: Int, n: Int};
+      |proc count(k: Int, n: Int) {
+      |  out {l_orderkey: k, n: n};
+      |  if (n > 0) { count(k, n - 2); }
+      |}
+      |count(in.l_orderkey, in.l_linenumber);""".stripMargin
+    val c = UdScript.compile(src)
+    require(c.tier == UdScript.KernelTier)
+    val fileSchema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val stream = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .select("l_orderkey", "l_linenumber")
+    runStream(s, c.run(stream), "u_stream_count_sink")
+      .orderBy("l_orderkey", "n")
+  }
+
+  val uStreamCountSql: String =
+    """SELECT l_orderkey,
+      |  unnest(generate_series(CAST(l_linenumber AS BIGINT),
+      |    CASE WHEN l_linenumber % 2 = 1 THEN -1 ELSE 0 END, -2)) AS n
+      |FROM lineitem ORDER BY l_orderkey, n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_stream_filter" -> (uStreamFilter _),
+    "u_stream_count" -> (uStreamCount _),
     "u_union_match" -> (uUnionMatch _),
     "u_html_render" -> (uHtmlRender _),
     "u_hello" -> (uHello _),
@@ -201,6 +276,8 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_stream_filter" -> uStreamFilterSql,
+    "u_stream_count" -> uStreamCountSql,
     "u_union_match" -> uUnionMatchSql,
     "u_html_render" -> uHtmlRenderSql,
     "u_hello" -> uHelloSql,

@@ -80,4 +80,13 @@ class UdStreamingSpec extends SparkSpec {
       assert(got.toSeq == Seq(0L, 0L, 1L, 1L, 2L))
     } finally q.stop()
   }
+
+  test("driver streaming entries equal their batch twins") {
+    // same compiled script, file stream vs batch read — identical rows
+    val streamed = graft.queries.UdLang.uStreamFilter(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.UdLang.uFilterMatch(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }

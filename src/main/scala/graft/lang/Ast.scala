@@ -80,6 +80,9 @@ object Ast {
   final case class Has(e: Expr, field: String) extends Expr   // rec.?.field
   final case class Index(e: Expr, i: Expr) extends Expr       // 0-based
   final case class ListExpr(es: Seq[Expr]) extends Expr
+  /** fixed-length heterogeneous tuple literal `(a, b)` (manual.md:101-104;
+    * Value::Tuple ir.rs:287). */
+  final case class TupleExpr(es: Seq[Expr]) extends Expr
   final case class MapExpr(entries: Seq[(String, Expr)]) extends Expr
   /** match with literal + type patterns (README.md:124-137, DOC-level). */
   final case class Match(scrutinee: Expr, cases: Seq[(Pattern, Expr)],

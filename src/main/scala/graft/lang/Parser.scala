@@ -229,7 +229,10 @@ object UdParser extends RegexParsers {
       "[" ~> repsep(expr, ",") <~ "]" ^^ ListExpr |
       "{" ~> repsep((name | strLit ^^ unescape) ~ (":" ~> expr), ",") <~ opt(",") ~ "}" ^^
       (es => MapExpr(es.map { case k ~ v => (k, v) })) |
-      "(" ~> expr <~ ")" |
+      "(" ~> rep1sep(expr, ",") <~ ")" ^^ {
+        case Seq(e) => e          // parenthesized expression
+        case es     => TupleExpr(es)
+      } |
       name ^^ Id
 
   def ifExpr: Parser[Expr] =

@@ -232,6 +232,12 @@ object Typechecker {
       case ListExpr(es) =>
         if (es.isEmpty) TList(TAny)
         else TList(es.map(x => checkExpr(x, env)).reduce(lub))
+      case TupleExpr(es) =>
+        // literal string element types decay to Str in a tuple context
+        TTuple(es.map(x => checkExpr(x, env) match {
+          case TValue(_) => TStr
+          case t         => t
+        }))
       case MapExpr(entries) =>
         // MapExpr context-converts to record (ast.rs:192-194)
         TRecord(entries.map { case (k, v) =>

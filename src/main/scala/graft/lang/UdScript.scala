@@ -211,6 +211,10 @@ object UdScript {
     case (x: String, _)     => VStr(x)
     case (x: scala.collection.Seq[_], TList(et)) => // Rows use mutable.ArraySeq
       VList(x.map(anyToValue(_, et)).toVector)
+    case (x: Row, TTuple(ts)) =>
+      VTuple(ts.zipWithIndex.map { case (t2, i) =>
+        if (x.isNullAt(i)) VNone else anyToValue(x.get(i), t2)
+      }.toVector)
     case (x: Row, TUnion(ts)) if !ts.forall(_.isInstanceOf[TValue]) =>
       // tagged-struct union: decode the active branch slot
       val tag = x.getString(x.fieldIndex("_tag"))
@@ -261,6 +265,10 @@ object UdScript {
       }
       Row.fromSeq(tag +: slots.indices.map(j =>
         if (j == i) valueToAny(v2, slots(j).dataType) else null))
+    case (VTuple(xs), st: StructType) =>
+      Row.fromSeq(st.fields.toSeq.zip(xs).map { case (f, x) =>
+        valueToAny(x, f.dataType)
+      })
     case (m: VMap, st: StructType) =>
       Row.fromSeq(st.fields.toSeq.map(f =>
         m.index.get(f.name).map(valueToAny(_, f.dataType)).orNull))

@@ -22,6 +22,8 @@ object Values {
   final case class VFloat(d: Double) extends Value
   final case class VStr(s: String) extends Value
   final case class VList(xs: Vector[Value]) extends Value
+  /** fixed-length heterogeneous tuple (Value::Tuple, ir.rs:287) */
+  final case class VTuple(xs: Vector[Value]) extends Value
   /** insertion-ordered string-keyed map (AList, ir.rs:268-269) */
   final case class VMap(entries: Vector[(String, Value)]) extends Value {
     lazy val index: Map[String, Value] = entries.toMap
@@ -108,6 +110,8 @@ object Values {
   def deepEq(l: Value, r: Value): Boolean = (l, r) match {
     case (VList(a), VList(b)) =>
       a.size == b.size && a.zip(b).forall { case (x, y) => deepEq(x, y) }
+    case (VTuple(a), VTuple(b)) =>
+      a.size == b.size && a.zip(b).forall { case (x, y) => deepEq(x, y) }
     case (VMap(a), VMap(b)) =>
       a.size == b.size && a.zip(b).forall {
         case ((k1, v1), (k2, v2)) => k1 == k2 && deepEq(v1, v2)
@@ -132,6 +136,7 @@ object Values {
     case VFloat(d) => d.toString
     case VStr(s)   => s
     case VList(xs) => xs.map(render).mkString("[", ", ", "]")
+    case VTuple(xs) => xs.map(render).mkString("(", ", ", ")")
     case VMap(es)  => es.map { case (k, x) => s"$k: ${render(x)}" }
       .mkString("{", ", ", "}")
     case _: VLambda => "<lambda>"
@@ -356,10 +361,13 @@ final class Interp(script: Ast.Script,
       (eval(x, env, ctx), eval(i, env, ctx)) match {
         case (VList(xs), VInt(n)) => // 0-based (manual.md:104)
           if (n >= 0 && n < xs.size) xs(n.toInt) else err(s"index $n out of bounds")
+        case (VTuple(xs), VInt(n)) =>
+          if (n >= 0 && n < xs.size) xs(n.toInt) else err(s"tuple index $n out of bounds")
         case (m: VMap, VStr(k)) => m.index.getOrElse(k, err(s"no key $k"))
         case _ => err("bad index")
       }
     case ListExpr(es) => VList(es.map(x => eval(x, env, ctx)).toVector)
+    case TupleExpr(es) => VTuple(es.map(x => eval(x, env, ctx)).toVector)
     case MapExpr(entries) =>
       VMap(entries.map { case (k, v) => (k, eval(v, env, ctx)) }.toVector)
     case Comprehension(coll, fn) =>
@@ -473,6 +481,9 @@ final class Interp(script: Ast.Script,
         (VBool(_), TBool) | (VNone, TNone)  => true
     case (VStr(s), TValue(lit))             => s == lit
     case (VList(_), TList(_))               => true
+    case (VTuple(xs), TTuple(ts))           =>
+      xs.size == ts.size &&
+        xs.zip(ts).forall { case (x, t2) => matchesType(x, t2) }
     case (_, TAny)                          => true
     case (_, TUnion(ts))                    => ts.exists(matchesType(v, _))
     case _                                  => false

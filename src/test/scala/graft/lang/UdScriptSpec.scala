@@ -171,4 +171,49 @@ class UdScriptSpec extends SparkSpec {
     assert(ok.toSet == Set(4L, 6L))
     intercept[Exception] { c.run(Seq(-1L).toDF("value")).collect() }
   }
+
+  test("loop.us: init-block list, for + float func, declared-Int narrow") {
+    val src = """#! udlang
+      |version 0.1-pre_mvp;
+      |script "Function Example";
+      |let data = [1.0, 2.0, 3.0];
+      |input  Int;
+      |output Int;
+      |func celcius_to_farenheit(c: Float) -> Float {
+      |     9.0 * c / 5.0 + 32.0
+      |}
+      |for datum in data {
+      |   out celcius_to_farenheit(datum);
+      |}""".stripMargin
+    // reference quirk: Float out under declared Int output (strict=false)
+    val (tier, out) = runScalar(src, Seq(0L), strict = false)
+    assert(tier == KernelTier)
+    assert(out == Seq(33L, 35L, 37L)) // 33.8, 35.6, 37.4 narrowed
+  }
+
+  test("tuples: construct, 0-based index, deep equality (kernel tier)") {
+    val src = """script "tuples";
+      |input  Int;
+      |output Int;
+      |let pair = (2, 3);
+      |for x in [pair[0] * pair[1] * in] {
+      |  out x;
+      |}
+      |if ((1, "a") == (1, "a")) { out 1; } else { out 0; }""".stripMargin
+    val (tier, out) = runScalar(src, Seq(10L))
+    assert(tier == KernelTier)
+    assert(out == Seq(60L, 1L))
+  }
+
+  test("tuple output maps to a positional struct schema") {
+    val src = """script "tuple out";
+      |input  Int;
+      |output (Int, Str);
+      |for x in [in] { out (x * 2, "v" + (x as Str)); }""".stripMargin
+    val c = UdScript.compile(src)
+    import spark.implicits._
+    val rows = c.run(Seq(21L).toDF("value")).collect()
+    assert(rows(0).getStruct(0) == org.apache.spark.sql.Row(42L, "v21") ||
+      rows(0) == org.apache.spark.sql.Row(42L, "v21"))
+  }
 }

@@ -22,10 +22,27 @@ object UdParser extends RegexParsers {
   private val floatLit = """-?\d+\.\d+([eE][+-]?\d+)?""".r
   private val strLit = """"([^"\\]|\\.)*"""".r
 
-  private def unescape(s: String): String =
-    s.substring(1, s.length - 1)
-      .replace("\\\"", "\"").replace("\\n", "\n")
-      .replace("\\t", "\t").replace("\\\\", "\\")
+  /** Single left-to-right scan: each escape is consumed exactly once, so
+    * "a\\nb" (backslash then n) stays backslash-n instead of newline. */
+  private def unescape(s: String): String = {
+    val body = s.substring(1, s.length - 1)
+    val sb = new StringBuilder(body.length)
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\' && i + 1 < body.length) {
+        body.charAt(i + 1) match {
+          case 'n'   => sb.append('\n')
+          case 't'   => sb.append('\t')
+          case '"'   => sb.append('"')
+          case '\\'  => sb.append('\\')
+          case other => sb.append('\\').append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** keyword parser with word boundary (so `out` != prefix of `outer`) */
   private def kw(w: String): Parser[String] = (w + "\\b").r ^^ (_ => w)
@@ -357,6 +374,45 @@ object UdParser extends RegexParsers {
       kw("output") ~> ty <~ ";" ^^ TO |
       stmt ^^ TS
 
+  /** Does an expression (or statement) reference the current input? */
+  private def refsIn(e: Expr): Boolean = e match {
+    case In => true
+    case Bin(_, a, b)  => refsIn(a) || refsIn(b)
+    case Un(_, a)      => refsIn(a)
+    case Cond(cs, o)   => cs.exists(c => refsIn(c._1) || refsIn(c._2)) || refsIn(o)
+    case BlockExpr(ss, r) => ss.exists(stmtRefsIn) || refsIn(r)
+    case Lambda(_, _, b)  => refsIn(b)
+    case Call(f, as)   => refsIn(f) || as.exists(refsIn)
+    case Dot(a, _)     => refsIn(a)
+    case Has(a, _)     => refsIn(a)
+    case Index(a, b)   => refsIn(a) || refsIn(b)
+    case ListExpr(es)  => es.exists(refsIn)
+    case TupleExpr(es) => es.exists(refsIn)
+    case MapExpr(es)   => es.exists(e2 => refsIn(e2._2))
+    case Match(s, cs, d) =>
+      refsIn(s) || cs.exists(c => refsIn(c._2)) || d.exists(refsIn)
+    case Comprehension(c, f) => refsIn(c) || refsIn(f)
+    case Cast(a, _)    => refsIn(a)
+    case Spread(a)     => refsIn(a)
+    case _             => false
+  }
+  private def stmtRefsIn(s: Stmt): Boolean = s match {
+    case OutStmt(e)        => refsIn(e)
+    case LetStmt(_, e)     => refsIn(e)
+    case FuncStmt(_, _, _, b) => refsIn(b)
+    case ForStmt(_, c, b)  => refsIn(c) || b.exists(stmtRefsIn)
+    case ForKvStmt(_, _, c, b) => refsIn(c) || b.exists(stmtRefsIn)
+    case IfStmt(cs, o) =>
+      cs.exists(c => refsIn(c._1) || c._2.exists(stmtRefsIn)) ||
+        o.exists(stmtRefsIn)
+    case SupposeStmt(d, br, lf) =>
+      refsIn(d) || br.exists(stmtRefsIn) || lf.exists(stmtRefsIn)
+    case ExprStmt(e)   => refsIn(e)
+    case DebugStmt(e)  => refsIn(e)
+    case ThrowStmt(e)  => refsIn(e)
+    case _             => false
+  }
+
   def program: Parser[Script] =
     opt(kw("version") ~> """[^;]+""".r <~ ";") ~>
       (kw("script") ~> strLit <~ ";") ~ rep(topItem) ^^ { case desc ~ items =>
@@ -365,10 +421,16 @@ object UdParser extends RegexParsers {
       val out = items.collectFirst { case TO(t) => t }
         .getOrElse(TAny)
       val stmts = items.collect { case TS(s) => s }
-      // block split (ir.rs:746-773): decls → init, the rest → per-record body
+      // block split (ir.rs:746-773, grammar.lalrpop:41-47): decl-kind
+      // statements are init-block ONLY when they don't reference `in` —
+      // an input-free let/func/type/import evaluates to the same value
+      // every record, so hoisting it to init is semantics-preserving (the
+      // reference's examples freely mix decl order around the IO decls).
+      // A body-level `let y = in;` (parser.rs:804) stays per-record.
       val (decls, body) = stmts.partition {
-        case _: LetStmt | _: FuncStmt | _: TypeDecl | _: ImportStmt => true
-        case _                                                      => false
+        case s @ (_: LetStmt | _: FuncStmt | _: TypeDecl | _: ImportStmt) =>
+          !stmtRefsIn(s)
+        case _ => false
       }
       Script(unescape(desc), in, out, decls, body)
     }

@@ -49,7 +49,9 @@ object Typechecker {
       case (TValue(_), TStr)      => true
       case (TNone, TOption(_))    => true
       case (x, TOption(y))        => subtype(x, y)
-      case (TOption(x), y)        => subtype(x, y) // narrowed use
+      // NO TOption(x) <: x — an un-narrowed Option must go through match
+      // (README.md:235-239); Option is covariant only
+      case (TOption(x), TOption(y)) => subtype(x, y)
       case (TList(x), TList(y))   => subtype(x, y)
       case (TMap(x), TMap(y))     => subtype(x, y)
       case (TTuple(xs), TTuple(ys)) =>

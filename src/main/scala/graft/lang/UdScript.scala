@@ -190,12 +190,25 @@ object UdScript {
   }
 
   // ---- Row <-> Value ----
+  /** Absent-vs-null: when the input frame carries a `<f>__present` flag
+    * (JsonRecords / Msgpack) and it is false, the field is OMITTED from
+    * the record value — so `rec.?.f` (Has) means key presence, while a
+    * present-but-null field reads as none. */
   def rowToValue(row: Row, t: UdType): Value = t match {
     case TRecord(fs, _) =>
-      VMap(fs.map { f =>
-        val i = row.fieldIndex(f.name)
-        f.name -> (if (row.isNullAt(i)) VNone
-        else anyToValue(row.get(i), f.t))
+      VMap(fs.flatMap { f =>
+        val absent = f.absentOptional && {
+          try {
+            val pi = row.fieldIndex(s"${f.name}__present")
+            !row.isNullAt(pi) && !row.getBoolean(pi)
+          } catch { case _: IllegalArgumentException => false }
+        }
+        if (absent) None
+        else {
+          val i = row.fieldIndex(f.name)
+          Some(f.name -> (if (row.isNullAt(i)) VNone
+          else anyToValue(row.get(i), f.t)))
+        }
       }.toVector)
     case scalar => if (row.isNullAt(0)) VNone else anyToValue(row.get(0), scalar)
   }
@@ -313,7 +326,9 @@ private[lang] object Lowering {
           } && exprOk(o, stack, bound)
         case Dot(x, _)  => exprOk(x, stack, bound)
         case Has(x, _)  => exprOk(x, stack, bound)
-        case Index(x, i) => exprOk(x, stack, bound) && exprOk(i, stack, bound)
+        // colOf only lowers literal indexes — anything else is kernel tier
+        case Index(x, LitInt(_)) => exprOk(x, stack, bound)
+        case Index(_, _)         => false
         case Call(Id(n), args)
             if Seq("sqrt", "cos", "sin", "floor", "ceil").contains(n) &&
               !funcs.contains(n) =>
@@ -467,6 +482,11 @@ private[lang] object Lowering {
       }
       case Dot(In, field) => df(field)
       case Dot(x, field)  => colOf(x, binds).getField(field)
+      // Has means key PRESENCE when the frame carries a presence flag
+      // (JsonRecords/Msgpack absent-vs-null); isNotNull is the fallback
+      // for frames without one
+      case Has(In, field) if df.columns.contains(s"${field}__present") =>
+        df(s"${field}__present")
       case Has(x, field)  => colOf(x, binds).getField(field).isNotNull
       case Id(n) =>
         binds.getOrElse(n,
@@ -620,7 +640,13 @@ private[lang] object Lowering {
   }
 
   /** Lower to a native plan: each control path contributes a (guard,
-    * value) pair; single-path → filter+project, multi-path → union. */
+    * value) pair; single-path → filter+project, multi-path → union.
+    *
+    * Known tier divergence (documented, not observable for declared
+    * non-None outputs): the kernel skips `out` of a none VALUE at
+    * runtime, while a column-tier out whose expression evaluates to null
+    * emits a null row — a column-tier body can only produce none from
+    * nullable data, which the eligibility check doesn't admit today. */
   def runColumn(script: Script, df: DataFrame): DataFrame = {
     val cc = new ColumnCompiler(script, df)
     def colOf(e: Expr, binds: Map[String, Column]): Column = cc.colOf(e, binds)

@@ -347,7 +347,9 @@ final class Interp(script: Ast.Script,
     case Spread(_) => err("spread outside call arguments")
     case Dot(x, field) =>
       eval(x, env, ctx) match {
-        case m: VMap => m.index.getOrElse(field, err(s"no field $field"))
+        // absent optional fields read as none (README.md:220-228); the
+        // typechecker rejects statically-unknown field names
+        case m: VMap => m.index.getOrElse(field, VNone)
         case VStr(s) if field == "length" => VInt(s.length.toLong)
         case VList(xs) if field == "length" => VInt(xs.size.toLong)
         case other => err(s"dot on ${render(other)}")

@@ -16,20 +16,16 @@ object Bucketing {
 
   /** Write df as a bucketed, sorted managed table. Idempotent even across
     * fresh metastores pointing at a pre-existing warehouse dir (drops the
-    * table AND clears the orphan location). */
+    * table AND clears the orphan location, via the Hadoop FileSystem API
+    * so any warehouse scheme works — file:, hdfs:, s3a:). */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, key)

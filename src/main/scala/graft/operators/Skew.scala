@@ -23,13 +23,21 @@ object Skew {
 
   /** Equi-join left⋈right on `key`, salting `factor` ways. `saltSource` is
     * a left-side column with high cardinality (e.g. the left PK) used to
-    * derive the deterministic salt. */
+    * derive the deterministic salt. Only inner/left joins are correct
+    * under right-side replication (an unmatched right row would surface
+    * `factor` times in a right/full outer), so others are rejected; the
+    * salt column name is collision-checked against both inputs. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltSource: Column, factor: Int,
                  joinType: String = "inner"): DataFrame = {
-    val salted = left.withColumn("_salt", pmod(hash(saltSource), lit(factor)))
-    val replicated = right.withColumn("_salt",
+    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
+    require(Set("inner", "left", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin supports inner/left joins only, got $joinType")
+    val salt = Iterator.from(0).map(i => s"_salt$i")
+      .find(c => !left.columns.contains(c) && !right.columns.contains(c)).get
+    val salted = left.withColumn(salt, pmod(hash(saltSource), lit(factor)))
+    val replicated = right.withColumn(salt,
       explode(array((0 until factor).map(lit): _*)))
-    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+    salted.join(replicated, Seq(key, salt), joinType).drop(salt)
   }
 }

@@ -18,13 +18,14 @@ object LlmPipeline extends Serializable {
 
   private val ws = "\\s+"
 
-  /** Exact dedup on normalized content (sorted distinct word bag). The
-    * shuffle key is the normalized string (at scale: its sha2 digest —
-    * identical grouping, 32-byte keys). */
+  /** Exact dedup on normalized content (sorted distinct word bag),
+    * grouping on the sha2 digest of the normalized string: identical
+    * grouping, but the shuffle ships 32-byte keys instead of whole
+    * documents. */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .groupBy(concat_ws(" ",
-        array_sort(array_distinct(split(col("text"), ws)))).as("key"))
+      .groupBy(sha2(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), ws)))), 256).as("key"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
       .orderBy("keep_id")

@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.StructType
   * per-executor stderr warn is useless; a counted DLQ is the operational
   * equivalent.)
   *
-  * At scale this is a narrow map + filter — no shuffle; the reason column
-  * is computed once and reused for the route decision, and Catalyst pushes
-  * the validity filter into the scan where the predicate allows.
+  * At scale this is a narrow map + filter — no shuffle. In Dlq mode the
+  * good/bad split is two filters over the tagged frame, so the reason
+  * expression evaluates once per consumed side (cache the tagged frame if
+  * both sides feed long pipelines); Catalyst pushes the validity filter
+  * into the scan where the predicate allows.
   */
 object ValidatedIngest {
 

@@ -250,9 +250,13 @@ object UdLang extends Serializable {
     val c = UdScript.compile(src)
     require(c.tier == UdScript.KernelTier)
     val fileSchema = s.read.parquet(s"$d/lineitem.parquet").schema
+    // 10% orderkey slice: the entry proves the streaming path; an
+    // unsliced run spends its time materializing ~2M rows into the
+    // driver-side memory sink, which measures the sink, not the engine
     val stream = s.readStream.schema(fileSchema)
       .option("pathGlobFilter", "lineitem.parquet")
       .parquet(d)
+      .where(col("l_orderkey") % 10 === 0)
       .select("l_orderkey", "l_linenumber")
     runStream(s, c.run(stream), "u_stream_count_sink")
       .orderBy("l_orderkey", "n")
@@ -262,7 +266,8 @@ object UdLang extends Serializable {
     """SELECT l_orderkey,
       |  unnest(generate_series(CAST(l_linenumber AS BIGINT),
       |    CASE WHEN l_linenumber % 2 = 1 THEN -1 ELSE 0 END, -2)) AS n
-      |FROM lineitem ORDER BY l_orderkey, n""".stripMargin
+      |FROM lineitem WHERE l_orderkey % 10 = 0
+      |ORDER BY l_orderkey, n""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u_stream_filter" -> (uStreamFilter _),

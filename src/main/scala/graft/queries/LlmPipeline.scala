@@ -223,6 +223,58 @@ object LlmPipeline extends Serializable {
       |    (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e))), 6) >= 0.35
       |ORDER BY a, b""".stripMargin
 
+  /** IVF-style ANN: coarse-quantize to 16 deterministic cells, probe the
+    * 4 best per query, exact-rank within probed lists — the
+    * training-free inverted-file scale path next to brute force. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.ivfTopK(emb, queries, k = 10)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  /** Oracle: identical centroid arithmetic via list_dot_product;
+    * assignment = first maximum (list_position of list_max), probe rank
+    * by (csim DESC, cell) — all deterministic in both engines. */
+  val annIvfSql: String =
+    """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cents AS (
+      |  SELECT c, list_transform(generate_series(1, 64), d ->
+      |    (('0x'||substr(md5('cell_'||c||'_'||d),1,13))::BIGINT::DOUBLE
+      |      / 4503599627370496.0) * 2.0 - 1.0) AS cv
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS c)),
+      |sims AS (
+      |  SELECT t.vec_id, c.c,
+      |    list_dot_product(t.e, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) AS s
+      |  FROM t CROSS JOIN cents c),
+      |simlists AS (
+      |  SELECT vec_id, list(s ORDER BY c) AS sl FROM sims GROUP BY vec_id),
+      |assigned AS (
+      |  SELECT t.vec_id, t.e, sqrt(list_dot_product(t.e, t.e)) AS nrm,
+      |    list_position(sl.sl, list_max(sl.sl)) - 1 AS cell
+      |  FROM t JOIN simlists sl ON sl.vec_id = t.vec_id),
+      |q AS (SELECT vec_id AS q_id, e AS qe,
+      |        sqrt(list_dot_product(e, e)) AS qn
+      |      FROM t WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT q_id, qe, qn, c AS cell FROM (
+      |    SELECT q.q_id, q.qe, q.qn, s.c, s.s,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY s.s DESC, s.c) AS pr
+      |    FROM q JOIN sims s ON s.vec_id = q.q_id)
+      |  WHERE pr <= 4),
+      |cand AS (
+      |  SELECT p.q_id, a.vec_id,
+      |    round(list_dot_product(a.e, p.qe) / (a.nrm * p.qn), 6) AS sim
+      |  FROM assigned a JOIN probes p ON a.cell = p.cell
+      |  WHERE a.vec_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT q_id, vec_id, sim, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** Language-ID via marker-word scores, deterministic tie-break. */
   def textLangid(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -348,6 +400,7 @@ object LlmPipeline extends Serializable {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "ann_cosine_topk" -> (annCosineTopk _),
+    "ann_ivf" -> (annIvf _),
     "embed_neardup" -> (embedNeardup _),
     "ann_lsh" -> (annLsh _),
     "text_langid" -> (textLangid _),
@@ -365,6 +418,7 @@ object LlmPipeline extends Serializable {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_blocked" -> dedupJaccardBlockedSql,
     "ann_cosine_topk" -> annCosineTopkSql,
+    "ann_ivf" -> annIvfSql,
     "embed_neardup" -> embedNeardupSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,

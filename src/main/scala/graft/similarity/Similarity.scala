@@ -102,6 +102,63 @@ object Similarity extends Serializable {
     math.min(16, math.max(4, b))
   }
 
+  /** Deterministic centroid component for (cell c, dim d) — md5-derived
+    * like planeComponent, so the DuckDB oracle computes bit-identical
+    * centroids. A trained k-means would slot into the same assign/probe
+    * shape; deterministic centroids keep the pipeline oracle-exact and
+    * training-free (random partitions of the sphere). */
+  def cellComponent(c: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"cell_${c}_${d}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 13), 16).toDouble /
+      (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** IVF-style ANN top-k: coarse-quantize the corpus to nCells inverted
+    * lists (one narrow pass, nCells codegen'd dot products per row), probe
+    * the nProbe best cells per query, exact-rank within the probed lists.
+    *
+    * Scale shape: the corpus shuffles once keyed by cell; a query touches
+    * ~nProbe/nCells of the data. Assignment uses
+    * array_position(sims, array_max(sims)) — first maximum, so ties break
+    * to the lowest cell in both engines. queries: (q_id, q_emb). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    val cents = Array.tabulate(nCells, dim)((c, d) => cellComponent(c, d + 1))
+    val cnorm = cents.map(cv => math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+    def cellSims(e: Column): Column = array((0 until nCells).map { c =>
+      dot(e, array(cents(c).map(lit).toSeq: _*)) / lit(cnorm(c))
+    }: _*)
+    val assigned = corpus
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+      .withColumn("sims", cellSims(col("e")))
+      .withColumn("cell", array_position(col("sims"), array_max(col("sims"))) - 1)
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .select("vec_id", "e", "nrm", "cell")
+    val q = queries
+      .select(col("q_id"), toDoubleArr(col("q_emb")).as("qe"))
+      .withColumn("qsims", cellSims(col("qe")))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+    val probes = q.select(col("q_id"), col("qe"), col("qn"),
+        posexplode(col("qsims")).as(Seq("cell", "csim")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("csim").desc, col("cell"))))
+      .where(col("prank") <= nProbe)
+      .select("q_id", "qe", "qn", "cell")
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
   /** LSH-bucketed near-dup with count-derived signature width and
     * radius-1 multi-probe.
     *

@@ -118,6 +118,15 @@ class LlmPipelineSpec extends SparkSpec {
     assert(frames.count() == media.count() * 4)
   }
 
+  test("IVF ANN recalls most exact top-k neighbors with 4/16 cells probed") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(LlmPipeline.annCosineTopk(spark, sf))
+    val ivf = pairs(LlmPipeline.annIvf(spark, sf))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+  }
+
   test("brute-force ANN ranks are strictly ordered per query") {
     val rows = LlmPipeline.annCosineTopk(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>

@@ -42,6 +42,9 @@ object Ast {
   final case class TValue(lit: String) extends UdType
   /** Named type reference, resolved by the typechecker. */
   final case class TRef(name: String) extends UdType
+  /** Generic type application `Name<T, U>` (TypeCons, ast.rs:203) —
+    * resolved against a parametric TypeDecl (TypeFunc, ast.rs:205). */
+  final case class TApply(name: String, args: Seq[UdType]) extends UdType
 
   // ---- operators (§2.3 of SURVEY; ast.rs:140-156) ----
   sealed trait BinOp
@@ -127,7 +130,10 @@ object Ast {
   final case class ExprStmt(e: Expr) extends Stmt
   final case class DebugStmt(e: Expr) extends Stmt  // `! expr`
   final case class ThrowStmt(e: Expr) extends Stmt
-  final case class TypeDecl(name: String, t: UdType) extends Stmt
+  /** `type N: T;` — with `params` nonempty it is a parametric type
+    * (TypeFunc): `type Pair<T>: (T, T);`. */
+  final case class TypeDecl(name: String, t: UdType,
+                            params: Seq[String] = Nil) extends Stmt
   /** Import selectors (grammar.lalrpop:171-195, ast.rs:263-289). */
   sealed trait ImportSel
   case object SelItself extends ImportSel                       // lib._

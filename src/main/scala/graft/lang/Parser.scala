@@ -115,6 +115,9 @@ object UdParser extends RegexParsers {
         case Seq(t) => t
         case ts     => TTuple(ts)
       } |
+      name ~ ("<" ~> rep1sep(ty, ",") <~ ">") ^^ {
+        case n ~ as => TApply(n, as)   // generic application (TypeCons)
+      } |
       name ^^ TRef
 
   /** field | method | const | static (grammar.lalrpop:156-167). */
@@ -308,9 +311,11 @@ object UdParser extends RegexParsers {
   def stmt: Parser[Stmt] =
     kw("out") ~> expr <~ ";" ^^ OutStmt |
       kw("let") ~> name ~ ("=" ~> expr) <~ ";" ^^ { case n ~ e => LetStmt(n, e) } |
-      // `type N: type = T;` (manual) and `type N: T;` (README html lib)
-      kw("type") ~> name ~ ((":" ~ "type" ~ "=" ~> ty) | (":" ~> ty)) <~ ";" ^^ {
-        case n ~ t => TypeDecl(n, t)
+      // `type N: type = T;` (manual), `type N: T;` (README html lib), and
+      // parametric `type N<T, U>: T;` (TypeFunc, ast.rs:205)
+      (kw("type") ~> name) ~ opt("<" ~> rep1sep(name, ",") <~ ">") ~
+        ((":" ~ "type" ~ "=" ~> ty) | (":" ~> ty)) <~ ";" ^^ {
+        case n ~ ps ~ t => TypeDecl(n, t, ps.getOrElse(Nil))
       } |
       (kw("func") ~> name) ~ ("(" ~> repsep(param, ",") <~ ")") ~
         ("->" ~> ty) ~ (("=" ~> expr <~ ";") | blockValueBraced) ^^ {

@@ -25,11 +25,40 @@ object Typechecker {
     val errs = Seq.newBuilder[TypeError]
     def error(m: String): UdType = { errs += TypeError(m); TAny }
 
-    var typeDefs: Map[String, UdType] = Map.empty
+    // name -> (type params, body); non-generic decls have no params
+    var typeDefs: Map[String, (Seq[String], UdType)] = Map.empty
+
+    def substitute(t: UdType, env: Map[String, UdType]): UdType = t match {
+      case TRef(n) if env.contains(n) => env(n)
+      case TList(x)   => TList(substitute(x, env))
+      case TMap(x)    => TMap(substitute(x, env))
+      case TOption(x) => TOption(substitute(x, env))
+      case TTuple(xs) => TTuple(xs.map(substitute(_, env)))
+      case TUnion(xs) => TUnion(xs.map(substitute(_, env)))
+      case TRecord(fs, ms) =>
+        TRecord(fs.map(f => f.copy(t = substitute(f.t, env))), ms)
+      case TLambda(as, r) =>
+        TLambda(as.map(substitute(_, env)), substitute(r, env))
+      case TApply(n, as) => TApply(n, as.map(substitute(_, env)))
+      case other => other
+    }
 
     def resolve(t: UdType): UdType = t match {
-      case TRef(n) => typeDefs.getOrElse(n,
-        { errs += TypeError(s"unknown type: $n"); TAny })
+      case TRef(n) => typeDefs.get(n) match {
+        case Some((Nil, body)) => body
+        case Some((ps, _)) =>
+          errs += TypeError(s"type $n expects ${ps.size} parameter(s)"); TAny
+        case None => errs += TypeError(s"unknown type: $n"); TAny
+      }
+      case TApply(n, args) => typeDefs.get(n) match {
+        case Some((ps, body)) if ps.size == args.size =>
+          resolve(substitute(body, ps.zip(args).toMap))
+        case Some((ps, _)) =>
+          errs += TypeError(
+            s"type $n expects ${ps.size} parameter(s), got ${args.size}")
+          TAny
+        case None => errs += TypeError(s"unknown type: $n"); TAny
+      }
       case TList(x)   => TList(resolve(x))
       case TMap(x)    => TMap(resolve(x))
       case TOption(x) => TOption(resolve(x))
@@ -203,7 +232,7 @@ object Typechecker {
               // a `method` member of some declared record type: dispatch
               // is runtime (vtable), so the access is gradually typed
               if (typeDefs.values.exists {
-                case TRecord(_, ms) =>
+                case (_, TRecord(_, ms)) =>
                   ms.exists(m => m.name == field && m.kind == MMethod)
                 case _ => false
               }) TAny
@@ -338,13 +367,17 @@ object Typechecker {
       case ThrowStmt(e)  => checkExpr(e, env); ()
       case DebugStmt(e)  => checkExpr(e, env); ()
       case ExprStmt(e)   => checkExpr(e, env); ()
-      case TypeDecl(n, t) =>
-        val rt = resolve(t)
-        typeDefs += (n -> rt)
-        rt match { // member-carrying record types are also a namespace value
-          case TRecord(_, ms) if ms.nonEmpty => env.define(n, TAny)
-          case _                             => ()
-        }
+      case TypeDecl(n, t, ps) =>
+        if (ps.isEmpty) {
+          val rt = resolve(t)
+          typeDefs += (n -> (Nil, rt))
+          rt match { // member-carrying record types are also a namespace value
+            case TRecord(_, ms) if ms.nonEmpty => env.define(n, TAny)
+            case _                             => ()
+          }
+        } else
+          // parametric: body resolves at application (params stay free)
+          typeDefs += (n -> (ps, t))
       case ImportStmt(lib, sel) => // module members: gradually typed
         def bindSel(s: ImportSel): Unit = s match {
           case SelItself       => env.define(lib, TAny)

@@ -68,10 +68,13 @@ object UdScript {
   def compile(src: String, strict: Boolean = true,
               libraries: Map[String, String] = Map.empty,
               libraryDirs: Seq[String] = Seq.empty): Compiled = {
-    val script = UdParser.parse(src) match {
+    val script0 = UdParser.parse(src) match {
       case Right(s) => s
       case Left(m)  => throw CompileError(m)
     }
+    // resolve named/generic types in the IO declarations so schemas derive
+    // (the checker re-resolves internally for body checking)
+    val script = resolveIoTypes(script0)
     val errs = Typechecker.check(script)
     if (strict && errs.nonEmpty)
       throw CompileError(errs.map(_.msg).mkString("; "))
@@ -86,6 +89,55 @@ object UdScript {
 
   private def importsOf(stmts: Seq[Stmt]): Seq[String] =
     stmts.collect { case ImportStmt(l, _) => l }.distinct
+
+  /** Substitute TypeDecl-defined names (incl. generic applications,
+    * TypeCons/TypeFunc ast.rs:203-205) in the input/output declarations. */
+  private def resolveIoTypes(script: Script): Script = {
+    val defs: Map[String, (Seq[String], UdType)] = script.decls.collect {
+      case TypeDecl(n, t, ps) => n -> (ps, t)
+    }.toMap
+    def sub(t: UdType, env: Map[String, UdType]): UdType = t match {
+      case TRef(n) if env.contains(n) => env(n)
+      case TList(x)   => TList(sub(x, env))
+      case TMap(x)    => TMap(sub(x, env))
+      case TOption(x) => TOption(sub(x, env))
+      case TTuple(xs) => TTuple(xs.map(sub(_, env)))
+      case TUnion(xs) => TUnion(xs.map(sub(_, env)))
+      case TRecord(fs, ms) =>
+        TRecord(fs.map(f => f.copy(t = sub(f.t, env))), ms)
+      case TLambda(as, r) => TLambda(as.map(sub(_, env)), sub(r, env))
+      case TApply(n, as)  => TApply(n, as.map(sub(_, env)))
+      case other => other
+    }
+    def res(t: UdType, depth: Int): UdType = {
+      if (depth > 32) throw CompileError(s"recursive type: $t")
+      t match {
+        case TRef(n) => defs.get(n) match {
+          case Some((Nil, body)) => res(body, depth + 1)
+          case Some((ps, _)) =>
+            throw CompileError(s"type $n expects ${ps.size} parameter(s)")
+          case None => t // unknown here; the checker reports it
+        }
+        case TApply(n, args) => defs.get(n) match {
+          case Some((ps, body)) if ps.size == args.size =>
+            res(sub(body, ps.zip(args.map(res(_, depth + 1))).toMap),
+              depth + 1)
+          case Some((ps, _)) => throw CompileError(
+            s"type $n expects ${ps.size} parameter(s), got ${args.size}")
+          case None => throw CompileError(s"unknown type: $n")
+        }
+        case TList(x)   => TList(res(x, depth + 1))
+        case TMap(x)    => TMap(res(x, depth + 1))
+        case TOption(x) => TOption(res(x, depth + 1))
+        case TTuple(xs) => TTuple(xs.map(res(_, depth + 1)))
+        case TUnion(xs) => TUnion(xs.map(res(_, depth + 1)))
+        case TRecord(fs, ms) =>
+          TRecord(fs.map(f => f.copy(t = res(f.t, depth + 1))), ms)
+        case other => other
+      }
+    }
+    script.copy(input = res(script.input, 0), output = res(script.output, 0))
+  }
 
   /** Driver-side module loader: registry sources win, then the search
     * dirs; each module compiles once (memoized) and cyclic imports fail
@@ -186,6 +238,8 @@ object UdScript {
     case TRecord(fs, _) => StructType(fs.map(f =>
       StructField(f.name, sparkType(f.t),
         nullable = f.absentOptional || f.t.isInstanceOf[TOption])))
+    // top-level tuple output: positional _1.._n as top-level columns
+    case tt: TTuple => sparkType(tt).asInstanceOf[StructType]
     case scalar => StructType(Seq(StructField("out", sparkType(scalar))))
   }
 
@@ -293,6 +347,7 @@ object UdScript {
 
   def valueToRow(v: Value, t: UdType, schema: StructType): Row = t match {
     case TRecord(_, _) => valueToAny(v, schema).asInstanceOf[Row]
+    case TTuple(_)     => valueToAny(v, schema).asInstanceOf[Row]
     case _          => Row(valueToAny(v, schema.fields(0).dataType))
   }
 }

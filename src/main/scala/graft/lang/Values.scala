@@ -224,7 +224,7 @@ final class Interp(script: Ast.Script,
     case DebugStmt(e) =>
       System.err.println(s"[ud-debug] ${render(eval(e, env, ctx))}")
     case ExprStmt(e) => eval(e, env, ctx); ()
-    case TypeDecl(name, TRecord(_, members)) if members.nonEmpty =>
+    case TypeDecl(name, TRecord(_, members), _) if members.nonEmpty =>
       // vtable realization (ir.rs:339-345): statics/consts hang off the
       // TYPE name as a namespace value; instance methods register for
       // receiver dispatch with `self` as the implicit first binding.
@@ -240,7 +240,7 @@ final class Interp(script: Ast.Script,
           methodRegistry(n) = VLambda(("self", TAny) +: ps, body, env)
         case _ => ()
       }
-    case TypeDecl(_, _) => ()
+    case TypeDecl(_, _, _) => ()
     case ImportStmt(lib, sel) =>
       val module = libraries.getOrElse(lib,
         err(s"unknown library: $lib (not in registry)"))

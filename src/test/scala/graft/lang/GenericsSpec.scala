@@ -1,0 +1,46 @@
+package graft.lang
+
+import graft.SparkSpec
+
+/** F10: parametric type declarations + generic application (the
+  * TypeCons/TypeFunc surface of ast.rs:203-205 — HKTs stay out of scope,
+  * as the reference defers them to 0.2). */
+class GenericsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("generic type declarations apply and reach the IO schema") {
+    val src = """script "generics";
+      |type Pair<T>: (T, T);
+      |type Tagged<K, V>: {key: K, val: V};
+      |input  Int;
+      |output Pair<Int>;
+      |func dup(x: Int) -> Pair<Int> { (x, x) }
+      |out dup(in);""".stripMargin
+    val c = UdScript.compile(src)
+    assert(c.outputSchema.fieldNames.toSeq == Seq("_1", "_2"))
+    val rows = c.run(Seq(7L).toDF("value")).collect()
+    assert(rows(0) == org.apache.spark.sql.Row(7L, 7L))
+  }
+
+  test("generic record application substitutes field types") {
+    val src = """script "generic record";
+      |type Tagged<K, V>: {key: K, val: V};
+      |input  {key: Str, val: Int};
+      |output Tagged<Str, Int>;
+      |out {key: in.key, val: in.val * 2};""".stripMargin
+    val c = UdScript.compile(src)
+    assert(c.outputSchema.fieldNames.toSeq == Seq("key", "val"))
+    val rows = c.run(Seq(("a", 3L)).toDF("key", "val")).collect()
+    assert(rows(0) == org.apache.spark.sql.Row("a", 6L))
+  }
+
+  test("arity mismatch on a generic type is a compile error") {
+    val src = """script "bad arity";
+      |type Pair<T>: (T, T);
+      |input  Int;
+      |output Pair<Int, Str>;
+      |out (in, in);""".stripMargin
+    val e = intercept[UdScript.CompileError] { UdScript.compile(src) }
+    assert(e.msg.contains("expects 1 parameter"))
+  }
+}

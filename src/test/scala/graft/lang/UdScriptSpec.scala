@@ -212,8 +212,8 @@ class UdScriptSpec extends SparkSpec {
       |for x in [in] { out (x * 2, "v" + (x as Str)); }""".stripMargin
     val c = UdScript.compile(src)
     import spark.implicits._
+    assert(c.outputSchema.fieldNames.toSeq == Seq("_1", "_2"))
     val rows = c.run(Seq(21L).toDF("value")).collect()
-    assert(rows(0).getStruct(0) == org.apache.spark.sql.Row(42L, "v21") ||
-      rows(0) == org.apache.spark.sql.Row(42L, "v21"))
+    assert(rows(0) == org.apache.spark.sql.Row(42L, "v21"))
   }
 }

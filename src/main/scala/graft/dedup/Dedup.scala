@@ -234,6 +234,43 @@ object Dedup extends Serializable {
       }.reduce(_ + _).as(s"c$j")
     }
 
+  /** Connected components by min-label propagation: every vertex ends up
+    * labeled with the smallest doc_id reachable through the pair graph —
+    * the canonical-document assignment step after near-dup pair mining.
+    *
+    * Each iteration is one distributed join + min-aggregate; the driver
+    * loop only checks convergence (changed-count = 0). Near-dup clusters
+    * have tiny diameters, so this converges in a handful of rounds; for
+    * adversarial long-chain graphs at 100 TB the same loop slots into the
+    * alternating star contraction scheme (each round still a join+agg).
+    *
+    * vertices: one column `u`; pairs: (a, b). Returns (u, lbl). */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .cache()
+    var labels = vertices.select(col("u"), col("u").as("lbl")).cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
+        .select(col("u"), col("lbl"))
+      val next = labels.select(col("u"), col("lbl")).union(viaNeighbor)
+        .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("u"))
+        .where(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash near-dup: md5-chunk signature → 4×16-bit chunk banding →
     * verify Hamming ≤ maxDist. Exhaustive for maxDist ≤ 3 (pigeonhole).
     * Scale: the only shuffle is the (band, chunk) bucket self-join on

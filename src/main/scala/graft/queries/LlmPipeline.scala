@@ -77,6 +77,41 @@ object LlmPipeline extends Serializable {
       |) WHERE jaccard >= 0.95
       |ORDER BY a, b""".stripMargin
 
+  /** Near-dup clustering: connected components over the exact-Jaccard
+    * pair graph, labeling every document with the smallest doc_id in its
+    * component — the canonical-document pick of a dedup pipeline.
+    * Singletons keep their own id. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupJaccardBlocked(s, d).select("a", "b")
+    val vertices = Tables.documents(s, d).select(col("doc_id").as("u"))
+    Dedup.connectedComponents(vertices, pairs)
+      .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the same pair CTE, closed transitively with a recursive CTE
+    * (UNION dedups, so it terminates), min label per vertex. */
+  val dedupClustersSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS ws
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a, b FROM (
+      |    SELECT a.doc_id AS a, b.doc_id AS b,
+      |      round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |            CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6) AS jaccard
+      |    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |     AND abs(len(a.ws) - len(b.ws)) <= 1
+      |  ) WHERE jaccard >= 0.95),
+      |edges AS (SELECT a AS u, b AS v FROM pairs
+      |          UNION ALL SELECT b, a FROM pairs),
+      |reach(u, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v)
+      |SELECT u AS doc_id, min(lbl) AS cluster_id
+      |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
   /** MinHash+LSH near-dup. Bands=32 × r=2 at threshold 0.8 makes the
     * per-true-pair miss probability ≤ (1-0.8²)^32 ≈ 6e-15, so the output
     * deterministically equals the exact all-pairs shingle-Jaccard ≥ 0.8
@@ -397,6 +432,7 @@ object LlmPipeline extends Serializable {
     "multimodal_frames" -> (multimodalFrames _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_blocked" -> (dedupJaccardBlocked _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "ann_cosine_topk" -> (annCosineTopk _),
@@ -417,6 +453,7 @@ object LlmPipeline extends Serializable {
     "multimodal_frames" -> multimodalFramesSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_blocked" -> dedupJaccardBlockedSql,
+    "dedup_clusters" -> dedupClustersSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_ivf" -> annIvfSql,
     "embed_neardup" -> embedNeardupSql,

@@ -118,6 +118,17 @@ class LlmPipelineSpec extends SparkSpec {
     assert(frames.count() == media.count() * 4)
   }
 
+  test("connected components propagate min labels across chains") {
+    import spark.implicits._
+    // chain 1-2-3-4 (pairwise links only), isolated 9, pair 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("a", "b")
+    val vertices = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L).toDF("u")
+    val got = Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
   test("IVF ANN recalls most exact top-k neighbors with 4/16 cells probed") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet

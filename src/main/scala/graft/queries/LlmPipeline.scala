@@ -377,6 +377,40 @@ object LlmPipeline extends Serializable {
       |  length(text) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary mining: top-100 corpus tokens by frequency. The classic
+    * shuffle-heavy aggregation: explode → partial (map-side) count →
+    * final count → TakeOrdered; ties break on the token so both engines
+    * rank identically. */
+  def textVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), ws)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  val textVocabSql: String =
+    """SELECT tok AS token, count(*) AS n
+      |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY n DESC, token LIMIT 100""".stripMargin
+
+  /** Deterministic hash-based train/val split (90/10): the split must be
+    * a pure function of the stable id so re-runs, backfills, and engines
+    * agree — never rand(). */
+  def sampleSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100).as("bucket"))
+      .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
+      .orderBy("doc_id")
+
+  val sampleSplitSql: String =
+    """SELECT doc_id,
+      |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4))::INT % 100 AS bucket,
+      |  CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4))::INT % 100 < 90
+      |    THEN 'train' ELSE 'val' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Content fingerprints (md5 + sha256, cross-engine identical). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -442,6 +476,8 @@ object LlmPipeline extends Serializable {
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_vocab" -> (textVocab _),
+    "sample_split" -> (sampleSplit _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_decode" -> (multimodalDecode _)
   )
@@ -460,6 +496,8 @@ object LlmPipeline extends Serializable {
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
+    "text_vocab" -> textVocabSql,
+    "sample_split" -> sampleSplitSql,
     "text_fingerprint" -> textFingerprintSql,
     "multimodal_decode" -> multimodalDecodeSql
   )

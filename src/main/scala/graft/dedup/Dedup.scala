@@ -247,10 +247,19 @@ object Dedup extends Serializable {
     * vertices: one column `u`; pairs: (a, b). Returns (u, lbl). */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
                           maxIters: Int = 20): DataFrame = {
+    // Eager localCheckpoint, NOT cache(): a cached plan is compiled without
+    // AQE, which would strip the skew-join handling the pair-mining join
+    // depends on; checkpointing materializes under the normal adaptive
+    // path and truncates the per-iteration lineage growth.
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
-      .cache()
-    var labels = vertices.select(col("u"), col("u").as("lbl")).cache()
+      .localCheckpoint(true)
+    // Iterate ONLY the pair-graph vertices — at scale the pair graph is
+    // orders of magnitude smaller than the corpus; singletons are appended
+    // with their own label afterwards, no iteration cost.
+    var labels = edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl"))
+      .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -259,16 +268,16 @@ object Dedup extends Serializable {
         .select(col("u"), col("lbl"))
       val next = labels.select(col("u"), col("lbl")).union(viaNeighbor)
         .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("u"))
         .where(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       it += 1
     }
-    edges.unpersist()
-    labels
+    val singletons = vertices.join(labels, Seq("u"), "left_anti")
+      .select(col("u"), col("u").as("lbl"))
+    labels.union(singletons)
   }
 
   /** SimHash near-dup: md5-chunk signature → 4×16-bit chunk banding →

@@ -251,9 +251,11 @@ object Dedup extends Serializable {
     // AQE, which would strip the skew-join handling the pair-mining join
     // depends on; checkpointing materializes under the normal adaptive
     // path and truncates the per-iteration lineage growth.
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .union(pairs.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
+    // materialize the (possibly expensive) pair mining exactly once; the
+    // symmetric union would otherwise recompute it per branch
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val edges = p.select(col("a").as("u"), col("b").as("v"))
+      .union(p.select(col("b").as("u"), col("a").as("v")))
     // Iterate ONLY the pair-graph vertices — at scale the pair graph is
     // orders of magnitude smaller than the corpus; singletons are appended
     // with their own label afterwards, no iteration cost.
@@ -263,15 +265,26 @@ object Dedup extends Serializable {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      // carry the previous label through the aggregate (each u contributes
+      // exactly one `old`), so convergence detection is a cheap scan of
+      // the freshly checkpointed blocks — one real job per iteration
+      val own = labels.select(col("u"), col("lbl"), col("lbl").as("old"))
       val viaNeighbor = edges
         .join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
-        .select(col("u"), col("lbl"))
-      val next = labels.select(col("u"), col("lbl")).union(viaNeighbor)
-        .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
+        .select(col("u"), col("lbl"), lit(null).cast("long").as("old"))
+      val agg = own.union(viaNeighbor)
+        .groupBy(col("u"))
+        .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
+      // pointer jump (label ← label of label): halves remaining chain
+      // depth each round, so rounds ≈ log(diameter) instead of diameter
+      val next = agg
+        .join(agg.select(col("u").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("u"), coalesce(col("lbl2"), col("lbl")).as("lbl"),
+          col("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("u"))
-        .where(col("lbl") =!= col("old")).count()
-      labels = next
+      val changed = next.where(col("lbl") =!= col("old")).count()
+      labels = next.select(col("u"), col("lbl"))
       converged = changed == 0
       it += 1
     }

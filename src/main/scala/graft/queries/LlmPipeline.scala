@@ -77,32 +77,36 @@ object LlmPipeline extends Serializable {
       |) WHERE jaccard >= 0.95
       |ORDER BY a, b""".stripMargin
 
-  /** Near-dup clustering: connected components over the exact-Jaccard
-    * pair graph, labeling every document with the smallest doc_id in its
-    * component — the canonical-document pick of a dedup pipeline.
-    * Singletons keep their own id. */
+  /** Near-dup clustering: connected components over the MinHash-LSH pair
+    * graph (the bucketed scale path, provably equal to exact shingle
+    * Jaccard ≥ 0.8 — see dedupMinhashLsh), labeling every document with
+    * the smallest doc_id in its component: the canonical-document pick of
+    * a dedup pipeline. Singletons keep their own id. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupJaccardBlocked(s, d).select("a", "b")
+    val pairs = dedupMinhashLsh(s, d).select("a", "b")
     val vertices = Tables.documents(s, d).select(col("doc_id").as("u"))
     Dedup.connectedComponents(vertices, pairs)
       .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }
 
-  /** Oracle: the same pair CTE, closed transitively with a recursive CTE
-    * (UNION dedups, so it terminates), min label per vertex. */
+  /** Oracle: the exact shingle-Jaccard pair CTE (the MinHash oracle
+    * twin), closed transitively with a recursive CTE (UNION dedups, so it
+    * terminates), min label per vertex. */
   val dedupClustersSql: String =
-    """WITH RECURSIVE t AS (
-      |  SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS ws
-      |  FROM documents),
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |      ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+      |             i -> array_to_string(t[i:i+2], ' '))) END AS s
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)),
       |pairs AS (
       |  SELECT a, b FROM (
       |    SELECT a.doc_id AS a, b.doc_id AS b,
-      |      round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-      |            CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6) AS jaccard
-      |    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |     AND abs(len(a.ws) - len(b.ws)) <= 1
-      |  ) WHERE jaccard >= 0.95),
+      |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |            CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.8),
       |edges AS (SELECT a AS u, b AS v FROM pairs
       |          UNION ALL SELECT b, a FROM pairs),
       |reach(u, lbl) AS (

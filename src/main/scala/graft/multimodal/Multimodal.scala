@@ -64,6 +64,33 @@ object Multimodal extends Serializable {
     }
   }
 
+  final case class AudioSegment(media_id: Long, seg_idx: Int,
+                                start_ms: Long, end_ms: Long, energy: Double)
+
+  /** Audio-shaped windowed segmentation: stub-decode sample-rate/length
+    * from the digest, then emit fixed windows with hop (the spectrogram
+    * framing shape). Fan-out is lengthMs/hopMs per row — predictable,
+    * narrow, no shuffle; a real decoder slots into the per-partition init
+    * exactly like decodeMeta. */
+  def segmentAudio(media: Dataset[MediaRow], windowMs: Long, hopMs: Long)
+      : Dataset[AudioSegment] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val md = MessageDigest.getInstance("SHA-256")
+      val h = md.digest(m.content)
+      // stub: duration 1000..8999 ms from digest bytes 5-6
+      val durMs = 1000L + (((h(5) & 0xFF) << 8 | (h(6) & 0xFF)) % 8000)
+      val nSegs = ((durMs - windowMs) / hopMs + 1).max(1)
+      (0L until nSegs).iterator.map { i =>
+        val start = i * hopMs
+        val end = math.min(start + windowMs, durMs)
+        // stub energy: rational in the window bounds — cross-engine exact
+        val energy = ((start + end) % 1000L).toDouble / 1000.0
+        AudioSegment(m.media_id, i.toInt, start, end, energy)
+      }
+    }
+  }
+
   /** Build a fake media table from documents (text bytes as the opaque
     * payload) — exercises the binary-column path end-to-end. */
   def mediaFromDocuments(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -381,6 +381,46 @@ object LlmPipeline extends Serializable {
       |  length(text) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus-statistics quality scoring: the fraction of a document's
+    * bigrams that are corpus-common (count ≥ 5) — junk/OCR noise is made
+    * of rare transitions. A genuine two-stage pipeline: corpus pass
+    * builds the common-bigram set, broadcast-joined back for per-doc
+    * scoring. Integer counts + one final division keep it cross-engine
+    * exact. At 100 TB the common set is frequency-pruned (or a Bloom
+    * filter) and still broadcastable. */
+  def textBigramCoverage(s: SparkSession, d: String): DataFrame = {
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), ws).as("t"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)," +
+          " (x, y) -> concat(x, ' ', y))")).as("bg"))
+    val common = bigrams.groupBy("bg").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 5).select(col("bg"), lit(1).as("hit"))
+    bigrams.join(broadcast(common), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_common"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_bigrams"), 6)
+          .as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  val textBigramCoverageSql: String =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |    i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)),
+      |common AS (
+      |  SELECT bg FROM (SELECT bg, count(*) AS n FROM bg GROUP BY bg)
+      |  WHERE n >= 5)
+      |SELECT b.doc_id, count(*) AS n_bigrams,
+      |  sum(CASE WHEN c.bg IS NOT NULL THEN 1 ELSE 0 END) AS n_common,
+      |  round(CAST(sum(CASE WHEN c.bg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS coverage
+      |FROM bg b LEFT JOIN common c ON b.bg = c.bg
+      |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+
   /** Vocabulary mining: top-100 corpus tokens by frequency. The classic
     * shuffle-heavy aggregation: explode → partial (map-side) count →
     * final count → TakeOrdered; ties break on the token so both engines
@@ -466,7 +506,32 @@ object LlmPipeline extends Serializable {
       |FROM (SELECT media_id, w, h, unnest(generate_series(0, 3)) AS i FROM meta)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Audio-shaped windowed segmentation over binary media (500 ms windows,
+    * 250 ms hop) — deterministic stub duration/energy so the fan-out and
+    * window arithmetic are oracle-checkable. */
+  def multimodalAudioSegments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+    Multimodal.segmentAudio(media, windowMs = 500L, hopMs = 250L)
+      .toDF().orderBy("media_id", "seg_idx")
+  }
+
+  val multimodalAudioSegmentsSql: String =
+    """WITH meta AS (
+      |  SELECT doc_id AS media_id,
+      |    1000 + CAST(('0x' || substr(sha256(text), 11, 4)) AS BIGINT) % 8000 AS dur
+      |  FROM documents),
+      |segs AS (
+      |  SELECT media_id, dur,
+      |    unnest(generate_series(0, greatest((dur - 500) // 250, 0))) AS i
+      |  FROM meta)
+      |SELECT media_id, CAST(i AS INT) AS seg_idx,
+      |  i * 250 AS start_ms, least(i * 250 + 500, dur) AS end_ms,
+      |  CAST((i * 250 + least(i * 250 + 500, dur)) % 1000 AS DOUBLE) / 1000.0 AS energy
+      |FROM segs ORDER BY media_id, seg_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio" -> (multimodalAudioSegments _),
     "multimodal_frames" -> (multimodalFrames _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_blocked" -> (dedupJaccardBlocked _),
@@ -481,12 +546,14 @@ object LlmPipeline extends Serializable {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_vocab" -> (textVocab _),
+    "text_bigram_coverage" -> (textBigramCoverage _),
     "sample_split" -> (sampleSplit _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_decode" -> (multimodalDecode _)
   )
 
   val oracle: Map[String, String] = Map(
+    "multimodal_audio" -> multimodalAudioSegmentsSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "ann_lsh" -> annLshSql,
@@ -501,6 +568,7 @@ object LlmPipeline extends Serializable {
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_vocab" -> textVocabSql,
+    "text_bigram_coverage" -> textBigramCoverageSql,
     "sample_split" -> sampleSplitSql,
     "text_fingerprint" -> textFingerprintSql,
     "multimodal_decode" -> multimodalDecodeSql

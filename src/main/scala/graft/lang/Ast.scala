@@ -11,6 +11,19 @@ object Ast {
   sealed trait UdType
   case object TBool extends UdType
   case object TInt extends UdType
+  /** Sized integer of the documented numeric tower (manual.md:85-97):
+    * U8/U16/U32, I8/I16/I32, Nat (bits=64, unsigned ⇒ non-negative Long).
+    * Rides as Long at the schema level; the declared range is enforced at
+    * kernel boundaries (ingest, casts, declared params) — U64/I64 map to
+    * plain TInt (Long width). */
+  final case class TIntN(bits: Int, signed: Boolean) extends UdType {
+    def lo: Long = if (signed) -(1L << (bits - 1)) else 0L
+    def hi: Long =
+      if (bits >= 64) Long.MaxValue
+      else if (signed) (1L << (bits - 1)) - 1
+      else (1L << bits) - 1
+    def contains(v: Long): Boolean = v >= lo && v <= hi
+  }
   case object TFloat extends UdType
   case object TStr extends UdType
   case object TNone extends UdType

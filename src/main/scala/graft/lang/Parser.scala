@@ -99,7 +99,14 @@ object UdParser extends RegexParsers {
   def tyAtom: Parser[UdType] =
     ("Bool" ^^^ TBool | "Int" ^^^ TInt | "Float" ^^^ TFloat |
       ("String" | "Str") ^^^ TStr | "None" ^^^ TNone | "Any" ^^^ TAny |
-      ("U8" | "U16" | "U32" | "U64" | "I8" | "I16" | "I32" | "I64" | "Nat") ^^^ TInt |
+      "U8" ^^^ TIntN(8, signed = false) |
+      "U16" ^^^ TIntN(16, signed = false) |
+      "U32" ^^^ TIntN(32, signed = false) |
+      "I8" ^^^ TIntN(8, signed = true) |
+      "I16" ^^^ TIntN(16, signed = true) |
+      "I32" ^^^ TIntN(32, signed = true) |
+      "Nat" ^^^ TIntN(64, signed = false) |
+      ("U64" | "I64") ^^^ TInt |
       ("F32" | "F64") ^^^ TFloat) <~ not(ident) |
       strLit ^^ (s => TValue(unescape(s))) |
       "[" ~> ty <~ "]" ^^ TList |

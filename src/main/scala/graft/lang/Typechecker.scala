@@ -76,6 +76,11 @@ object Typechecker {
       case (_, TAny)              => true
       case (TAny, _)              => true // gradual: $-lambdas defer to runtime
       case (TValue(_), TStr)      => true
+      // sized ints interchange with Int statically; the range is enforced
+      // at the runtime boundary (coerceDeclared / anyToValue)
+      case (TIntN(_, _), TInt)    => true
+      case (TInt, TIntN(_, _))    => true
+      case (TIntN(_, _), TIntN(_, _)) => true
       case (TNone, TOption(_))    => true
       case (x, TOption(y))        => subtype(x, y)
       // NO TOption(x) <: x — an un-narrowed Option must go through match
@@ -124,10 +129,12 @@ object Typechecker {
         else error(s"unbound identifier: $n"))
       case Bin(op, l, r) =>
         val lt0 = checkExpr(l, env); val rt0 = checkExpr(r, env)
-        // literal string types decay to Str for operator purposes
+        // literal string types decay to Str, sized ints to Int, for
+        // operator purposes (ranges are runtime boundaries, not op types)
         def decay(t: UdType): UdType = t match {
-          case TValue(_) => TStr
-          case other     => other
+          case TValue(_)   => TStr
+          case TIntN(_, _) => TInt
+          case other       => other
         }
         val lt = decay(lt0); val rt = decay(rt0)
         if (lt == TAny || rt == TAny) op match {

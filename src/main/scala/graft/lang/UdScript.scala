@@ -192,6 +192,7 @@ object UdScript {
   def sparkType(t: UdType): DataType = t match {
     case TBool     => BooleanType
     case TInt      => LongType
+    case TIntN(_, _) => LongType // sized ints ride as Long; range checked
     case TFloat    => DoubleType
     case TStr      => StringType
     case TNone     => NullType
@@ -269,7 +270,11 @@ object UdScript {
 
   def anyToValue(a: Any, t: UdType): Value = (a, t) match {
     case (null, _)          => VNone
+    case (x: Long, n: TIntN) =>
+      if (n.contains(x)) VInt(x)
+      else Values.err(s"range: $x not a ${if (n.signed) "I" else "U"}${n.bits}")
     case (x: Long, _)       => VInt(x)
+    case (x: Int, n: TIntN)  => anyToValue(x.toLong, n)
     case (x: Int, _)        => VInt(x.toLong)
     case (x: Short, _)      => VInt(x.toLong)
     case (x: Double, _)     => VFloat(x)
@@ -488,7 +493,8 @@ private[lang] object Lowering {
                   case _                         => None
                 }
                 vi = p.params.indexWhere(_._1 == v)
-                if vi >= 0 && p.params(vi)._2 == TInt
+                if vi >= 0 && (p.params(vi)._2 == TInt ||
+                  p.params(vi)._2.isInstanceOf[TIntN])
                 if recArgs.zipWithIndex.forall { case (a, i) =>
                   if (i == vi) a match {
                     case Bin(Sub, Id(`v`), LitInt(1)) => step == -1
@@ -656,15 +662,19 @@ private[lang] object Lowering {
       isStr(l) || isStr(r)
     }
 
-    def isIntExpr(e: Expr): Boolean = e match {
+    def isIntExpr(e: Expr): Boolean = {
+      def intish(t: UdType): Boolean =
+        t == TInt || t.isInstanceOf[TIntN]
+      e match {
       case LitInt(_) => true
-      case In        => script.input == TInt
+      case In        => intish(script.input)
       case Dot(In, f) => script.input match {
-        case TRecord(fs, _) => fs.exists(x => x.name == f && x.t == TInt)
+        case TRecord(fs, _) => fs.exists(x => x.name == f && intish(x.t))
         case _ => false
       }
       case Bin(Add | Sub | Mul | Div | Mod, a, b) => isIntExpr(a) && isIntExpr(b)
       case _ => false
+      }
     }
 
     /** Declared type of input-rooted expressions (enough for union

@@ -444,6 +444,9 @@ final class Interp(script: Ast.Script,
 
   /** explicit `as` cast (Coerce semantics, ir.rs:510-529) */
   private def coerceCast(v: Value, t: UdType): Value = (v, t) match {
+    case (VInt(i), n: TIntN) => // range-checked narrowing (manual.md:85-97)
+      if (n.contains(i)) VInt(i)
+      else err(s"range: $i not a ${if (n.signed) "I" else "U"}${n.bits}")
     case (VInt(i), TFloat)  => VFloat(i.toDouble)
     case (VFloat(d), TInt)  => VInt(d.toLong) // trunc toward zero
     case (VBool(b), TInt)   => VInt(if (b) 1L else 0L)
@@ -454,9 +457,13 @@ final class Interp(script: Ast.Script,
     case (x, _)             => x // identity / same-type
   }
 
-  /** widening coercion at declared boundaries (Coerce, ir.rs:205/510-529) */
+  /** widening coercion at declared boundaries (Coerce, ir.rs:205/510-529);
+    * sized-int params enforce their declared range */
   private def coerceDeclared(v: Value, t: UdType): Value = (v, t) match {
     case (VInt(i), TFloat) => VFloat(i.toDouble)
+    case (VInt(i), n: TIntN) =>
+      if (n.contains(i)) v
+      else err(s"range: $i not a ${if (n.signed) "I" else "U"}${n.bits}")
     case _                 => v
   }
 
@@ -481,6 +488,7 @@ final class Interp(script: Ast.Script,
   private def matchesType(v: Value, t: UdType): Boolean = (v, t) match {
     case (VInt(_), TInt) | (VFloat(_), TFloat) | (VStr(_), TStr) |
         (VBool(_), TBool) | (VNone, TNone)  => true
+    case (VInt(i), n: TIntN)                => n.contains(i) // range test
     case (VStr(s), TValue(lit))             => s == lit
     case (VList(_), TList(_))               => true
     case (VTuple(xs), TTuple(ts))           =>

@@ -44,6 +44,34 @@ class UnionSpec extends SparkSpec {
     assert(out(1).getStruct(1) == Row("Str", null, "hi"))
   }
 
+  test("sized integers enforce their declared range at kernel boundaries") {
+    // U8 input: 200 passes, 300 aborts the record (ingest range check)
+    val src = """script "sized";
+      |input  U8;
+      |output Int;
+      |for x in [in] { out x * 2; }""".stripMargin
+    val c = UdScript.compile(src)
+    val ok = c.run(Seq(200L).toDF("value")).collect().map(_.getLong(0))
+    assert(ok.toSeq == Seq(400L))
+    val ex = intercept[Exception] {
+      c.run(Seq(300L).toDF("value")).collect()
+    }
+    assert(ex.getMessage.contains("range") ||
+      ex.getCause != null)
+    // `as I8` cast range-checks; match on a sized type is a range test
+    val cast = """script "cast";
+      |input  Int;
+      |output Str;
+      |out match (in) {
+      |  case b: U8 => "byte";
+      |  else => "big";
+      |};""".stripMargin
+    val c2 = UdScript.compile(cast)
+    val out = c2.run(Seq(12L, 300L).toDF("value")).collect()
+      .map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("big", "byte"))
+  }
+
   test("match with Some/none patterns stays kernel tier (no misclassify)") {
     val src = """script "opt match";
       |input  Int?;

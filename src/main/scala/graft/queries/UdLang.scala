@@ -269,7 +269,29 @@ object UdLang extends Serializable {
       |FROM lineitem WHERE l_orderkey % 10 = 0
       |ORDER BY l_orderkey, n""".stripMargin
 
+  /** D10: the `!` debug trace in a driver-checked query — tracing is a
+    * side effect to executor stderr (sampled: only doc 0 here, a real
+    * pipeline would gate on a debug flag), and MUST NOT perturb results:
+    * the oracle sees pure output. */
+  def uDebugTrace(s: SparkSession, d: String): DataFrame = {
+    val src = """script "debug trace";
+      |input  {doc_id: Int, text: Str};
+      |output {doc_id: Int, n_chars: Int};
+      |if (in.doc_id == 0) {
+      |  ! "doc " + (in.doc_id as Str);
+      |}
+      |out {doc_id: in.doc_id, n_chars: in.text.length};""".stripMargin
+    UdScript.compile(src)
+      .run(Tables.documents(s, d).select("doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
+  val uDebugTraceSql: String =
+    """SELECT doc_id, length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_debug_trace" -> (uDebugTrace _),
     "u_stream_filter" -> (uStreamFilter _),
     "u_stream_count" -> (uStreamCount _),
     "u_union_match" -> (uUnionMatch _),
@@ -281,6 +303,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_debug_trace" -> uDebugTraceSql,
     "u_stream_filter" -> uStreamFilterSql,
     "u_stream_count" -> uStreamCountSql,
     "u_union_match" -> uUnionMatchSql,

@@ -541,7 +541,19 @@ private[lang] object Lowering {
         case TRecord(_, _) => struct(df.columns.map(df(_)).toSeq: _*)
         case _          => df(df.columns.head)
       }
-      case Dot(In, field) => df(field)
+      case Dot(In, field) =>
+        val c = df(field)
+        declTypeOf(Dot(In, field)) match {
+          // sized ints enforce their declared range in this tier too
+          // (kernel twin: anyToValue) — same codegen'd guard shape as
+          // UdFunctions.typeCheck
+          case Some(n: TIntN) =>
+            when(c.isNull || (c >= n.lo && c <= n.hi), c)
+              .otherwise(raise_error(concat(
+                lit(s"range: "), c.cast("string"),
+                lit(s" not a ${if (n.signed) "I" else "U"}${n.bits}"))))
+          case _ => c
+        }
       case Dot(x, field)  => colOf(x, binds).getField(field)
       // Has means key PRESENCE when the frame carries a presence flag
       // (JsonRecords/Msgpack absent-vs-null); isNotNull is the fallback

@@ -72,6 +72,21 @@ class UnionSpec extends SparkSpec {
     assert(out.toSeq == Seq("big", "byte"))
   }
 
+  test("column tier also enforces sized-int field ranges") {
+    val src = """script "sized col";
+      |input  {id: Int, v: U16};
+      |output {id: Int, w: Int};
+      |out {id: in.id, w: in.v + 1};""".stripMargin
+    val c = UdScript.compile(src)
+    assert(c.tier == UdScript.ColumnTier)
+    val ok = c.run(Seq((1L, 65535L)).toDF("id", "v")).collect()
+    assert(ok(0).getLong(1) == 65536L)
+    val ex = intercept[Exception] {
+      c.run(Seq((1L, 70000L)).toDF("id", "v")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("match with Some/none patterns stays kernel tier (no misclassify)") {
     val src = """script "opt match";
       |input  Int?;

@@ -115,6 +115,35 @@ class MsgpackSpec extends SparkSpec {
     assert(reasons.toSeq == Seq("missing:id", "type:id expected bigint got String"))
   }
 
+  test("nested records, lists and maps round trip through the codec") {
+    val declared = TRecord(Seq(
+      TField("id", TInt, absentOptional = false),
+      TField("tags", TList(TStr), absentOptional = false),
+      TField("meta", TRecord(Seq(
+        TField("k", TStr, absentOptional = false),
+        TField("n", TInt, absentOptional = false))), absentOptional = false),
+      TField("scores", TMap(TFloat), absentOptional = false)))
+    val dir = new java.io.File("/tmp/graft_msgpack_spec/nested")
+    dir.mkdirs()
+    val o = new ByteArrayOutputStream()
+    Msgpack.writeMap(o, Seq(
+      "id" -> 1L,
+      "tags" -> Vector("a", "b"),
+      "meta" -> Map("k" -> "x", "n" -> 9L),
+      "scores" -> Map("s1" -> 0.5, "s2" -> 2L))) // int where float declared
+    val f = new java.io.FileOutputStream(
+      new java.io.File(dir, "part-00000.msgpack"))
+    try f.write(o.toByteArray) finally f.close()
+    val rows = Msgpack.read(spark, dir.getPath, declared,
+      ValidatedIngest.Abort).good.collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getLong(0) == 1L)
+    assert(r.getSeq[String](1).toSeq == Seq("a", "b"))
+    assert(r.getStruct(2) == Row("x", 9L))
+    assert(r.getMap[String, Double](3) == Map("s1" -> 0.5, "s2" -> 2.0))
+  }
+
   test("events round trip through msgpack equals the parquet source") {
     val src = graft.Tables.events(spark, sf).select(col("event_id"),
       col("user_id"), col("event_type"), col("value"),

@@ -539,6 +539,12 @@ private[lang] object Lowering {
       case LitNone     => lit(null)
       case In => script.input match {
         case TRecord(_, _) => struct(df.columns.map(df(_)).toSeq: _*)
+        case n: TIntN => // scalar sized-int input: same range guard
+          val c = df(df.columns.head)
+          when(c.isNull || (c >= n.lo && c <= n.hi), c)
+            .otherwise(raise_error(concat(
+              lit("range: "), c.cast("string"),
+              lit(s" not a ${if (n.signed) "I" else "U"}${n.bits}"))))
         case _          => df(df.columns.head)
       }
       case Dot(In, field) =>

@@ -290,7 +290,45 @@ object UdLang extends Serializable {
     """SELECT doc_id, length(text) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Watermarked event-time aggregation over a FILE STREAM, append mode —
+    * the full stateful-streaming contract as a driver-checked entry. With
+    * a 10-minute watermark only windows whose end precedes
+    * max(ts) − 10min finalize and emit (Spark's no-data final micro-batch
+    * flushes them); the oracle states exactly that cutoff, so the
+    * watermark SEMANTICS are part of the checked result, not just the
+    * plumbing. Decimal-exact sums per QueryUtil. */
+  def uStreamWindow(s: SparkSession, d: String): DataFrame = {
+    val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(QueryUtil.sumd(col("value")).as("sum_value"),
+        count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("sum_value"), col("n"))
+    s.catalog.dropTempView("u_stream_window_sink")
+    val q = stream.writeStream.format("memory")
+      .queryName("u_stream_window_sink").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("u_stream_window_sink").orderBy("win_start_us", "event_type")
+  }
+
+  val uStreamWindowSql: String =
+    s"""SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_us,
+       |  event_type, ${QueryUtil.sqlSumd("value")} AS sum_value,
+       |  count(*) AS n
+       |FROM events
+       |WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <=
+       |  (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+       |GROUP BY 1, 2
+       |ORDER BY win_start_us, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_stream_window" -> (uStreamWindow _),
     "u_debug_trace" -> (uDebugTrace _),
     "u_stream_filter" -> (uStreamFilter _),
     "u_stream_count" -> (uStreamCount _),
@@ -303,6 +341,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_stream_window" -> uStreamWindowSql,
     "u_debug_trace" -> uDebugTraceSql,
     "u_stream_filter" -> uStreamFilterSql,
     "u_stream_count" -> uStreamCountSql,

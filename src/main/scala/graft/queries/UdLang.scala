@@ -327,7 +327,54 @@ object UdLang extends Serializable {
        |GROUP BY 1, 2
        |ORDER BY win_start_us, event_type""".stripMargin
 
+  /** Watermarked SESSION windows over the file stream: a session emits in
+    * append mode once the watermark passes its end (last event + the
+    * 5-minute gap), so the oracle is the gaps-and-islands batch twin
+    * filtered to sessions whose end + gap precedes max(ts) − 10min. */
+  def uStreamSession(s: SparkSession, d: String): DataFrame = {
+    val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), QueryUtil.sumd(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n"), col("sum_value"))
+    s.catalog.dropTempView("u_stream_session_sink")
+    val q = stream.writeStream.format("memory")
+      .queryName("u_stream_session_sink").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("u_stream_session_sink").orderBy("user_id", "session_start_us")
+  }
+
+  val uStreamSessionSql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), y AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM x
+       |), sess AS (
+       |  SELECT user_id, min(ts) AS st, max(ts) AS en,
+       |    count(*) AS n, ${QueryUtil.sqlSumd("value")} AS sum_value
+       |  FROM y GROUP BY user_id, sid)
+       |SELECT user_id, epoch_us(st) AS session_start_us, n, sum_value
+       |FROM sess
+       |WHERE en + INTERVAL 5 MINUTE <=
+       |  (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+       |ORDER BY user_id, session_start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_stream_session" -> (uStreamSession _),
     "u_stream_window" -> (uStreamWindow _),
     "u_debug_trace" -> (uDebugTrace _),
     "u_stream_filter" -> (uStreamFilter _),
@@ -341,6 +388,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_stream_session" -> uStreamSessionSql,
     "u_stream_window" -> uStreamWindowSql,
     "u_debug_trace" -> uDebugTraceSql,
     "u_stream_filter" -> uStreamFilterSql,

@@ -203,6 +203,27 @@ object UdLang extends Serializable {
     s.table(sink)
   }
 
+  /** Parquet file schemas for the stream sources, read once per path: a
+    * streaming entry must declare its schema up front, but re-deriving it
+    * with a fresh batch read on every call is pure overhead. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+  private def parquetSchema(s: SparkSession, path: String) =
+    schemaCache.getOrElseUpdate(path, s.read.parquet(path).schema)
+
+  /** Stateful streaming state partitions scale with KEY cardinality, not
+    * data volume — these entries aggregate a handful of keys, and the
+    * shuffle default (32) just cycles 32 near-empty state stores through
+    * every micro-batch. The partition count is pinned at first start via
+    * the shuffle-partition conf, so set it around the whole run and
+    * restore after. On a cluster the same knob is sized to keys. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Column-tier script over a FILE STREAM of events — the north-star
     * "Structured Streaming with custom transformations" as a
     * driver-checked entry. The oracle is the batch twin's SQL (a finite
@@ -224,7 +245,7 @@ object UdLang extends Serializable {
       |}""".stripMargin
     val c = UdScript.compile(src)
     require(c.tier == UdScript.ColumnTier)
-    val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+    val fileSchema = parquetSchema(s, s"$d/events.parquet")
     val stream = s.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
@@ -249,7 +270,7 @@ object UdLang extends Serializable {
       |count(in.l_orderkey, in.l_linenumber);""".stripMargin
     val c = UdScript.compile(src)
     require(c.tier == UdScript.KernelTier)
-    val fileSchema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val fileSchema = parquetSchema(s, s"$d/lineitem.parquet")
     // 10% orderkey slice: the entry proves the streaming path; an
     // unsliced run spends its time materializing ~2M rows into the
     // driver-side memory sink, which measures the sink, not the engine
@@ -298,7 +319,7 @@ object UdLang extends Serializable {
     * watermark SEMANTICS are part of the checked result, not just the
     * plumbing. Decimal-exact sums per QueryUtil. */
   def uStreamWindow(s: SparkSession, d: String): DataFrame = {
-    val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+    val fileSchema = parquetSchema(s, s"$d/events.parquet")
     val stream = s.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
@@ -310,11 +331,9 @@ object UdLang extends Serializable {
         count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("sum_value"), col("n"))
-    s.catalog.dropTempView("u_stream_window_sink")
-    val q = stream.writeStream.format("memory")
-      .queryName("u_stream_window_sink").outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    s.table("u_stream_window_sink").orderBy("win_start_us", "event_type")
+    withStatePartitions(s, 4) {
+      runStream(s, stream, "u_stream_window_sink")
+    }.orderBy("win_start_us", "event_type")
   }
 
   val uStreamWindowSql: String =
@@ -332,7 +351,7 @@ object UdLang extends Serializable {
     * 5-minute gap), so the oracle is the gaps-and-islands batch twin
     * filtered to sessions whose end + gap precedes max(ts) − 10min. */
   def uStreamSession(s: SparkSession, d: String): DataFrame = {
-    val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+    val fileSchema = parquetSchema(s, s"$d/events.parquet")
     val stream = s.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
@@ -344,11 +363,9 @@ object UdLang extends Serializable {
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n"), col("sum_value"))
-    s.catalog.dropTempView("u_stream_session_sink")
-    val q = stream.writeStream.format("memory")
-      .queryName("u_stream_session_sink").outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    s.table("u_stream_session_sink").orderBy("user_id", "session_start_us")
+    withStatePartitions(s, 4) {
+      runStream(s, stream, "u_stream_session_sink")
+    }.orderBy("user_id", "session_start_us")
   }
 
   val uStreamSessionSql: String =

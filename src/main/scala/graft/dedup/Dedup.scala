@@ -190,17 +190,33 @@ object Dedup extends Serializable {
     Array.tabulate(4)(j => ((b(2 * j) & 0xFF) << 8) | (b(2 * j + 1) & 0xFF))
   }
 
-  /** Local mirror of the per-doc simhash chunks, for spec brute-force. */
+  /** Local mirror of the per-doc simhash chunks, for spec brute-force.
+    * One flat counter array, digest bytes read in place — no per-token
+    * allocation beyond the UTF-8 bytes the digest needs anyway. */
   def simhashChunksLocal(text: String): Array[Int] = {
-    val counts = Array.fill(4, 16)(0)
-    text.split("\\s+").foreach { t =>
-      val hs = tokenChunksLocal(t)
-      for (j <- 0 until 4; b <- 0 until 16)
-        if (((hs(j) >> b) & 1) == 1) counts(j)(b) += 1 else counts(j)(b) -= 1
+    val counts = new Array[Int](64)
+    val md = md5Local.get()
+    val toks = text.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val h = md.digest(toks(i).getBytes("UTF-8"))
+      var j = 0
+      while (j < 4) {
+        val chunk = ((h(2 * j) & 0xFF) << 8) | (h(2 * j + 1) & 0xFF)
+        var b = 0
+        while (b < 16) {
+          if (((chunk >> b) & 1) == 1) counts(j * 16 + b) += 1
+          else counts(j * 16 + b) -= 1
+          b += 1
+        }
+        j += 1
+      }
+      i += 1
     }
     Array.tabulate(4) { j =>
       (0 until 16).foldLeft(0)((acc, b) =>
-        if (counts(j)(b) > 0) acc | (1 << b) else acc)
+        if (counts(j * 16 + b) > 0) acc | (1 << b) else acc)
     }
   }
 
@@ -307,12 +323,17 @@ object Dedup extends Serializable {
     // arrays are ~10x slower than this loop; both are narrow one-pass
     // stages with no shuffle, so the scale shape is identical.
     import s.implicits._
+    // Materialize the signatures ONCE: both sides of the band self-join
+    // read this lineage, and without the checkpoint Spark recomputes the
+    // per-token md5 map per side — the whole stage is a narrow 5-ints-per-
+    // doc frame, so materializing it is far cheaper than hashing twice.
     val sigs = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, t) =>
         val c = simhashChunksLocal(t); (id, c(0), c(1), c(2), c(3))
       }
       .toDF("doc_id", "c0", "c1", "c2", "c3")
+      .localCheckpoint(true)
     val banded = sigs.select(col("doc_id"), col("c0"), col("c1"), col("c2"),
       col("c3"), posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
         .as(Seq("band", "key")))

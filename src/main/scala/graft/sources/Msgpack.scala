@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.ByteArrayOutputStream
+import java.io.OutputStream
 import java.nio.ByteBuffer
 
 import graft.lang.Ast._
@@ -39,12 +39,12 @@ object Msgpack extends Serializable {
 
   // ---- encoder (big-endian, minimal-width encodings) ----
 
-  private def writeN(o: ByteArrayOutputStream, x: Long, n: Int): Unit = {
+  private def writeN(o: OutputStream, x: Long, n: Int): Unit = {
     var i = n - 1
     while (i >= 0) { o.write(((x >>> (8 * i)) & 0xff).toInt); i -= 1 }
   }
 
-  def writeLong(o: ByteArrayOutputStream, x: Long): Unit =
+  def writeLong(o: OutputStream, x: Long): Unit =
     if (x >= 0 && x <= 127) o.write(x.toInt)
     else if (x < 0 && x >= -32) o.write(0xe0 | (x.toInt & 0x1f))
     else if (x >= Byte.MinValue && x <= Byte.MaxValue) {
@@ -55,7 +55,7 @@ object Msgpack extends Serializable {
       o.write(0xd2); writeN(o, x, 4)
     } else { o.write(0xd3); writeN(o, x, 8) }
 
-  def writeValue(o: ByteArrayOutputStream, v: Any): Unit = v match {
+  def writeValue(o: OutputStream, v: Any): Unit = v match {
     case null         => o.write(0xc0)
     case b: Boolean   => o.write(if (b) 0xc3 else 0xc2)
     case i: Byte      => writeLong(o, i.toLong)
@@ -86,10 +86,15 @@ object Msgpack extends Serializable {
       xs.foreach(writeValue(o, _))
     case m: scala.collection.Map[_, _] =>
       writeMap(o, m.toSeq.map { case (k, x) => (String.valueOf(k), x) })
-    case other => writeValue(o, String.valueOf(other))
+    case other =>
+      // fail at WRITE time: silently stringifying a Timestamp/Decimal/...
+      // would change the column's type in a way that only surfaces (if
+      // ever) as a coerce error on read-back
+      throw MsgpackError(
+        s"unsupported runtime type for msgpack encode: ${other.getClass.getName}")
   }
 
-  def writeMap(o: ByteArrayOutputStream, entries: Seq[(String, Any)]): Unit = {
+  def writeMap(o: OutputStream, entries: Seq[(String, Any)]): Unit = {
     if (entries.length <= 15) o.write(0x80 | entries.length)
     else if (entries.length < 65536) { o.write(0xde); writeN(o, entries.length.toLong, 2) }
     else { o.write(0xdf); writeN(o, entries.length.toLong, 4) }
@@ -141,7 +146,11 @@ object Msgpack extends Serializable {
       case 0xcc => u8(b).toLong
       case 0xcd => u16(b).toLong
       case 0xce => b.getInt().toLong & 0xffffffffL
-      case 0xcf => b.getLong()                            // uint64 (as i64)
+      case 0xcf =>
+        val x = b.getLong()                               // uint64 (as i64)
+        if (x < 0) throw MsgpackError(
+          s"uint64 value ${java.lang.Long.toUnsignedString(x)} exceeds i64 range")
+        x
       case 0xd0 => b.get().toLong
       case 0xd1 => b.getShort().toLong
       case 0xd2 => b.getInt().toLong
@@ -263,31 +272,48 @@ object Msgpack extends Serializable {
     }.toMap
     val dataCols = names.filterNot(_.endsWith("__present"))
     val uri = new java.net.URI(path)
-    // clear previous output (Hadoop FS API — works for any scheme)
-    val fsDriver = org.apache.hadoop.fs.FileSystem.get(uri,
+    // the SESSION Hadoop conf, serialized to executors: scheme-specific
+    // settings (s3a credentials/endpoints, hdfs nameservices) live there,
+    // and a fresh Configuration() on the executor would not see them
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (fsDriver.exists(p)) fsDriver.delete(p, true)
-    fsDriver.mkdirs(p)
-    df.foreachPartition { rows: Iterator[Row] =>
-      if (rows.hasNext) {
-        val o = new ByteArrayOutputStream()
-        rows.foreach { r =>
-          val entries = dataCols.flatMap { c =>
-            val isPresent = present.get(c)
-              .forall(pc => r.getAs[Boolean](pc))
-            if (!isPresent) None
-            else Some(c -> r.get(r.fieldIndex(c)))
-          }
-          writeMap(o, entries)
+    val fsDriver = org.apache.hadoop.fs.FileSystem.get(uri, hconf.value)
+    val finalPath = new org.apache.hadoop.fs.Path(path)
+    // two-phase commit: tasks write into a temp dir, the driver renames it
+    // into place only after the whole job succeeds — a mid-job failure
+    // must never leave a readable half-written directory (silent row loss
+    // on the next read)
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "._tmp_" + java.util.UUID.randomUUID().toString)
+    fsDriver.mkdirs(tmpPath)
+    val tmpStr = tmpPath.toString
+    try {
+      df.foreachPartition { rows: Iterator[Row] =>
+        if (rows.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val fs = org.apache.hadoop.fs.FileSystem.get(uri, hconf.value)
+          // stream rows straight to the file — no whole-partition buffer
+          val out = new java.io.BufferedOutputStream(fs.create(
+            new org.apache.hadoop.fs.Path(tmpStr, f"part-$pid%05d.msgpack"),
+            true), 1 << 16)
+          try {
+            rows.foreach { r =>
+              val entries = dataCols.flatMap { c =>
+                val isPresent = present.get(c)
+                  .forall(pc => r.getAs[Boolean](pc))
+                if (!isPresent) None
+                else Some(c -> r.get(r.fieldIndex(c)))
+              }
+              writeMap(out, entries)
+            }
+          } finally out.close()
         }
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val fs = org.apache.hadoop.fs.FileSystem.get(uri,
-          new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(
-          new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.msgpack"), true)
-        try out.write(o.toByteArray) finally out.close()
       }
+      if (fsDriver.exists(finalPath)) fsDriver.delete(finalPath, true)
+      if (!fsDriver.rename(tmpPath, finalPath))
+        throw MsgpackError(s"commit rename failed: $tmpPath -> $finalPath")
+    } finally {
+      if (fsDriver.exists(tmpPath)) fsDriver.delete(tmpPath, true)
     }
   }
 }

@@ -144,6 +144,21 @@ class MsgpackSpec extends SparkSpec {
     assert(r.getMap[String, Double](3) == Map("s1" -> 0.5, "s2" -> 2.0))
   }
 
+  test("fail-loud posture: uint64 overflow and unsupported write types") {
+    // uint64 with the sign bit set cannot be an i64 — must raise, not wrap
+    val big = Array[Byte](0xcf.toByte, 0xff.toByte, 0, 0, 0, 0, 0, 0, 1)
+    intercept[Msgpack.MsgpackError] {
+      Msgpack.readValue(ByteBuffer.wrap(big))
+    }
+    // in-range uint64 still decodes
+    val ok = Array[Byte](0xcf.toByte, 0, 0, 0, 0, 0, 0, 0, 9)
+    assert(Msgpack.readValue(ByteBuffer.wrap(ok)) == 9L)
+    // a runtime type the wire format can't carry fails at write time
+    intercept[Msgpack.MsgpackError] {
+      enc(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    }
+  }
+
   test("events round trip through msgpack equals the parquet source") {
     val src = graft.Tables.events(spark, sf).select(col("event_id"),
       col("user_id"), col("event_type"), col("value"),

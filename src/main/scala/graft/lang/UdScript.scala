@@ -185,7 +185,7 @@ object UdScript {
     val pseudo = Script("library", TAny, TAny, stmts, Seq.empty)
     val interp = new Interp(pseudo, nested)
     val env = interp.initEnv
-    Values.VMap(env.vars.toVector.sortBy(_._1))
+    Values.VMap(env.vars.toVector.sortBy(_._1))()
   }
 
   // ---- declared type → Spark schema ----
@@ -264,7 +264,8 @@ object UdScript {
           Some(f.name -> (if (row.isNullAt(i)) VNone
           else anyToValue(row.get(i), f.t)))
         }
-      }.toVector)
+      }.toVector)(absentOk =
+        fs.filter(_.absentOptional).map(_.name).toSet)
     case scalar => if (row.isNullAt(0)) VNone else anyToValue(row.get(0), scalar)
   }
 
@@ -300,7 +301,7 @@ object UdScript {
     case (x: Map[_, _], TMap(vt)) =>
       VMap(x.toVector.map { case (k, v) =>
         k.toString -> anyToValue(v, vt)
-      }.sortBy(_._1))
+      }.sortBy(_._1))()
     case (x, _) => VStr(String.valueOf(x))
   }
 

@@ -24,8 +24,15 @@ object Values {
   final case class VList(xs: Vector[Value]) extends Value
   /** fixed-length heterogeneous tuple (Value::Tuple, ir.rs:287) */
   final case class VTuple(xs: Vector[Value]) extends Value
-  /** insertion-ordered string-keyed map (AList, ir.rs:268-269) */
-  final case class VMap(entries: Vector[(String, Value)]) extends Value {
+  /** insertion-ordered string-keyed map (AList, ir.rs:268-269).
+    * `absentOk` (second list: not part of equality/patterns) names the
+    * DECLARED absent-optional fields of the record this map was decoded
+    * from — the only keys Dot may read as none when missing; any other
+    * missing key is a hard error, so a field-name typo that slips past
+    * the static check (gradual TAny under `import lib.*`) still fails
+    * loud instead of silently evaluating to none. */
+  final case class VMap(entries: Vector[(String, Value)])(
+      val absentOk: Set[String] = Set.empty) extends Value {
     lazy val index: Map[String, Value] = entries.toMap
   }
   /** params carry declared types: the front-end inserts a widening Coerce
@@ -234,7 +241,7 @@ final class Interp(script: Ast.Script,
         case RecMember(n, MStatic, ps, _, body) =>
           n -> VLambda(ps, body, env)
       }
-      env.define(name, VMap(ns.toVector))
+      env.define(name, VMap(ns.toVector)())
       members.foreach {
         case RecMember(n, MMethod, ps, _, body) =>
           methodRegistry(n) = VLambda(("self", TAny) +: ps, body, env)
@@ -347,9 +354,12 @@ final class Interp(script: Ast.Script,
     case Spread(_) => err("spread outside call arguments")
     case Dot(x, field) =>
       eval(x, env, ctx) match {
-        // absent optional fields read as none (README.md:220-228); the
-        // typechecker rejects statically-unknown field names
-        case m: VMap => m.index.getOrElse(field, VNone)
+        // absent optional fields read as none (README.md:220-228); any
+        // OTHER missing key is an error — the typechecker rejects
+        // statically-unknown field names, and this keeps the dynamic
+        // escape hatches (TMap dots, glob-import TAny) equally honest
+        case m: VMap => m.index.getOrElse(field,
+          if (m.absentOk(field)) VNone else err(s"no field $field"))
         case VStr(s) if field == "length" => VInt(s.length.toLong)
         case VList(xs) if field == "length" => VInt(xs.size.toLong)
         case other => err(s"dot on ${render(other)}")
@@ -371,7 +381,7 @@ final class Interp(script: Ast.Script,
     case ListExpr(es) => VList(es.map(x => eval(x, env, ctx)).toVector)
     case TupleExpr(es) => VTuple(es.map(x => eval(x, env, ctx)).toVector)
     case MapExpr(entries) =>
-      VMap(entries.map { case (k, v) => (k, eval(v, env, ctx)) }.toVector)
+      VMap(entries.map { case (k, v) => (k, eval(v, env, ctx)) }.toVector)()
     case Comprehension(coll, fn) =>
       (eval(coll, env, ctx), eval(fn, env, ctx)) match {
         case (VList(xs), f) =>

@@ -20,6 +20,28 @@ class LangFeaturesSpec extends SparkSpec {
     assert(out == Seq(2.0, 5.0))
   }
 
+  test("kernel-tier Dot on a map fails loud for missing keys") {
+    def script(key: String) = s"""script "map dot strict";
+      |input  {k: Int, m: Map<Int>};
+      |output {v: Int};
+      |proc get(n: Int) {
+      |  if (n > 100) { get(n - 1); } else { out {v: n}; }
+      |}
+      |get(in.m.$key);""".stripMargin
+    val df = Seq((1L, Map("a" -> 5L))).toDF("k", "m")
+    val ok = UdScript.compile(script("a"))
+    assert(ok.tier == KernelTier)
+    assert(ok.run(df).collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // a key the record does not carry (and is not declared absent-
+    // optional) must error at runtime, not silently read as none
+    val bad = UdScript.compile(script("zz"))
+    val e = intercept[org.apache.spark.SparkException] {
+      bad.run(df).collect()
+    }
+    assert(e.getMessage.contains("no field zz") ||
+      Option(e.getCause).exists(_.getMessage.contains("no field zz")))
+  }
+
   test("comprehension with $ placeholder ([coll | $.y] style)") {
     val src = """script "pluck";
       |input  {vals: [Float]};

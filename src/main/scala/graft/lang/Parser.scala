@@ -467,6 +467,15 @@ object UdParser extends RegexParsers {
       case other => Left(other.toString)
     }
 
+  /** Parse one bare expression (the CLI's `--dump-expr` REPL). */
+  def parseExprStr(src: String): Either[String, Expr] =
+    parseAll(expr, src) match {
+      case Success(e, _) => Right(e)
+      case NoSuccess(m, rest) =>
+        Left(s"parse error at col ${rest.pos.column}: $m")
+      case other => Left(other.toString)
+    }
+
   def parse(src: String): Either[String, Script] =
     parseAll(program, src) match {
       case Success(s, _) => Right(s)

@@ -265,12 +265,26 @@ object Msgpack extends Serializable {
     * Columns named `<f>__present` are treated as presence flags: when
     * false, field `f` is OMITTED from the record map (absent), as opposed
     * to a null field which is encoded as nil. */
-  def write(df: DataFrame, path: String): Unit = {
-    val names = df.schema.fieldNames.toSeq
+  /** Encode rows as concatenated record maps. Columns named
+    * `<f>__present` are presence flags: when false, field `f` is OMITTED
+    * from the record map (absent) rather than encoded as nil. */
+  def writeRows(o: OutputStream, names: Seq[String], rows: Iterator[Row]): Unit = {
     val present = names.filter(_.endsWith("__present")).map { p =>
       p.stripSuffix("__present") -> p
     }.toMap
     val dataCols = names.filterNot(_.endsWith("__present"))
+    rows.foreach { r =>
+      val entries = dataCols.flatMap { c =>
+        val isPresent = present.get(c).forall(pc => r.getAs[Boolean](pc))
+        if (!isPresent) None
+        else Some(c -> r.get(r.fieldIndex(c)))
+      }
+      writeMap(o, entries)
+    }
+  }
+
+  def write(df: DataFrame, path: String): Unit = {
+    val names = df.schema.fieldNames.toSeq
     val uri = new java.net.URI(path)
     // the SESSION Hadoop conf, serialized to executors: scheme-specific
     // settings (s3a credentials/endpoints, hdfs nameservices) live there,
@@ -296,17 +310,7 @@ object Msgpack extends Serializable {
           val out = new java.io.BufferedOutputStream(fs.create(
             new org.apache.hadoop.fs.Path(tmpStr, f"part-$pid%05d.msgpack"),
             true), 1 << 16)
-          try {
-            rows.foreach { r =>
-              val entries = dataCols.flatMap { c =>
-                val isPresent = present.get(c)
-                  .forall(pc => r.getAs[Boolean](pc))
-                if (!isPresent) None
-                else Some(c -> r.get(r.fieldIndex(c)))
-              }
-              writeMap(out, entries)
-            }
-          } finally out.close()
+          try writeRows(out, names, rows) finally out.close()
         }
       }
       if (fsDriver.exists(finalPath)) fsDriver.delete(finalPath, true)

@@ -1,0 +1,111 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, PrintStream}
+import java.nio.ByteBuffer
+
+import graft.sources.Msgpack
+
+/** End-to-end CLI driver (reference main.rs:51-62 UX): scripts from the
+  * examples/ corpus, records in on stdin, records out on stdout. */
+class CliSpec extends SparkSpec {
+
+  private def cli(args: List[String], stdin: Array[Byte] = Array.empty)
+      : (Int, String, String) = {
+    val out = new ByteArrayOutputStream()
+    val err = new ByteArrayOutputStream()
+    val code = Main.execute(args, new ByteArrayInputStream(stdin),
+      new PrintStream(out, true, "UTF-8"), new PrintStream(err, true, "UTF-8"),
+      Some(spark))
+    (code, out.toString("UTF-8"), err.toString("UTF-8"))
+  }
+
+  test("run examples/hello.us: scalar JSON values stdin -> stdout") {
+    val (code, out, _) = cli(List("examples/hello.us"),
+      "\"world\"\n\"graft\"\n".getBytes("UTF-8"))
+    assert(code == 0)
+    // scalar outputs surface as the canonical single `out` column
+    assert(out.linesIterator.toSeq.sorted ==
+      Seq("{\"out\":\"Hello, graft\"}", "{\"out\":\"Hello, world\"}"))
+  }
+
+  test("run examples/filter_events.us: JSON records, filter + match") {
+    val stdin =
+      """{"event_id": 1, "event_type": "click", "value": 80.5}
+        |{"event_id": 2, "event_type": "view", "value": 10.0}
+        |{"event_id": 3, "event_type": "purchase", "value": 60.0}
+        |""".stripMargin.getBytes("UTF-8")
+    val (code, out, _) = cli(List("examples/filter_events.us"), stdin)
+    assert(code == 0)
+    val lines = out.linesIterator.toSeq.sorted
+    assert(lines == Seq(
+      """{"event_id":1,"cat":"ui","boosted":161.0}""",
+      """{"event_id":3,"cat":"commerce","boosted":120.0}""").sorted)
+  }
+
+  test("run with msgpack framing round-trips records through stdin/stdout") {
+    val o = new ByteArrayOutputStream()
+    Msgpack.writeMap(o, Seq("event_id" -> 7L, "event_type" -> "click",
+      "value" -> 99.0))
+    Msgpack.writeMap(o, Seq("event_id" -> 8L, "event_type" -> "view",
+      "value" -> 1.0))
+    val (code, _, _) = cli(
+      List("--format", "msgpack", "examples/filter_events.us"), o.toByteArray)
+    assert(code == 0)
+    // re-run capturing raw bytes: decode stdout as msgpack records
+    val out = new ByteArrayOutputStream()
+    val ps = new PrintStream(out, true, "UTF-8")
+    assert(Main.execute(List("--format", "msgpack", "examples/filter_events.us"),
+      new ByteArrayInputStream(o.toByteArray), ps,
+      new PrintStream(new ByteArrayOutputStream()), Some(spark)) == 0)
+    val decoded = Msgpack.readValue(ByteBuffer.wrap(out.toByteArray))
+    assert(decoded == Vector("event_id" -> 7L, "cat" -> "ui",
+      "boosted" -> 198.0))
+  }
+
+  test("--mode dlq routes invalid records to stderr, good ones to stdout") {
+    val stdin =
+      """{"event_id": 1, "event_type": "click", "value": 80.5}
+        |this is not json
+        |""".stripMargin.getBytes("UTF-8")
+    val (code, out, err) = cli(
+      List("--mode", "dlq", "examples/filter_events.us"), stdin)
+    assert(code == 0)
+    assert(out.linesIterator.size == 1)
+    assert(err.contains("this is not json"))
+  }
+
+  test("--dump-ast and --compile print the front-end view") {
+    val (c1, ast, _) = cli(List("--dump-ast", "examples/hello.us"))
+    assert(c1 == 0)
+    assert(ast.contains("Script") && ast.contains("Hello world, in uDLang"))
+    val (c2, comp, _) = cli(List("--compile", "examples/filter_events.us"))
+    assert(c2 == 0)
+    assert(comp.contains("tier: ColumnTier"))
+    assert(comp.contains("input schema:"))
+  }
+
+  test("--dump-expr parses one expression per line") {
+    val (code, out, _) = cli(List("--dump-expr"),
+      "1 + 2\nnot an ) expr\n".getBytes("UTF-8"))
+    assert(code == 0)
+    val lines = out.linesIterator.toSeq
+    assert(lines.head.contains("BinOp") || lines.mkString.contains("Add"))
+    assert(out.contains("error:"))
+  }
+
+  test("--in/--out paths keep the parallel file legs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli").toFile
+    val inFile = new java.io.File(dir, "events.jsonl")
+    val w = new java.io.PrintWriter(inFile, "UTF-8")
+    try {
+      w.println("""{"event_id": 1, "event_type": "click", "value": 80.5}""")
+      w.println("""{"event_id": 2, "event_type": "view", "value": 10.0}""")
+    } finally w.close()
+    val outDir = new java.io.File(dir, "out")
+    val (code, _, _) = cli(List("--in", inFile.getPath,
+      "--out", outDir.getPath, "examples/filter_events.us"))
+    assert(code == 0)
+    val produced = spark.read.text(outDir.getPath).collect().map(_.getString(0))
+    assert(produced.toSeq == Seq("""{"event_id":1,"cat":"ui","boosted":161.0}"""))
+  }
+}

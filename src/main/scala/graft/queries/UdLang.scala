@@ -2,7 +2,9 @@ package graft.queries
 
 import graft.Tables
 import graft.lang.UdScript
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.lang.Ast.{TField, TFloat, TInt, TRecord, TStr}
+import graft.sources.Msgpack
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked queries driven by actual uDLang SOURCE — parse →
@@ -229,21 +231,22 @@ object UdLang extends Serializable {
     * driver-checked entry. The oracle is the batch twin's SQL (a finite
     * file stream in append mode materializes exactly the batch result);
     * UdStreamingSpec asserts batch ≡ stream on the same compiled value. */
+  private val streamFilterSrc = """script "stream filter + match";
+    |input  {event_id: Int, event_type: Str, value: Float};
+    |output {event_id: Int, cat: Str, boosted: Float};
+    |if (in.value > 50.0) {
+    |  out {event_id: in.event_id,
+    |       cat: match (in.event_type) {
+    |         case "click" => "ui";
+    |         case "view" => "ui";
+    |         case "purchase" => "commerce";
+    |         else => "other";
+    |       },
+    |       boosted: in.value * 2.0};
+    |}""".stripMargin
+
   def uStreamFilter(s: SparkSession, d: String): DataFrame = {
-    val src = """script "stream filter + match";
-      |input  {event_id: Int, event_type: Str, value: Float};
-      |output {event_id: Int, cat: Str, boosted: Float};
-      |if (in.value > 50.0) {
-      |  out {event_id: in.event_id,
-      |       cat: match (in.event_type) {
-      |         case "click" => "ui";
-      |         case "view" => "ui";
-      |         case "purchase" => "commerce";
-      |         else => "other";
-      |       },
-      |       boosted: in.value * 2.0};
-      |}""".stripMargin
-    val c = UdScript.compile(src)
+    val c = UdScript.compile(streamFilterSrc)
     require(c.tier == UdScript.ColumnTier)
     val fileSchema = parquetSchema(s, s"$d/events.parquet")
     val stream = s.readStream.schema(fileSchema)
@@ -390,7 +393,91 @@ object UdLang extends Serializable {
        |  (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
        |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** The reference's NATIVE deployment shape — a unix-filter pipe of
+    * msgpack frames (HACKING.md:136-140 read/write/flush loop) — as a
+    * driver-checked entry: a live localhost socket serves one
+    * base64-encoded msgpack record map per line (binary frames need a
+    * text-safe channel through Spark's line-based socket source), the
+    * stream decodes each frame through Msgpack.decodeOne under the
+    * DECLARED record type, and the same compiled filter script runs over
+    * the decoded frames. Socket sources have no end-of-stream marker, so
+    * completion is detected by sink row count reaching the batch-computed
+    * expectation — the oracle then checks the VALUES, not just arrival.
+    *
+    * Scale: a socket is one serialized stream by nature; the parallel
+    * form of this ingest is the msgpack file source (one task per file).
+    * The per-frame decode itself is identical in both. */
+  def uStreamPipe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val declared = TRecord(Seq(
+      TField("event_id", TInt, absentOptional = false),
+      TField("event_type", TStr, absentOptional = false),
+      TField("value", TFloat, absentOptional = false)))
+    // bounded slice: the entry proves the live-pipe path, not sink volume
+    val src = Tables.events(s, d)
+      .where(col("event_id") % 20 === 0)
+      .select("event_id", "event_type", "value")
+    val frames = src.collect().map { r =>
+      val o = new java.io.ByteArrayOutputStream()
+      Msgpack.writeMap(o, Seq("event_id" -> r.get(0),
+        "event_type" -> r.get(1), "value" -> r.get(2)))
+      java.util.Base64.getEncoder.encodeToString(o.toByteArray)
+    }
+    val want = src.where(col("value") > 50.0).count()
+    val server = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var conn: java.net.Socket = null
+    val serve = new Thread(() => {
+      try {
+        conn = server.accept()
+        val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          conn.getOutputStream, "UTF-8"))
+        frames.foreach(w.println)
+        w.flush() // keep the connection open until the query is stopped
+      } catch { case _: Throwable => () }
+    })
+    serve.setDaemon(true)
+    serve.start()
+    val lines = s.readStream.format("socket")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .load()
+    val enc = Encoders.row(Msgpack.decodedSchema(declared))
+    val decoded = lines.select(col("value")).as[String].map { line =>
+      Msgpack.decodeOne(java.util.Base64.getDecoder.decode(line), declared)
+    }(enc)
+    val good = decoded.where(col("_invalid_reason").isNull)
+      .drop("_invalid_reason")
+    val c = UdScript.compile(streamFilterSrc)
+    require(c.tier == UdScript.ColumnTier)
+    s.catalog.dropTempView("u_stream_pipe_sink")
+    val q = c.run(good).writeStream.format("memory")
+      .queryName("u_stream_pipe_sink").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (s.table("u_stream_pipe_sink").count() < want &&
+             System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(50)
+      }
+    } finally {
+      q.stop()
+      if (conn != null) conn.close()
+      server.close()
+    }
+    s.table("u_stream_pipe_sink").orderBy("event_id")
+  }
+
+  val uStreamPipeSql: String =
+    """SELECT event_id,
+      |  CASE event_type WHEN 'click' THEN 'ui' WHEN 'view' THEN 'ui'
+      |       WHEN 'purchase' THEN 'commerce' ELSE 'other' END AS cat,
+      |  value * 2.0 AS boosted
+      |FROM events WHERE value > 50.0 AND event_id % 20 = 0
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_stream_pipe" -> (uStreamPipe _),
     "u_stream_session" -> (uStreamSession _),
     "u_stream_window" -> (uStreamWindow _),
     "u_debug_trace" -> (uDebugTrace _),
@@ -405,6 +492,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_stream_pipe" -> uStreamPipeSql,
     "u_stream_session" -> uStreamSessionSql,
     "u_stream_window" -> uStreamWindowSql,
     "u_debug_trace" -> uDebugTraceSql,

@@ -240,6 +240,11 @@ object Msgpack extends Serializable {
     out.result().iterator
   }
 
+  /** Decode exactly one framed record (socket/pipe ingest: one frame =
+    * one record map). Same row shape as decodeFile. */
+  def decodeOne(bytes: Array[Byte], declared: TRecord): Row =
+    decodeFile(bytes, declared).next()
+
   /** Schema of the decoded frame: declared fields + presence flags +
     * the (pre-routing) invalid reason. */
   def decodedSchema(declared: TRecord): StructType = {

@@ -160,20 +160,21 @@ object UdLang extends Serializable {
     * _tag — the VERDICT r1 union-encoding ask. The union column is built
     * from events (even ids carry Int user_id, odd ids carry Str
     * event_type), the script never sees the encoding. */
+  private val unionScriptSrc = """script "union narrowing";
+    |input  {event_id: Int, v: Int | Str};
+    |output {event_id: Int, shown: Str, doubled: Int};
+    |out {event_id: in.event_id,
+    |     shown: match (in.v) {
+    |       case i: Int => "int";
+    |       case t: Str => t;
+    |     },
+    |     doubled: match (in.v) {
+    |       case i: Int => i * 2;
+    |       case t: Str => 0;
+    |     }};""".stripMargin
+
   def uUnionMatch(s: SparkSession, d: String): DataFrame = {
-    val src = """script "union narrowing";
-      |input  {event_id: Int, v: Int | Str};
-      |output {event_id: Int, shown: Str, doubled: Int};
-      |out {event_id: in.event_id,
-      |     shown: match (in.v) {
-      |       case i: Int => "int";
-      |       case t: Str => t;
-      |     },
-      |     doubled: match (in.v) {
-      |       case i: Int => i * 2;
-      |       case t: Str => 0;
-      |     }};""".stripMargin
-    val compiled = UdScript.compile(src)
+    val compiled = UdScript.compile(unionScriptSrc)
     require(compiled.tier == UdScript.ColumnTier,
       "union match must lower to the column tier")
     val nullLong = lit(null).cast("long")
@@ -192,6 +193,33 @@ object UdLang extends Serializable {
       |  CASE WHEN event_id % 2 = 0 THEN 'int' ELSE event_type END AS shown,
       |  CASE WHEN event_id % 2 = 0 THEN user_id * 2 ELSE 0 END AS doubled
       |FROM events ORDER BY event_id""".stripMargin
+
+  /** TRUE union ingest (the r2 watch item): the wire records carry the
+    * union field as its RAW JSON value — an int for even ids, a string
+    * for odd — and the tag is inferred at validation time by
+    * JsonRecords.unionParse probing branches in declared order. The
+    * script (same compiled source as u_union_match) never sees raw JSON
+    * or tags; the encoding is produced by INGEST, not pre-built. */
+  def uUnionIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.events(s, d).select(
+      concat(lit("{\"event_id\": "), col("event_id"),
+        when(col("event_id") % 2 === 0,
+          concat(lit(", \"v\": "), col("user_id"), lit("}")))
+          .otherwise(concat(lit(", \"v\": \""), col("event_type"),
+            lit("\"}")))).as("value")).as[String]
+    val declared = TRecord(Seq(
+      TField("event_id", TInt, absentOptional = false),
+      TField("v", graft.lang.Ast.TUnion(Seq(TInt, TStr)),
+        absentOptional = false)))
+    val good = graft.sources.JsonRecords
+      .read(s, lines, declared, graft.sources.ValidatedIngest.Abort).good
+    val compiled = UdScript.compile(unionScriptSrc)
+    require(compiled.tier == UdScript.ColumnTier)
+    compiled.run(good).orderBy("event_id")
+  }
+
+  val uUnionIngestSql: String = uUnionMatchSql
 
   /** Run a streaming DataFrame to completion into a memory sink and hand
     * back the materialized result (the driver-visible Structured Streaming
@@ -477,6 +505,7 @@ object UdLang extends Serializable {
       |ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_union_ingest" -> (uUnionIngest _),
     "u_stream_pipe" -> (uStreamPipe _),
     "u_stream_session" -> (uStreamSession _),
     "u_stream_window" -> (uStreamWindow _),
@@ -492,6 +521,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_union_ingest" -> uUnionIngestSql,
     "u_stream_pipe" -> uStreamPipeSql,
     "u_stream_session" -> uStreamSessionSql,
     "u_stream_window" -> uStreamWindowSql,

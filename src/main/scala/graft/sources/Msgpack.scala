@@ -188,6 +188,65 @@ object Msgpack extends Serializable {
       throw MsgpackError(s"type:$path expected ${t.simpleString} got ${x.getClass.getSimpleName}")
   }
 
+  // ---- declared-type-driven coercion (true union ingest) ----
+
+  /** Does a decoded wire value fit a union branch? Exact runtime types
+    * only — declared order resolves any ambiguity (empty collections
+    * match list, record and map shapes alike). */
+  private def branchMatches(v: Any, t: UdType): Boolean = (v, t) match {
+    case (_: Long, TInt)        => true
+    case (x: Long, n: TIntN)    => n.contains(x)
+    case (_: Double, TFloat)    => true
+    case (x: String, TValue(s)) => x == s
+    case (_: String, TStr)      => true
+    case (_: Boolean, TBool)    => true
+    case (xs: Vector[_], TList(_)) =>
+      xs.isEmpty || !xs.head.isInstanceOf[(_, _)]
+    case (es: Vector[_], TRecord(_, _)) =>
+      es.isEmpty || es.head.isInstanceOf[(_, _)]
+    case (es: Vector[_], TMap(_)) =>
+      es.isEmpty || es.head.isInstanceOf[(_, _)]
+    case _ => false
+  }
+
+  /** Coerce under the DECLARED uDLang type: union fields arrive as their
+    * raw wire value, and the tag is inferred here — at validation time —
+    * by probing branches in declared order (manual.md:112-115). The
+    * result is the engine's tagged-struct encoding {_tag, v0, ...}; a
+    * value matching no branch is a decode error (mode-routed upstream).
+    * Non-union shapes recurse so NESTED records keep union support; the
+    * scalar leaves delegate to the DataType-driven coerce. */
+  def coerceTyped(v: Any, t: UdType, dt: DataType, path: String): Any =
+    (v, t) match {
+      case (null, _) => null
+      case (_, TUnion(ts)) if !ts.forall(_.isInstanceOf[TValue]) =>
+        val i = ts.indexWhere(branchMatches(v, _))
+        if (i < 0) throw MsgpackError(
+          s"union_no_branch:$path ${v.getClass.getSimpleName}")
+        val st = dt.asInstanceOf[StructType]
+        Row.fromSeq(UdScript.tagOf(ts(i)) +: ts.zipWithIndex.map {
+          case (bt, j) =>
+            if (j == i) coerceTyped(v, bt, st(s"v$j").dataType, path)
+            else null
+        })
+      case (_, TOption(inner)) => coerceTyped(v, inner, dt, path)
+      case (es: Vector[_], TRecord(fs, _)) if dt.isInstanceOf[StructType] =>
+        val st = dt.asInstanceOf[StructType]
+        val entries = es.collect { case (k: String, x) => k -> x }.toMap
+        Row.fromSeq(fs.map(f => entries.get(f.name).map(x =>
+          coerceTyped(x, f.t, st(f.name).dataType, s"$path.${f.name}"))
+          .orNull))
+      case (xs: Vector[_], TList(et))
+          if dt.isInstanceOf[ArrayType] && branchMatches(v, TList(et)) =>
+        xs.map(coerceTyped(_, et,
+          dt.asInstanceOf[ArrayType].elementType, path))
+      case (es: Vector[_], TMap(vt)) if dt.isInstanceOf[MapType] =>
+        es.collect { case (k: String, x) =>
+          k -> coerceTyped(x, vt, dt.asInstanceOf[MapType].valueType, path)
+        }.toMap
+      case _ => coerce(v, dt, path)
+    }
+
   /** Decode a whole file (concatenated record maps) into Rows of
     * [declared fields ++ __present flags ++ _invalid_reason]. A record
     * whose shape mismatches the declaration yields a reason row; a byte
@@ -210,7 +269,7 @@ object Msgpack extends Serializable {
             val fieldVals = declared.fields.map { f =>
               m.get(f.name) match {
                 case Some(v) =>
-                  try coerce(v, schema(f.name).dataType, f.name)
+                  try coerceTyped(v, f.t, schema(f.name).dataType, f.name)
                   catch {
                     case e: MsgpackError =>
                       if (reason == null) reason = e.msg; null

@@ -1,6 +1,7 @@
 package graft.lang
 
 import graft.SparkSpec
+import graft.lang.Ast._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -85,6 +86,52 @@ class UnionSpec extends SparkSpec {
       c.run(Seq((1L, 70000L)).toDF("id", "v")).collect()
     }
     assert(ex.getMessage != null)
+  }
+
+  test("true union ingest: msgpack raw values get tags at validation time") {
+    import graft.sources.{Msgpack, ValidatedIngest}
+    val declared = TRecord(Seq(
+      TField("id", TInt, absentOptional = false),
+      TField("v", TUnion(Seq(TInt, TStr)), absentOptional = false)))
+    val o = new java.io.ByteArrayOutputStream()
+    Msgpack.writeMap(o, Seq("id" -> 1L, "v" -> 42L))      // raw int
+    Msgpack.writeMap(o, Seq("id" -> 2L, "v" -> "hello"))  // raw str
+    Msgpack.writeMap(o, Seq("id" -> 3L, "v" -> true))     // no branch!
+    val rows = Msgpack.decodeFile(o.toByteArray, declared).toSeq
+    assert(rows.length == 3)
+    val r1 = rows(0); val r2 = rows(1); val r3 = rows(2)
+    assert(r1.getStruct(1).getString(0) == "Int" &&
+      r1.getStruct(1).getLong(1) == 42L)
+    assert(r2.getStruct(1).getString(0) == "Str" &&
+      r2.getStruct(1).getString(2) == "hello")
+    // bool fits neither branch: field null + reason, routed by mode
+    assert(r3.isNullAt(1) &&
+      r3.getString(2).startsWith("union_no_branch:v"))
+  }
+
+  test("true union ingest: JSON declared-order inference + no-branch DLQ") {
+    import graft.sources.{JsonRecords, ValidatedIngest}
+    val declared = TRecord(Seq(
+      TField("id", TInt, absentOptional = false),
+      TField("v", TUnion(Seq(TInt, TStr)), absentOptional = false)))
+    val lines = spark.createDataset(Seq(
+      """{"id": 1, "v": 42}""",
+      """{"id": 2, "v": "hello"}""",
+      """{"id": 3, "v": "42"}""",      // QUOTED digits: Str, not Int
+      """{"id": 4, "v": [1,2]}"""))(   // matches no branch -> DLQ
+      org.apache.spark.sql.Encoders.STRING)
+    val v = JsonRecords.read(spark, lines, declared, ValidatedIngest.Dlq)
+    val good = v.good.orderBy("id").collect()
+    assert(good.length == 3)
+    assert(good(0).getStruct(1).getString(0) == "Int" &&
+      good(0).getStruct(1).getLong(1) == 42L)
+    assert(good(1).getStruct(1).getString(0) == "Str")
+    assert(good(2).getStruct(1).getString(0) == "Str" &&
+      good(2).getStruct(1).getString(2) == "42")
+    val bad = v.bad.collect()
+    assert(bad.length == 1 &&
+      bad(0).getString(bad(0).fieldIndex("_invalid_reason"))
+        .startsWith("union_no_branch:v"))
   }
 
   test("match with Some/none patterns stays kernel tier (no misclassify)") {

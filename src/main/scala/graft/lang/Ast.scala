@@ -25,6 +25,8 @@ object Ast {
     def contains(v: Long): Boolean = v >= lo && v <= hi
   }
   case object TFloat extends UdType
+  /** pair of floats (TypeTag::Point, ir.rs:318; ast.rs:177) */
+  case object TPoint extends UdType
   case object TStr extends UdType
   case object TNone extends UdType
   case object TAny extends UdType

@@ -98,6 +98,7 @@ object UdParser extends RegexParsers {
 
   def tyAtom: Parser[UdType] =
     ("Bool" ^^^ TBool | "Int" ^^^ TInt | "Float" ^^^ TFloat |
+      "Point" ^^^ TPoint |
       ("String" | "Str") ^^^ TStr | "None" ^^^ TNone | "Any" ^^^ TAny |
       "U8" ^^^ TIntN(8, signed = false) |
       "U16" ^^^ TIntN(16, signed = false) |

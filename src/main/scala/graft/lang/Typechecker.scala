@@ -246,6 +246,7 @@ object Typechecker {
               else error(s"no field $field")
             }
           case TMap(v)            => v
+          case TPoint if field == "x" || field == "y" => TFloat
           case TStr | TList(_) if field == "length" => TInt
           case TValue(_) if field == "length"       => TInt
           case TAny               => TAny
@@ -403,6 +404,7 @@ object Typechecker {
     // stdlib (README.md:325-328; parser.rs:871-890)
     Seq("sqrt", "cos", "sin", "floor", "ceil").foreach(f =>
       root.define(f, TLambda(Seq(TFloat), TFloat)))
+    root.define("point", TLambda(Seq(TFloat, TFloat), TPoint))
     root.define("keys", TLambda(Seq(TAny), TList(TStr)))
     root.define("replace", TLambda(Seq(TStr, TStr, TStr), TStr))
     root.define("in", resolve(script.input))

@@ -207,6 +207,9 @@ object UdScript {
     case TRecord(fs, _) => StructType(fs.map(f =>
       StructField(f.name, sparkType(f.t),
         nullable = f.absentOptional || f.t.isInstanceOf[TOption])))
+    // pair-of-floats placeholder (ir.rs:359-362)
+    case TPoint => StructType(Seq(
+      StructField("x", DoubleType), StructField("y", DoubleType)))
     // string-literal enums ride as plain strings (ValueType, README.md:218)
     case TUnion(ts) if ts.forall(_.isInstanceOf[TValue]) => StringType
     // general unions are tagged structs: {_tag, v0, v1, ...} — one nullable
@@ -225,6 +228,7 @@ object UdScript {
   def tagOf(t: UdType): String = t match {
     case TInt    => "Int"
     case TFloat  => "Float"
+    case TPoint  => "Point"
     case TStr    => "Str"
     case TBool   => "Bool"
     case TNone   => "None"
@@ -284,6 +288,7 @@ object UdScript {
     case (x: String, _)     => VStr(x)
     case (x: scala.collection.Seq[_], TList(et)) => // Rows use mutable.ArraySeq
       VList(x.map(anyToValue(_, et)).toVector)
+    case (x: Row, TPoint)   => VPoint(x.getDouble(0), x.getDouble(1))
     case (x: Row, TTuple(ts)) =>
       VTuple(ts.zipWithIndex.map { case (t2, i) =>
         if (x.isNullAt(i)) VNone else anyToValue(x.get(i), t2)
@@ -321,8 +326,10 @@ object UdScript {
       def accepts(x: Value, dt2: DataType): Boolean = (x, dt2) match {
         case (VInt(_), LongType) | (VFloat(_), DoubleType) |
             (VStr(_), StringType) | (VBool(_), BooleanType) |
-            (VList(_), ArrayType(_, _)) | (_: VMap, _: StructType) |
-            (_: VMap, _: MapType) => true
+            (VList(_), ArrayType(_, _)) | (_: VMap, _: MapType) => true
+        case (VPoint(_, _), st2: StructType) =>
+          st2.fieldNames.sameElements(Array("x", "y"))
+        case (_: VMap, _: StructType) => true
         case _ => false
       }
       val slots = st.fields.drop(1)
@@ -331,6 +338,7 @@ object UdScript {
       val tag = v2 match {
         case VInt(_)   => "Int";  case VFloat(_) => "Float"
         case VStr(_)   => "Str";  case VBool(_)  => "Bool"
+        case VPoint(_, _) => "Point"
         case VList(_)  => "list"
         case _: VMap =>
           if (slots(i).dataType.isInstanceOf[StructType]) "record" else "map"
@@ -338,6 +346,7 @@ object UdScript {
       }
       Row.fromSeq(tag +: slots.indices.map(j =>
         if (j == i) valueToAny(v2, slots(j).dataType) else null))
+    case (VPoint(x, y), _: StructType) => Row(x, y)
     case (VTuple(xs), st: StructType) =>
       Row.fromSeq(st.fields.toSeq.zip(xs).map { case (f, x) =>
         valueToAny(x, f.dataType)
@@ -391,8 +400,8 @@ private[lang] object Lowering {
         case Index(x, LitInt(_)) => exprOk(x, stack, bound)
         case Index(_, _)         => false
         case Call(Id(n), args)
-            if Seq("sqrt", "cos", "sin", "floor", "ceil").contains(n) &&
-              !funcs.contains(n) =>
+            if Seq("sqrt", "cos", "sin", "floor", "ceil", "point")
+              .contains(n) && !funcs.contains(n) =>
           args.forall(exprOk(_, stack, bound))
         case Call(Id(n), args) =>
           funcs.get(n) match {
@@ -611,6 +620,9 @@ private[lang] object Lowering {
       case Cast(x, t) => colOf(x, binds).cast(sparkType(t))
       case Comprehension(c, Lambda(Seq((p, _)), _, body)) =>
         transform(colOf(c, binds), x => colOf(body, binds + (p -> x)))
+      case Call(Id("point"), Seq(a, b)) => struct(
+        colOf(a, binds).cast(DoubleType).as("x"),
+        colOf(b, binds).cast(DoubleType).as("y"))
       case Call(Id("sqrt"), Seq(a)) => sqrt(colOf(a, binds).cast(DoubleType))
       case Call(Id("cos"), Seq(a))  => cos(colOf(a, binds).cast(DoubleType))
       case Call(Id("sin"), Seq(a))  => sin(colOf(a, binds).cast(DoubleType))

@@ -21,6 +21,8 @@ object Values {
   final case class VInt(i: Long) extends Value
   final case class VFloat(d: Double) extends Value
   final case class VStr(s: String) extends Value
+  /** pair-of-floats placeholder value (Value::Point, ir.rs:359-362) */
+  final case class VPoint(x: Double, y: Double) extends Value
   final case class VList(xs: Vector[Value]) extends Value
   /** fixed-length heterogeneous tuple (Value::Tuple, ir.rs:287) */
   final case class VTuple(xs: Vector[Value]) extends Value
@@ -146,6 +148,7 @@ object Values {
     case VTuple(xs) => xs.map(render).mkString("(", ", ", ")")
     case VMap(es)  => es.map { case (k, x) => s"$k: ${render(x)}" }
       .mkString("{", ", ", "}")
+    case VPoint(x, y) => s"($x, $y)"
     case _: VLambda => "<lambda>"
   }
 }
@@ -360,6 +363,8 @@ final class Interp(script: Ast.Script,
         // escape hatches (TMap dots, glob-import TAny) equally honest
         case m: VMap => m.index.getOrElse(field,
           if (m.absentOk(field)) VNone else err(s"no field $field"))
+        case VPoint(x, _) if field == "x" => VFloat(x)
+        case VPoint(_, y) if field == "y" => VFloat(y)
         case VStr(s) if field == "length" => VInt(s.length.toLong)
         case VList(xs) if field == "length" => VInt(xs.size.toLong)
         case other => err(s"dot on ${render(other)}")
@@ -483,9 +488,17 @@ final class Interp(script: Ast.Script,
       case Seq(VInt(i))   => VFloat(g(i.toDouble))
       case _              => err("expected one numeric arg")
     }
+    def num(v: Value): Double = v match {
+      case VFloat(d) => d; case VInt(i) => i.toDouble
+      case other => err(s"expected a number, got ${render(other)}")
+    }
     Map("sqrt" -> f1(math.sqrt), "cos" -> f1(math.cos),
       "sin" -> f1(math.sin), "floor" -> f1(math.floor),
       "ceil" -> f1(math.ceil),
+      // Point constructor (ast.rs:431 point builder; no literal syntax
+      // in the reference grammar)
+      "point" -> { case Seq(a, b) => VPoint(num(a), num(b))
+                   case _ => err("point expects (Float, Float)") },
       // map introspection (html-library attr iteration)
       "keys" -> { case Seq(m: VMap) => VList(m.entries.map(e => VStr(e._1)))
                   case _ => err("keys expects a map") },
@@ -497,7 +510,8 @@ final class Interp(script: Ast.Script,
 
   private def matchesType(v: Value, t: UdType): Boolean = (v, t) match {
     case (VInt(_), TInt) | (VFloat(_), TFloat) | (VStr(_), TStr) |
-        (VBool(_), TBool) | (VNone, TNone)  => true
+        (VBool(_), TBool) | (VNone, TNone) |
+        (VPoint(_, _), TPoint) => true
     case (VInt(i), n: TIntN)                => n.contains(i) // range test
     case (VStr(s), TValue(lit))             => s == lit
     case (VList(_), TList(_))               => true

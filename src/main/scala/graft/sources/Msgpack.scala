@@ -206,6 +206,8 @@ object Msgpack extends Serializable {
       es.isEmpty || es.head.isInstanceOf[(_, _)]
     case (es: Vector[_], TMap(_)) =>
       es.isEmpty || es.head.isInstanceOf[(_, _)]
+    case (es: Vector[_], TPoint) =>
+      es.collect { case (k: String, _) => k } == Seq("x", "y")
     case _ => false
   }
 
@@ -230,6 +232,13 @@ object Msgpack extends Serializable {
             else null
         })
       case (_, TOption(inner)) => coerceTyped(v, inner, dt, path)
+      case (es: Vector[_], TPoint) if branchMatches(v, TPoint) =>
+        val m = es.collect { case (k: String, x) => k -> x }.toMap
+        def d(x: Any): Any = x match {
+          case l: Long => l.toDouble; case dd: Double => dd
+          case other => throw MsgpackError(s"type:$path Point wants floats")
+        }
+        Row(d(m("x")), d(m("y")))
       case (es: Vector[_], TRecord(fs, _)) if dt.isInstanceOf[StructType] =>
         val st = dt.asInstanceOf[StructType]
         val entries = es.collect { case (k: String, x) => k -> x }.toMap

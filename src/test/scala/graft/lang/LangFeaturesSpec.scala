@@ -1,6 +1,7 @@
 package graft.lang
 
 import graft.SparkSpec
+import graft.lang.Ast._
 import graft.lang.UdScript.{ColumnTier, KernelTier}
 
 /** DOC/COMP-status language features (SURVEY §2): comprehensions, `as`
@@ -18,6 +19,49 @@ class LangFeaturesSpec extends SparkSpec {
     val df = Seq((1L, Seq(1.0, 2.5))).toDF("doc_id", "vals")
     val out = c.run(df).collect()(0).getSeq[Double](1)
     assert(out == Seq(2.0, 5.0))
+  }
+
+  test("Point type: construction, field access, deep-Eq, both tiers") {
+    // column tier: point() lowers to struct, .x/.y to getField
+    val colSrc = """script "points col";
+      |input  {id: Int, x: Float, y: Float};
+      |output {id: Int, p: Point, px: Float};
+      |out {id: in.id, p: point(in.x, in.y), px: point(in.x, in.y).x};""".stripMargin
+    val c = UdScript.compile(colSrc)
+    assert(c.tier == ColumnTier)
+    val out = c.run(Seq((1L, 1.5, 2.5)).toDF("id", "x", "y")).collect()(0)
+    assert(out.getStruct(1) == org.apache.spark.sql.Row(1.5, 2.5))
+    assert(out.getDouble(2) == 1.5)
+    // kernel tier: VPoint round-trips, match on p:Point, deep-Eq
+    val kSrc = """script "points kernel";
+      |input  {id: Int, x: Float, y: Float};
+      |output {id: Int, eq: Bool, shape: Str};
+      |proc go(p: Point) {
+      |  out {id: in.id, eq: p == point(in.x, in.y),
+      |       shape: match (p) {
+      |         case q: Point => "point";
+      |         else => "other";
+      |       }};
+      |}
+      |go(point(in.x, in.y));""".stripMargin
+    val k = UdScript.compile(kSrc)
+    assert(k.tier == KernelTier)
+    val kOut = k.run(Seq((1L, 1.5, 2.5)).toDF("id", "x", "y")).collect()(0)
+    assert(kOut.getBoolean(1) && kOut.getString(2) == "point")
+  }
+
+  test("Point ingests from a msgpack {x,y} wire record") {
+    import graft.sources.Msgpack
+    val declared = TRecord(Seq(
+      TField("id", TInt, absentOptional = false),
+      TField("p", TPoint, absentOptional = false)))
+    val o = new java.io.ByteArrayOutputStream()
+    Msgpack.writeMap(o, Seq("id" -> 1L,
+      "p" -> scala.collection.immutable.ListMap("x" -> 0.5, "y" -> 9.0)))
+    val rows = Msgpack.decodeFile(o.toByteArray, declared).toSeq
+    assert(rows.length == 1 && rows(0).isNullAt(2) == false ||
+      rows(0).getString(2) == null)
+    assert(rows(0).getStruct(1) == org.apache.spark.sql.Row(0.5, 9.0))
   }
 
   test("kernel-tier Dot on a map fails loud for missing keys") {

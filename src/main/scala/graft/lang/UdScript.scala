@@ -41,7 +41,7 @@ object UdScript {
     * v0, v0∓1, …, down/up to the first value at/past the bound, in
     * emission order. */
   final case class LoopPlan(params: Seq[(String, UdType)], vi: Int,
-                            bound: Long, step: Int, outE: Expr,
+                            bound: Long, step: Long, outE: Expr,
                             initArgs: Seq[Expr])
   final case class LoopTier(plan: LoopPlan) extends Tier
 
@@ -497,26 +497,43 @@ private[lang] object Lowering {
               for {
                 (rn, recArgs) <- callOf(recStmt)
                 if rn == pname && recArgs.length == p.params.length
-                (v, bound, step) <- cond match {
-                  case Bin(Gt, Id(v), LitInt(c)) => Some((v, c, -1))
-                  case Bin(Lt, Id(v), LitInt(c)) => Some((v, c, 1))
-                  case _                         => None
+                // any comparison guard against a literal bound
+                (v, c, descending, inclusive) <- cond match {
+                  case Bin(Gt, Id(v), LitInt(c))  => Some((v, c, true, false))
+                  case Bin(Gte, Id(v), LitInt(c)) => Some((v, c, true, true))
+                  case Bin(Lt, Id(v), LitInt(c))  => Some((v, c, false, false))
+                  case Bin(Lte, Id(v), LitInt(c)) => Some((v, c, false, true))
+                  case _                          => None
                 }
                 vi = p.params.indexWhere(_._1 == v)
                 if vi >= 0 && (p.params(vi)._2 == TInt ||
                   p.params(vi)._2.isInstanceOf[TIntN])
+                // any constant step k, direction matching the guard
+                step <- recArgs(vi) match {
+                  case Bin(Sub, Id(`v`), LitInt(k))
+                      if k > 0 && descending => Some(-k)
+                  case Bin(Add, Id(`v`), LitInt(k))
+                      if k > 0 && !descending => Some(k)
+                  case _ => None
+                }
                 if recArgs.zipWithIndex.forall { case (a, i) =>
-                  if (i == vi) a match {
-                    case Bin(Sub, Id(`v`), LitInt(1)) => step == -1
-                    case Bin(Add, Id(`v`), LitInt(1)) => step == 1
-                    case _                            => false
-                  } else a == Id(p.params(i)._1)
+                  i == vi || a == Id(p.params(i)._1)
                 }
                 pnames = p.params.map(_._1).toSet
                 // outE must be pure, non-recursive, closed over the params
                 if exprOkIn(script)(outE, Set(pname), pnames)
                 if initArgs.forall(exprOkIn(script)(_, Set(pname), Set.empty))
-              } yield UdScript.LoopPlan(p.params, vi, bound, step, outE,
+                // the last EMITTED value x satisfies x - step (the caller)
+                // still passing the guard; solve per guard shape for the
+                // sequence() stop bound (emission happens before the
+                // guard, so the first value always emits — runCountedLoop
+                // clamps with least/greatest against the init value)
+                stop = (descending, inclusive) match {
+                  case (true, false)  => c + 1 + step // v >  c, step<0
+                  case (false, false) => c - 1 + step // v <  c, step>0
+                  case (_, true)      => c + step     // v >= c / v <= c
+                }
+              } yield UdScript.LoopPlan(p.params, vi, stop, step, outE,
                 initArgs)
             case _ => None
           }
@@ -793,7 +810,7 @@ private[lang] object Lowering {
       if (lp.step < 0) least(initV, lit(lp.bound))
       else greatest(initV, lit(lp.bound))
     val df2 = df.withColumn(loopCol,
-      explode(sequence(initV, stop, lit(lp.step.toLong))))
+      explode(sequence(initV, stop, lit(lp.step))))
     val cc2 = new ColumnCompiler(script, df2)
     val binds = lp.params.zipWithIndex.map { case ((pn, _), i) =>
       pn -> (if (i == lp.vi) df2(loopCol)

@@ -287,18 +287,20 @@ object UdLang extends Serializable {
 
   val uStreamFilterSql: String = uFilterMatchSql
 
-  /** Kernel-tier script (true recursion — step-2 countdown, not the
-    * counted-loop shape) over the same file stream: the interpreter
-    * flatMap runs unchanged under micro-batching. */
+  /** Kernel-tier script (true recursion: the bound is a VARIABLE, which
+    * the counted-loop detector deliberately does not capture — step-k
+    * loops against literal bounds now lower to explode(sequence)) over
+    * the same file stream: the interpreter flatMap runs unchanged under
+    * micro-batching. */
   def uStreamCount(s: SparkSession, d: String): DataFrame = {
     val src = """script "stream countdown by two";
       |input  {l_orderkey: Int, l_linenumber: Int};
       |output {l_orderkey: Int, n: Int};
-      |proc count(k: Int, n: Int) {
+      |proc count(k: Int, n: Int, lim: Int) {
       |  out {l_orderkey: k, n: n};
-      |  if (n > 0) { count(k, n - 2); }
+      |  if (n > lim) { count(k, n - 2, lim); }
       |}
-      |count(in.l_orderkey, in.l_linenumber);""".stripMargin
+      |count(in.l_orderkey, in.l_linenumber, 0);""".stripMargin
     val c = UdScript.compile(src)
     require(c.tier == UdScript.KernelTier)
     val fileSchema = parquetSchema(s, s"$d/lineitem.parquet")

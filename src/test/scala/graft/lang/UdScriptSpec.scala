@@ -56,6 +56,59 @@ class UdScriptSpec extends SparkSpec {
     assert(out == Seq(3L, 2L, 1L, 0L))
   }
 
+  test("step-k and >=-guard loops lower to LoopTier; variable bounds stay kernel") {
+    // step-2 countdown against a literal bound: counted loop
+    val step2 = """script "count by two";
+      |input  Int;
+      |output Int;
+      |proc count(n: Int) {
+      |  out n;
+      |  if (n > 0) { count(n - 2); }
+      |}
+      |out count(in);""".stripMargin
+    val (t2, out2even) = runScalar(step2, Seq(4L))
+    assert(t2.isInstanceOf[UdScript.LoopTier])
+    assert(out2even == Seq(4L, 2L, 0L))
+    val (_, out2odd) = runScalar(step2, Seq(5L))
+    assert(out2odd == Seq(5L, 3L, 1L, -1L)) // emit happens BEFORE the guard
+    // inclusive >= guard
+    val gte = """script "count gte";
+      |input  Int;
+      |output Int;
+      |proc count(n: Int) {
+      |  out n;
+      |  if (n >= 0) { count(n - 1); }
+      |}
+      |out count(in);""".stripMargin
+    val (tg, outg) = runScalar(gte, Seq(2L))
+    assert(tg.isInstanceOf[UdScript.LoopTier])
+    assert(outg == Seq(2L, 1L, 0L, -1L))
+    // ascending step-3 with < guard
+    val up = """script "count up";
+      |input  Int;
+      |output Int;
+      |proc count(n: Int) {
+      |  out n;
+      |  if (n < 10) { count(n + 3); }
+      |}
+      |out count(in);""".stripMargin
+    val (tu, outu) = runScalar(up, Seq(1L))
+    assert(tu.isInstanceOf[UdScript.LoopTier])
+    assert(outu == Seq(1L, 4L, 7L, 10L))
+    // a VARIABLE bound is true recursion: stays on the kernel tier
+    val varBound = """script "count var";
+      |input  Int;
+      |output Int;
+      |proc count(n: Int, lim: Int) {
+      |  out n;
+      |  if (n > lim) { count(n - 2, lim); }
+      |}
+      |out count(in, 0);""".stripMargin
+    val (tv, outv) = runScalar(varBound, Seq(4L))
+    assert(tv == UdScript.KernelTier)
+    assert(outv == Seq(4L, 2L, 0L))
+  }
+
   test("simple.us / function.us: inlined calls with declared-boundary widen") {
     val src = """script "Function calls";
       |input  Int;

@@ -34,13 +34,17 @@ class UdStreamingSpec extends SparkSpec {
   test("kernel-tier script runs over a stream (recursion + multi-emit)") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // step-2 decrement: NOT the counted-loop shape, so this stays a true
+    // VARIABLE bound: not the counted-loop shape (step-k loops against
+    // literal bounds lower to explode now), so this stays a true
     // kernel-tier recursion over the stream
     val src = """script "stream countdown by two";
       |input  Int;
       |output Int;
-      |proc count(n: Int) { out n; if (n > 0) { count(n - 2); } }
-      |count(in);""".stripMargin
+      |proc count(n: Int, lim: Int) {
+      |  out n;
+      |  if (n > lim) { count(n - 2, lim); }
+      |}
+      |count(in, 0);""".stripMargin
     val c = UdScript.compile(src)
     assert(c.tier == UdScript.KernelTier)
     val input = MemoryStream[Long]

@@ -12,10 +12,11 @@ object Ast {
   case object TBool extends UdType
   case object TInt extends UdType
   /** Sized integer of the documented numeric tower (manual.md:85-97):
-    * U8/U16/U32, I8/I16/I32, Nat (bits=64, unsigned ⇒ non-negative Long).
-    * Rides as Long at the schema level; the declared range is enforced at
-    * kernel boundaries (ingest, casts, declared params) — U64/I64 map to
-    * plain TInt (Long width). */
+    * U8/U16/U32, I8/I16/I32, Nat/U64 (bits=64, unsigned ⇒ non-negative
+    * Long; values above Long.MaxValue are REJECTED at boundaries, never
+    * wrapped). Rides as Long at the schema level; the declared range is
+    * enforced at kernel boundaries (ingest, casts, declared params) —
+    * I64 maps to plain TInt (Long width). */
   final case class TIntN(bits: Int, signed: Boolean) extends UdType {
     def lo: Long = if (signed) -(1L << (bits - 1)) else 0L
     def hi: Long =

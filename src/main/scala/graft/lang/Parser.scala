@@ -106,8 +106,11 @@ object UdParser extends RegexParsers {
       "I8" ^^^ TIntN(8, signed = true) |
       "I16" ^^^ TIntN(16, signed = true) |
       "I32" ^^^ TIntN(32, signed = true) |
-      "Nat" ^^^ TIntN(64, signed = false) |
-      ("U64" | "I64") ^^^ TInt |
+      // U64 is range-HONEST: it rides as Long like Nat, so wire values
+      // above Long.MaxValue are rejected at the boundary (msgpack's
+      // uint64 decode raises likewise) instead of silently wrapping
+      ("Nat" | "U64") ^^^ TIntN(64, signed = false) |
+      "I64" ^^^ TInt |
       ("F32" | "F64") ^^^ TFloat) <~ not(ident) |
       strLit ^^ (s => TValue(unescape(s))) |
       "[" ~> ty <~ "]" ^^ TList |

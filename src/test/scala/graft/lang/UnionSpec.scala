@@ -88,6 +88,34 @@ class UnionSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("U64 is range-honest: negative Longs rejected at both tiers") {
+    // column tier: a U64 field guards against the unrepresentable range
+    val colSrc = """script "u64 col";
+      |input  {id: Int, v: U64};
+      |output {id: Int, w: Int};
+      |out {id: in.id, w: in.v + 1};""".stripMargin
+    val c = UdScript.compile(colSrc)
+    assert(c.tier == UdScript.ColumnTier)
+    val ok = c.run(Seq((1L, Long.MaxValue - 1)).toDF("id", "v")).collect()
+    assert(ok(0).getLong(1) == Long.MaxValue)
+    // a negative Long is what a wrapped uint64 > i64 range looks like
+    val ex = intercept[Exception] {
+      c.run(Seq((1L, -5L)).toDF("id", "v")).collect()
+    }
+    assert(ex.getMessage != null)
+    // kernel tier: same guard at ingest
+    val kSrc = """script "u64 kernel";
+      |input  U64;
+      |output Int;
+      |for x in [in] { out x; }""".stripMargin
+    val k = UdScript.compile(kSrc)
+    assert(k.run(Seq(7L).toDF("value")).collect()(0).getLong(0) == 7L)
+    val ex2 = intercept[Exception] {
+      k.run(Seq(-1L).toDF("value")).collect()
+    }
+    assert(ex2.getMessage != null)
+  }
+
   test("true union ingest: msgpack raw values get tags at validation time") {
     import graft.sources.{Msgpack, ValidatedIngest}
     val declared = TRecord(Seq(

@@ -29,53 +29,41 @@ object JsonRecords {
 
   /** True union INGEST (manual.md:112-115): a declared `Int | Str` field
     * arrives as its RAW JSON value, and the tag is inferred at validation
-    * time — each branch's Spark type probes the payload independently
-    * (from_json is strict per branch: a quoted "42" does NOT match Int),
-    * and the FIRST matching branch in declared order wins. Str coerces
-    * any scalar, so a Str branch acts as a catch-all for everything after
-    * it — declared order IS the precedence, same as the kernel decoder.
-    * Returns (tagged-struct column, inferred-tag column); a JSON-null or
-    * missing key yields a null union (tag null). */
+    * time from the value's JSON type — the payload is parsed ONCE into a
+    * VARIANT and each branch tests schema_of_variant (exact: a quoted
+    * "42" is STRING, never Int; an array never matches a Str branch).
+    * The FIRST matching branch in declared order wins. Extraction is a
+    * type-aligned variant cast, so no branch re-parses the payload —
+    * from_json probes were one Jackson parse PER BRANCH per row.
+    * Returns (tagged-struct column, inferred-tag column, present-and-
+    * non-null probe); a JSON-null or missing key yields a null union. */
   def unionParse(payload: Column, name: String, ts: Seq[UdType])
-      : (Column, Column) = {
-    import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
-    def probe(dt: org.apache.spark.sql.types.DataType): Column =
-      from_json(payload, StructType(Seq(StructField(name, dt))))
-        .getField(name)
-    // from_json(StringType) coerces arrays/objects to their raw JSON
-    // text, so a Str branch needs a complex-value guard: a real JSON
-    // array/object parses under the strict complex probes, a QUOTED
-    // "[1,2]" string does not
-    lazy val isComplex = probe(ArrayType(StringType)).isNotNull ||
-      probe(MapType(StringType, StringType)).isNotNull
-    val branches = ts.map { bt =>
-      val c = probe(UdScript.sparkType(bt))
-      val matched = bt match {
-        case TStr => c.isNotNull && !isComplex
-        case _    => c.isNotNull
-      }
-      (c, matched)
+      : (Column, Column, Column) = {
+    val vg = variant_get(try_parse_json(payload), s"$$.$name", "variant")
+    val sv = schema_of_variant(vg)
+    def typeMatches(bt: UdType): Column = bt match {
+      case TInt | TIntN(_, _) => sv === "BIGINT"
+      case TFloat => sv === "DOUBLE" || sv.startsWith("DECIMAL")
+      case TStr   => sv === "STRING"
+      case TBool  => sv === "BOOLEAN"
+      case TValue(s) => sv === "STRING" &&
+        try_variant_get(vg, "$", "string") === s
+      case TList(_)  => sv.startsWith("ARRAY")
+      case TRecord(_, _) | TPoint | TMap(_) => sv.startsWith("OBJECT")
+      case _ => lit(false)
     }
-    val tag = coalesce(ts.zip(branches).map { case (bt, (_, m)) =>
-      when(m, lit(UdScript.tagOf(bt)))
-    }: _*)
+    val tag = coalesce(ts.map(bt =>
+      when(typeMatches(bt), lit(UdScript.tagOf(bt)))): _*)
     val slots = ts.zipWithIndex.map { case (bt, i) =>
-      when(tag === lit(UdScript.tagOf(bt)), branches(i)._1)
-        .otherwise(lit(null).cast(UdScript.sparkType(bt))).as(s"v$i")
+      val dt = UdScript.sparkType(bt)
+      when(tag === lit(UdScript.tagOf(bt)),
+        try_variant_get(vg, "$", dt.catalogString))
+        .otherwise(lit(null).cast(dt)).as(s"v$i")
     }
-    (when(tag.isNotNull, struct(tag.as("_tag") +: slots: _*)), tag)
-  }
-
-  /** Validation rule: a PRESENT, non-null union value must match some
-    * branch — otherwise the record is invalid (tag inference happens at
-    * validation time, so a no-branch value is a mode-routed error, not a
-    * silent null). */
-  def unionMatches(payload: String, name: String, ts: Seq[UdType])
-      : ValidatedIngest.Rule = _ => {
-    val (_, tag) = unionParse(col(payload), name, ts)
-    when(hasField(col(payload), name) &&
-      get_json_object(col(payload), s"$$.$name").isNotNull && tag.isNull,
-      lit(s"union_no_branch:$name"))
+    val presentNonNull = vg.isNotNull &&
+      !coalesce(is_variant_null(vg), lit(false))
+    (when(tag.isNotNull, struct(tag.as("_tag") +: slots: _*)), tag,
+      presentNonNull)
   }
 
   /** General (non-enum) union branches of a declared field, if any. */
@@ -87,30 +75,45 @@ object JsonRecords {
 
   /** Parse a JSON-lines Dataset under a declared uDLang record type.
     * Output columns = declared fields (+ `__present` flags for
-    * absent-optional ones). Malformed payloads follow `mode`. */
+    * absent-optional ones). Malformed payloads follow `mode`.
+    *
+    * Everything — data columns, union tag inference, and the invalid
+    * reason — is computed in ONE projection so Spark's subexpression
+    * elimination evaluates each from_json probe once per row; splitting
+    * the rules into a separate operator re-parsed the payload per rule. */
   def read(s: SparkSession, lines: Dataset[String], declared: TRecord,
            mode: ValidatedIngest.Mode): ValidatedIngest.Validated = {
     val schema: StructType = UdScript.schemaOf(declared)
     val raw = lines.toDF("_payload")
+    val payload = col("_payload")
     val unionFields = declared.fields.flatMap(f =>
       unionBranches(f.t).map(f.name -> _))
-    val v = ValidatedIngest.validate(raw,
-      ValidatedIngest.jsonParses("_payload", schema) +:
-        unionFields.map { case (n, ts) => unionMatches("_payload", n, ts) },
-      mode)
-    val parsed = v.good
-      .withColumn("_rec", from_json(col("_payload"), schema))
-    val unionByName = unionFields.toMap
-    val cols =
+    val unions: Map[String, (Column, Column, Column)] = unionFields.map {
+      case (n, ts) => n -> unionParse(payload, n, ts)
+    }.toMap
+    val rec = from_json(payload, schema)
+    val dataCols =
       declared.fields.map { f =>
-        unionByName.get(f.name) match {
-          case Some(ts) => unionParse(col("_payload"), f.name, ts)._1.as(f.name)
-          case None     => col(s"_rec.${f.name}").as(f.name)
+        unions.get(f.name) match {
+          case Some((structCol, _, _)) => structCol.as(f.name)
+          case None                    => rec.getField(f.name).as(f.name)
         }
       } ++
         declared.fields.filter(_.absentOptional).map(f =>
-          hasField(col("_payload"), f.name).as(s"${f.name}__present"))
-    ValidatedIngest.Validated(parsed.select(cols: _*), v.bad)
+          hasField(payload, f.name).as(s"${f.name}__present"))
+    val reason = coalesce(
+      when(get_json_object(payload, "$").isNull,
+        lit("malformed_json:_payload")) +:
+        unionFields.map { case (n, _) =>
+          val (_, tag, presentNonNull) = unions(n)
+          when(presentNonNull && tag.isNull, lit(s"union_no_branch:$n"))
+        }: _*)
+    val tagged = raw.select(
+      (payload +: dataCols) :+ reason.as("_invalid_reason"): _*)
+    val routed = ValidatedIngest.routeTagged(tagged, mode)
+    ValidatedIngest.Validated(routed.good.drop("_payload"),
+      if (routed.bad.columns.isEmpty) routed.bad
+      else routed.bad.select(col("_payload"), col("_invalid_reason")))
   }
 
   /** Write a DataFrame as JSON-lines strings (egress lowering). */

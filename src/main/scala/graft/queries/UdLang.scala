@@ -506,7 +506,44 @@ object UdLang extends Serializable {
       |FROM events WHERE value > 50.0 AND event_id % 20 = 0
       |ORDER BY event_id""".stripMargin
 
+  /** Stream-stream INTERVAL join, append mode: click events join purchase
+    * events of the same user within the following hour. Both sides carry
+    * watermarks and the join carries the time-range condition — exactly
+    * the production shape where Spark bounds each side's state by the
+    * watermark + interval instead of holding streams forever. On a finite
+    * file replay the inner join emits precisely the batch join, so the
+    * batch twin IS the oracle. */
+  def uStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val fileSchema = parquetSchema(s, s"$d/events.parquet")
+    def side(tpe: String, a: String) = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .where(col("event_type") === tpe)
+      .select(col("user_id").as(s"${a}_user"),
+        col("event_id").as(s"${a}_id"), col("ts").as(s"${a}_ts"))
+      .withWatermark(s"${a}_ts", "10 minutes")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr("c_user = p_user AND p_ts BETWEEN c_ts AND c_ts + interval 60 minutes"))
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("p_id").as("purchase_id"),
+        unix_micros(col("c_ts")).as("click_ts_us"),
+        unix_micros(col("p_ts")).as("purchase_ts_us"))
+    withStatePartitions(s, 4) {
+      runStream(s, joined, "u_stream_join_sink")
+    }.orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val uStreamJoinSql: String =
+    """SELECT e1.user_id AS user_id, e1.event_id AS click_id,
+      |  e2.event_id AS purchase_id,
+      |  epoch_us(e1.ts) AS click_ts_us, epoch_us(e2.ts) AS purchase_ts_us
+      |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+      | AND e1.event_type = 'click' AND e2.event_type = 'purchase'
+      | AND e2.ts BETWEEN e1.ts AND e1.ts + INTERVAL 60 MINUTE
+      |ORDER BY user_id, click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_stream_join" -> (uStreamJoin _),
     "u_union_ingest" -> (uUnionIngest _),
     "u_stream_pipe" -> (uStreamPipe _),
     "u_stream_session" -> (uStreamSession _),
@@ -523,6 +560,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_stream_join" -> uStreamJoinSql,
     "u_union_ingest" -> uUnionIngestSql,
     "u_stream_pipe" -> uStreamPipeSql,
     "u_stream_session" -> uStreamSessionSql,

@@ -212,4 +212,77 @@ object Similarity extends Serializable {
       .distinct()
       .orderBy("a", "b")
   }
+
+  /** TRAINED k-means IVF index build (Lloyd's algorithm), formulated so
+    * the DuckDB oracle computes BIT-IDENTICAL centroids and assignments:
+    *
+    *  - embeddings quantize to integer micro-units, so per-cluster
+    *    centroid SUMS are exact Longs — order-independent, no FP
+    *    summation ambiguity between engines;
+    *  - seeding picks the k corpus vectors with the smallest md5-derived
+    *    hash (deterministic, engine-independent);
+    *  - distances fold left-to-right over the dimension index in both
+    *    engines (Spark aggregate HOF ≡ DuckDB list_reduce with a
+    *    prepended 0.0), ties break to the lowest centroid id.
+    *
+    * Scale shape (the MLlib pattern): centroids are driver-held (k×dim is
+    * tiny) and broadcast into a narrow assignment pass; the update is a
+    * (cid, dim) partial aggregation collecting k×dim rows to the driver.
+    * Each round is one scan of the checkpointed quantized corpus. The
+    * resulting (vec_id → cid) assignment IS the inverted file; probing
+    * reuses the ivfTopK shape. */
+  def kmeansAssignments(s: SparkSession, corpus: DataFrame, k: Int = 8,
+                        updates: Int = 2, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val q = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qe"))
+      .localCheckpoint(true)
+    val seeds = q.select(col("vec_id"), col("qe"),
+      expr("CAST(conv(substr(md5(concat('ivfseed_', " +
+        "CAST(vec_id AS STRING))), 1, 13), 16, 10) AS BIGINT)").as("h"))
+      .orderBy("h", "vec_id").limit(k).collect()
+    var cents: Array[Array[Double]] =
+      seeds.map(_.getSeq[Long](1).map(_.toDouble).toArray)
+
+    // assignment is a pure MAP-side projection: the k centroid literals
+    // ride in the plan, each vector computes its k distances into one
+    // array, and argmin = array_position of the minimum (first hit =
+    // lowest cid, the same tie-break as ORDER BY dist, cid). No shuffle,
+    // no k-times row blowup — the per-iteration cost is one corpus scan.
+    def assigned: DataFrame = {
+      val dists = array(cents.map { c =>
+        val cl = array(c.map(lit).toSeq: _*)
+        aggregate(zip_with(col("qe"), cl,
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x)
+      }.toSeq: _*)
+      q.withColumn("dists", dists)
+        .withColumn("dist", array_min(col("dists")))
+        .withColumn("cid",
+          (array_position(col("dists"), col("dist")) - 1).cast("int"))
+        .select("vec_id", "qe", "cid", "dist")
+    }
+    for (_ <- 1 to updates) {
+      val sums = assigned
+        .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val arr = new Array[Double](dim)
+            rows.foreach(r =>
+              arr(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3))
+            arr
+          case None => old // an empty cluster keeps its centroid
+        }
+      }
+    }
+    assigned.select(col("vec_id"), col("cid"),
+      round(col("dist"), 6).as("dist")).orderBy("vec_id")
+  }
 }

@@ -185,7 +185,8 @@ object UdScript {
     val pseudo = Script("library", TAny, TAny, stmts, Seq.empty)
     val interp = new Interp(pseudo, nested)
     val env = interp.initEnv
-    Values.VMap(env.vars.toVector.sortBy(_._1))()
+    Values.VMap(scala.jdk.CollectionConverters.MapHasAsScala(env.vars)
+      .asScala.toVector.sortBy(_._1))()
   }
 
   // ---- declared type → Spark schema ----
@@ -253,8 +254,22 @@ object UdScript {
     * (JsonRecords / Msgpack) and it is false, the field is OMITTED from
     * the record value — so `rec.?.f` (Has) means key presence, while a
     * present-but-null field reads as none. */
+  // per-declared-type decode metadata, computed once (rowToValue runs per
+  // ROW in the kernel flatMap — rebuilding this Set per record was pure
+  // allocation overhead)
+  private val absentOkCache =
+    new java.util.concurrent.ConcurrentHashMap[TRecord, Set[String]]()
+  private def absentOkOf(t: TRecord): Set[String] = {
+    var v = absentOkCache.get(t)
+    if (v == null) {
+      v = t.fields.filter(_.absentOptional).map(_.name).toSet
+      absentOkCache.put(t, v)
+    }
+    v
+  }
+
   def rowToValue(row: Row, t: UdType): Value = t match {
-    case TRecord(fs, _) =>
+    case rec @ TRecord(fs, _) =>
       VMap(fs.flatMap { f =>
         val absent = f.absentOptional && {
           try {
@@ -268,8 +283,7 @@ object UdScript {
           Some(f.name -> (if (row.isNullAt(i)) VNone
           else anyToValue(row.get(i), f.t)))
         }
-      }.toVector)(absentOk =
-        fs.filter(_.absentOptional).map(_.name).toSet)
+      }.toVector)(absentOk = absentOkOf(rec))
     case scalar => if (row.isNullAt(0)) VNone else anyToValue(row.get(0), scalar)
   }
 

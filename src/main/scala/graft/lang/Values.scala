@@ -44,15 +44,27 @@ object Values {
                            env: Env) extends Value
 
   /** Lexical scope chain (env.rs). Mutable frame map so recursive and
-    * forward-referencing decls resolve (define-then-capture). */
-  final class Env(val vars: mutable.Map[String, Value], val parent: Option[Env])
-      extends Serializable {
-    def lookup(n: String): Option[Value] =
-      vars.get(n).orElse(parent.flatMap(_.lookup(n)))
-    def define(n: String, v: Value): Unit = vars(n) = v
-    def child(): Env = new Env(mutable.Map.empty, Some(this))
+    * forward-referencing decls resolve (define-then-capture). Frames are
+    * small java.util.HashMaps and the hot lookup is allocation-free —
+    * this chain is entered per call per record inside the kernel flatMap. */
+  final class Env(val vars: java.util.HashMap[String, Value],
+                  val parent: Option[Env]) extends Serializable {
+    @annotation.tailrec
+    def lookupOrNull(n: String): Value = {
+      val v = vars.get(n)
+      if (v != null) v
+      else parent match {
+        case Some(p) => p.lookupOrNull(n)
+        case None    => null
+      }
+    }
+    def lookup(n: String): Option[Value] = Option(lookupOrNull(n))
+    def define(n: String, v: Value): Unit = vars.put(n, v)
+    def child(): Env = new Env(new java.util.HashMap(4), Some(this))
   }
-  object Env { def root(): Env = new Env(mutable.Map.empty, None) }
+  object Env {
+    def root(): Env = new Env(new java.util.HashMap(8), None)
+  }
 
   def err(m: String): Nothing = throw UdException(m)
 
@@ -293,8 +305,12 @@ final class Interp(script: Ast.Script,
     case LitStr(v)    => VStr(v)
     case LitBool(v)   => VBool(v)
     case LitNone      => VNone
-    case In           => env.lookup("in").getOrElse(err("no input bound"))
-    case Id(n)        => env.lookup(n).getOrElse(err(s"unbound: $n"))
+    case In =>
+      val v = env.lookupOrNull("in")
+      if (v == null) err("no input bound") else v
+    case Id(n) =>
+      val v = env.lookupOrNull(n)
+      if (v == null) err(s"unbound: $n") else v
     case Bin(op, l, r) =>
       op match {
         case And => // short-circuit on bools

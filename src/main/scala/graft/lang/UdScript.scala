@@ -205,9 +205,16 @@ object UdScript {
     case TTuple(ts) => StructType(ts.zipWithIndex.map { case (x, i) =>
       StructField(s"_${i + 1}", sparkType(x))
     })
+    // NESTED records carry their absent-optional presence flags INSIDE
+    // the struct (top-level records keep them as external sibling
+    // columns, appended by the sources/decodedSchema) — `rec.addr.zip?`
+    // then reads a real column in both tiers instead of conflating
+    // absent with null
     case TRecord(fs, _) => StructType(fs.map(f =>
       StructField(f.name, sparkType(f.t),
-        nullable = f.absentOptional || f.t.isInstanceOf[TOption])))
+        nullable = f.absentOptional || f.t.isInstanceOf[TOption])) ++
+      fs.filter(_.absentOptional).map(f =>
+        StructField(s"${f.name}__present", BooleanType)))
     // pair-of-floats placeholder (ir.rs:359-362)
     case TPoint => StructType(Seq(
       StructField("x", DoubleType), StructField("y", DoubleType)))
@@ -366,8 +373,11 @@ object UdScript {
         valueToAny(x, f.dataType)
       })
     case (m: VMap, st: StructType) =>
-      Row.fromSeq(st.fields.toSeq.map(f =>
-        m.index.get(f.name).map(valueToAny(_, f.dataType)).orNull))
+      Row.fromSeq(st.fields.toSeq.map { f =>
+        if (f.name.endsWith("__present"))
+          m.index.contains(f.name.stripSuffix("__present"))
+        else m.index.get(f.name).map(valueToAny(_, f.dataType)).orNull
+      })
     case (m: VMap, MapType(_, vt, _)) =>
       m.entries.map { case (k, x) => k -> valueToAny(x, vt) }.toMap
     case (VFloat(d), LongType) => d.toLong // declared-boundary narrow
@@ -607,6 +617,9 @@ private[lang] object Lowering {
       // for frames without one
       case Has(In, field) if df.columns.contains(s"${field}__present") =>
         df(s"${field}__present")
+      // nested absent-optional: the presence flag lives INSIDE the struct
+      case Has(x, field) if absentOptionalField(x, field) =>
+        coalesce(colOf(x, binds).getField(s"${field}__present"), lit(false))
       case Has(x, field)  => colOf(x, binds).getField(field).isNotNull
       case Id(n) =>
         binds.getOrElse(n,
@@ -740,15 +753,30 @@ private[lang] object Lowering {
     }
 
     /** Declared type of input-rooted expressions (enough for union
-      * narrowing; anything else is untyped at this layer). */
+      * narrowing and nested presence; anything else is untyped at this
+      * layer). Walks arbitrary Dot chains off `in`. */
     private def declTypeOf(e: Expr): Option[UdType] = e match {
       case In => Some(script.input)
-      case Dot(In, f) => script.input match {
+      case Dot(x, f) => declTypeOf(x).map {
+        case TOption(inner) => inner
+        case t              => t
+      }.flatMap {
         case TRecord(fs, _) => fs.find(_.name == f).map(_.t)
         case _              => None
       }
       case _ => None
     }
+
+    /** Is `field` declared absent-optional on the record-typed expr x? */
+    private[lang] def absentOptionalField(x: Expr, field: String): Boolean =
+      declTypeOf(x).map {
+        case TOption(inner) => inner
+        case t              => t
+      }.exists {
+        case TRecord(fs, _) =>
+          fs.find(_.name == field).exists(_.absentOptional)
+        case _ => false
+      }
   }
 
   /** Project the declared output record/scalar from a compiled out-expr. */

@@ -66,6 +66,34 @@ object JsonRecords {
       presentNonNull)
   }
 
+  /** Does t contain a NESTED record with absent-optional fields (whose
+    * presence flags live inside the struct)? Lists are out of scope —
+    * per-element presence has no column to live in. */
+  private def hasNestedPresence(t: UdType): Boolean = t match {
+    case TRecord(fs, _) =>
+      fs.exists(_.absentOptional) || fs.exists(f => hasNestedPresence(f.t))
+    case TOption(x) => hasNestedPresence(x)
+    case _ => false
+  }
+
+  /** Rebuild a nested record column with its in-struct __present flags
+    * populated from the variant (key present ⟺ variant_get non-null,
+    * even for a JSON-null value). Recurses through nested records. */
+  private def withNestedPresence(pv: Column, base: Column, path: String,
+                                 t: UdType): Column = t match {
+    case TOption(x) => withNestedPresence(pv, base, path, x)
+    case TRecord(fs, _) =>
+      val parts = fs.map { f =>
+        withNestedPresence(pv, base.getField(f.name), s"$path.${f.name}",
+          f.t).as(f.name)
+      } ++ fs.filter(_.absentOptional).map { f =>
+        variant_get(pv, s"$path.${f.name}", "variant").isNotNull
+          .as(s"${f.name}__present")
+      }
+      when(base.isNotNull, struct(parts: _*))
+    case _ => base
+  }
+
   /** General (non-enum) union branches of a declared field, if any. */
   private def unionBranches(t: UdType): Option[Seq[UdType]] = t match {
     case TUnion(ts) if !ts.forall(_.isInstanceOf[TValue]) => Some(ts)
@@ -92,11 +120,15 @@ object JsonRecords {
       case (n, ts) => n -> unionParse(payload, n, ts)
     }.toMap
     val rec = from_json(payload, schema)
+    lazy val pv = try_parse_json(payload)
     val dataCols =
       declared.fields.map { f =>
         unions.get(f.name) match {
           case Some((structCol, _, _)) => structCol.as(f.name)
-          case None                    => rec.getField(f.name).as(f.name)
+          case None if hasNestedPresence(f.t) =>
+            withNestedPresence(pv, rec.getField(f.name), s"$$.${f.name}",
+              f.t).as(f.name)
+          case None => rec.getField(f.name).as(f.name)
         }
       } ++
         declared.fields.filter(_.absentOptional).map(f =>

@@ -242,9 +242,18 @@ object Msgpack extends Serializable {
       case (es: Vector[_], TRecord(fs, _)) if dt.isInstanceOf[StructType] =>
         val st = dt.asInstanceOf[StructType]
         val entries = es.collect { case (k: String, x) => k -> x }.toMap
-        Row.fromSeq(fs.map(f => entries.get(f.name).map(x =>
-          coerceTyped(x, f.t, st(f.name).dataType, s"$path.${f.name}"))
-          .orNull))
+        val byName = fs.map(f => f.name -> f).toMap
+        // nested schemas carry in-struct __present flags for their
+        // absent-optional fields — populate from key presence
+        Row.fromSeq(st.fields.toSeq.map { sf =>
+          if (sf.name.endsWith("__present") &&
+              !byName.contains(sf.name))
+            entries.contains(sf.name.stripSuffix("__present"))
+          else byName.get(sf.name).map(f =>
+            entries.get(f.name).map(x =>
+              coerceTyped(x, f.t, sf.dataType, s"$path.${f.name}"))
+              .orNull).orNull
+        })
       case (xs: Vector[_], TList(et))
           if dt.isInstanceOf[ArrayType] && branchMatches(v, TList(et)) =>
         xs.map(coerceTyped(_, et,

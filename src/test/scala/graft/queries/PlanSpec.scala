@@ -74,6 +74,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("))
   }
 
+  test("k-means IVF assignment is a pure map-side projection (no shuffle)") {
+    // the per-iteration assignment must not cross an Exchange: centroid
+    // literals ride in the plan and argmin is array_position(array_min)
+    val emb = Tables.embeddings(spark, sf)
+    val out = graft.similarity.Similarity
+      .kmeansAssignments(spark, emb, k = 4, updates = 0)
+    // the only allowed Exchange is the verify-only orderBy's RANGE
+    // partitioning — a hash exchange would mean the assignment shuffled
+    val p = planOf(out)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"assignment shuffles: $p")
+  }
+
+  test("union ingest parses the payload once into a variant") {
+    import graft.lang.Ast._
+    val declared = TRecord(Seq(
+      TField("id", TInt, absentOptional = false),
+      TField("v", TUnion(Seq(TInt, TStr)), absentOptional = false)))
+    import spark.implicits._
+    val lines = spark.createDataset(Seq("""{"id": 1, "v": 42}"""))
+    val good = graft.sources.JsonRecords
+      .read(spark, lines, declared, graft.sources.ValidatedIngest.Skip).good
+    val p = planOf(good)
+    // every branch probe must read the SAME parse_json subexpression —
+    // the plan may name it several times but whole-stage codegen CSEs
+    // identical deterministic children; assert no per-branch from_json
+    val fromJsonCount = "from_json".r.findAllIn(p).size
+    assert(fromJsonCount <= 1, s"per-branch from_json probes leaked: $p")
+  }
+
   test("uDLang kernel tier is a single narrow flatMap (no shuffle)") {
     val src = """script "rec";
       |input  {l_orderkey: Int, l_linenumber: Int};

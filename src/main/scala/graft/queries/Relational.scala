@@ -478,7 +478,54 @@ object Relational extends Serializable {
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY o_custkey ORDER BY c_custkey""".stripMargin
 
+  /** Pivot (wide conditional aggregation): per return flag, one column
+    * pair per line status. Spark's pivot compiles to a single-pass
+    * conditional aggregate — no extra shuffle over the plain groupBy;
+    * decimal-exact qty sums per QueryUtil. */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("n"), QueryUtil.sumd(col("l_quantity")).as("qty"))
+      .orderBy("l_returnflag")
+
+  val qPivotSql: String =
+    """SELECT l_returnflag,
+      |  count(*) FILTER (WHERE l_linestatus = 'F') AS F_n,
+      |  CAST(sum(CASE WHEN l_linestatus = 'F'
+      |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F_qty,
+      |  count(*) FILTER (WHERE l_linestatus = 'O') AS O_n,
+      |  CAST(sum(CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Exact percentiles with the approx sketch next to its exact twin —
+    * the same contract as the HLL entry: exact values are oracle-checked
+    * outright, the sketch must land within its error budget. At scale the
+    * exact percentile (full sort per group) drops away and only the
+    * fixed-size approx sketch runs. */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("ap50"))
+      .select(col("l_returnflag"), round(col("p50"), 6).as("p50"),
+        round(col("p90"), 6).as("p90"),
+        (abs(col("ap50") - col("p50")) <=
+          greatest(col("p50") * 0.05, lit(1.0))).as("approx_ok"))
+      .orderBy("l_returnflag")
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+      |  TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> (qPivot _),
+    "q_percentiles" -> (qPercentiles _),
     "q_session_window" -> (qSessionWindow _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_stats_agg" -> (qStatsAgg _),
@@ -502,6 +549,8 @@ object Relational extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pivot" -> qPivotSql,
+    "q_percentiles" -> qPercentilesSql,
     "q_session_window" -> qSessionWindowSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_stats_agg" -> qStatsAggSql,

@@ -93,8 +93,10 @@ object Typechecker {
       case (x, TUnion(ys))        => ys.exists(subtype(x, _))
       case (TUnion(xs), y)        => xs.forall(subtype(_, y))
       case (TRecord(xs, _), TRecord(ys, _)) => // width+depth structural
+        // an absent-optional target field may be OMITTED from the source
+        // literal — that is what absence means on the way out
         ys.forall(yf => xs.exists(xf =>
-          xf.name == yf.name && subtype(xf.t, yf.t)))
+          xf.name == yf.name && subtype(xf.t, yf.t)) || yf.absentOptional)
       case (TRecord(xs, _), TMap(v)) => // record literal where a map is
         xs.forall(xf => subtype(xf.t, v)) // declared (MapExpr context-conv)
       case (TLambda(xa, xr), TLambda(ya, yr)) =>

@@ -582,6 +582,27 @@ private[lang] object Lowering {
       case LetStmt(n, e) => n -> e
     }.toMap
 
+    /** Declared-type-directed lowering: a record literal targeted at a
+      * declared record type builds the struct in DECLARED field order,
+      * nulls omitted fields, and materializes the in-struct __present
+      * flags from the statically-known literal keys (an omitted
+      * absent-optional field IS absence on the way out). Non-literal
+      * sources (whole-record passthroughs) already carry their flags. */
+    def colOfTyped(e: Expr, t: UdType, binds: Map[String, Column]): Column =
+      (e, t) match {
+        case (MapExpr(entries), TRecord(fs, _)) =>
+          val m = entries.toMap
+          val data = fs.map { f =>
+            m.get(f.name).map(x => colOfTyped(x, f.t, binds))
+              .getOrElse(lit(null).cast(sparkType(f.t))).as(f.name)
+          }
+          val flags = fs.filter(_.absentOptional).map(f =>
+            lit(m.contains(f.name)).as(s"${f.name}__present"))
+          struct(data ++ flags: _*)
+        case (_, TOption(inner)) => colOfTyped(e, inner, binds)
+        case _ => colOf(e, binds)
+      }
+
     def colOf(e: Expr, binds: Map[String, Column]): Column = e match {
       case LitInt(v)   => lit(v)
       case LitFloat(v) => lit(v)
@@ -785,7 +806,7 @@ private[lang] object Lowering {
     val outSchema = schemaOf(script.output)
     script.output match {
       case TRecord(fs, _) =>
-        val v = cc.colOf(outE, binds)
+        val v = cc.colOfTyped(outE, script.output, binds)
         base.select(fs.map(f => v.getField(f.name)
           .cast(outSchema(f.name).dataType).as(f.name)): _*)
       case _ =>

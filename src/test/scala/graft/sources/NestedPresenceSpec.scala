@@ -54,6 +54,35 @@ class NestedPresenceSpec extends SparkSpec {
     assert(UdScript.compile(kernelScript).tier == UdScript.KernelTier)
   }
 
+  test("EMITTING a nested record preserves presence in both tiers") {
+    import spark.implicits._
+    val emitCol = """script "emit nested";
+      |input  {id: Int, flag: Bool};
+      |output {id: Int, addr: {city: Str, zip?: Int}};
+      |if (in.flag) { out {id: in.id, addr: {city: "x", zip: 9}}; }
+      |else { out {id: in.id, addr: {city: "y"}}; }""".stripMargin
+    val emitKernel = """script "emit nested kernel";
+      |input  {id: Int, flag: Bool};
+      |output {id: Int, addr: {city: Str, zip?: Int}};
+      |for i in [1] {
+      |  if (in.flag) { out {id: in.id, addr: {city: "x", zip: 9}}; }
+      |  else { out {id: in.id, addr: {city: "y"}}; }
+      |}""".stripMargin
+    val df = Seq((1L, true), (2L, false)).toDF("id", "flag")
+    for (src <- Seq(emitCol, emitKernel)) {
+      val c = UdScript.compile(src)
+      val out = c.run(df).orderBy("id").collect()
+      val a1 = out(0).getStruct(1)
+      val a2 = out(1).getStruct(1)
+      assert(a1.getBoolean(a1.fieldIndex("zip__present")), s"tier=${c.tier}")
+      assert(!a2.getBoolean(a2.fieldIndex("zip__present")), s"tier=${c.tier}")
+      assert(a1.getLong(a1.fieldIndex("zip")) == 9L)
+      assert(a2.isNullAt(a2.fieldIndex("zip")))
+    }
+    assert(UdScript.compile(emitCol).tier == UdScript.ColumnTier)
+    assert(UdScript.compile(emitKernel).tier == UdScript.KernelTier)
+  }
+
   test("msgpack nested presence round-trips the same signal") {
     val o = new ByteArrayOutputStream()
     Msgpack.writeMap(o, Seq("id" -> 1L,

@@ -43,7 +43,17 @@ object Typechecker {
       case other => other
     }
 
-    def resolve(t: UdType): UdType = t match {
+    // depth guard: a self-referential generic (`type Loop<T>: Loop<T>`)
+    // would otherwise recurse forever through the TApply substitution
+    var resolveDepth = 0
+    def resolve(t: UdType): UdType = {
+      if (resolveDepth > 64) {
+        errs += TypeError(s"recursive type: $t"); return TAny
+      }
+      resolveDepth += 1
+      try resolve0(t) finally resolveDepth -= 1
+    }
+    def resolve0(t: UdType): UdType = t match {
       case TRef(n) => typeDefs.get(n) match {
         case Some((Nil, body)) => body
         case Some((ps, _)) =>

@@ -523,7 +523,38 @@ object Relational extends Serializable {
       |  TRUE AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Unpivot (melt): the four lineitem measures become (measure, value)
+    * rows — Spark's Expand node, one pass, no shuffle beyond the
+    * verify-only orderBy. Sliced to a 1% orderkey band to keep the
+    * melted row count bench-friendly. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_orderkey") % 100 === 0)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  val qUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, measure, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+      |    l_quantity AS value FROM lineitem WHERE l_orderkey % 100 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_orderkey % 100 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey % 100 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      |  FROM lineitem WHERE l_orderkey % 100 = 0)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (qUnpivot _),
     "q_pivot" -> (qPivot _),
     "q_percentiles" -> (qPercentiles _),
     "q_session_window" -> (qSessionWindow _),
@@ -549,6 +580,7 @@ object Relational extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot" -> qUnpivotSql,
     "q_pivot" -> qPivotSql,
     "q_percentiles" -> qPercentilesSql,
     "q_session_window" -> qSessionWindowSql,

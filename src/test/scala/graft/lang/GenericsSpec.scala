@@ -43,4 +43,14 @@ class GenericsSpec extends SparkSpec {
     val e = intercept[UdScript.CompileError] { UdScript.compile(src) }
     assert(e.msg.contains("expects 1 parameter"))
   }
+  test("a self-referential generic type errors instead of looping") {
+    val src = """script "loop type";
+      |type Loop<T>: Loop<T>;
+      |input  Loop<Int>;
+      |output Int;
+      |out 1;""".stripMargin
+    val e = intercept[Exception] { UdScript.compile(src) }
+    assert(e.getMessage != null)
+  }
+
 }

@@ -67,6 +67,15 @@ object Main {
         out.println(s"tier: ${c.tier}")
         out.println(s"input schema:  ${c.inputSchema.simpleString}")
         out.println(s"output schema: ${c.outputSchema.simpleString}")
+        // the engine's IR is the lowered Spark plan: compile the script
+        // against an empty frame of the declared input and dump it
+        session.orElse(Some(GraftSession.local(2))).foreach { s =>
+          val empty = s.createDataFrame(
+            new java.util.ArrayList[Row](), c.inputSchema)
+          // analyzed (not optimized): an empty input constant-folds to
+          // nothing, and the point is to show the lowering structure
+          out.println(c.run(empty).queryExecution.analyzed.toString)
+        }
         out.println(pretty(c.script))
         0
       case rest =>

@@ -57,6 +57,8 @@ object Main {
               err: PrintStream, session: Option[SparkSession]): Int =
     args match {
       case "--dump-expr" :: Nil => dumpExpr(in, out); 0
+      case "lift" :: rest  => lift(rest, in, out); 0
+      case "lower" :: rest => lower(rest, in, out); 0
       case "--dump-ast" :: path :: Nil =>
         UdParser.parse(readFile(path)) match {
           case Right(s) => out.println(pretty(s)); 0
@@ -113,6 +115,95 @@ object Main {
         case Nil                  => (o, pos)
       }
     loop(args, Opts(), Nil)
+  }
+
+  // ---- lift / lower: the reference's wire-format converters ----
+  // (README.md:269-273: `udlift --json --oneshot | udlang todo.md |
+  // udlower --text`). Pure stream filters — no Spark session: JSON in,
+  // msgpack records out (lift); msgpack in, JSON lines or raw text out
+  // (lower). `--oneshot` treats the whole stdin as ONE record.
+
+  private def lift(opts: List[String], in: InputStream,
+                   out: PrintStream): Unit = {
+    if (!opts.contains("--json"))
+      throw CliError("lift supports --json [--oneshot]")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val o = new java.io.BufferedOutputStream(out, 1 << 16)
+    def encode(tree: com.fasterxml.jackson.databind.JsonNode): Unit =
+      Msgpack.writeValue(o, jsonToValue(tree))
+    if (opts.contains("--oneshot")) encode(mapper.readTree(in))
+    else {
+      val sc = new java.util.Scanner(in, "UTF-8")
+      while (sc.hasNextLine) {
+        val line = sc.nextLine()
+        if (line.trim.nonEmpty) encode(mapper.readTree(line))
+      }
+    }
+    o.flush()
+  }
+
+  private def jsonToValue(n: com.fasterxml.jackson.databind.JsonNode): Any = {
+    import scala.jdk.CollectionConverters._
+    if (n == null || n.isNull) null
+    else if (n.isBoolean) n.booleanValue()
+    else if (n.isIntegralNumber) n.longValue()
+    else if (n.isNumber) n.doubleValue()
+    else if (n.isTextual) n.textValue()
+    else if (n.isArray) n.elements().asScala.map(jsonToValue).toVector
+    else // object: ordered entries -> msgpack map
+      scala.collection.immutable.VectorMap.from(
+        n.fields().asScala.map(e => e.getKey -> jsonToValue(e.getValue)))
+  }
+
+  private def lower(opts: List[String], in: InputStream,
+                    out: PrintStream): Unit = {
+    val asText = opts.contains("--text")
+    if (!asText && !opts.contains("--json"))
+      throw CliError("lower supports --json | --text")
+    val buf = java.nio.ByteBuffer.wrap(in.readAllBytes())
+    while (buf.hasRemaining) {
+      val v = Msgpack.readValue(buf)
+      if (asText) v match {
+        case s: String => out.println(s)
+        case other     => out.println(renderJson(other))
+      }
+      else out.println(renderJson(v))
+    }
+  }
+
+  /** Minimal JSON rendering of decoded msgpack values (maps decode to
+    * ordered entry vectors). */
+  def renderJson(v: Any): String = v match {
+    case null       => "null"
+    case b: Boolean => b.toString
+    case i: Long    => i.toString
+    case d: Double  => if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+    case s: String  => quote(s)
+    case bytes: Array[Byte] =>
+      quote(java.util.Base64.getEncoder.encodeToString(bytes))
+    case xs: Vector[_] if xs.forall(_.isInstanceOf[(_, _)]) && xs.nonEmpty =>
+      xs.collect { case (k: String, x) => quote(k) + ":" + renderJson(x) }
+        .mkString("{", ",", "}")
+    case xs: Vector[_] if xs.isEmpty => "[]"
+    case xs: Vector[_] => xs.map(renderJson).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => quote(String.valueOf(k)) + ":" + renderJson(x) }
+        .mkString("{", ",", "}")
+    case other => quote(String.valueOf(other))
+  }
+
+  private def quote(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u$c%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
   }
 
   // ---- subcommands ----

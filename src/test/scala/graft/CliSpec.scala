@@ -93,6 +93,46 @@ class CliSpec extends SparkSpec {
     assert(out.contains("error:"))
   }
 
+  test("lift and lower convert between JSON and msgpack framings") {
+    // lift: JSON lines -> msgpack records
+    val json = """{"id": 1, "name": "a", "score": 1.5}
+                 |{"id": 2, "name": "b", "score": null}
+                 |""".stripMargin
+    val liftOut = new ByteArrayOutputStream()
+    assert(Main.execute(List("lift", "--json"),
+      new ByteArrayInputStream(json.getBytes("UTF-8")),
+      new PrintStream(liftOut, true, "UTF-8"),
+      new PrintStream(new ByteArrayOutputStream()), Some(spark)) == 0)
+    val decoded = {
+      val b = ByteBuffer.wrap(liftOut.toByteArray)
+      Iterator.continually(if (b.hasRemaining) Some(Msgpack.readValue(b))
+        else None).takeWhile(_.isDefined).flatten.toSeq
+    }
+    assert(decoded == Seq(
+      Vector("id" -> 1L, "name" -> "a", "score" -> 1.5),
+      Vector("id" -> 2L, "name" -> "b", "score" -> null)))
+    // lower: msgpack records -> JSON lines (round trip)
+    val (code, lowered, _) = cli(List("lower", "--json"), liftOut.toByteArray)
+    assert(code == 0)
+    assert(lowered.linesIterator.toSeq == Seq(
+      """{"id":1,"name":"a","score":1.5}""",
+      """{"id":2,"name":"b","score":null}"""))
+    // lower --text: one raw line per msgpack string
+    val o = new ByteArrayOutputStream()
+    Msgpack.writeValue(o, "hello")
+    Msgpack.writeValue(o, "world")
+    val (c2, text, _) = cli(List("lower", "--text"), o.toByteArray)
+    assert(c2 == 0 && text.linesIterator.toSeq == Seq("hello", "world"))
+    // --oneshot: whole stdin is ONE record
+    val one = new ByteArrayOutputStream()
+    assert(Main.execute(List("lift", "--json", "--oneshot"),
+      new ByteArrayInputStream("""{"items": [1, 2, 3]}""".getBytes("UTF-8")),
+      new PrintStream(one, true, "UTF-8"),
+      new PrintStream(new ByteArrayOutputStream()), Some(spark)) == 0)
+    assert(Msgpack.readValue(ByteBuffer.wrap(one.toByteArray)) ==
+      Vector("items" -> Vector(1L, 2L, 3L)))
+  }
+
   test("--in/--out paths keep the parallel file legs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cli").toFile
     val inFile = new java.io.File(dir, "events.jsonl")

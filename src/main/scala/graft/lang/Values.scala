@@ -79,46 +79,89 @@ object Values {
     case _         => err("not a condition value")
   }
 
-  def binop(op: BinOp, l: Value, r: Value): Value = (op, l, r) match {
-    case (Add, VInt(a), VInt(b))     => VInt(a + b)
-    case (Add, VFloat(a), VFloat(b)) => VFloat(a + b)
-    case (Add, VStr(a), VStr(b))     => VStr(a + b) // doc-intended concat
-    case (Add, VList(a), VList(b))   => VList(a ++ b)
-    case (Sub, VInt(a), VInt(b))     => VInt(a - b)
-    case (Sub, VFloat(a), VFloat(b)) => VFloat(a - b)
-    case (Mul, VInt(a), VInt(b))     => VInt(a * b)
-    case (Mul, VFloat(a), VFloat(b)) => VFloat(a * b)
-    case (Div, VInt(a), VInt(b))     =>
-      if (b == 0) err("div by zero") else VInt(a / b) // truncates (Rust /)
-    case (Div, VFloat(a), VFloat(b)) => VFloat(a / b)
-    case (Mod, VInt(a), VInt(b))     =>
-      if (b == 0) err("mod by zero") else VInt(a % b)
-    case (Mod, VFloat(a), VFloat(b)) => VFloat(a % b)
-    case (Pow, VInt(a), VInt(b))     =>
-      VInt(math.pow(a.toDouble, b.toDouble).toLong) // exp as u32, ir.rs:592
-    case (Pow, VFloat(a), VFloat(b)) => VFloat(math.pow(a, b))
-    case (Min, VInt(a), VInt(b))     => VInt(math.min(a, b))
-    case (Min, VFloat(a), VFloat(b)) => VFloat(math.min(a, b))
-    case (Max, VInt(a), VInt(b))     => VInt(math.max(a, b))
-    case (Max, VFloat(a), VFloat(b)) => VFloat(math.max(a, b))
-    case (And, VBool(a), VBool(b))   => VBool(a && b)
-    case (And, VInt(a), VInt(b))     => VInt(a & b)
-    case (Or, VBool(a), VBool(b))    => VBool(a || b)
-    case (Or, VInt(a), VInt(b))      => VInt(a | b)
-    case (Xor, VBool(a), VBool(b))   => VBool(a ^ b)
-    case (Xor, VInt(a), VInt(b))     => VInt(a ^ b)
-    case (Shl, VInt(a), VInt(b))     => VInt(a << b)
-    case (Shr, VInt(a), VInt(b))     => VInt(a >> b)
-    case (Lt, _, _) | (Gt, _, _) | (Lte, _, _) | (Gte, _, _) =>
-      val c = compare(l, r)
-      VBool(op match {
-        case Lt => c < 0; case Gt => c > 0
-        case Lte => c <= 0; case _ => c >= 0
-      })
-    case (Eq, _, _)  => VBool(deepEq(l, r))
-    case (Neq, _, _) => VBool(!deepEq(l, r))
-    case _ => err(s"type error: $op on ${l.getClass.getSimpleName}/${r.getClass.getSimpleName}")
+  /** Op-first dispatch: matching on a (op, l, r) tuple literal allocated
+    * a Tuple3 per operation — this runs per AST node per record in the
+    * kernel flatMap, so the dispatch is restructured allocation-free. */
+  def binop(op: BinOp, l: Value, r: Value): Value = op match {
+    case Add => (l, r) match {
+      case (VInt(a), VInt(b))     => VInt(a + b)
+      case (VFloat(a), VFloat(b)) => VFloat(a + b)
+      case (VStr(a), VStr(b))     => VStr(a + b) // doc-intended concat
+      case (VList(a), VList(b))   => VList(a ++ b)
+      case _ => fail(op, l, r)
+    }
+    case Sub => (l, r) match {
+      case (VInt(a), VInt(b))     => VInt(a - b)
+      case (VFloat(a), VFloat(b)) => VFloat(a - b)
+      case _ => fail(op, l, r)
+    }
+    case Mul => (l, r) match {
+      case (VInt(a), VInt(b))     => VInt(a * b)
+      case (VFloat(a), VFloat(b)) => VFloat(a * b)
+      case _ => fail(op, l, r)
+    }
+    case Div => (l, r) match {
+      case (VInt(a), VInt(b))     =>
+        if (b == 0) err("div by zero") else VInt(a / b) // truncates (Rust /)
+      case (VFloat(a), VFloat(b)) => VFloat(a / b)
+      case _ => fail(op, l, r)
+    }
+    case Mod => (l, r) match {
+      case (VInt(a), VInt(b))     =>
+        if (b == 0) err("mod by zero") else VInt(a % b)
+      case (VFloat(a), VFloat(b)) => VFloat(a % b)
+      case _ => fail(op, l, r)
+    }
+    case Pow => (l, r) match {
+      case (VInt(a), VInt(b))     =>
+        VInt(math.pow(a.toDouble, b.toDouble).toLong) // exp as u32, ir.rs:592
+      case (VFloat(a), VFloat(b)) => VFloat(math.pow(a, b))
+      case _ => fail(op, l, r)
+    }
+    case Min => (l, r) match {
+      case (VInt(a), VInt(b))     => VInt(math.min(a, b))
+      case (VFloat(a), VFloat(b)) => VFloat(math.min(a, b))
+      case _ => fail(op, l, r)
+    }
+    case Max => (l, r) match {
+      case (VInt(a), VInt(b))     => VInt(math.max(a, b))
+      case (VFloat(a), VFloat(b)) => VFloat(math.max(a, b))
+      case _ => fail(op, l, r)
+    }
+    case And => (l, r) match {
+      case (VBool(a), VBool(b)) => VBool(a && b)
+      case (VInt(a), VInt(b))   => VInt(a & b)
+      case _ => fail(op, l, r)
+    }
+    case Or => (l, r) match {
+      case (VBool(a), VBool(b)) => VBool(a || b)
+      case (VInt(a), VInt(b))   => VInt(a | b)
+      case _ => fail(op, l, r)
+    }
+    case Xor => (l, r) match {
+      case (VBool(a), VBool(b)) => VBool(a ^ b)
+      case (VInt(a), VInt(b))   => VInt(a ^ b)
+      case _ => fail(op, l, r)
+    }
+    case Shl => (l, r) match {
+      case (VInt(a), VInt(b)) => VInt(a << b)
+      case _ => fail(op, l, r)
+    }
+    case Shr => (l, r) match {
+      case (VInt(a), VInt(b)) => VInt(a >> b)
+      case _ => fail(op, l, r)
+    }
+    case Lt  => VBool(compare(l, r) < 0)
+    case Gt  => VBool(compare(l, r) > 0)
+    case Lte => VBool(compare(l, r) <= 0)
+    case Gte => VBool(compare(l, r) >= 0)
+    case Eq  => VBool(deepEq(l, r))
+    case Neq => VBool(!deepEq(l, r))
+    case _   => fail(op, l, r)
   }
+
+  private def fail(op: BinOp, l: Value, r: Value): Nothing =
+    err(s"type error: $op on ${l.getClass.getSimpleName}/${r.getClass.getSimpleName}")
 
   private def compare(l: Value, r: Value): Int = (l, r) match {
     case (VInt(a), VInt(b))     => java.lang.Long.compare(a, b)
@@ -433,15 +476,18 @@ final class Interp(script: Ast.Script,
       }
   }
 
-  /** evaluate call args, splicing `...list` spreads (F7). */
+  /** evaluate call args, splicing `...list` spreads (F7). The common
+    * spread-free call avoids the flatMap/Seq-wrapping allocations. */
   private def evalArgs(args: Seq[Expr], env: Env, ctx: Ctx): Seq[Value] =
-    args.flatMap {
-      case Spread(x) => eval(x, env, ctx) match {
-        case VList(xs) => xs
-        case other     => err(s"cannot spread ${render(other)}")
+    if (args.exists(_.isInstanceOf[Spread]))
+      args.flatMap {
+        case Spread(x) => eval(x, env, ctx) match {
+          case VList(xs) => xs
+          case other     => err(s"cannot spread ${render(other)}")
+        }
+        case a => Seq(eval(a, env, ctx))
       }
-      case a => Seq(eval(a, env, ctx))
-    }
+    else args.map(eval(_, env, ctx))
 
   /** x.f(...) is method sugar iff f is a function in scope and the
     * receiver is not a module/map that owns an f member. */
@@ -465,8 +511,11 @@ final class Interp(script: Ast.Script,
       } else {
         if (params.size != argv.size)
           err(s"arity: expected ${params.size}, got ${argv.size}")
-        params.zip(argv).foreach { case ((p, declared), v) =>
-          frame.define(p, coerceDeclared(v, declared))
+        val pit = params.iterator
+        val ait = argv.iterator
+        while (pit.hasNext) {
+          val (p, declared) = pit.next()
+          frame.define(p, coerceDeclared(ait.next(), declared))
         }
       }
       eval(body, frame, ctx)

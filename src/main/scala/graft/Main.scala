@@ -57,7 +57,7 @@ object Main {
               err: PrintStream, session: Option[SparkSession]): Int =
     args match {
       case "--dump-expr" :: Nil => dumpExpr(in, out); 0
-      case "lift" :: rest  => lift(rest, in, out); 0
+      case "lift" :: rest  => lift(rest, in, out, err); 0
       case "lower" :: rest => lower(rest, in, out); 0
       case "--dump-ast" :: path :: Nil =>
         UdParser.parse(readFile(path)) match {
@@ -123,14 +123,50 @@ object Main {
   // msgpack records out (lift); msgpack in, JSON lines or raw text out
   // (lower). `--oneshot` treats the whole stdin as ONE record.
 
-  private def lift(opts: List[String], in: InputStream,
-                   out: PrintStream): Unit = {
+  private def lift(opts: List[String], in: InputStream, out: PrintStream,
+                   err: PrintStream): Unit = {
     if (!opts.contains("--json"))
-      throw CliError("lift supports --json [--oneshot]")
+      throw CliError("lift supports --json [--oneshot] " +
+        "[--schema F [--reject|--ignore|--warn]]")
+    // --schema F: validate each record against F's declared input record
+    // (README.md:298-302): --reject aborts, --ignore drops silently,
+    // --warn drops noisily on stderr. Default without --schema: lift
+    // whatever arrives (shape deduced from the JSON itself).
+    val declared: Option[TRecord] =
+      opts.sliding(2).collectFirst { case List("--schema", f) => f }
+        .map { f =>
+          compileFile(f, Nil).script.input match {
+            case r: TRecord => r
+            case other => throw CliError(s"--schema input is not a record: $other")
+          }
+        }
+    val mode =
+      if (opts.contains("--reject")) "reject"
+      else if (opts.contains("--ignore")) "ignore"
+      else if (opts.contains("--warn")) "warn"
+      else "reject" // type-safe by default (README.md:295-296)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val o = new java.io.BufferedOutputStream(out, 1 << 16)
-    def encode(tree: com.fasterxml.jackson.databind.JsonNode): Unit =
-      Msgpack.writeValue(o, jsonToValue(tree))
+    def encode(tree: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      val bytes = {
+        val buf = new java.io.ByteArrayOutputStream()
+        Msgpack.writeValue(buf, jsonToValue(tree))
+        buf.toByteArray
+      }
+      declared match {
+        case None => o.write(bytes)
+        case Some(rec) =>
+          // decode-validate through the SAME typed path the engine uses
+          val row = Msgpack.decodeOne(bytes, rec)
+          val reason = row.getString(row.length - 1)
+          if (reason == null) o.write(bytes)
+          else mode match {
+            case "reject" => throw CliError(s"invalid input: $reason")
+            case "ignore" => ()
+            case "warn"   => err.println(s"warning: dropped record: $reason")
+          }
+      }
+    }
     if (opts.contains("--oneshot")) encode(mapper.readTree(in))
     else {
       val sc = new java.util.Scanner(in, "UTF-8")

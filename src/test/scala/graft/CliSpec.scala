@@ -133,6 +133,39 @@ class CliSpec extends SparkSpec {
       Vector("items" -> Vector(1L, 2L, 3L)))
   }
 
+  test("lift --schema validates against a script's declared input") {
+    val stdin =
+      """{"event_id": 1, "event_type": "click", "value": 80.5}
+        |{"event_id": "oops", "event_type": "view", "value": 1.0}
+        |""".stripMargin.getBytes("UTF-8")
+    def liftRaw(extra: List[String]): (Int, Array[Byte], String) = {
+      val out = new ByteArrayOutputStream()
+      val err = new ByteArrayOutputStream()
+      val code =
+        try Main.execute(List("lift", "--json", "--schema",
+          "examples/filter_events.us") ++ extra,
+          new ByteArrayInputStream(stdin),
+          new PrintStream(out, true, "UTF-8"),
+          new PrintStream(err, true, "UTF-8"), Some(spark))
+        catch { case e: Main.CliError => 2 }
+      (code, out.toByteArray, err.toString("UTF-8"))
+    }
+    // --warn: bad record dropped noisily, the good one lifts
+    val (c1, out1, err1) = liftRaw(List("--warn"))
+    assert(c1 == 0)
+    assert(err1.contains("warning") && err1.contains("event_id"))
+    val b = ByteBuffer.wrap(out1)
+    assert(Msgpack.readValue(b) == Vector("event_id" -> 1L,
+      "event_type" -> "click", "value" -> 80.5))
+    assert(!b.hasRemaining) // exactly one record survived
+    // --reject (the default): abort on the invalid record
+    val (c2, _, _) = liftRaw(Nil)
+    assert(c2 != 0)
+    // --ignore: silent drop
+    val (c3, _, err3) = liftRaw(List("--ignore"))
+    assert(c3 == 0 && err3.isEmpty)
+  }
+
   test("--in/--out paths keep the parallel file legs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cli").toFile
     val inFile = new java.io.File(dir, "events.jsonl")

@@ -374,6 +374,28 @@ object Relational extends Serializable {
        |GROUP BY 1, 2
        |ORDER BY win_start_us, event_type""".stripMargin
 
+  /** SLIDING event-time windows: 1-hour windows every 15 minutes — each
+    * event lands in exactly duration/slide = 4 overlapping windows
+    * (Spark's Expand: a bounded 4x fan-out before the aggregation, the
+    * scale-safe shape vs. a self-join). Oracle replays the fan-out with
+    * a 0..3 cross join on the 15-minute bucket. */
+  def qWindowSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(sumd(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("sum_value"), col("n"))
+      .orderBy("win_start_us", "event_type")
+
+  val qWindowSlidingSql: String =
+    s"""SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts)
+       |         - k.k * INTERVAL 15 MINUTE) AS win_start_us,
+       |  event_type, ${sqlSumd("value")} AS sum_value, count(*) AS n
+       |FROM events
+       |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+       |GROUP BY 1, 2
+       |ORDER BY win_start_us, event_type""".stripMargin
+
   /** Session windows (5-minute inactivity gap) per user — the batch twin
     * of streaming session_window; oracle via gaps-and-islands SQL. */
   def qSessionWindow(s: SparkSession, d: String): DataFrame =
@@ -555,6 +577,7 @@ object Relational extends Serializable {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot" -> (qUnpivot _),
+    "q_window_sliding" -> (qWindowSliding _),
     "q_pivot" -> (qPivot _),
     "q_percentiles" -> (qPercentiles _),
     "q_session_window" -> (qSessionWindow _),
@@ -581,6 +604,7 @@ object Relational extends Serializable {
 
   val oracle: Map[String, String] = Map(
     "q_unpivot" -> qUnpivotSql,
+    "q_window_sliding" -> qWindowSlidingSql,
     "q_pivot" -> qPivotSql,
     "q_percentiles" -> qPercentilesSql,
     "q_session_window" -> qSessionWindowSql,

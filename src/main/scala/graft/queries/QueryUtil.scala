@@ -32,4 +32,16 @@ object QueryUtil {
     s"CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
   def sqlAvgd(col: String, n: String): String =
     s"round(CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE) / $n, 6)"
+
+  /** Run `body` with the shuffle-partition conf pinned — iterative
+    * operators over SMALL frames (a near-dup pair graph) otherwise pay
+    * the full default partition count on every one of their many jobs.
+    * On a cluster the caller sizes this to the actual graph. */
+  def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)
+                              (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
 }

@@ -133,6 +133,21 @@ class CliSpec extends SparkSpec {
       Vector("items" -> Vector(1L, 2L, 3L)))
   }
 
+  test("modules resolve from --libdir (and the script's own directory)") {
+    val stdin = """{"doc_id": 1, "text": "cli"}""".getBytes("UTF-8")
+    // explicit --libdir
+    val (c1, out1, _) = cli(List("--libdir", "examples/lib",
+      "examples/use_greet.us"), stdin)
+    assert(c1 == 0)
+    assert(out1.trim == """{"doc_id":1,"msg":"Hello, cli! :: "}""")
+    // script-directory resolution alone does NOT find examples/lib —
+    // the module must be looked up where the user said it lives
+    val thrown = intercept[Exception] {
+      cli(List("examples/use_greet.us"), stdin)
+    }
+    assert(thrown.getMessage.contains("greet"))
+  }
+
   test("lift --schema validates against a script's declared input") {
     val stdin =
       """{"event_id": 1, "event_type": "click", "value": 80.5}

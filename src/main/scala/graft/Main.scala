@@ -45,6 +45,10 @@ object Main {
         case e: CliError => System.err.println(s"error: ${e.msg}"); 2
         case e: UdScript.CompileError =>
           System.err.println(s"compile error: ${e.getMessage}"); 3
+        case e: org.apache.spark.SparkException =>
+          // abort-mode validation failures and kernel runtime errors
+          // (main.rs `.expect("runtime error")` panics; we exit cleanly)
+          System.err.println(s"runtime error: ${e.getMessage}"); 1
       }
     if (code != 0) sys.exit(code)
   }
@@ -90,6 +94,8 @@ object Main {
 
   private val usage: String =
     "usage: graft.Main [--dump-expr | --dump-ast F | --compile F | " +
+      "lift --json [--oneshot] [--schema F [--reject|--ignore|--warn]] | " +
+      "lower --json|--text | " +
       "[--format json|msgpack] [--in PATH] [--out PATH] " +
       "[--mode abort|skip|dlq] [--libdir DIR]... [--cores N] F]"
 

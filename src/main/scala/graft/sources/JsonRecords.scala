@@ -133,13 +133,25 @@ object JsonRecords {
       } ++
         declared.fields.filter(_.absentOptional).map(f =>
           hasField(payload, f.name).as(s"${f.name}__present"))
+    // type-safe by default: a PRESENT, non-null value that fails its
+    // declared field type (from_json is strict, so the parsed field is
+    // null exactly then) is an invalid record, not a silent null — the
+    // same posture as the msgpack decoder's coerce errors
+    val typeChecks = declared.fields
+      .filterNot(f => unions.contains(f.name)).map { f =>
+        val vg = variant_get(pv, s"$$.${f.name}", "variant")
+        val presentNonNull = vg.isNotNull &&
+          !coalesce(is_variant_null(vg), lit(false))
+        when(presentNonNull && rec.getField(f.name).isNull,
+          lit(s"type:${f.name}"))
+      }
     val reason = coalesce(
-      when(get_json_object(payload, "$").isNull,
+      (when(get_json_object(payload, "$").isNull,
         lit("malformed_json:_payload")) +:
         unionFields.map { case (n, _) =>
           val (_, tag, presentNonNull) = unions(n)
           when(presentNonNull && tag.isNull, lit(s"union_no_branch:$n"))
-        }: _*)
+        }) ++ typeChecks: _*)
     val tagged = raw.select(
       (payload +: dataCols) :+ reason.as("_invalid_reason"): _*)
     val routed = ValidatedIngest.routeTagged(tagged, mode)

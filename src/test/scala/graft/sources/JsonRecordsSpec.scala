@@ -28,6 +28,19 @@ class JsonRecordsSpec extends SparkSpec {
     assert(rows(2).isNullAt(2) && !rows(2).getBoolean(3)) // absent
   }
 
+  test("field-type mismatches are invalid records, not silent nulls") {
+    val lines = Seq(
+      """{"id": 1, "status": "complete"}""",
+      """{"id": "oops", "status": "complete"}""", // Str where Int declared
+      """{"id": 3, "status": "complete", "blocker": "x"}""", // bad optional
+      """{"id": null, "status": "complete"}""").toDS() // null is NOT a type error
+    val v = JsonRecords.read(spark, lines, declared, ValidatedIngest.Dlq)
+    assert(v.good.count() == 2) // ids 1 and null pass
+    val reasons = v.bad.collect()
+      .map(r => r.getString(r.fieldIndex("_invalid_reason"))).sorted
+    assert(reasons.toSeq == Seq("type:blocker", "type:id"))
+  }
+
   test("malformed payloads route to the DLQ; egress round-trips") {
     val lines = Seq(
       """{"id": 1, "status": "complete"}""",

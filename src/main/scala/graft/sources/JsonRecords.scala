@@ -145,13 +145,26 @@ object JsonRecords {
         when(presentNonNull && rec.getField(f.name).isNull,
           lit(s"type:${f.name}"))
       }
+    // string-literal enums (ValueType unions) are a CHECK constraint at
+    // ingest (README.md:218): a value outside the declared literals is
+    // an invalid record
+    def enumLits(t: UdType): Option[Seq[String]] = t match {
+      case TUnion(ts) if ts.nonEmpty && ts.forall(_.isInstanceOf[TValue]) =>
+        Some(ts.collect { case TValue(s) => s })
+      case TOption(x) => enumLits(x)
+      case _ => None
+    }
+    val enumChecks = declared.fields.flatMap(f => enumLits(f.t).map { lits =>
+      val c = rec.getField(f.name)
+      when(c.isNotNull && !c.isin(lits: _*), lit(s"bad_enum:${f.name}"))
+    })
     val reason = coalesce(
       (when(get_json_object(payload, "$").isNull,
         lit("malformed_json:_payload")) +:
         unionFields.map { case (n, _) =>
           val (_, tag, presentNonNull) = unions(n)
           when(presentNonNull && tag.isNull, lit(s"union_no_branch:$n"))
-        }) ++ typeChecks: _*)
+        }) ++ typeChecks ++ enumChecks: _*)
     val tagged = raw.select(
       (payload +: dataCols) :+ reason.as("_invalid_reason"): _*)
     val routed = ValidatedIngest.routeTagged(tagged, mode)

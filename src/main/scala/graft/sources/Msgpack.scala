@@ -221,6 +221,11 @@ object Msgpack extends Serializable {
   def coerceTyped(v: Any, t: UdType, dt: DataType, path: String): Any =
     (v, t) match {
       case (null, _) => null
+      // string-literal enum: a CHECK constraint at the boundary
+      case (x: String, TUnion(ts))
+          if ts.nonEmpty && ts.forall(_.isInstanceOf[TValue]) =>
+        if (ts.exists { case TValue(s) => s == x; case _ => false }) x
+        else throw MsgpackError(s"bad_enum:$path=$x")
       case (_, TUnion(ts)) if !ts.forall(_.isInstanceOf[TValue]) =>
         val i = ts.indexWhere(branchMatches(v, _))
         if (i < 0) throw MsgpackError(

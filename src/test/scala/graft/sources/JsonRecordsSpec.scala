@@ -41,6 +41,24 @@ class JsonRecordsSpec extends SparkSpec {
     assert(reasons.toSeq == Seq("type:blocker", "type:id"))
   }
 
+  test("string-literal enums are CHECK constraints at ingest (both codecs)") {
+    val lines = Seq(
+      """{"id": 1, "status": "complete"}""",
+      """{"id": 2, "status": "bogus"}""").toDS()
+    val v = JsonRecords.read(spark, lines, declared, ValidatedIngest.Dlq)
+    assert(v.good.count() == 1)
+    val bad = v.bad.collect()
+    assert(bad.length == 1 &&
+      bad(0).getString(bad(0).fieldIndex("_invalid_reason")) == "bad_enum:status")
+    // msgpack: same posture through the typed decoder
+    val o = new java.io.ByteArrayOutputStream()
+    Msgpack.writeMap(o, Seq("id" -> 1L, "status" -> "blocked"))
+    Msgpack.writeMap(o, Seq("id" -> 2L, "status" -> "bogus"))
+    val rows = Msgpack.decodeFile(o.toByteArray, declared).toSeq
+    assert(rows(0).getString(rows(0).length - 1) == null)
+    assert(rows(1).getString(rows(1).length - 1).startsWith("bad_enum:status"))
+  }
+
   test("malformed payloads route to the DLQ; egress round-trips") {
     val lines = Seq(
       """{"id": 1, "status": "complete"}""",

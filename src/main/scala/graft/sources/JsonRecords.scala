@@ -158,13 +158,24 @@ object JsonRecords {
       val c = rec.getField(f.name)
       when(c.isNotNull && !c.isin(lits: _*), lit(s"bad_enum:${f.name}"))
     })
+    // sized-int declared ranges are boundary checks too (same posture as
+    // the msgpack decoder): out-of-range values route by mode
+    def sizedInt(t: UdType): Option[TIntN] = t match {
+      case n: TIntN   => Some(n)
+      case TOption(x) => sizedInt(x)
+      case _          => None
+    }
+    val rangeChecks = declared.fields.flatMap(f => sizedInt(f.t).map { n =>
+      val c = rec.getField(f.name)
+      when(c.isNotNull && (c < n.lo || c > n.hi), lit(s"range:${f.name}"))
+    })
     val reason = coalesce(
       (when(get_json_object(payload, "$").isNull,
         lit("malformed_json:_payload")) +:
         unionFields.map { case (n, _) =>
           val (_, tag, presentNonNull) = unions(n)
           when(presentNonNull && tag.isNull, lit(s"union_no_branch:$n"))
-        }) ++ typeChecks ++ enumChecks: _*)
+        }) ++ typeChecks ++ enumChecks ++ rangeChecks: _*)
     val tagged = raw.select(
       (payload +: dataCols) :+ reason.as("_invalid_reason"): _*)
     val routed = ValidatedIngest.routeTagged(tagged, mode)

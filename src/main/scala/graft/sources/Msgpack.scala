@@ -237,6 +237,13 @@ object Msgpack extends Serializable {
             else null
         })
       case (_, TOption(inner)) => coerceTyped(v, inner, dt, path)
+      // sized ints enforce their declared range AT THE BOUNDARY, so an
+      // out-of-range record routes through abort/skip/dlq like any other
+      // invalid input instead of erroring mid-query
+      case (x: Long, n: TIntN) =>
+        if (n.contains(x)) x
+        else throw MsgpackError(
+          s"range:$path=$x not a ${if (n.signed) "I" else "U"}${n.bits}")
       case (es: Vector[_], TPoint) if branchMatches(v, TPoint) =>
         val m = es.collect { case (k: String, x) => k -> x }.toMap
         def d(x: Any): Any = x match {

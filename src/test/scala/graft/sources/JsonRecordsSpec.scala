@@ -59,6 +59,26 @@ class JsonRecordsSpec extends SparkSpec {
     assert(rows(1).getString(rows(1).length - 1).startsWith("bad_enum:status"))
   }
 
+  test("sized-int ranges route by mode at ingest in both codecs") {
+    val sized = TRecord(Seq(
+      TField("id", TInt, absentOptional = false),
+      TField("age", TIntN(8, signed = false), absentOptional = false)))
+    val lines = Seq(
+      """{"id": 1, "age": 200}""",
+      """{"id": 2, "age": 300}""").toDS() // > U8 range
+    val v = JsonRecords.read(spark, lines, sized, ValidatedIngest.Dlq)
+    assert(v.good.count() == 1)
+    val bad = v.bad.collect()
+    assert(bad.length == 1 &&
+      bad(0).getString(bad(0).fieldIndex("_invalid_reason")) == "range:age")
+    val o = new java.io.ByteArrayOutputStream()
+    Msgpack.writeMap(o, Seq("id" -> 1L, "age" -> 200L))
+    Msgpack.writeMap(o, Seq("id" -> 2L, "age" -> 300L))
+    val rows = Msgpack.decodeFile(o.toByteArray, sized).toSeq
+    assert(rows(0).getString(rows(0).length - 1) == null)
+    assert(rows(1).getString(rows(1).length - 1).startsWith("range:age"))
+  }
+
   test("malformed payloads route to the DLQ; egress round-trips") {
     val lines = Seq(
       """{"id": 1, "status": "complete"}""",

@@ -296,6 +296,7 @@ object UdScript {
 
   def anyToValue(a: Any, t: UdType): Value = (a, t) match {
     case (null, _)          => VNone
+    case (x, TOption(inner)) => anyToValue(x, inner)
     case (x: Long, n: TIntN) =>
       if (n.contains(x)) VInt(x)
       else Values.err(s"range: $x not a ${if (n.signed) "I" else "U"}${n.bits}")

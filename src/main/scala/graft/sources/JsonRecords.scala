@@ -169,13 +169,23 @@ object JsonRecords {
       val c = rec.getField(f.name)
       when(c.isNotNull && (c < n.lo || c > n.hi), lit(s"range:${f.name}"))
     })
+    // a REQUIRED field (neither absent-optional nor T?) must be present
+    // and non-null — the msgpack decoder's missing:<f> posture, extended
+    // with null:<f> for an explicit JSON null
+    val requiredChecks = declared.fields
+      .filterNot(f => f.absentOptional || f.t.isInstanceOf[TOption]).map { f =>
+        val vg = variant_get(pv, s"$$.${f.name}", "variant")
+        when(vg.isNull, lit(s"missing:${f.name}"))
+          .when(coalesce(is_variant_null(vg), lit(false)),
+            lit(s"null:${f.name}"))
+      }
     val reason = coalesce(
       (when(get_json_object(payload, "$").isNull,
         lit("malformed_json:_payload")) +:
         unionFields.map { case (n, _) =>
           val (_, tag, presentNonNull) = unions(n)
           when(presentNonNull && tag.isNull, lit(s"union_no_branch:$n"))
-        }) ++ typeChecks ++ enumChecks ++ rangeChecks: _*)
+        }) ++ typeChecks ++ enumChecks ++ rangeChecks ++ requiredChecks: _*)
     val tagged = raw.select(
       (payload +: dataCols) :+ reason.as("_invalid_reason"): _*)
     val routed = ValidatedIngest.routeTagged(tagged, mode)

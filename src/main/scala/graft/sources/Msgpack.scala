@@ -298,6 +298,12 @@ object Msgpack extends Serializable {
             var reason: String = null
             val fieldVals = declared.fields.map { f =>
               m.get(f.name) match {
+                case Some(null)
+                    if !f.absentOptional && !f.t.isInstanceOf[TOption] =>
+                  // explicit nil for a REQUIRED field — same posture as a
+                  // missing key, distinct reason
+                  if (reason == null) reason = s"null:${f.name}"
+                  null
                 case Some(v) =>
                   try coerceTyped(v, f.t, schema(f.name).dataType, f.name)
                   catch {

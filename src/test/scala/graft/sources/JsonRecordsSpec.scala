@@ -33,12 +33,14 @@ class JsonRecordsSpec extends SparkSpec {
       """{"id": 1, "status": "complete"}""",
       """{"id": "oops", "status": "complete"}""", // Str where Int declared
       """{"id": 3, "status": "complete", "blocker": "x"}""", // bad optional
-      """{"id": null, "status": "complete"}""").toDS() // null is NOT a type error
+      """{"id": null, "status": "complete"}""", // REQUIRED field null
+      """{"status": "complete"}""").toDS()     // REQUIRED field missing
     val v = JsonRecords.read(spark, lines, declared, ValidatedIngest.Dlq)
-    assert(v.good.count() == 2) // ids 1 and null pass
+    assert(v.good.count() == 1)
     val reasons = v.bad.collect()
       .map(r => r.getString(r.fieldIndex("_invalid_reason"))).sorted
-    assert(reasons.toSeq == Seq("type:blocker", "type:id"))
+    assert(reasons.toSeq ==
+      Seq("missing:id", "null:id", "type:blocker", "type:id"))
   }
 
   test("string-literal enums are CHECK constraints at ingest (both codecs)") {

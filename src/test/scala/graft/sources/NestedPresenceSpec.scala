@@ -11,20 +11,21 @@ import graft.lang.UdScript
   * `in.addr.?.zip` reads a real signal in both tiers. */
 class NestedPresenceSpec extends SparkSpec {
 
+  // addr is NULLABLE (T?): a required field may not be null at ingest
   private val declared = TRecord(Seq(
     TField("id", TInt, absentOptional = false),
-    TField("addr", TRecord(Seq(
+    TField("addr", TOption(TRecord(Seq(
       TField("city", TStr, absentOptional = false),
-      TField("zip", TInt, absentOptional = true))),
+      TField("zip", TInt, absentOptional = true)))),
       absentOptional = false)))
 
   private val colScript = """script "nested has";
-    |input  {id: Int, addr: {city: Str, zip?: Int}};
+    |input  {id: Int, addr: {city: Str, zip?: Int}?};
     |output {id: Int, hz: Bool};
     |out {id: in.id, hz: in.addr.?.zip};""".stripMargin
 
   private val kernelScript = """script "nested has kernel";
-    |input  {id: Int, addr: {city: Str, zip?: Int}};
+    |input  {id: Int, addr: {city: Str, zip?: Int}?};
     |output {id: Int, hz: Bool};
     |for x in [1] {
     |  out {id: in.id, hz: in.addr.?.zip};

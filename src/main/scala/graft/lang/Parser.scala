@@ -111,6 +111,8 @@ object UdParser extends RegexParsers {
       // uint64 decode raises likewise) instead of silently wrapping
       ("Nat" | "U64") ^^^ TIntN(64, signed = false) |
       "I64" ^^^ TInt |
+      // Number = Int | Float (manual.md:91 tower alias)
+      "Number" ^^^ TUnion(Seq(TInt, TFloat)) |
       ("F32" | "F64") ^^^ TFloat) <~ not(ident) |
       strLit ^^ (s => TValue(unescape(s))) |
       "[" ~> ty <~ "]" ^^ TList |
@@ -328,9 +330,31 @@ object UdParser extends RegexParsers {
         ((":" ~ "type" ~ "=" ~> ty) | (":" ~> ty)) <~ ";" ^^ {
         case n ~ ps ~ t => TypeDecl(n, t, ps.getOrElse(Nil))
       } |
-      (kw("func") ~> name) ~ ("(" ~> repsep(param, ",") <~ ")") ~
+      // `func add<T: Int>(x: T, y: T) -> T` (manual.md:118): function
+      // type params erase to their BOUND (TAny when unbounded) in the
+      // signature — the reference MVP's own checker is unwired, and
+      // bounded erasure gives the documented example its semantics
+      (kw("func") ~> name) ~
+        opt("<" ~> rep1sep(name ~ opt(":" ~> ty), ",") <~ ">") ~
+        ("(" ~> repsep(param, ",") <~ ")") ~
         ("->" ~> ty) ~ (("=" ~> expr <~ ";") | blockValueBraced) ^^ {
-        case n ~ ps ~ r ~ b => FuncStmt(n, ps, r, b)
+        case n ~ tps ~ ps ~ r ~ b =>
+          val bounds: Map[String, UdType] = tps.getOrElse(Nil).map {
+            case tn ~ bound => tn -> bound.getOrElse(TAny)
+          }.toMap
+          def sub(t: UdType): UdType = t match {
+            case TRef(x) if bounds.contains(x) => bounds(x)
+            case TList(x)   => TList(sub(x))
+            case TMap(x)    => TMap(sub(x))
+            case TOption(x) => TOption(sub(x))
+            case TTuple(xs) => TTuple(xs.map(sub))
+            case TUnion(xs) => TUnion(xs.map(sub))
+            case TRecord(fs, ms) =>
+              TRecord(fs.map(f => f.copy(t = sub(f.t))), ms)
+            case TLambda(as, rr) => TLambda(as.map(sub), sub(rr))
+            case other => other
+          }
+          FuncStmt(n, ps.map { case (pn, pt) => (pn, sub(pt)) }, sub(r), b)
       } |
       (kw("proc") ~> name) ~ ("(" ~> repsep(param, ",") <~ ")") ~ blockValueBraced ^^ {
         case n ~ ps ~ b => FuncStmt(n, ps, TNone, b)

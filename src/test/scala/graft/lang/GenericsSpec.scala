@@ -43,6 +43,40 @@ class GenericsSpec extends SparkSpec {
     val e = intercept[UdScript.CompileError] { UdScript.compile(src) }
     assert(e.msg.contains("expects 1 parameter"))
   }
+  test("function type params erase to their bound (manual.md add<T: Int>)") {
+    val src = """script "generic add";
+      |input  {a: Int, b: Int};
+      |output {sum: Int};
+      |func add<T: Int>(x: T, y: T) -> T { x + y }
+      |out {sum: add(in.a, in.b)};""".stripMargin
+    val c = UdScript.compile(src)
+    assert(c.tier == UdScript.ColumnTier)
+    import spark.implicits._
+    val out = c.run(Seq((2L, 40L)).toDF("a", "b")).collect()
+    assert(out(0).getLong(0) == 42L)
+  }
+
+  test("Number parses as the Int | Float union alias") {
+    val src = """script "number";
+      |input  {id: Int, v: Number};
+      |output {id: Int, shown: Str};
+      |out {id: in.id, shown: match (in.v) {
+      |  case i: Int => "int";
+      |  case f: Float => "float";
+      |}};""".stripMargin
+    val c = UdScript.compile(src)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Some(5L), None: Option[Double]),
+      (2L, None: Option[Long], Some(1.5)))
+      .toDF("id", "i", "f")
+      .select(col("id"), struct(
+        when(col("i").isNotNull, "Int").otherwise("Float").as("_tag"),
+        col("i").as("v0"), col("f").as("v1")).as("v"))
+    val out = c.run(df).orderBy("id").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("int", "float"))
+  }
+
   test("a self-referential generic type errors instead of looping") {
     val src = """script "loop type";
       |type Loop<T>: Loop<T>;

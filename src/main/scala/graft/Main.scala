@@ -325,6 +325,7 @@ object Main {
           val lines = scala.io.Source.fromInputStream(in, "UTF-8")
             .getLines().toSeq
           JsonRecords.read(s, s.createDataset(lines), rec, mode)
+        case (other, _) => throw CliError(s"unsupported format: $other")
       }
       case scalar =>
         if (opts.format != "json")

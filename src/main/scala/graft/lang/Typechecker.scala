@@ -92,10 +92,11 @@ object Typechecker {
       case (TInt, TIntN(_, _))    => true
       case (TIntN(_, _), TIntN(_, _)) => true
       case (TNone, TOption(_))    => true
-      case (x, TOption(y))        => subtype(x, y)
       // NO TOption(x) <: x — an un-narrowed Option must go through match
-      // (README.md:235-239); Option is covariant only
+      // (README.md:235-239); Option is covariant only. The two-sided
+      // case must match FIRST or (x?, y?) degrades to (x?, y) = false.
       case (TOption(x), TOption(y)) => subtype(x, y)
+      case (x, TOption(y))        => subtype(x, y)
       case (TList(x), TList(y))   => subtype(x, y)
       case (TMap(x), TMap(y))     => subtype(x, y)
       case (TTuple(xs), TTuple(ys)) =>

@@ -276,16 +276,26 @@ object Main {
         errS.println(r.mkString("\t"))
       }
     val result = c.run(validated.good)
+    // scalar-output scripts emit BARE wire values on the pipe (the
+    // reference's model: `udlower --text` receives msgpack strings);
+    // record outputs emit record maps / JSON objects. File legs always
+    // keep the columnar record shape.
+    val scalarOut = !c.script.output.isInstanceOf[TRecord] &&
+      !c.script.output.isInstanceOf[TTuple]
     opts.outPath match {
       case Some(p) if opts.format == "msgpack" => Msgpack.write(result, p)
       case Some(p) =>
         JsonRecords.toJsonLines(result).write.text(p)
       case None if opts.format == "msgpack" =>
-        val names = result.schema.fieldNames.toSeq
         val buffered = new java.io.BufferedOutputStream(out, 1 << 16)
-        Msgpack.writeRows(buffered, names,
-          localRows(result))
+        if (scalarOut)
+          localRows(result).foreach(r => Msgpack.writeValue(buffered, r.get(0)))
+        else
+          Msgpack.writeRows(buffered, result.schema.fieldNames.toSeq,
+            localRows(result))
         buffered.flush()
+      case None if scalarOut =>
+        localRows(result).foreach(r => out.println(renderJson(r.get(0))))
       case None =>
         JsonRecords.toJsonLines(result).toLocalIterator()
           .forEachRemaining(out.println)

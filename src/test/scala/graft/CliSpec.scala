@@ -23,9 +23,9 @@ class CliSpec extends SparkSpec {
     val (code, out, _) = cli(List("examples/hello.us"),
       "\"world\"\n\"graft\"\n".getBytes("UTF-8"))
     assert(code == 0)
-    // scalar outputs surface as the canonical single `out` column
+    // scalar outputs emit BARE values on the pipe (reference model)
     assert(out.linesIterator.toSeq.sorted ==
-      Seq("{\"out\":\"Hello, graft\"}", "{\"out\":\"Hello, world\"}"))
+      Seq("\"Hello, graft\"", "\"Hello, world\""))
   }
 
   test("run examples/filter_events.us: JSON records, filter + match") {
@@ -146,6 +146,23 @@ class CliSpec extends SparkSpec {
       cli(List("examples/use_greet.us"), stdin)
     }
     assert(thrown.getMessage.contains("greet"))
+  }
+
+  test("the README pipe shape: lift --oneshot | render script | lower --text") {
+    val json = """{"doc_id": 7, "text": "a <b> & c"}""".getBytes("UTF-8")
+    val lifted = new ByteArrayOutputStream()
+    assert(Main.execute(List("lift", "--json", "--oneshot"),
+      new ByteArrayInputStream(json), new PrintStream(lifted, true, "UTF-8"),
+      new PrintStream(new ByteArrayOutputStream()), Some(spark)) == 0)
+    val ran = new ByteArrayOutputStream()
+    assert(Main.execute(List("--format", "msgpack", "--libdir", "examples/lib",
+      "examples/render_doc.us"),
+      new ByteArrayInputStream(lifted.toByteArray),
+      new PrintStream(ran, true, "UTF-8"),
+      new PrintStream(new ByteArrayOutputStream()), Some(spark)) == 0)
+    val (code, text, _) = cli(List("lower", "--text"), ran.toByteArray)
+    assert(code == 0)
+    assert(text.trim == """<div id="doc-7">a &lt;b&gt; &amp; c</div>""")
   }
 
   test("lift --schema validates against a script's declared input") {

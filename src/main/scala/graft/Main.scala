@@ -112,8 +112,16 @@ object Main {
         case "--in" :: v :: t     => loop(t, o.copy(inPath = Some(v)), pos)
         case "--out" :: v :: t    => loop(t, o.copy(outPath = Some(v)), pos)
         case "--mode" :: v :: t =>
-          if (!Set("abort", "skip", "dlq")(v)) throw CliError(s"bad --mode $v")
-          loop(t, o.copy(mode = v), pos)
+          // manual.md:48-49 names ignore/warn; ignore = silently skip,
+          // warn = dlq (bad records surface on stderr)
+          val norm = v match {
+            case "ignore" => "skip"
+            case "warn"   => "dlq"
+            case other    => other
+          }
+          if (!Set("abort", "skip", "dlq")(norm))
+            throw CliError(s"bad --mode $v")
+          loop(t, o.copy(mode = norm), pos)
         case "--libdir" :: v :: t => loop(t, o.copy(libDirs = o.libDirs :+ v), pos)
         case "--cores" :: v :: t  => loop(t, o.copy(cores = v.toInt), pos)
         case f :: t if f.startsWith("--") => throw CliError(s"unknown flag $f")

@@ -292,8 +292,8 @@ object Main {
       !c.script.output.isInstanceOf[TTuple]
     opts.outPath match {
       case Some(p) if opts.format == "msgpack" => Msgpack.write(result, p)
-      case Some(p) =>
-        JsonRecords.toJsonLines(result).write.text(p)
+      case Some(p) => // same replace semantics as the msgpack sink
+        JsonRecords.toJsonLines(result).write.mode("overwrite").text(p)
       case None if opts.format == "msgpack" =>
         val buffered = new java.io.BufferedOutputStream(out, 1 << 16)
         if (scalarOut)

@@ -575,7 +575,33 @@ object Relational extends Serializable {
       |  FROM lineitem WHERE l_orderkey % 100 = 0)
       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
 
+  /** lag/lead offset window functions: per-user previous/next event
+    * value and the delta — one shuffle on the partition key, no self
+    * join. */
+  def qLagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("delta",
+        round(col("value") - coalesce(col("prev_value"), col("value")), 6))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val qLagLeadSql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  round(value - coalesce(lag(value, 1) OVER w, value), 6) AS delta
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lag_lead" -> (qLagLead _),
     "q_unpivot" -> (qUnpivot _),
     "q_window_sliding" -> (qWindowSliding _),
     "q_pivot" -> (qPivot _),
@@ -603,6 +629,7 @@ object Relational extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lag_lead" -> qLagLeadSql,
     "q_unpivot" -> qUnpivotSql,
     "q_window_sliding" -> qWindowSlidingSql,
     "q_pivot" -> qPivotSql,

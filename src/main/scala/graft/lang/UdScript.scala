@@ -65,9 +65,32 @@ object UdScript {
     * `libraries` registry first, then from `libraryDirs` on the file
     * system (`<name>.ud` / `<name>.us`), recursively — a library's own
     * imports resolve the same way; cycles are a compile error. */
+  /** Successful compiles are memoized by their full inputs — a script is
+    * compiled once and then run over any number of batches/micro-batches,
+    * the same once-per-program posture as the reference's compiler.
+    * Filesystem-resolved compiles (libraryDirs) are NOT cached: the
+    * library files may change between calls. */
+  private val compileCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean, Map[String, String]), Compiled]()
+
   def compile(src: String, strict: Boolean = true,
               libraries: Map[String, String] = Map.empty,
               libraryDirs: Seq[String] = Seq.empty): Compiled = {
+    if (libraryDirs.isEmpty) {
+      val key = (src, strict, libraries)
+      val hit = compileCache.get(key)
+      if (hit != null) hit
+      else {
+        val c = compileUncached(src, strict, libraries, libraryDirs)
+        if (compileCache.size < 512) compileCache.put(key, c)
+        c
+      }
+    } else compileUncached(src, strict, libraries, libraryDirs)
+  }
+
+  private def compileUncached(src: String, strict: Boolean,
+                              libraries: Map[String, String],
+                              libraryDirs: Seq[String]): Compiled = {
     val script0 = UdParser.parse(src) match {
       case Right(s) => s
       case Left(m)  => throw CompileError(m)

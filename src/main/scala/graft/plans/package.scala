@@ -16,4 +16,12 @@ package object plans {
     def size(a: Column, b: Column): Column =
       org.apache.spark.sql.graft.SortedIntersect.size(a, b)
   }
+
+  object Materialized {
+    /** Pin an expensive column as a once-per-row materialization point:
+      * the optimizer will neither inline it into consumers nor substitute
+      * it into predicates pushed below its Project. */
+    def once(c: Column): Column =
+      org.apache.spark.sql.graft.MaterializedFacade.materializeOnce(c)
+  }
 }

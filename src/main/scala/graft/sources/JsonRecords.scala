@@ -35,11 +35,13 @@ object JsonRecords {
     * The FIRST matching branch in declared order wins. Extraction is a
     * type-aligned variant cast, so no branch re-parses the payload —
     * from_json probes were one Jackson parse PER BRANCH per row.
-    * Returns (tagged-struct column, inferred-tag column, present-and-
-    * non-null probe); a JSON-null or missing key yields a null union. */
-  def unionParse(payload: Column, name: String, ts: Seq[UdType])
-      : (Column, Column, Column) = {
-    val vg = variant_get(try_parse_json(payload), s"$$.$name", "variant")
+    * Split into two halves so each can be pinned once per row (see
+    * read): `unionTag` infers the branch from the extracted variant
+    * value `vg`, and `unionStruct` builds the tagged struct from the
+    * MATERIALIZED (vg, tag) pair — so the schema probes are not
+    * re-inlined into every struct slot and validation check.
+    * A JSON-null or missing key yields a null union. */
+  def unionTag(vg: Column, ts: Seq[UdType]): Column = {
     val sv = schema_of_variant(vg)
     def typeMatches(bt: UdType): Column = bt match {
       case TInt | TIntN(_, _) => sv === "BIGINT"
@@ -52,18 +54,18 @@ object JsonRecords {
       case TRecord(_, _) | TPoint | TMap(_) => sv.startsWith("OBJECT")
       case _ => lit(false)
     }
-    val tag = coalesce(ts.map(bt =>
+    coalesce(ts.map(bt =>
       when(typeMatches(bt), lit(UdScript.tagOf(bt)))): _*)
+  }
+
+  def unionStruct(vg: Column, tag: Column, ts: Seq[UdType]): Column = {
     val slots = ts.zipWithIndex.map { case (bt, i) =>
       val dt = UdScript.sparkType(bt)
       when(tag === lit(UdScript.tagOf(bt)),
         try_variant_get(vg, "$", dt.catalogString))
         .otherwise(lit(null).cast(dt)).as(s"v$i")
     }
-    val presentNonNull = vg.isNotNull &&
-      !coalesce(is_variant_null(vg), lit(false))
-    (when(tag.isNotNull, struct(tag.as("_tag") +: slots: _*)), tag,
-      presentNonNull)
+    when(tag.isNotNull, struct(tag.as("_tag") +: slots: _*))
   }
 
   /** Does t contain a NESTED record with absent-optional fields (whose
@@ -101,26 +103,96 @@ object JsonRecords {
     case _ => None
   }
 
+  /** Can every field of the declared record be extracted STRICTLY from
+    * the variant parse alone? Scalars, enums and unions qualify; nested
+    * records / lists / maps keep the from_json path (their leaf-level
+    * strictness is Jackson's, and per-element presence lives there). */
+  private def flatExtractable(t: UdType): Boolean = t match {
+    case TInt | TIntN(_, _) | TFloat | TStr | TBool => true
+    case TOption(x) => flatExtractable(x)
+    case TUnion(ts) if ts.forall(_.isInstanceOf[TValue]) => true // enum
+    case TUnion(_) => true // general unions use the variant machinery
+    case _ => false
+  }
+
+  /** Strict scalar extraction from a variant value: the JSON type must
+    * MATCH the declared type (same posture as the msgpack decoder's
+    * typed coerce — a quoted "42" never populates an Int field, an int
+    * never populates a Str field; a Float accepts any JSON number). A
+    * type mismatch extracts null, which the type:<f> check then routes
+    * by mode exactly as the from_json-strict path did. */
+  private def strictExtract(vg: Column, t: UdType): Column = t match {
+    case TOption(x) => strictExtract(vg, x)
+    case TInt | TIntN(_, _) =>
+      when(schema_of_variant(vg) === "BIGINT",
+        try_variant_get(vg, "$", "bigint"))
+    case TFloat =>
+      val sv = schema_of_variant(vg)
+      when(sv === "BIGINT" || sv === "DOUBLE" || sv.startsWith("DECIMAL"),
+        try_variant_get(vg, "$", "double"))
+    case TBool =>
+      when(schema_of_variant(vg) === "BOOLEAN",
+        try_variant_get(vg, "$", "boolean"))
+    case _ => // TStr and string-literal enums ride as strings
+      when(schema_of_variant(vg) === "STRING",
+        try_variant_get(vg, "$", "string"))
+  }
+
   /** Parse a JSON-lines Dataset under a declared uDLang record type.
     * Output columns = declared fields (+ `__present` flags for
     * absent-optional ones). Malformed payloads follow `mode`.
     *
-    * Everything — data columns, union tag inference, and the invalid
-    * reason — is computed in ONE projection so Spark's subexpression
-    * elimination evaluates each from_json probe once per row; splitting
-    * the rules into a separate operator re-parsed the payload per rule. */
+    * The payload is parsed exactly TWICE per row — once into a VARIANT
+    * (`_pv`: presence / union-tag / missing-vs-null probes) and once
+    * under the declared schema (`_rec`: the typed data) — in a
+    * projection of their own, with every downstream probe referencing
+    * the shared columns. Subexpression elimination alone is not enough:
+    * it skips conditionally-evaluated branches (when/coalesce arms), so
+    * rooting the probes at a materialized alias is what guarantees one
+    * parse per row; CollapseProject keeps the stage split because the
+    * parses are non-cheap and multiply-referenced. */
   def read(s: SparkSession, lines: Dataset[String], declared: TRecord,
            mode: ValidatedIngest.Mode): ValidatedIngest.Validated = {
     val schema: StructType = UdScript.schemaOf(declared)
     val raw = lines.toDF("_payload")
     val payload = col("_payload")
+    val once = graft.plans.Materialized.once _
+    // FLAT schemas (scalars / enums / unions only) need no from_json at
+    // all — every field extracts strictly from the one variant parse,
+    // halving the per-row Jackson work. Nested shapes keep from_json.
+    val flat = declared.fields.forall(f => flatExtractable(f.t))
+    val parsed0 =
+      if (flat) raw.select(payload, once(try_parse_json(payload)).as("_pv"))
+      else raw.select(payload,
+        once(try_parse_json(payload)).as("_pv"),
+        once(from_json(payload, schema)).as("_rec"))
+    val pv = col("_pv")
+    val rec = col("_rec")
+    // Declared-type field access: strict variant extraction on the flat
+    // path, from_json struct access otherwise.
+    def fieldCol(f: TField): Column =
+      if (flat) strictExtract(variant_get(pv, s"$$.${f.name}", "variant"), f.t)
+      else rec.getField(f.name)
     val unionFields = declared.fields.flatMap(f =>
       unionBranches(f.t).map(f.name -> _))
+    // Per union field, pin the extracted variant value and the inferred
+    // tag once per row too — the tag coalesce (two schema probes per
+    // branch) would otherwise be re-inlined into every struct slot and
+    // every validation check that mentions it.
+    val parsed = if (unionFields.isEmpty) parsed0 else parsed0.select(
+      parsed0.columns.map(col).toSeq ++ unionFields.flatMap { case (n, ts) =>
+        val vg = variant_get(pv, s"$$.$n", "variant")
+        Seq(once(vg).as(s"_vg_$n"),
+          once(unionTag(vg, ts)).as(s"_tag_$n"))
+      }: _*)
     val unions: Map[String, (Column, Column, Column)] = unionFields.map {
-      case (n, ts) => n -> unionParse(payload, n, ts)
+      case (n, ts) =>
+        val vg = col(s"_vg_$n")
+        val tag = col(s"_tag_$n")
+        val presentNonNull = vg.isNotNull &&
+          !coalesce(is_variant_null(vg), lit(false))
+        n -> (unionStruct(vg, tag, ts), tag, presentNonNull)
     }.toMap
-    val rec = from_json(payload, schema)
-    lazy val pv = try_parse_json(payload)
     val dataCols =
       declared.fields.map { f =>
         unions.get(f.name) match {
@@ -128,11 +200,12 @@ object JsonRecords {
           case None if hasNestedPresence(f.t) =>
             withNestedPresence(pv, rec.getField(f.name), s"$$.${f.name}",
               f.t).as(f.name)
-          case None => rec.getField(f.name).as(f.name)
+          case None => fieldCol(f).as(f.name)
         }
       } ++
         declared.fields.filter(_.absentOptional).map(f =>
-          hasField(payload, f.name).as(s"${f.name}__present"))
+          variant_get(pv, s"$$.${f.name}", "variant").isNotNull
+            .as(s"${f.name}__present"))
     // type-safe by default: a PRESENT, non-null value that fails its
     // declared field type (from_json is strict, so the parsed field is
     // null exactly then) is an invalid record, not a silent null — the
@@ -142,7 +215,7 @@ object JsonRecords {
         val vg = variant_get(pv, s"$$.${f.name}", "variant")
         val presentNonNull = vg.isNotNull &&
           !coalesce(is_variant_null(vg), lit(false))
-        when(presentNonNull && rec.getField(f.name).isNull,
+        when(presentNonNull && fieldCol(f).isNull,
           lit(s"type:${f.name}"))
       }
     // string-literal enums (ValueType unions) are a CHECK constraint at
@@ -155,7 +228,7 @@ object JsonRecords {
       case _ => None
     }
     val enumChecks = declared.fields.flatMap(f => enumLits(f.t).map { lits =>
-      val c = rec.getField(f.name)
+      val c = fieldCol(f)
       when(c.isNotNull && !c.isin(lits: _*), lit(s"bad_enum:${f.name}"))
     })
     // sized-int declared ranges are boundary checks too (same posture as
@@ -166,7 +239,7 @@ object JsonRecords {
       case _          => None
     }
     val rangeChecks = declared.fields.flatMap(f => sizedInt(f.t).map { n =>
-      val c = rec.getField(f.name)
+      val c = fieldCol(f)
       when(c.isNotNull && (c < n.lo || c > n.hi), lit(s"range:${f.name}"))
     })
     // a REQUIRED field (neither absent-optional nor T?) must be present
@@ -180,13 +253,12 @@ object JsonRecords {
             lit(s"null:${f.name}"))
       }
     val reason = coalesce(
-      (when(get_json_object(payload, "$").isNull,
-        lit("malformed_json:_payload")) +:
+      (when(pv.isNull, lit("malformed_json:_payload")) +:
         unionFields.map { case (n, _) =>
           val (_, tag, presentNonNull) = unions(n)
           when(presentNonNull && tag.isNull, lit(s"union_no_branch:$n"))
         }) ++ typeChecks ++ enumChecks ++ rangeChecks ++ requiredChecks: _*)
-    val tagged = raw.select(
+    val tagged = parsed.select(
       (payload +: dataCols) :+ reason.as("_invalid_reason"): _*)
     val routed = ValidatedIngest.routeTagged(tagged, mode)
     ValidatedIngest.Validated(routed.good.drop("_payload"),

@@ -130,9 +130,12 @@ object Ast {
   final case class OutStmt(e: Expr) extends Stmt
   final case class LetStmt(name: String, e: Expr) extends Stmt
   /** func f(a: T, ...) -> R { body } — sugar for let f = lambda
-    * (ast.rs:527-541); proc = func returning None. */
+    * (ast.rs:527-541); proc = func returning None. `effect` is the
+    * declared exception type of `-> R ! E` (README.md:337-342): the
+    * checker verifies every `throw` payload in the body against it. */
   final case class FuncStmt(name: String, params: Seq[(String, UdType)],
-                            ret: UdType, body: Expr) extends Stmt
+                            ret: UdType, body: Expr,
+                            effect: Option[UdType] = None) extends Stmt
   final case class ForStmt(v: String, coll: Expr, body: Seq[Stmt]) extends Stmt
   final case class ForKvStmt(k: String, v: String, coll: Expr,
                              body: Seq[Stmt]) extends Stmt
@@ -146,6 +149,10 @@ object Ast {
   final case class ExprStmt(e: Expr) extends Stmt
   final case class DebugStmt(e: Expr) extends Stmt  // `! expr`
   final case class ThrowStmt(e: Expr) extends Stmt
+  /** `throw E` in VALUE position (README.md:337-350: a branch of an
+    * if/elif expression may throw instead of yielding) — a diverging
+    * expression; types as ⊥ (TAny) so the other branches pick the type. */
+  final case class ThrowE(e: Expr) extends Expr
   /** `type N: T;` — with `params` nonempty it is a parametric type
     * (TypeFunc): `type Pair<T>: (T, T);`. */
   final case class TypeDecl(name: String, t: UdType,

@@ -214,6 +214,7 @@ object UdParser extends RegexParsers {
     kw("not") ~> unaryExpr ^^ (Un(Not, _)) |
       "-" ~> postfixExpr ^^ (Un(Neg, _)) |
       "!" ~> unaryExpr ^^ identity | // `!` debug is a passthrough in exprs
+      kw("throw") ~> expr ^^ ThrowE | // throw in value position (README)
       postfixExpr
 
   def postfixExpr: Parser[Expr] =
@@ -337,8 +338,9 @@ object UdParser extends RegexParsers {
       (kw("func") ~> name) ~
         opt("<" ~> rep1sep(name ~ opt(":" ~> ty), ",") <~ ">") ~
         ("(" ~> repsep(param, ",") <~ ")") ~
-        ("->" ~> ty) ~ (("=" ~> expr <~ ";") | blockValueBraced) ^^ {
-        case n ~ tps ~ ps ~ r ~ b =>
+        ("->" ~> ty) ~ opt("!" ~> ty) ~ // `-> T ! E` (README.md:337-342)
+        (("=" ~> expr <~ ";") | blockValueBraced) ^^ {
+        case n ~ tps ~ ps ~ r ~ eff ~ b =>
           val bounds: Map[String, UdType] = tps.getOrElse(Nil).map {
             case tn ~ bound => tn -> bound.getOrElse(TAny)
           }.toMap
@@ -354,7 +356,8 @@ object UdParser extends RegexParsers {
             case TLambda(as, rr) => TLambda(as.map(sub), sub(rr))
             case other => other
           }
-          FuncStmt(n, ps.map { case (pn, pt) => (pn, sub(pt)) }, sub(r), b)
+          FuncStmt(n, ps.map { case (pn, pt) => (pn, sub(pt)) }, sub(r), b,
+            eff.map(sub))
       } |
       (kw("proc") ~> name) ~ ("(" ~> repsep(param, ",") <~ ")") ~ blockValueBraced ^^ {
         case n ~ ps ~ b => FuncStmt(n, ps, TNone, b)
@@ -434,12 +437,13 @@ object UdParser extends RegexParsers {
     case Comprehension(c, f) => refsIn(c) || refsIn(f)
     case Cast(a, _)    => refsIn(a)
     case Spread(a)     => refsIn(a)
+    case ThrowE(a)     => refsIn(a)
     case _             => false
   }
   private def stmtRefsIn(s: Stmt): Boolean = s match {
     case OutStmt(e)        => refsIn(e)
     case LetStmt(_, e)     => refsIn(e)
-    case FuncStmt(_, _, _, b) => refsIn(b)
+    case FuncStmt(_, _, _, b, _) => refsIn(b)
     case ForStmt(_, c, b)  => refsIn(c) || b.exists(stmtRefsIn)
     case ForKvStmt(_, _, c, b) => refsIn(c) || b.exists(stmtRefsIn)
     case IfStmt(cs, o) =>

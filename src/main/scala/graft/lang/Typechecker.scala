@@ -182,6 +182,13 @@ object Typechecker {
             else error("not: Bool or Int")
           case Neg | Abs => if (numeric(t)) t else error(s"$op: numeric")
         }
+      case ThrowE(p) =>
+        val t = checkExpr(p, env)
+        env.lookup("__effect__").foreach { eff =>
+          if (t != TAny && !subtype(t, eff))
+            error(s"throw payload $t not <: declared effect $eff")
+        }
+        TAny // diverges: the surrounding branches pick the type
       case Cond(cases, otherwise) =>
         cases.foreach { case (c, _) =>
           val ct = checkExpr(c, env)
@@ -337,7 +344,7 @@ object Typechecker {
         if (t != TNone && t != TAny && !subtype(t, out))
           error(s"out value $t not <: declared output $out")
       case LetStmt(n, e)  => env.define(n, checkExpr(e, env))
-      case FuncStmt(n, ps, ret, body) =>
+      case FuncStmt(n, ps, ret, body, eff) =>
         // variadic (rest-param) functions are gradually typed: the static
         // arity check cannot apply, so the name binds as TAny
         val declared =
@@ -345,6 +352,9 @@ object Typechecker {
           else TLambda(ps.map(p => resolve(p._2)), resolve(ret))
         env.define(n, declared) // pre-bind for recursion
         val scope = env.child()
+        // `-> R ! E` (README.md:337-342): the declared exception type is
+        // in scope for the body — every `throw` payload checks against it
+        eff.foreach(e => scope.define("__effect__", resolve(e)))
         ps.foreach { case (pn, pt) =>
           if (pn.startsWith("..."))
             scope.define(pn.stripPrefix("..."), TList(resolve(pt)))
@@ -385,7 +395,13 @@ object Typechecker {
         branch.foreach(st => checkStmt(st, env.child()))
         leaf.foreach(st => checkStmt(st, env.child()))
       case SpliceStmt    => ()
-      case ThrowStmt(e)  => checkExpr(e, env); ()
+      case ThrowStmt(e) =>
+        val t = checkExpr(e, env)
+        // inside a `-> R ! E` function the payload must fit E
+        env.lookup("__effect__").foreach { eff =>
+          if (t != TAny && !subtype(t, eff))
+            error(s"throw payload $t not <: declared effect $eff")
+        }
       case DebugStmt(e)  => checkExpr(e, env); ()
       case ExprStmt(e)   => checkExpr(e, env); ()
       case TypeDecl(n, t, ps) =>

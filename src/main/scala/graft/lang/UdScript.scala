@@ -1,6 +1,6 @@
 package graft.lang
 
-import graft.kernel.{Emitter, Kernel}
+import graft.kernel.{Emitter, Kernel, UdException}
 import Ast._
 import Values._
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
@@ -56,6 +56,18 @@ object UdScript {
       case ColumnTier   => Lowering.runColumn(script, df)
       case LoopTier(lp) => Lowering.runCountedLoop(script, lp, df)
       case KernelTier   => Lowering.runKernel(script, df, libs)
+    }
+
+    /** Run with the reference's dead-letter posture (README udmonad): a
+      * record whose evaluation throws routes its INPUT row + exception
+      * message to the second leg; clean records emit their outputs to
+      * the first. Kernel tier only — the column tier has no throw. */
+    def runEither(df: DataFrame): (DataFrame, DataFrame) = tier match {
+      case KernelTier => Lowering.runKernelEither(script, df, libs)
+      case _ =>
+        (run(df), df.sparkSession.createDataFrame(
+          df.sparkSession.sparkContext.emptyRDD[Row],
+          df.schema.add("_error", StringType)))
     }
   }
 
@@ -921,5 +933,45 @@ private[lang] object Lowering {
         v => buf += valueToRow(v, outType, outSchema))
       buf.result()
     }(enc)
+  }
+
+  /** Kernel tier with dead-letter routing: each input row maps to ONE
+    * tagged row {_out: [outputs], _error, _in}; the two legs are cheap
+    * filters over it. A `throw` (UdException) anywhere in the record's
+    * evaluation — effect-annotated funcs included — drops that record's
+    * outputs and carries the message; any other exception still aborts
+    * the job (a bug is not data). The split legs re-run the flatMap (no
+    * cache — same Validated posture as routeTagged), which stays
+    * shuffle-free and pipelined in both legs. */
+  def runKernelEither(script: Script, df: DataFrame,
+                      libs: Map[String, Values.Value] = Map.empty)
+      : (DataFrame, DataFrame) = {
+    val interp = new Interp(script, libs)
+    interp.initEnv
+    val inType = script.input
+    val outType = script.output
+    val outSchema = schemaOf(outType)
+    val tagSchema = StructType(Seq(
+      StructField("_out", ArrayType(outSchema)),
+      StructField("_error", StringType),
+      StructField("_in", df.schema)))
+    val enc = Encoders.row(tagSchema)
+    val tagged = df.mapPartitions { it =>
+      it.map { row =>
+        try {
+          val buf = Vector.newBuilder[Row]
+          interp.run(rowToValue(row, inType),
+            v => buf += valueToRow(v, outType, outSchema))
+          Row(buf.result(), null, row)
+        } catch {
+          case e: UdException => Row(null, e.message, row)
+        }
+      }
+    }(enc)
+    val good = tagged.filter(col("_error").isNull)
+      .select(explode(col("_out")).as("_o")).select(col("_o.*"))
+    val dlq = tagged.filter(col("_error").isNotNull)
+      .select(col("_in.*"), col("_error"))
+    (good, dlq)
   }
 }

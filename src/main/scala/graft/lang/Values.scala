@@ -252,7 +252,7 @@ final class Interp(script: Ast.Script,
         case v     => ctx.emit(v)
       }
     case LetStmt(n, e)  => env.define(n, eval(e, env, ctx))
-    case FuncStmt(n, ps, _, body) =>
+    case FuncStmt(n, ps, _, body, _) =>
       env.define(n, VLambda(ps, body, env))
     case ForStmt(v, coll, body) =>
       eval(coll, env, ctx) match {
@@ -343,6 +343,7 @@ final class Interp(script: Ast.Script,
   }
 
   private def eval(e: Expr, env: Env, ctx: Ctx): Value = e match {
+    case ThrowE(p)    => throw UdException(render(eval(p, env, ctx)))
     case LitInt(v)    => VInt(v)
     case LitFloat(v)  => VFloat(v)
     case LitStr(v)    => VStr(v)

@@ -119,11 +119,11 @@ object UdLang extends Serializable {
         |  children: [Any], requiresClose: Bool
         |};
         |export func element(tag: Str, attrs: Map<Str>, allowChildren: Bool,
-        |                    ...children: Any) -> Element {
+        |                    ...children: Any) -> Element ! Str {
         |  {tag: tag, attrs: attrs, children: children,
         |   requiresClose: allowChildren}
         |}
-        |export func format(e: Element) -> String {
+        |export func format(e: Element) -> String ! String {
         |  let attrStr = [keys(e.attrs) |
         |    (k: Str) -> Str { " " + escape(k) + "=" + quote(e.attrs[k]) }];
         |  let openTag = "<" + e.tag + attrStr.join("") + ">";
@@ -542,7 +542,38 @@ object UdLang extends Serializable {
       | AND e2.ts BETWEEN e1.ts AND e1.ts + INTERVAL 60 MINUTE
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
+  /** Effect-annotated function (`-> Str ! Str`, README.md:337-342) whose
+    * declared exception routes throwing records to the dead-letter leg —
+    * the script-level twin of the kernel-level d11_throw_dlq. The entry
+    * surfaces both legs as one ordered frame so the oracle can check the
+    * routing itself. */
+  def uEffectDlq(s: SparkSession, d: String): DataFrame = {
+    val src = """script "effect-annotated categorize";
+      |input  {event_id: Int, event_type: Str};
+      |output {event_id: Int, info: Str};
+      |func categorize(t: Str) -> Str ! Str {
+      |  if (t == "error") { throw "boom:" + t } else { t }
+      |}
+      |out {event_id: in.event_id, info: categorize(in.event_type)};""".stripMargin
+    val compiled = UdScript.compile(src)
+    require(compiled.tier == UdScript.KernelTier,
+      "throwing funcs run on the kernel tier")
+    val (good, dlq) = compiled.runEither(
+      Tables.events(s, d).select("event_id", "event_type"))
+    good.select(col("event_id"), lit("ok").as("route"), col("info"))
+      .unionAll(dlq.select(col("event_id"), lit("dlq").as("route"),
+        col("_error").as("info")))
+      .orderBy("event_id")
+  }
+
+  val uEffectDlqSql: String =
+    """SELECT event_id,
+      |  CASE WHEN event_type = 'error' THEN 'dlq' ELSE 'ok' END AS route,
+      |  CASE WHEN event_type = 'error' THEN 'boom:error' ELSE event_type END AS info
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_effect_dlq" -> (uEffectDlq _),
     "u_stream_join" -> (uStreamJoin _),
     "u_union_ingest" -> (uUnionIngest _),
     "u_stream_pipe" -> (uStreamPipe _),
@@ -560,6 +591,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_effect_dlq" -> uEffectDlqSql,
     "u_stream_join" -> uStreamJoinSql,
     "u_union_ingest" -> uUnionIngestSql,
     "u_stream_pipe" -> uStreamPipeSql,

@@ -1,0 +1,67 @@
+package graft.lang
+
+import graft.SparkSpec
+import graft.lang.UdScript.KernelTier
+
+/** `-> T ! E` exception effect annotations (reference README.md:337-342):
+  * the declared exception type parses in return-type position, the
+  * checker verifies every `throw` payload in the body against it, and a
+  * throwing record routes to the dead-letter leg at run time. */
+class EffectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val throwingSrc = """script "effects";
+    |input  {id: Int, tag: Str};
+    |output {id: Int, info: Str};
+    |func categorize(t: Str) -> Str ! Str {
+    |  if (t == "bad") { throw "boom:" + t } else { t }
+    |}
+    |out {id: in.id, info: categorize(in.tag)};""".stripMargin
+
+  test("README-faithful effect annotation parses, typechecks and runs") {
+    val c = UdScript.compile(throwingSrc)
+    assert(c.typeErrors.isEmpty)
+    assert(c.tier == KernelTier)
+    val df = Seq((1L, "x"), (2L, "bad"), (3L, "y")).toDF("id", "tag")
+    val (good, dlq) = c.runEither(df)
+    assert(good.orderBy("id").collect().map(r => (r.getLong(0),
+      r.getString(1))).toSeq == Seq((1L, "x"), (3L, "y")))
+    val bad = dlq.collect()
+    assert(bad.length == 1 && bad(0).getLong(0) == 2L &&
+      bad(0).getString(bad(0).fieldIndex("_error")) == "boom:bad")
+  }
+
+  test("throw payload must fit the declared effect type") {
+    val src = """script "bad effects";
+      |input  {id: Int};
+      |output {id: Int};
+      |func f(x: Int) -> Int ! Str {
+      |  if (x > 0) { throw 42 } else { x }
+      |}
+      |out {id: f(in.id)};""".stripMargin
+    val err = intercept[UdScript.CompileError](UdScript.compile(src))
+    assert(err.getMessage.contains("not <: declared effect"))
+  }
+
+  test("record-typed effects check structurally") {
+    val src = """script "record effects";
+      |input  {id: Int};
+      |output {id: Int};
+      |func f(x: Int) -> Int ! {code: Int, msg: Str} {
+      |  if (x > 1000000) { throw {code: 7, msg: "too big"} } else { x }
+      |}
+      |out {id: f(in.id)};""".stripMargin
+    assert(UdScript.compile(src).typeErrors.isEmpty)
+  }
+
+  test("throw outside an annotated func stays unchecked (script-body DLQ)") {
+    val src = """script "unannotated";
+      |input  {id: Int};
+      |output {id: Int};
+      |func f(x: Int) -> Int {
+      |  if (x < 0) { throw "negative" } else { x }
+      |}
+      |out {id: f(in.id)};""".stripMargin
+    assert(UdScript.compile(src).typeErrors.isEmpty)
+  }
+}

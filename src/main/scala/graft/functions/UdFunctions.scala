@@ -72,6 +72,11 @@ object UdFunctions {
   def truthyArr(a: Column): Column = size(a) > 0
   def boolToInt(a: Column): Column = a.cast(LongType)
   def intToFloat(a: Column): Column = a.cast(DoubleType)
+  /** `x as F32` (manual.md:121): numerically real float32 narrowing —
+    * round through FloatType and return to the Double carrier; bit-exact
+    * with DuckDB's CAST(x AS REAL) (both IEEE-754 round-to-nearest). */
+  def f32(a: Column): Column =
+    a.cast(org.apache.spark.sql.types.FloatType).cast(DoubleType)
   /** Float→Int coercion truncates toward zero in the VM (Rust `as i64`). */
   def floatToInt(a: Column): Column =
     when(a >= 0, floor(a)).otherwise(ceil(a)).cast(LongType)

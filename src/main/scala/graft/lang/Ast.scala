@@ -26,6 +26,12 @@ object Ast {
     def contains(v: Long): Boolean = v >= lo && v <= hi
   }
   case object TFloat extends UdType
+  /** F32 (manual.md:121, README.md:174-176): statically interchangeable
+    * with Float (the reference MVP collapses the tower, ast.rs:174-175)
+    * but PRECISION-HONEST at runtime boundaries — `x as F32` and declared
+    * F32 fields round through float32, the float twin of TIntN's range
+    * checks. Rides as Double on the wire/in Spark. */
+  case object TFloat32 extends UdType
   /** pair of floats (TypeTag::Point, ir.rs:318; ast.rs:177) */
   case object TPoint extends UdType
   case object TStr extends UdType

@@ -113,7 +113,8 @@ object UdParser extends RegexParsers {
       "I64" ^^^ TInt |
       // Number = Int | Float (manual.md:91 tower alias)
       "Number" ^^^ TUnion(Seq(TInt, TFloat)) |
-      ("F32" | "F64") ^^^ TFloat) <~ not(ident) |
+      "F32" ^^^ TFloat32 | // precision-honest float32 (manual.md:121)
+      "F64" ^^^ TFloat) <~ not(ident) |
       strLit ^^ (s => TValue(unescape(s))) |
       "[" ~> ty <~ "]" ^^ TList |
       "Map" ~> ("[" ~> ty <~ "]" | "<" ~> ty <~ ">") ^^ TMap |

@@ -77,6 +77,10 @@ object Typechecker {
       case TRecord(fs, ms) =>
         TRecord(fs.map(f => f.copy(t = resolve(f.t))), ms)
       case TLambda(as, r) => TLambda(as.map(resolve), resolve(r))
+      // statically F32 ≡ Float (reference collapses the tower,
+      // ast.rs:174-175); the float32 rounding is a RUNTIME boundary
+      // behavior (coerceCast/coerceDeclared), like TIntN range checks
+      case TFloat32 => TFloat
       case other => other
     }
 

@@ -230,6 +230,7 @@ object UdScript {
     case TInt      => LongType
     case TIntN(_, _) => LongType // sized ints ride as Long; range checked
     case TFloat    => DoubleType
+    case TFloat32  => DoubleType // rides as Double; float32-rounded at casts
     case TStr      => StringType
     case TNone     => NullType
     case TAny      => StringType // Any rides as JSON-ish string
@@ -271,6 +272,7 @@ object UdScript {
   def tagOf(t: UdType): String = t match {
     case TInt    => "Int"
     case TFloat  => "Float"
+    case TFloat32 => "F32"
     case TPoint  => "Point"
     case TStr    => "Str"
     case TBool   => "Bool"
@@ -339,6 +341,7 @@ object UdScript {
     case (x: Int, n: TIntN)  => anyToValue(x.toLong, n)
     case (x: Int, _)        => VInt(x.toLong)
     case (x: Short, _)      => VInt(x.toLong)
+    case (x: Double, TFloat32) => VFloat(x.toFloat.toDouble) // precision-honest
     case (x: Double, _)     => VFloat(x)
     case (x: Float, _)      => VFloat(x.toDouble)
     case (x: Boolean, _)    => VBool(x)
@@ -718,6 +721,10 @@ private[lang] object Lowering {
       case Index(x, LitInt(i)) => element_at(colOf(x, binds), i.toInt + 1)
       case MapExpr(entries) => // record literal → struct
         struct(entries.map { case (k, v) => colOf(v, binds).as(k) }: _*)
+      // `as F32` is numerically real: round through float32 and come
+      // back to the Double carrier (bit-exact with DuckDB CAST(x AS REAL))
+      case Cast(x, TFloat32) =>
+        colOf(x, binds).cast(FloatType).cast(DoubleType)
       case Cast(x, t) => colOf(x, binds).cast(sparkType(t))
       case Comprehension(c, Lambda(Seq((p, _)), _, body)) =>
         transform(colOf(c, binds), x => colOf(body, binds + (p -> x)))
@@ -736,8 +743,11 @@ private[lang] object Lowering {
           throw CompileError(s"unknown func in column tier: $n"))
         val argCols = f.params.zip(args).map { case ((pn, pt), a) =>
           val c = colOf(a, binds)
-          // declared-boundary widening (Int arg to Float param)
-          pn -> (if (pt == TFloat) c.cast(DoubleType) else c)
+          // declared-boundary widening (Int arg to Float param);
+          // F32 params round through float32 (precision-honest)
+          pn -> (if (pt == TFloat) c.cast(DoubleType)
+                 else if (pt == TFloat32) c.cast(FloatType).cast(DoubleType)
+                 else c)
         }.toMap
         colOf(f.body, binds ++ argCols)
       case Match(scrut, cases, default) =>

@@ -529,6 +529,9 @@ final class Interp(script: Ast.Script,
       if (n.contains(i)) VInt(i)
       else err(s"range: $i not a ${if (n.signed) "I" else "U"}${n.bits}")
     case (VInt(i), TFloat)  => VFloat(i.toDouble)
+    // F32 narrowing is real: round through float32 (manual.md:121)
+    case (VFloat(d), TFloat32) => VFloat(d.toFloat.toDouble)
+    case (VInt(i), TFloat32)   => VFloat(i.toFloat.toDouble)
     case (VFloat(d), TInt)  => VInt(d.toLong) // trunc toward zero
     case (VBool(b), TInt)   => VInt(if (b) 1L else 0L)
     case (VInt(i), TBool)   => VBool(i != 0)
@@ -542,6 +545,8 @@ final class Interp(script: Ast.Script,
     * sized-int params enforce their declared range */
   private def coerceDeclared(v: Value, t: UdType): Value = (v, t) match {
     case (VInt(i), TFloat) => VFloat(i.toDouble)
+    case (VFloat(d), TFloat32) => VFloat(d.toFloat.toDouble)
+    case (VInt(i), TFloat32)   => VFloat(i.toFloat.toDouble)
     case (VInt(i), n: TIntN) =>
       if (n.contains(i)) v
       else err(s"range: $i not a ${if (n.signed) "I" else "U"}${n.bits}")
@@ -579,6 +584,8 @@ final class Interp(script: Ast.Script,
         (VBool(_), TBool) | (VNone, TNone) |
         (VPoint(_, _), TPoint) => true
     case (VInt(i), n: TIntN)                => n.contains(i) // range test
+    // precision test, the float twin of the TIntN range test
+    case (VFloat(d), TFloat32)              => d.toFloat.toDouble == d
     case (VStr(s), TValue(lit))             => s == lit
     case (VList(_), TList(_))               => true
     case (VTuple(xs), TTuple(ts))           =>

@@ -108,7 +108,7 @@ object JsonRecords {
     * records / lists / maps keep the from_json path (their leaf-level
     * strictness is Jackson's, and per-element presence lives there). */
   private def flatExtractable(t: UdType): Boolean = t match {
-    case TInt | TIntN(_, _) | TFloat | TStr | TBool => true
+    case TInt | TIntN(_, _) | TFloat | TFloat32 | TStr | TBool => true
     case TOption(x) => flatExtractable(x)
     case TUnion(ts) if ts.forall(_.isInstanceOf[TValue]) => true // enum
     case TUnion(_) => true // general unions use the variant machinery
@@ -130,6 +130,8 @@ object JsonRecords {
       val sv = schema_of_variant(vg)
       when(sv === "BIGINT" || sv === "DOUBLE" || sv.startsWith("DECIMAL"),
         try_variant_get(vg, "$", "double"))
+    case TFloat32 => // float32-rounded at the ingest boundary
+      strictExtract(vg, TFloat).cast("float").cast("double")
     case TBool =>
       when(schema_of_variant(vg) === "BOOLEAN",
         try_variant_get(vg, "$", "boolean"))

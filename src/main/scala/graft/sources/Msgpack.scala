@@ -197,6 +197,7 @@ object Msgpack extends Serializable {
     case (_: Long, TInt)        => true
     case (x: Long, n: TIntN)    => n.contains(x)
     case (_: Double, TFloat)    => true
+    case (x: Double, TFloat32)  => x.toFloat.toDouble == x // precision test
     case (x: String, TValue(s)) => x == s
     case (_: String, TStr)      => true
     case (_: Boolean, TBool)    => true
@@ -244,6 +245,10 @@ object Msgpack extends Serializable {
         if (n.contains(x)) x
         else throw MsgpackError(
           s"range:$path=$x not a ${if (n.signed) "I" else "U"}${n.bits}")
+      // declared F32 rounds through float32 at the boundary (the float
+      // twin of the sized-int range check; both codecs agree)
+      case (x: Long, TFloat32)   => x.toFloat.toDouble
+      case (x: Double, TFloat32) => x.toFloat.toDouble
       case (es: Vector[_], TPoint) if branchMatches(v, TPoint) =>
         val m = es.collect { case (k: String, x) => k -> x }.toMap
         def d(x: Any): Any = x match {

@@ -1,0 +1,53 @@
+package graft.lang
+
+import graft.SparkSpec
+import graft.lang.Ast._
+import graft.lang.UdScript.{ColumnTier, KernelTier}
+
+/** `as F32` is numerically real (manual.md:121, README.md:174-176): the
+  * value rounds through IEEE-754 float32 on BOTH lowering tiers and at
+  * the msgpack ingest boundary — the float twin of sized-int range
+  * honesty. */
+class F32Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val inputs = Seq((1L, 0.1), (2L, 1.0 / 3.0), (3L, 0.5))
+  private val expected =
+    inputs.map { case (id, v) => (id, v.toFloat.toDouble) }
+
+  test("as F32 rounds through float32 on the column tier") {
+    val src = """script "f32 column";
+      |input  {id: Int, v: Float};
+      |output {id: Int, w: Float};
+      |out {id: in.id, w: in.v as F32};""".stripMargin
+    val c = UdScript.compile(src)
+    assert(c.tier == ColumnTier)
+    val out = c.run(inputs.toDF("id", "v")).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == expected)
+    assert(out(0)._2 != 0.1) // the rounding is observable
+  }
+
+  test("as F32 rounds through float32 on the kernel tier") {
+    val src = """script "f32 kernel";
+      |input  {id: Int, v: Float};
+      |output {id: Int, w: Float};
+      |proc emit(k: Int, x: Float) { out {id: k, w: x as F32}; }
+      |emit(in.id, in.v);""".stripMargin
+    val c = UdScript.compile(src)
+    assert(c.tier == KernelTier)
+    val out = c.run(inputs.toDF("id", "v")).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == expected)
+  }
+
+  test("declared F32 fields round at the msgpack boundary") {
+    val declared = TRecord(Seq(
+      TField("id", TInt, absentOptional = false),
+      TField("x", TFloat32, absentOptional = false)))
+    val o = new java.io.ByteArrayOutputStream()
+    graft.sources.Msgpack.writeMap(o, Seq("id" -> 1L, "x" -> 0.1))
+    val rows = graft.sources.Msgpack.decodeFile(o.toByteArray, declared).toSeq
+    assert(rows.head.getDouble(1) == 0.1.toFloat.toDouble)
+  }
+}

@@ -35,8 +35,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Exactness baselines (SparkEntry.baselineOnly) are timed and reported
+    // per-query like everything else, but the headline total covers scale
+    // paths only — the baselines are O(n²) by design and would swamp it.
+    val (baseline, scale) =
+      results.partition { case (n, _) => SparkEntry.baselineOnly(n) }
+    val total = scale.map(_._2).sum
+    val baseTotal = baseline.map(_._2).sum
+    val baseNames = baseline.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"baseline_only":$baseNames,"baseline_sec":$baseTotal%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,6 +20,14 @@ object SparkEntry {
       graft.queries.LlmPipeline.queries ++
       graft.queries.UdLang.queries
 
+  /** Queries that exist as EXACTNESS BASELINES (deliberately quadratic
+    * oracle twins of a bucketed scale path), not as production plans.
+    * They stay in `queries` so correctness keeps pinning the scale paths
+    * against them, but Bench reports them separately so the headline total
+    * reflects only plans that survive a 100x scale-up.
+    *   embed_neardup — O(n²) cosine cross-join; scale path = ann_lsh. */
+  val baselineOnly: Set[String] = Set("embed_neardup")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.kernel.{Kernel, UdException}
-import org.apache.spark.sql.{Dataset, Encoder}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming runtime for uDLang kernels.
   *
@@ -54,4 +55,35 @@ object StreamKernel {
           Iterator((key, c, sum))
       }
   }
+
+  /** udmonad shape 1 on the Spark 4 transformWithState API: identical
+    * semantics to [[statefulCount]], expressed as a StatefulProcessor with
+    * a typed ValueState handle. The newer operator adds composable state
+    * variables, timers, and TTL on the RocksDB state store — the shape a
+    * long-running production udmonad driver would use; kept as a twin so
+    * both stateful APIs stay exercised. */
+  private final class RunningCountProcessor[K]
+      extends StatefulProcessor[K, (K, Double), (K, Long, Double)] {
+    @transient private var state: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("countSum",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(key: K, rows: Iterator[(K, Double)],
+        timerValues: TimerValues): Iterator[(K, Long, Double)] = {
+      var (c, sum) = if (state.exists()) state.get() else (0L, 0.0)
+      rows.foreach { r => c += 1; sum += r._2 }
+      state.update((c, sum))
+      Iterator((key, c, sum))
+    }
+  }
+
+  /** [[statefulCount]] via transformWithState (requires the RocksDB state
+    * store provider when run over a stream). */
+  def statefulCountTws[K: Encoder](
+      ds: Dataset[(K, Double)])(implicit
+      e: Encoder[(K, Long, Double)]): Dataset[(K, Long, Double)] =
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor[K],
+        TimeMode.None(), OutputMode.Append())
 }

@@ -103,4 +103,30 @@ class StreamKernelSpec extends SparkSpec {
       assert(got.contains(("a", 3L, 6.0)))   // state carried into batch 2
     } finally q.stop()
   }
+
+  test("transformWithState twin matches statefulCount output") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the Spark 4 operator requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Double)]
+      val q = StreamKernel.statefulCountTws(input.toDS())
+        .toDF("key", "n", "sum")
+        .writeStream.format("memory").queryName("twsout")
+        .outputMode("append").start()
+      try {
+        input.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+        q.processAllAvailable()
+        input.addData(("a", 3.0))
+        q.processAllAvailable()
+        val got = spark.table("twsout").as[(String, Long, Double)]
+          .collect().toSet
+        // identical emissions to the flatMapGroupsWithState shape above
+        assert(got == Set(("a", 2L, 3.0), ("b", 1L, 5.0), ("a", 3L, 6.0)))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -600,7 +600,42 @@ object Relational extends Serializable {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  /** Co-bucketed fact-fact join (SURVEY §2.6 bucketing): lineitem and
+    * orders pre-bucketed on the order key at write time, so this (and every
+    * later) equi-join on that key is Exchange-free on both sides — the
+    * lakehouse layout for a 100 TB fact table that is joined repeatedly.
+    * The entry asserts the shuffle-free sort-merge plan before returning
+    * the aggregate; only the final groupBy(o_orderpriority) shuffles. */
+  def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    graft.operators.Bucketing.writeBucketed(
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+      "g_li_bkt", "l_orderkey", 8)
+    graft.operators.Bucketing.writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "g_ord_bkt", "o_orderkey", 8)
+    val joined = s.table("g_li_bkt")
+      .join(s.table("g_ord_bkt").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    require(plan.contains("SortMergeJoin"),
+      s"bucketed join must plan a sort-merge join:\n$plan")
+    require(!plan.contains("Exchange"),
+      s"co-bucketed join must not shuffle:\n$plan")
+    joined.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sumd(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_lag_lead" -> (qLagLead _),
     "q_unpivot" -> (qUnpivot _),
     "q_window_sliding" -> (qWindowSliding _),
@@ -629,6 +664,7 @@ object Relational extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bucketed_join" -> qBucketedJoinSql,
     "q_lag_lead" -> qLagLeadSql,
     "q_unpivot" -> qUnpivotSql,
     "q_window_sliding" -> qWindowSlidingSql,

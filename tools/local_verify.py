@@ -58,11 +58,22 @@ def main():
             srel = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
             scols = [d[0] for d in srel.description]
             srows = srel.fetchall()
-            orel = con.execute(oracle[name])
-            ocols = [d[0] for d in orel.description]
+            orel = con.sql(oracle[name])
+            ocols = list(orel.columns)
+            otypes = [str(t) for t in orel.types]
             orows = orel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            fail += 1
+            continue
+        # HUGEINT guard (r2's one failure): DuckDB widens sum(BIGINT) etc.
+        # to INT128, whose canonicalization differs from Spark's LongType —
+        # fail loudly even if values happen to compare equal, so the oracle
+        # SQL gets an explicit CAST before the driver ever sees it.
+        huge = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t.upper()]
+        if huge:
+            print(f"FAIL {name}: oracle schema has INT128 column(s) {huge}; "
+                  f"CAST them (e.g. AS BIGINT/DOUBLE) in the oracle SQL")
             fail += 1
             continue
         if sorted(scols) != sorted(ocols):

@@ -572,7 +572,34 @@ object UdLang extends Serializable {
       |  CASE WHEN event_type = 'error' THEN 'boom:error' ELSE event_type END AS info
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Streaming exact dedup: dropDuplicatesWithinWatermark on the key —
+    * the state-store-backed first-occurrence filter of a streaming ingest
+    * pipeline. State is partitioned by key across executors and BOUNDED by
+    * the watermark (entries older than the delay are evicted), unlike plain
+    * dropDuplicates whose state grows forever. Only the key columns are
+    * projected so the emitted set is deterministic (which physical row wins
+    * within a micro-batch is not). Oracle = batch DISTINCT. */
+  def uStreamDedup(s: SparkSession, d: String): DataFrame = {
+    val fileSchema = parquetSchema(s, s"$d/events.parquet")
+    val stream = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("ts", "user_id", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    withStatePartitions(s, 4) {
+      runStream(s, stream, "u_stream_dedup_sink")
+    }.orderBy("user_id", "event_type")
+  }
+
+  val uStreamDedupSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_stream_dedup" -> (uStreamDedup _),
     "u_effect_dlq" -> (uEffectDlq _),
     "u_stream_join" -> (uStreamJoin _),
     "u_union_ingest" -> (uUnionIngest _),
@@ -591,6 +618,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_stream_dedup" -> uStreamDedupSql,
     "u_effect_dlq" -> uEffectDlqSql,
     "u_stream_join" -> uStreamJoinSql,
     "u_union_ingest" -> uUnionIngestSql,

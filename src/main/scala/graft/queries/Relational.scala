@@ -634,7 +634,86 @@ object Relational extends Serializable {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Funnel analysis (view → click → purchase): per user, the first view,
+    * the first click AFTER that view, the first purchase AFTER that click;
+    * emits users-surviving-per-stage. Each stage is a filtered min-agg
+    * (map-side partial) joined on user_id — three bounded shuffles of the
+    * filtered stream, no window over the full event history. */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("view_us"))
+    val c = e.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts_us") > col("view_us"))
+      .groupBy("user_id").agg(min("ts_us").as("click_us"))
+    val p = e.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts_us") > col("click_us"))
+      .groupBy("user_id").agg(min("ts_us").as("purchase_us"))
+    v.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("stage_id"), lit("view").as("stage"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("stage_id"), lit("click_after_view").as("stage"),
+          col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("stage_id"), lit("purchase_after_click").as("stage"),
+          col("n_users")))
+      .orderBy("stage_id")
+  }
+
+  val qFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, min(ts_us) AS view_us FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(ts_us) AS click_us FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts_us > view_us GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(ts_us) AS purchase_us FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_us > click_us GROUP BY e.user_id)
+      |SELECT 1 AS stage_id, 'view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL
+      |SELECT 2, 'click_after_view', count(*) FROM c
+      |UNION ALL
+      |SELECT 3, 'purchase_after_click', count(*) FROM p
+      |ORDER BY stage_id""".stripMargin
+
+  /** SCD2 dimension rebuild from a change stream: each signup event is an
+    * attribute update; versions get [valid_from, valid_to) ranges via lead()
+    * and an is_current flag — the slowly-changing-dimension history a
+    * lakehouse MERGE maintains incrementally, rebuilt here in one window
+    * pass (shuffle by the dimension key only). */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d).where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value").as("attr_value"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select("user_id", "version", "event_id", "attr_value",
+        "valid_from_us", "valid_to_us", "is_current")
+      .orderBy("user_id", "version")
+  }
+
+  val qScd2Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value AS attr_value
+      |  FROM events WHERE event_type = 'signup'),
+      |v AS (
+      |  SELECT user_id, event_id, attr_value, ts_us AS valid_from_us,
+      |    row_number() OVER w AS version,
+      |    lead(ts_us, 1) OVER w AS valid_to_us
+      |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT user_id, CAST(version AS INT) AS version, event_id, attr_value,
+      |  valid_from_us, valid_to_us, valid_to_us IS NULL AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (qFunnel _),
+    "q_scd2" -> (qScd2 _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_lag_lead" -> (qLagLead _),
     "q_unpivot" -> (qUnpivot _),
@@ -664,6 +743,8 @@ object Relational extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" -> qFunnelSql,
+    "q_scd2" -> qScd2Sql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_lag_lead" -> qLagLeadSql,
     "q_unpivot" -> qUnpivotSql,

@@ -58,6 +58,49 @@ object Similarity extends Serializable {
       .orderBy("q_id", "rank")
   }
 
+  /** Scalar-quantized (SQ8) top-k: per-dimension min/max codebook, corpus
+    * vectors encoded as 8-bit codes (the 4-8x compressed column a vector
+    * store persists), queries kept exact — asymmetric distance computation
+    * over the dequantized corpus. One stats pass (at extreme scale: a
+    * sample), one corpus pass; the codebook is 2·dim doubles, broadcast.
+    *
+    * Determinism: quantize/dequantize/cosine use a fixed double-op order
+    * replicated verbatim in the DuckDB oracle, and similarity is rounded
+    * to 6dp before ranking — so codes AND ranks are bit-identical across
+    * engines. Assumes every dimension has spread (max > min). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val t = corpus.select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+    val stats = t
+      .select(posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(i, mn))), s -> s.mn)")
+          .as("amn"),
+        expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)")
+          .as("amx"))
+    val encoded = t.crossJoin(broadcast(stats))
+      .withColumn("codes", expr(
+        "transform(e, (x, i) -> CAST(round(((x - amn[i]) * 255.0D) /" +
+          " (amx[i] - amn[i])) AS BIGINT))"))
+      .withColumn("xh", expr(
+        "transform(codes, (c, i) -> amn[i] +" +
+          " (CAST(c AS DOUBLE) * (amx[i] - amn[i])) / 255.0D)"))
+      .withColumn("nrm", sqrt(dot(col("xh"), col("xh"))))
+    val joined = encoded
+      .crossJoin(broadcast(queries
+        .select(col("q_id"), toDoubleArr(col("q_emb")).as("qe"))
+        .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("xh"), col("qe")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
   /** All corpus pairs with cosine >= threshold (exact; quadratic — the
     * oracle baseline for embedding near-dup; LSH below is the scale path).
     */

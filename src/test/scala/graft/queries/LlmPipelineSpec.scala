@@ -138,6 +138,17 @@ class LlmPipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall")
   }
 
+  test("SQ8 quantized ANN nearly reproduces the exact top-k") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(LlmPipeline.annCosineTopk(spark, sf))
+    val sq8 = pairs(LlmPipeline.annSq8(spark, sf))
+    // 8-bit/dim quantization perturbs cosine by ~1e-3: ranks may swap at
+    // the tail but recall of the true top-10 should stay near-perfect
+    val recall = sq8.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall $recall")
+  }
+
   test("brute-force ANN ranks are strictly ordered per query") {
     val rows = LlmPipeline.annCosineTopk(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>

@@ -711,7 +711,52 @@ object Relational extends Serializable {
       |  valid_from_us, valid_to_us, valid_to_us IS NULL AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
 
+  /** RANGE-frame trailing window: per-user count and decimal-exact sum
+    * over the trailing hour of EVENT TIME (not row count) — the moving
+    * aggregate where peers at equal timestamps share a frame, so ties
+    * cannot make the result order-dependent. One shuffle by user_id. */
+  def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(dec(col("value"))).over(w).cast(DoubleType))
+      .select("user_id", "event_id", "ts_us", "n_1h", "sum_1h")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  count(*) OVER w AS n_1h,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
+  /** Relational JSON extraction: pull a typed field out of the raw props
+    * JSON column and aggregate it — get_json_object is a codegen'd
+    * builtin, so the parse stays inside the scan projection (no UDF). */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("k").as("k_min"),
+        max("k").as("k_max"), sum("k").as("k_sum"))
+      .orderBy("event_type")
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n, min(k) AS k_min, max(k) AS k_max,
+      |  CAST(sum(k) AS BIGINT) AS k_sum
+      |FROM (SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_range" -> (qWindowRange _),
+    "q_json_extract" -> (qJsonExtract _),
     "q_funnel" -> (qFunnel _),
     "q_scd2" -> (qScd2 _),
     "q_bucketed_join" -> (qBucketedJoin _),
@@ -743,6 +788,8 @@ object Relational extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_range" -> qWindowRangeSql,
+    "q_json_extract" -> qJsonExtractSql,
     "q_funnel" -> qFunnelSql,
     "q_scd2" -> qScd2Sql,
     "q_bucketed_join" -> qBucketedJoinSql,

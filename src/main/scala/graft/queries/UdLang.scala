@@ -598,7 +598,45 @@ object UdLang extends Serializable {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** The transformWithState stateful driver as a driver-gate entry: the
+    * Spark 4 StatefulProcessor (typed ValueState on the RocksDB store) runs
+    * the per-key running (count, sum) over the event file stream; a finite
+    * single-batch stream emits exactly one final row per key, so the batch
+    * GROUP BY is the oracle. Values are summed as integer cents (exact in
+    * any accumulation order) and divided once at the end — state iteration
+    * order cannot perturb the double sum. */
+  def uStreamState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fileSchema = parquetSchema(s, s"$d/events.parquet")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = s.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("user_id"), round(col("value") * 100).as("cents"))
+        .as[(Long, Double)]
+      val out = graft.streaming.StreamKernel.statefulCountTws(src)
+        .toDF("user_id", "n", "sum_cents")
+        .select(col("user_id"), col("n"),
+          (col("sum_cents") / 100.0).as("sum_value"))
+      withStatePartitions(s, 4) {
+        runStream(s, out, "u_stream_state_sink")
+      }.orderBy("user_id")
+    } finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  val uStreamStateSql: String =
+    """SELECT user_id, count(*) AS n,
+      |  sum(round(value * 100)) / 100.0 AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_stream_state" -> (uStreamState _),
     "u_stream_dedup" -> (uStreamDedup _),
     "u_effect_dlq" -> (uEffectDlq _),
     "u_stream_join" -> (uStreamJoin _),
@@ -618,6 +656,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_stream_state" -> uStreamStateSql,
     "u_stream_dedup" -> uStreamDedupSql,
     "u_effect_dlq" -> uEffectDlqSql,
     "u_stream_join" -> uStreamJoinSql,

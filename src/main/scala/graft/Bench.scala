@@ -22,6 +22,10 @@ object Bench {
       // by running the ingest entry once, same as q1_agg above — so the
       // timed run measures the operator, not JVM first-use costs.
       SparkEntry.queries.get("u_union_ingest").foreach(_(spark, sfDir).count())
+      // Warm the RocksDB state-store provider (native lib load + column
+      // family setup) so the transformWithState entry measures the
+      // operator, not the one-time JNI/classload bill.
+      SparkEntry.queries.get("u_stream_state").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     // Optional comma-separated subset for local iteration (driver omits it).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -73,9 +73,72 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst squared Euclidean distance Σ(aᵢ−bᵢ)² over two double
+  * arrays — same rationale as [[DotProductExpr]]: the HOF formulation
+  * `aggregate(zip_with(a, b, (x,y) => (x−y)*(x−y)), 0.0, _+_)` is a
+  * CodegenFallback that allocates and boxes per row, which dominates
+  * quantizer training/encode passes evaluating m·k of these per vector.
+  * Left-to-right accumulation order matches the HOF version and DuckDB's
+  * list_reduce fold, so results are bit-identical. */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq_dist"
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null // zip_with pads→null
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $x.numElements();
+         |double $acc = 0.0;
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = $x.getDouble($i) - $y.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExprs {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProductExpr(ExpressionUtils.expression(a),
+        ExpressionUtils.expression(b)))
+  def sqDist(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SqDistExpr(ExpressionUtils.expression(a),
         ExpressionUtils.expression(b)))
 }

@@ -9,6 +9,10 @@ package object plans {
     /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
     def dot(a: Column, b: Column): Column =
       org.apache.spark.sql.graft.GraftExprs.dot(a, b)
+    /** Codegen'd squared Euclidean distance of two double-array columns
+      * (same left-fold order as the aggregate/zip_with HOF idiom). */
+    def sqDist(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.GraftExprs.sqDist(a, b)
   }
 
   object SortedIntersect {

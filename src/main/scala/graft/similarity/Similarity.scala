@@ -256,6 +256,121 @@ object Similarity extends Serializable {
       .orderBy("a", "b")
   }
 
+  /** PRODUCT-QUANTIZATION (PQ) top-k: the dim-dimensional space splits
+    * into m subspaces, each with its own k-centroid codebook trained by
+    * the same deterministic integer-exact Lloyd's as [[kmeansAssignments]];
+    * corpus vectors encode to m codes (m·log2(k) bits — the classic
+    * memory-bound ANN index), queries stay exact and score against the
+    * dequantized reconstruction (asymmetric distance).
+    *
+    * Scale shape: codebooks are driver-held (m·k·(dim/m) = k·dim doubles)
+    * and ride the plan as literals; training is m independent Lloyd's
+    * runs over the checkpointed quantized corpus (each round one scan);
+    * encode + reconstruct + score is ONE corpus projection with the
+    * broadcast query set. Training, codes, and ranks replay bit-for-bit
+    * in DuckDB (md5 seeding, exact integer centroid sums, left-fold
+    * distances, ties to the lowest centroid id). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+             m: Int = 4, k: Int = 8, updates: Int = 2, dim: Int = 64)
+      : DataFrame = {
+    val subLen = dim / m
+    val q = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qe"))
+      .localCheckpoint(true)
+
+    // Distances go through the codegen'd SqDistExpr (identical left-fold
+    // to the aggregate/zip_with HOF, which is a CodegenFallback and
+    // dominates wall-clock at m·k evaluations per vector). The integer
+    // sub-vectors cast exactly to doubles ONCE per row (micro-units < 2^53).
+    def subDists(cents: Array[Array[Double]], subD: Column): Column =
+      array(cents.map { c =>
+        graft.plans.DotProduct.sqDist(subD, array(c.map(lit).toSeq: _*))
+      }.toSeq: _*)
+
+    // deterministic Lloyd's over one subspace of the integer sub-vectors
+    def train(s: Int): Array[Array[Double]] = {
+      val lo = s * subLen + 1
+      val sub = q.select(col("vec_id"),
+        expr(s"slice(qe, $lo, $subLen)").as("qe"),
+        expr(s"transform(slice(qe, $lo, $subLen), x -> CAST(x AS DOUBLE))")
+          .as("qd"))
+      val seeds = sub.select(col("vec_id"), col("qe"),
+        expr("CAST(conv(substr(md5(concat('pqseed_" + s + "_', " +
+          "CAST(vec_id AS STRING))), 1, 13), 16, 10) AS BIGINT)").as("h"))
+        .orderBy("h", "vec_id").limit(k).collect()
+      var cents: Array[Array[Double]] =
+        seeds.map(_.getSeq[Long](1).map(_.toDouble).toArray)
+      def assigned: DataFrame = {
+        val dists = subDists(cents, col("qd"))
+        sub.withColumn("dists", dists)
+          .withColumn("dist", array_min(col("dists")))
+          .withColumn("cid",
+            (array_position(col("dists"), col("dist")) - 1).cast("int"))
+      }
+      for (_ <- 1 to updates) {
+        val sums = assigned
+          .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .collect()
+        val byCid = sums.groupBy(_.getInt(0))
+        cents = cents.zipWithIndex.map { case (old, cid) =>
+          byCid.get(cid) match {
+            case Some(rows) =>
+              val arr = new Array[Double](subLen)
+              rows.foreach(r =>
+                arr(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3))
+              arr
+            case None => old // an empty cluster keeps its centroid
+          }
+        }
+      }
+      cents
+    }
+    // the m trainings are independent job chains over the same checkpointed
+    // corpus — run them concurrently so wall-clock is one chain, not m
+    val books: Array[Array[Array[Double]]] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.sequence((0 until m).toVector.map(s => Future(train(s)))),
+        Duration.Inf).toArray
+    }
+
+    // encode (argmin per subspace) + dequantize (concat chosen centroids)
+    // in one projection; codebook literals ride the plan
+    val qd = q.withColumn("qd",
+      expr("transform(qe, x -> CAST(x AS DOUBLE))"))
+    val encoded = (0 until m).foldLeft(qd) { (df, s) =>
+      val lo = s * subLen + 1
+      val dists = subDists(books(s), expr(s"slice(qd, $lo, $subLen)"))
+      df.withColumn(s"code_$s",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+    }
+    val bookLit = (0 until m).map { s =>
+      array(books(s).map(c => array(c.map(lit).toSeq: _*)).toSeq: _*)
+    }
+    val xh = transform(
+      concat((0 until m).map(s => bookLit(s)(col(s"code_$s"))): _*),
+      x => x / 1000000.0)
+    val joined = encoded.withColumn("xh", xh)
+      .withColumn("nrm", sqrt(dot(col("xh"), col("xh"))))
+      .crossJoin(broadcast(queries
+        .select(col("q_id"), toDoubleArr(col("q_emb")).as("qv"))
+        .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("xh"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .orderBy("q_id", "rank")
+  }
+
   /** TRAINED k-means IVF index build (Lloyd's algorithm), formulated so
     * the DuckDB oracle computes BIT-IDENTICAL centroids and assignments:
     *
@@ -295,13 +410,14 @@ object Similarity extends Serializable {
     // lowest cid, the same tie-break as ORDER BY dist, cid). No shuffle,
     // no k-times row blowup — the per-iteration cost is one corpus scan.
     def assigned: DataFrame = {
+      // codegen'd SqDistExpr — identical left-fold to the HOF idiom the
+      // oracle replays, minus the per-(row, centroid) interpreter overhead
       val dists = array(cents.map { c =>
-        val cl = array(c.map(lit).toSeq: _*)
-        aggregate(zip_with(col("qe"), cl,
-            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0), (acc, x) => acc + x)
+        graft.plans.DotProduct.sqDist(col("qd"),
+          array(c.map(lit).toSeq: _*))
       }.toSeq: _*)
-      q.withColumn("dists", dists)
+      q.withColumn("qd", expr("transform(qe, x -> CAST(x AS DOUBLE))"))
+        .withColumn("dists", dists)
         .withColumn("dist", array_min(col("dists")))
         .withColumn("cid",
           (array_position(col("dists"), col("dist")) - 1).cast("int"))

@@ -149,6 +149,18 @@ class LlmPipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall $recall")
   }
 
+  test("PQ quantized ANN clears the IVF recall bar vs exact top-k") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(LlmPipeline.annCosineTopk(spark, sf))
+    val pq = pairs(LlmPipeline.annPq(spark, sf))
+    // uniform random embeddings are PQ's worst case (no cluster structure
+    // for the codebooks to exploit); 64-bit codes still land >= the
+    // coarse-quantization bar
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall $recall")
+  }
+
   test("brute-force ANN ranks are strictly ordered per query") {
     val rows = LlmPipeline.annCosineTopk(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>

@@ -26,6 +26,9 @@ object Bench {
       // family setup) so the transformWithState entry measures the
       // operator, not the one-time JNI/classload bill.
       SparkEntry.queries.get("u_stream_state").foreach(_(spark, sfDir).count())
+      // Warm the quantizer expression family (SqDistExpr + wide encode
+      // projections — PQ's first use pays ~5s of Janino codegen).
+      SparkEntry.queries.get("ann_pq").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     // Optional comma-separated subset for local iteration (driver omits it).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -13,26 +13,28 @@ object Bench {
     // Warm-up: JIT + codegen + parquet footer/page caches. Touch each base
     // table once so per-query times measure the operator, not whichever
     // query alphabetically pays the first cold read of its table.
-    try {
-      SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
-      Seq("events", "documents", "embeddings")
-        .foreach(t => Tables.t(spark, sfDir, t).count())
-      // Warm the variant-ingest expression family (try_parse_json /
-      // variant_get / schema_of_variant classloading + Janino codegen)
-      // by running the ingest entry once, same as q1_agg above — so the
-      // timed run measures the operator, not JVM first-use costs.
-      SparkEntry.queries.get("u_union_ingest").foreach(_(spark, sfDir).count())
-      // Warm the RocksDB state-store provider (native lib load + column
-      // family setup) so the transformWithState entry measures the
-      // operator, not the one-time JNI/classload bill.
-      SparkEntry.queries.get("u_stream_state").foreach(_(spark, sfDir).count())
-      // Warm the quantizer expression family (SqDistExpr + wide encode
-      // projections — PQ's first use pays ~5s of Janino codegen).
-      SparkEntry.queries.get("ann_pq").foreach(_(spark, sfDir).count())
-    } catch { case _: Throwable => () }
     // Optional comma-separated subset for local iteration (driver omits it).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // Each warm-up is independently guarded: one failing must not silently
+    // skip the rest (each amortizes a DIFFERENT one-time cost), and a
+    // subset run only warms what it will actually time.
+    def warm(body: => Unit): Unit =
+      try body catch { case _: Throwable => () }
+    def warmQuery(name: String): Unit =
+      if (only.isEmpty || only(name))
+        warm(SparkEntry.queries.get(name).foreach(_(spark, sfDir).count()))
+    warm { SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count()) }
+    warm { Seq("events", "documents", "embeddings")
+      .foreach(t => Tables.t(spark, sfDir, t).count()) }
+    // Variant-ingest expression family (try_parse_json / variant_get /
+    // schema_of_variant classloading + Janino codegen).
+    warmQuery("u_union_ingest")
+    // RocksDB state-store provider (native lib load + column families).
+    warmQuery("u_stream_state")
+    // Quantizer expression family (SqDistExpr + wide encode projections —
+    // PQ's first use pays ~5s of Janino codegen).
+    warmQuery("ann_pq")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>

@@ -133,6 +133,15 @@ object Typechecker {
 
     val numeric = Set[UdType](TInt, TFloat)
 
+    /** `-> R ! E` conformance: inside an effect-annotated function every
+      * throw payload must fit the declared E. TAny (no annotation, or a
+      * shadowing nested scope) disables the check. */
+    def checkThrowPayload(t: UdType, env: TEnv): Unit =
+      env.lookup("__effect__").foreach { eff =>
+        if (eff != TAny && t != TAny && !subtype(t, eff))
+          error(s"throw payload $t not <: declared effect $eff")
+      }
+
     def checkExpr(e: Expr, env: TEnv): UdType = e match {
       case LitInt(_)   => TInt
       case LitFloat(_) => TFloat
@@ -187,11 +196,7 @@ object Typechecker {
           case Neg | Abs => if (numeric(t)) t else error(s"$op: numeric")
         }
       case ThrowE(p) =>
-        val t = checkExpr(p, env)
-        env.lookup("__effect__").foreach { eff =>
-          if (t != TAny && !subtype(t, eff))
-            error(s"throw payload $t not <: declared effect $eff")
-        }
+        checkThrowPayload(checkExpr(p, env), env)
         TAny // diverges: the surrounding branches pick the type
       case Cond(cases, otherwise) =>
         cases.foreach { case (c, _) =>
@@ -209,6 +214,9 @@ object Typechecker {
         checkExpr(result, scope)
       case Lambda(ps, ret, body) =>
         val scope = env.child()
+        // a lambda may escape the enclosing annotated function's dynamic
+        // extent — its throws are NOT checked against the outer effect
+        scope.define("__effect__", TAny)
         ps.foreach { case (n, t) => scope.define(n, resolve(t)) }
         val bt = checkExpr(body, scope)
         val rt = resolve(ret)
@@ -357,8 +365,10 @@ object Typechecker {
         env.define(n, declared) // pre-bind for recursion
         val scope = env.child()
         // `-> R ! E` (README.md:337-342): the declared exception type is
-        // in scope for the body — every `throw` payload checks against it
-        eff.foreach(e => scope.define("__effect__", resolve(e)))
+        // in scope for the body — every `throw` payload checks against it.
+        // An UNannotated nested func shadows any outer effect: its throws
+        // surface at ITS call sites, not the annotated caller's body.
+        scope.define("__effect__", eff.map(resolve).getOrElse(TAny))
         ps.foreach { case (pn, pt) =>
           if (pn.startsWith("..."))
             scope.define(pn.stripPrefix("..."), TList(resolve(pt)))
@@ -400,12 +410,7 @@ object Typechecker {
         leaf.foreach(st => checkStmt(st, env.child()))
       case SpliceStmt    => ()
       case ThrowStmt(e) =>
-        val t = checkExpr(e, env)
-        // inside a `-> R ! E` function the payload must fit E
-        env.lookup("__effect__").foreach { eff =>
-          if (t != TAny && !subtype(t, eff))
-            error(s"throw payload $t not <: declared effect $eff")
-        }
+        checkThrowPayload(checkExpr(e, env), env)
       case DebugStmt(e)  => checkExpr(e, env); ()
       case ExprStmt(e)   => checkExpr(e, env); ()
       case TypeDecl(n, t, ps) =>

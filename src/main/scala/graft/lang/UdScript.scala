@@ -423,10 +423,38 @@ object UdScript {
     case _ => throw CompileError(s"cannot encode ${render(v)} as $dt")
   }
 
+  /** Declared-boundary float32 rounding on OUTPUT: a value emitted into a
+    * declared F32 slot rounds through float32, mirroring the input
+    * boundary (anyToValue) and the column tier (projectOut). */
+  private def roundF32(v: Value, t: UdType): Value = (v, t) match {
+    case (VFloat(d), TFloat32)       => VFloat(d.toFloat.toDouble)
+    case (VInt(i), TFloat32)         => VFloat(i.toFloat.toDouble)
+    case (x, TOption(inner))         => roundF32(x, inner)
+    case (VList(xs), TList(et))      => VList(xs.map(roundF32(_, et)))
+    case (m: VMap, TRecord(fs, _)) =>
+      val hit = fs.exists(f => unwrapsToF32(f.t))
+      if (!hit) m
+      else VMap(m.entries.map { case (k, x) =>
+        fs.find(_.name == k) match {
+          case Some(f) => k -> roundF32(x, f.t)
+          case None    => k -> x
+        }
+      })(m.absentOk)
+    case _ => v
+  }
+  private def unwrapsToF32(t: UdType): Boolean = t match {
+    case TFloat32        => true
+    case TOption(inner)  => unwrapsToF32(inner)
+    case TList(et)       => unwrapsToF32(et)
+    case _               => false
+  }
+
   def valueToRow(v: Value, t: UdType, schema: StructType): Row = t match {
-    case TRecord(_, _) => valueToAny(v, schema).asInstanceOf[Row]
+    case TRecord(_, _) =>
+      valueToAny(roundF32(v, t), schema).asInstanceOf[Row]
     case TTuple(_)     => valueToAny(v, schema).asInstanceOf[Row]
-    case _          => Row(valueToAny(v, schema.fields(0).dataType))
+    case _          =>
+      Row(valueToAny(roundF32(v, t), schema.fields(0).dataType))
   }
 }
 
@@ -656,6 +684,9 @@ private[lang] object Lowering {
             .otherwise(raise_error(concat(
               lit("range: "), c.cast("string"),
               lit(s" not a ${if (n.signed) "I" else "U"}${n.bits}"))))
+        case TFloat32 => // declared F32 input rounds on read (kernel twin:
+          // anyToValue) so both tiers see the same float32 value
+          df(df.columns.head).cast(FloatType).cast(DoubleType)
         case _          => df(df.columns.head)
       }
       case Dot(In, field) =>
@@ -669,6 +700,10 @@ private[lang] object Lowering {
               .otherwise(raise_error(concat(
                 lit(s"range: "), c.cast("string"),
                 lit(s" not a ${if (n.signed) "I" else "U"}${n.bits}"))))
+          // declared F32 fields round through float32 at the input
+          // boundary on BOTH tiers (kernel twin: anyToValue TFloat32)
+          case Some(TFloat32) | Some(TOption(TFloat32)) =>
+            c.cast(FloatType).cast(DoubleType)
           case _ => c
         }
       case Dot(x, field)  => colOf(x, binds).getField(field)
@@ -850,14 +885,21 @@ private[lang] object Lowering {
   private def projectOut(script: Script, cc: ColumnCompiler, base: DataFrame,
                          outE: Expr, binds: Map[String, Column]): DataFrame = {
     val outSchema = schemaOf(script.output)
+    // declared F32 OUTPUT fields round through float32 on emit, matching
+    // the kernel tier's declared-boundary coercion
+    def outCast(c: Column, t: UdType, dt: DataType): Column = t match {
+      case TFloat32 | TOption(TFloat32) =>
+        c.cast(FloatType).cast(DoubleType)
+      case _ => c.cast(dt)
+    }
     script.output match {
       case TRecord(fs, _) =>
         val v = cc.colOfTyped(outE, script.output, binds)
-        base.select(fs.map(f => v.getField(f.name)
-          .cast(outSchema(f.name).dataType).as(f.name)): _*)
-      case _ =>
-        base.select(cc.colOf(outE, binds)
-          .cast(outSchema.fields(0).dataType).as("out"))
+        base.select(fs.map(f => outCast(v.getField(f.name), f.t,
+          outSchema(f.name).dataType).as(f.name)): _*)
+      case t =>
+        base.select(outCast(cc.colOf(outE, binds), t,
+          outSchema.fields(0).dataType).as("out"))
     }
   }
 

@@ -120,7 +120,11 @@ object JsonRecords {
     * typed coerce — a quoted "42" never populates an Int field, an int
     * never populates a Str field; a Float accepts any JSON number). A
     * type mismatch extracts null, which the type:<f> check then routes
-    * by mode exactly as the from_json-strict path did. */
+    * by mode. Every TOP-LEVEL scalar/enum field goes through this
+    * extraction — whether or not the record also has nested fields — so
+    * a field's validation semantics never depend on its siblings.
+    * (Inside nested records the leaf strictness is Jackson's, as
+    * flatExtractable documents.) */
   private def strictExtract(vg: Column, t: UdType): Column = t match {
     case TOption(x) => strictExtract(vg, x)
     case TInt | TIntN(_, _) =>
@@ -161,7 +165,9 @@ object JsonRecords {
     val once = graft.plans.Materialized.once _
     // FLAT schemas (scalars / enums / unions only) need no from_json at
     // all — every field extracts strictly from the one variant parse,
-    // halving the per-row Jackson work. Nested shapes keep from_json.
+    // halving the per-row Jackson work. Nested shapes keep from_json for
+    // their nested fields, but TOP-LEVEL scalars still extract strictly
+    // from the variant so field semantics don't depend on siblings.
     val flat = declared.fields.forall(f => flatExtractable(f.t))
     val parsed0 =
       if (flat) raw.select(payload, once(try_parse_json(payload)).as("_pv"))
@@ -170,23 +176,34 @@ object JsonRecords {
         once(from_json(payload, schema)).as("_rec"))
     val pv = col("_pv")
     val rec = col("_rec")
-    // Declared-type field access: strict variant extraction on the flat
-    // path, from_json struct access otherwise.
-    def fieldCol(f: TField): Column =
-      if (flat) strictExtract(variant_get(pv, s"$$.${f.name}", "variant"), f.t)
-      else rec.getField(f.name)
     val unionFields = declared.fields.flatMap(f =>
       unionBranches(f.t).map(f.name -> _))
-    // Per union field, pin the extracted variant value and the inferred
-    // tag once per row too — the tag coalesce (two schema probes per
-    // branch) would otherwise be re-inlined into every struct slot and
-    // every validation check that mentions it.
-    val parsed = if (unionFields.isEmpty) parsed0 else parsed0.select(
-      parsed0.columns.map(col).toSeq ++ unionFields.flatMap { case (n, ts) =>
+    val unionNames = unionFields.map(_._1).toSet
+    def strictField(f: TField): Boolean =
+      !unionNames.contains(f.name) && flatExtractable(f.t)
+    // Pin every strict scalar extraction (and, per union field, the
+    // extracted variant value and inferred tag) ONCE per row — the
+    // variant probes would otherwise be re-instantiated in the data
+    // column AND each validation check that mentions the field, and
+    // subexpression elimination skips conditionally-evaluated arms.
+    val pinned = parsed0.columns.map(col).toSeq ++
+      unionFields.flatMap { case (n, ts) =>
         val vg = variant_get(pv, s"$$.$n", "variant")
         Seq(once(vg).as(s"_vg_$n"),
           once(unionTag(vg, ts)).as(s"_tag_$n"))
-      }: _*)
+      } ++
+      declared.fields.filter(strictField).map(f =>
+        once(strictExtract(
+          variant_get(pv, s"$$.${f.name}", "variant"), f.t))
+          .as(s"_fx_${f.name}"))
+    val parsed =
+      if (pinned.size == parsed0.columns.size) parsed0
+      else parsed0.select(pinned: _*)
+    // Declared-type field access: pinned strict variant extraction for
+    // top-level scalars/enums, from_json struct access for nested shapes.
+    def fieldCol(f: TField): Column =
+      if (strictField(f)) col(s"_fx_${f.name}")
+      else rec.getField(f.name)
     val unions: Map[String, (Column, Column, Column)] = unionFields.map {
       case (n, ts) =>
         val vg = col(s"_vg_$n")

@@ -54,6 +54,34 @@ class EffectSpec extends SparkSpec {
     assert(UdScript.compile(src).typeErrors.isEmpty)
   }
 
+  test("a lambda escaping an annotated func is not effect-checked") {
+    // the lambda's throw surfaces at ITS call sites, which may be outside
+    // the annotated function's dynamic extent — Int payload vs `! Str`
+    // must not reject the definition
+    val src = """script "escaping lambda";
+      |input  {id: Int};
+      |output {id: Int};
+      |func make() -> Any ! Str {
+      |  (y: Int) -> Int { if (y < 0) { throw {code: 1} } else { y } }
+      |}
+      |out {id: in.id};""".stripMargin
+    assert(UdScript.compile(src).typeErrors.isEmpty)
+  }
+
+  test("a nested unannotated func shadows the outer effect") {
+    val src = """script "nested func";
+      |input  {id: Int};
+      |output {id: Int};
+      |func outer(x: Int) -> Int ! Str {
+      |  func inner(y: Int) -> Int {
+      |    if (y < 0) { throw {code: 1} } else { y }
+      |  }
+      |  inner(x)
+      |}
+      |out {id: outer(in.id)};""".stripMargin
+    assert(UdScript.compile(src).typeErrors.isEmpty)
+  }
+
   test("throw outside an annotated func stays unchecked (script-body DLQ)") {
     val src = """script "unannotated";
       |input  {id: Int};

@@ -41,6 +41,31 @@ class F32Spec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("declared F32 input/output fields round identically on BOTH tiers") {
+    // same logic, forced to different tiers by the proc — the declared
+    // boundary (not just `as F32`) must round on each, so a script gives
+    // one answer regardless of which tier compiles it
+    val columnSrc = """script "f32 bound col";
+      |input  {id: Int, v: F32};
+      |output {id: Int, w: F32};
+      |out {id: in.id, w: in.v};""".stripMargin
+    val kernelSrc = """script "f32 bound kern";
+      |input  {id: Int, v: F32};
+      |output {id: Int, w: F32};
+      |proc emit(k: Int, x: Float) { out {id: k, w: x}; }
+      |emit(in.id, in.v);""".stripMargin
+    val cc = UdScript.compile(columnSrc)
+    val ck = UdScript.compile(kernelSrc)
+    assert(cc.tier == ColumnTier && ck.tier == KernelTier)
+    def res(c: UdScript.Compiled) =
+      c.run(inputs.toDF("id", "v")).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (outC, outK) = (res(cc), res(ck))
+    assert(outC == expected, s"column tier: $outC")
+    assert(outK == expected, s"kernel tier: $outK")
+    assert(outC(0)._2 != 0.1) // the boundary rounding is observable
+  }
+
   test("declared F32 fields round at the msgpack boundary") {
     val declared = TRecord(Seq(
       TField("id", TInt, absentOptional = false),

@@ -43,6 +43,29 @@ class JsonRecordsSpec extends SparkSpec {
       Seq("missing:id", "null:id", "type:blocker", "type:id"))
   }
 
+  test("a field's validation semantics do not depend on its siblings") {
+    // declared Str receiving a JSON number must be type:a-invalid both in
+    // a flat record AND next to a nested sibling (which switches the data
+    // path to from_json, whose Jackson leniency would otherwise coerce
+    // 42 -> "42" silently)
+    val flatDecl = TRecord(Seq(
+      TField("a", TStr, absentOptional = false)))
+    val nestedDecl = TRecord(Seq(
+      TField("a", TStr, absentOptional = false),
+      TField("b", TOption(TRecord(Seq(
+        TField("c", TInt, absentOptional = false)))),
+        absentOptional = true)))
+    val lines = Seq("""{"a": 42}""", """{"a": "ok"}""").toDS()
+    for (decl <- Seq(flatDecl, nestedDecl)) {
+      val v = JsonRecords.read(spark, lines, decl, ValidatedIngest.Dlq)
+      assert(v.good.count() == 1, s"decl $decl")
+      val bad = v.bad.collect()
+      assert(bad.length == 1 &&
+        bad(0).getString(bad(0).fieldIndex("_invalid_reason")) == "type:a",
+        s"decl $decl -> ${bad.toSeq}")
+    }
+  }
+
   test("string-literal enums are CHECK constraints at ingest (both codecs)") {
     val lines = Seq(
       """{"id": 1, "status": "complete"}""",

@@ -754,7 +754,51 @@ object Relational extends Serializable {
       |FROM (SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Full OUTER join reconciliation: customers vs order-holders — rows
+    * survive from BOTH sides with null partners (the data-reconciliation /
+    * anti-drift check shape). Shuffles both sides on the key once; the
+    * aggregate classifies matches/left-only/right-only in one pass. */
+  def qOuterJoin(s: SparkSession, d: String): DataFrame = {
+    // the synthetic keys overlap fully; disjoint predicates on the two
+    // sides make all three reconciliation categories non-empty
+    val cust = Tables.customer(s, d)
+      .where(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val buyers = Tables.orders(s, d)
+      .where(col("o_custkey") % 2 === 0)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    cust.join(buyers, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull,
+          "matched")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("orders_only").as("side"),
+        coalesce(col("n_orders"), lit(0)).as("n_orders_nz"))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n"), sum(col("n_orders_nz")).as("total_orders"))
+      .orderBy("side")
+  }
+
+  val qOuterJoinSql: String =
+    """SELECT side, count(*) AS n,
+      |  CAST(sum(n_orders_nz) AS BIGINT) AS total_orders
+      |FROM (
+      |  SELECT CASE
+      |      WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+      |        THEN 'matched'
+      |      WHEN o_custkey IS NULL THEN 'customer_only'
+      |      ELSE 'orders_only' END AS side,
+      |    coalesce(n_orders, 0) AS n_orders_nz
+      |  FROM (SELECT c_custkey, c_acctbal FROM customer
+      |        WHERE c_custkey % 3 <> 0) c
+      |  FULL OUTER JOIN (
+      |    SELECT o_custkey, count(*) AS n_orders FROM orders
+      |    WHERE o_custkey % 2 = 0 GROUP BY o_custkey) o
+      |  ON c_custkey = o_custkey)
+      |GROUP BY side ORDER BY side""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outer_join" -> (qOuterJoin _),
     "q_window_range" -> (qWindowRange _),
     "q_json_extract" -> (qJsonExtract _),
     "q_funnel" -> (qFunnel _),
@@ -788,6 +832,7 @@ object Relational extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_outer_join" -> qOuterJoinSql,
     "q_window_range" -> qWindowRangeSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_funnel" -> qFunnelSql,

@@ -54,12 +54,33 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _                        => false
   }
 
+  /** (x - y) * (x - y) over the two zip_with variables — both factors must
+    * be the SAME subtraction of the two distinct lambda params. (y-x)² is
+    * accepted too: negation is exact in IEEE-754, so the square is
+    * bit-identical. */
+  private object SqDiffLambda {
+    def unapply(f: Expression): Boolean = f match {
+      case LambdaFunction(Multiply(
+          Subtract(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+          Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _), _),
+          Seq(px: NamedLambdaVariable, py: NamedLambdaVariable), _) =>
+        x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
+          x1.exprId != y1.exprId &&
+          Set(x1.exprId, y1.exprId) == Set(px.exprId, py.exprId)
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(ZipWith(a, b, MulLambda()),
           Literal(zero, DoubleType), AddLambda(), IdentityFinish())
           if zero == 0.0 && isDoubleArray(a) && isDoubleArray(b) =>
         DotProductExpr(a, b)
+      case ArrayAggregate(ZipWith(a, b, SqDiffLambda()),
+          Literal(zero, DoubleType), AddLambda(), IdentityFinish())
+          if zero == 0.0 && isDoubleArray(a) && isDoubleArray(b) =>
+        SqDistExpr(a, b)
     }
 }
 

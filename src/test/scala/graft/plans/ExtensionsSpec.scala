@@ -21,6 +21,18 @@ class ExtensionsSpec extends SparkSpec {
       "HOF form should be gone")
   }
 
+  test("HOF squared-distance idiom is rewritten to graft_sq_dist") {
+    val e = transform(col("embedding"), _.cast("double"))
+    val hofSq = aggregate(zip_with(e, e, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val df = Tables.embeddings(spark, sf).select(hofSq.as("selfdist"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_sq_dist"),
+      s"rule did not fire:\n$optimized")
+    // self-distance is exactly zero through the native expression
+    assert(df.collect().forall(_.getDouble(0) == 0.0))
+  }
+
   test("rewrite preserves values incl. null rows") {
     import spark.implicits._
     val df = Seq(

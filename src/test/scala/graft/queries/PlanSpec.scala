@@ -104,6 +104,40 @@ class PlanSpec extends SparkSpec {
     assert(fromJsonCount <= 1, s"per-branch from_json probes leaked: $p")
   }
 
+  test("sequence chunking is a pure fan-out (no shuffle before the sort)") {
+    val p = planOf(LlmPipeline.textChunks(spark, sf))
+    // the only Exchange is the verify-only orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking shuffled: $p")
+  }
+
+  test("RANGE-frame window shuffles once, on the partition key only") {
+    val p = planOf(Relational.qWindowRange(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window must partition by user_id: $p")
+  }
+
+  test("contamination check broadcasts the benchmark gram set") {
+    val p = planOf(LlmPipeline.textContamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram set must broadcast: $p")
+  }
+
+  test("SQ8 corpus pass broadcasts codebook and queries (no corpus shuffle)") {
+    val p = planOf(LlmPipeline.annSq8(spark, sf))
+    // allowed hash exchanges: the per-dim stats aggregation (64 rows out)
+    // and the per-query top-k window on q_id — NEVER the corpus rows,
+    // which flow broadcast-joined through one narrow projection
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"SQ8 corpus pass shuffled beyond stats+topk: $p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus rows must not shuffle: $p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"codebook/query set must broadcast: $p")
+  }
+
   test("uDLang kernel tier is a single narrow flatMap (no shuffle)") {
     val src = """script "rec";
       |input  {l_orderkey: Int, l_linenumber: Int};

@@ -136,6 +136,18 @@ object Typechecker {
     /** `-> R ! E` conformance: inside an effect-annotated function every
       * throw payload must fit the declared E. TAny (no annotation, or a
       * shadowing nested scope) disables the check. */
+    def checkLambda(ps: Seq[(String, UdType)], ret: UdType, body: Expr,
+                    env: TEnv, inheritEffect: Boolean): UdType = {
+      val scope = env.child()
+      if (!inheritEffect) scope.define("__effect__", TAny)
+      ps.foreach { case (n, t) => scope.define(n, resolve(t)) }
+      val bt = checkExpr(body, scope)
+      val rt = resolve(ret)
+      if (rt != TNone && rt != TAny && !subtype(bt, rt))
+        error(s"lambda body $bt not <: declared $rt")
+      TLambda(ps.map(p => resolve(p._2)), if (rt == TNone) bt else rt)
+    }
+
     def checkThrowPayload(t: UdType, env: TEnv): Unit =
       env.lookup("__effect__").foreach { eff =>
         if (eff != TAny && t != TAny && !subtype(t, eff))
@@ -213,16 +225,11 @@ object Typechecker {
         ss.foreach(s => checkStmt(s, scope))
         checkExpr(result, scope)
       case Lambda(ps, ret, body) =>
-        val scope = env.child()
-        // a lambda may escape the enclosing annotated function's dynamic
-        // extent — its throws are NOT checked against the outer effect
-        scope.define("__effect__", TAny)
-        ps.foreach { case (n, t) => scope.define(n, resolve(t)) }
-        val bt = checkExpr(body, scope)
-        val rt = resolve(ret)
-        if (rt != TNone && rt != TAny && !subtype(bt, rt))
-          error(s"lambda body $bt not <: declared $rt")
-        TLambda(ps.map(p => resolve(p._2)), if (rt == TNone) bt else rt)
+        // a standalone lambda may escape the enclosing annotated
+        // function's dynamic extent — its throws are NOT checked against
+        // the outer effect; strictly-inline positions (comprehensions)
+        // call checkLambda with inheritEffect = true instead
+        checkLambda(ps, ret, body, env, inheritEffect = false)
       case Call(Dot(x, "join"), args) => // list.join(sep) method sugar
         val xt = checkExpr(x, env)
         args.foreach(a => checkExpr(a, env))
@@ -316,7 +323,13 @@ object Typechecker {
         })
       case Comprehension(coll, fn) =>
         val ct = checkExpr(coll, env)
-        val ft = checkExpr(fn, env)
+        // the mapping lambda runs strictly inside the enclosing dynamic
+        // extent, so its throws DO check against a declared `! E`
+        val ft = fn match {
+          case Lambda(ps, ret, body) =>
+            checkLambda(ps, ret, body, env, inheritEffect = true)
+          case other => checkExpr(other, env)
+        }
         (ct, ft) match {
           case (TList(et), TLambda(Seq(at), rt)) =>
             if (!subtype(et, at) && at != TAny)

@@ -426,33 +426,42 @@ object UdScript {
   /** Declared-boundary float32 rounding on OUTPUT: a value emitted into a
     * declared F32 slot rounds through float32, mirroring the input
     * boundary (anyToValue) and the column tier (projectOut). */
-  private def roundF32(v: Value, t: UdType): Value = (v, t) match {
-    case (VFloat(d), TFloat32)       => VFloat(d.toFloat.toDouble)
-    case (VInt(i), TFloat32)         => VFloat(i.toFloat.toDouble)
-    case (x, TOption(inner))         => roundF32(x, inner)
-    case (VList(xs), TList(et))      => VList(xs.map(roundF32(_, et)))
-    case (m: VMap, TRecord(fs, _)) =>
-      val hit = fs.exists(f => unwrapsToF32(f.t))
-      if (!hit) m
-      else VMap(m.entries.map { case (k, x) =>
-        fs.find(_.name == k) match {
-          case Some(f) => k -> roundF32(x, f.t)
-          case None    => k -> x
-        }
-      })(m.absentOk)
-    case _ => v
-  }
-  private def unwrapsToF32(t: UdType): Boolean = t match {
+  private def roundF32(v: Value, t: UdType): Value =
+    if (!typeHasF32(t)) v
+    else (v, t) match {
+      case (VFloat(d), TFloat32)       => VFloat(d.toFloat.toDouble)
+      case (VInt(i), TFloat32)         => VFloat(i.toFloat.toDouble)
+      case (x, TOption(inner))         => roundF32(x, inner)
+      case (VList(xs), TList(et))      => VList(xs.map(roundF32(_, et)))
+      case (VTuple(xs), TTuple(ts))    =>
+        VTuple(xs.zip(ts).map { case (x, t2) => roundF32(x, t2) })
+      case (m: VMap, TMap(vt))         =>
+        VMap(m.entries.map { case (k, x) => k -> roundF32(x, vt) })(m.absentOk)
+      case (m: VMap, TRecord(fs, _)) =>
+        VMap(m.entries.map { case (k, x) =>
+          fs.find(_.name == k) match {
+            case Some(f) => k -> roundF32(x, f.t)
+            case None    => k -> x
+          }
+        })(m.absentOk)
+      case _ => v
+    }
+  /** Does the declared type contain an F32 slot at ANY depth? */
+  private[lang] def typeHasF32(t: UdType): Boolean = t match {
     case TFloat32        => true
-    case TOption(inner)  => unwrapsToF32(inner)
-    case TList(et)       => unwrapsToF32(et)
+    case TOption(inner)  => typeHasF32(inner)
+    case TList(et)       => typeHasF32(et)
+    case TMap(vt)        => typeHasF32(vt)
+    case TRecord(fs, _)  => fs.exists(f => typeHasF32(f.t))
+    case TTuple(ts)      => ts.exists(typeHasF32)
     case _               => false
   }
 
   def valueToRow(v: Value, t: UdType, schema: StructType): Row = t match {
     case TRecord(_, _) =>
       valueToAny(roundF32(v, t), schema).asInstanceOf[Row]
-    case TTuple(_)     => valueToAny(v, schema).asInstanceOf[Row]
+    case TTuple(_)     =>
+      valueToAny(roundF32(v, t), schema).asInstanceOf[Row]
     case _          =>
       Row(valueToAny(roundF32(v, t), schema.fields(0).dataType))
   }
@@ -684,9 +693,10 @@ private[lang] object Lowering {
             .otherwise(raise_error(concat(
               lit("range: "), c.cast("string"),
               lit(s" not a ${if (n.signed) "I" else "U"}${n.bits}"))))
-        case TFloat32 => // declared F32 input rounds on read (kernel twin:
-          // anyToValue) so both tiers see the same float32 value
-          df(df.columns.head).cast(FloatType).cast(DoubleType)
+        case t if typeHasF32(t) =>
+          // declared F32 slots round on read (kernel twin: anyToValue)
+          // so both tiers see the same float32 values at any depth
+          roundF32Col(df(df.columns.head), t)
         case _          => df(df.columns.head)
       }
       case Dot(In, field) =>
@@ -700,10 +710,10 @@ private[lang] object Lowering {
               .otherwise(raise_error(concat(
                 lit(s"range: "), c.cast("string"),
                 lit(s" not a ${if (n.signed) "I" else "U"}${n.bits}"))))
-          // declared F32 fields round through float32 at the input
-          // boundary on BOTH tiers (kernel twin: anyToValue TFloat32)
-          case Some(TFloat32) | Some(TOption(TFloat32)) =>
-            c.cast(FloatType).cast(DoubleType)
+          // declared F32 slots (at any depth: scalars, lists, nested
+          // records) round through float32 at the input boundary on BOTH
+          // tiers (kernel twin: anyToValue TFloat32)
+          case Some(t) if typeHasF32(t) => roundF32Col(c, t)
           case _ => c
         }
       case Dot(x, field)  => colOf(x, binds).getField(field)
@@ -882,16 +892,40 @@ private[lang] object Lowering {
   }
 
   /** Project the declared output record/scalar from a compiled out-expr. */
+  /** Column-tier twin of roundF32: rebuild a column of declared type t
+    * with every F32 slot rounded through float32 — recursing through
+    * options, lists, maps, tuples, and nested records (whose in-struct
+    * presence flags pass through untouched). No-op when t has no F32. */
+  private def roundF32Col(c: Column, t: UdType): Column =
+    if (!typeHasF32(t)) c
+    else t match {
+      case TFloat32       => c.cast(FloatType).cast(DoubleType)
+      case TOption(inner) => roundF32Col(c, inner)
+      case TList(et)      => transform(c, x => roundF32Col(x, et))
+      case TMap(vt)       => transform_values(c, (_, x) => roundF32Col(x, vt))
+      case TTuple(ts)     =>
+        val slots = ts.zipWithIndex.map { case (x, i) =>
+          roundF32Col(c.getField(s"_${i + 1}"), x).as(s"_${i + 1}")
+        }
+        when(c.isNull, lit(null).cast(sparkType(t)))
+          .otherwise(struct(slots: _*))
+      case rec @ TRecord(fs, _) =>
+        val dataCols = fs.map(f =>
+          roundF32Col(c.getField(f.name), f.t).as(f.name))
+        val flagCols = fs.filter(_.absentOptional).map(f =>
+          c.getField(s"${f.name}__present").as(s"${f.name}__present"))
+        when(c.isNull, lit(null).cast(sparkType(rec)))
+          .otherwise(struct(dataCols ++ flagCols: _*))
+      case _ => c
+    }
+
   private def projectOut(script: Script, cc: ColumnCompiler, base: DataFrame,
                          outE: Expr, binds: Map[String, Column]): DataFrame = {
     val outSchema = schemaOf(script.output)
-    // declared F32 OUTPUT fields round through float32 on emit, matching
-    // the kernel tier's declared-boundary coercion
-    def outCast(c: Column, t: UdType, dt: DataType): Column = t match {
-      case TFloat32 | TOption(TFloat32) =>
-        c.cast(FloatType).cast(DoubleType)
-      case _ => c.cast(dt)
-    }
+    // declared F32 OUTPUT slots (at any depth) round through float32 on
+    // emit, matching the kernel tier's declared-boundary coercion
+    def outCast(c: Column, t: UdType, dt: DataType): Column =
+      if (typeHasF32(t)) roundF32Col(c, t) else c.cast(dt)
     script.output match {
       case TRecord(fs, _) =>
         val v = cc.colOfTyped(outE, script.output, binds)

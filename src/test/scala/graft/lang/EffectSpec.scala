@@ -68,6 +68,20 @@ class EffectSpec extends SparkSpec {
     assert(UdScript.compile(src).typeErrors.isEmpty)
   }
 
+  test("comprehension lambdas run inline and ARE effect-checked") {
+    // the mapping lambda executes strictly within the annotated function's
+    // dynamic extent — a non-conforming throw payload must be rejected
+    val src = """script "compr effect";
+      |input  {id: Int};
+      |output {n: Int};
+      |func f(xs: [Int]) -> [Int] ! Str {
+      |  [xs | (x: Int) -> Int { if (x < 0) { throw {code: 1} } else { x } }]
+      |}
+      |out {n: in.id};""".stripMargin
+    val err = intercept[UdScript.CompileError](UdScript.compile(src))
+    assert(err.getMessage.contains("not <: declared effect"))
+  }
+
   test("a nested unannotated func shadows the outer effect") {
     val src = """script "nested func";
       |input  {id: Int};

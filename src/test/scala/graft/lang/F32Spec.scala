@@ -66,6 +66,29 @@ class F32Spec extends SparkSpec {
     assert(outC(0)._2 != 0.1) // the boundary rounding is observable
   }
 
+  test("[F32] list fields round elementwise on BOTH tiers") {
+    val data = Seq((1L, Seq(0.1, 1.0 / 3.0)), (2L, Seq(0.5, 0.2)))
+    val want = data.map { case (id, xs) =>
+      (id, xs.map(_.toFloat.toDouble)) }
+    val columnSrc = """script "f32 list col";
+      |input  {id: Int, xs: [F32]};
+      |output {id: Int, ys: [F32]};
+      |out {id: in.id, ys: in.xs};""".stripMargin
+    val kernelSrc = """script "f32 list kern";
+      |input  {id: Int, xs: [F32]};
+      |output {id: Int, ys: [F32]};
+      |proc emit(k: Int, v: [Float]) { out {id: k, ys: v}; }
+      |emit(in.id, in.xs);""".stripMargin
+    val cc = UdScript.compile(columnSrc)
+    val ck = UdScript.compile(kernelSrc)
+    assert(cc.tier == ColumnTier && ck.tier == KernelTier)
+    def res(c: UdScript.Compiled) =
+      c.run(data.toDF("id", "xs")).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    assert(res(cc) == want, s"column: ${res(cc)}")
+    assert(res(ck) == want, s"kernel: ${res(ck)}")
+  }
+
   test("declared F32 fields round at the msgpack boundary") {
     val declared = TRecord(Seq(
       TField("id", TInt, absentOptional = false),

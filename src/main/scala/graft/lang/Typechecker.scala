@@ -255,6 +255,14 @@ object Typechecker {
           case _               => TAny
         }
       case Call(f, args) =>
+        // effect propagation: calling `g() -> R ! Eg` can throw Eg, so
+        // inside a function declared `! Ef` we require Eg <: Ef (outside
+        // any annotation the throw stays unchecked — DLQ at runtime)
+        f match {
+          case Id(n) => env.lookup(s"__throws__$n")
+            .foreach(eg => checkThrowPayload(eg, env))
+          case _ => ()
+        }
         val ft = checkExpr(f, env)
         val ats = args.map(a => checkExpr(a, env))
         ft match {
@@ -376,6 +384,9 @@ object Typechecker {
           if (ps.exists(_._1.startsWith("..."))) TAny
           else TLambda(ps.map(p => resolve(p._2)), resolve(ret))
         env.define(n, declared) // pre-bind for recursion
+        // record the declared effect so CALLS to n inside another
+        // annotated function propagate (callee E must fit caller E)
+        eff.foreach(e => env.define(s"__throws__$n", resolve(e)))
         val scope = env.child()
         // `-> R ! E` (README.md:337-342): the declared exception type is
         // in scope for the body — every `throw` payload checks against it.

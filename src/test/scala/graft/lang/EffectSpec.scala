@@ -96,6 +96,30 @@ class EffectSpec extends SparkSpec {
     assert(UdScript.compile(src).typeErrors.isEmpty)
   }
 
+  test("effects propagate: callee's declared E must fit the caller's") {
+    val bad = """script "fx prop bad";
+      |input  {id: Int};
+      |output {id: Int};
+      |func g(x: Int) -> Int ! {code: Int} {
+      |  if (x < 0) { throw {code: 1} } else { x }
+      |}
+      |func f(x: Int) -> Int ! Str { g(x) }
+      |out {id: f(in.id)};""".stripMargin
+    val err = intercept[UdScript.CompileError](UdScript.compile(bad))
+    assert(err.getMessage.contains("not <: declared effect"))
+    val good = bad.replace("-> Int ! Str", "-> Int ! {code: Int}")
+    assert(UdScript.compile(good).typeErrors.isEmpty)
+    // and calling a throwing func OUTSIDE any annotation stays unchecked
+    val unannotated = """script "fx prop free";
+      |input  {id: Int};
+      |output {id: Int};
+      |func g(x: Int) -> Int ! Str {
+      |  if (x < 0) { throw "neg" } else { x }
+      |}
+      |out {id: g(in.id)};""".stripMargin
+    assert(UdScript.compile(unannotated).typeErrors.isEmpty)
+  }
+
   test("throw outside an annotated func stays unchecked (script-body DLQ)") {
     val src = """script "unannotated";
       |input  {id: Int};

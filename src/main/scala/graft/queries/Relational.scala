@@ -797,7 +797,60 @@ object Relational extends Serializable {
       |  ON c_custkey = o_custkey)
       |GROUP BY side ORDER BY side""".stripMargin
 
+  /** Time-series resample: per-user hourly grid from first to last event
+    * (gaps materialized with n = 0) and FORWARD-FILLED running value —
+    * the gap-fill/ffill shape of feature backfills. The grid explodes
+    * from a per-user (min, max) span — no calendar table, fan-out bounded
+    * by each user's own activity span; one shuffle by user for the fill
+    * window. */
+  def qResample(s: SparkSession, d: String): DataFrame = {
+    val hourUs = (unix_micros(col("ts")) -
+      unix_micros(col("ts")) % 3600000000L).as("hour_us")
+    val hourly = Tables.events(s, d)
+      .select(col("user_id"), hourUs, col("value"))
+      .groupBy("user_id", "hour_us")
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("hour_us").as("lo"), max("hour_us").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(3600000000L)))
+          .as("hour_us"))
+    val ffill = Window.partitionBy(col("user_id")).orderBy(col("hour_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour_us"), "left")
+      .select(col("user_id"), col("hour_us"),
+        coalesce(col("n"), lit(0)).as("n"),
+        last(col("sum_value"), ignoreNulls = true).over(ffill)
+          .as("ffill_value"))
+      .orderBy("user_id", "hour_us")
+  }
+
+  val qResampleSql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us, value
+      |  FROM events),
+      |hourly AS (
+      |  SELECT user_id, hour_us, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM e GROUP BY user_id, hour_us),
+      |span AS (
+      |  SELECT user_id, min(hour_us) AS lo, max(hour_us) AS hi
+      |  FROM hourly GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS hour_us
+      |  FROM span)
+      |SELECT g.user_id AS user_id, g.hour_us AS hour_us,
+      |  coalesce(h.n, 0) AS n,
+      |  last_value(h.sum_value IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hour_us
+      |    ROWS UNBOUNDED PRECEDING) AS ffill_value
+      |FROM grid g LEFT JOIN hourly h
+      |  ON h.user_id = g.user_id AND h.hour_us = g.hour_us
+      |ORDER BY g.user_id, g.hour_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resample" -> (qResample _),
     "q_outer_join" -> (qOuterJoin _),
     "q_window_range" -> (qWindowRange _),
     "q_json_extract" -> (qJsonExtract _),
@@ -832,6 +885,7 @@ object Relational extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_resample" -> qResampleSql,
     "q_outer_join" -> qOuterJoinSql,
     "q_window_range" -> qWindowRangeSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -283,7 +283,18 @@ object Main {
       validated.bad.toLocalIterator().forEachRemaining { r =>
         errS.println(r.mkString("\t"))
       }
-    val result = c.run(validated.good)
+    // --mode dlq also routes RUNTIME throws (the udmonad dead-letter
+    // posture): a record whose kernel evaluation throws lands on stderr
+    // with its input row + message, clean records keep flowing. In
+    // abort/skip modes a throw keeps its fail-the-run semantics.
+    val result =
+      if (opts.mode == "dlq") {
+        val (good, dead) = c.runEither(validated.good)
+        dead.toLocalIterator().forEachRemaining { r =>
+          errS.println(r.mkString("\t"))
+        }
+        good
+      } else c.run(validated.good)
     // scalar-output scripts emit BARE wire values on the pipe (the
     // reference's model: `udlower --text` receives msgpack strings);
     // record outputs emit record maps / JSON objects. File legs always

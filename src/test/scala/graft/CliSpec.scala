@@ -74,6 +74,22 @@ class CliSpec extends SparkSpec {
     assert(err.contains("this is not json"))
   }
 
+  test("run examples/checked_effects.us: effect-annotated script + DLQ") {
+    val stdin =
+      """{"event_id": 1, "value": 4.5}
+        |{"event_id": 2, "value": -1.0}
+        |{"event_id": 3, "value": 2.0}
+        |""".stripMargin.getBytes("UTF-8")
+    val (code, out, err) = cli(
+      List("--mode", "dlq", "examples/checked_effects.us"), stdin)
+    assert(code == 0)
+    val lines = out.linesIterator.toSeq.sorted
+    assert(lines == Seq(
+      """{"event_id":1,"score":45.0}""",
+      """{"event_id":3,"score":20.0}""").sorted, s"stdout: $lines")
+    assert(err.contains("negative value"), s"stderr: $err")
+  }
+
   test("--dump-ast and --compile print the front-end view") {
     val (c1, ast, _) = cli(List("--dump-ast", "examples/hello.us"))
     assert(c1 == 0)

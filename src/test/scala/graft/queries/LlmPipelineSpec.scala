@@ -161,6 +161,20 @@ class LlmPipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"PQ recall $recall")
   }
 
+  test("PQ + exact rerank recovers most of what plain PQ loses") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(LlmPipeline.annCosineTopk(spark, sf))
+    val pq = pairs(LlmPipeline.annPq(spark, sf))
+    val rr = pairs(LlmPipeline.annPqRerank(spark, sf))
+    val pqRecall = pq.intersect(exact).size.toDouble / exact.size
+    val rrRecall = rr.intersect(exact).size.toDouble / exact.size
+    // the 5x shortlist + exact rescoring must strictly improve on the
+    // quantized ranking and clear a high bar (0.52 -> 0.86 at this sf)
+    assert(rrRecall > pqRecall, s"rerank $rrRecall <= pq $pqRecall")
+    assert(rrRecall >= 0.75, s"rerank recall $rrRecall")
+  }
+
   test("brute-force ANN ranks are strictly ordered per query") {
     val rows = LlmPipeline.annCosineTopk(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>

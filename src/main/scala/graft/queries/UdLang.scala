@@ -635,7 +635,44 @@ object UdLang extends Serializable {
       |  sum(round(value * 100)) / 100.0 AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Stream-static enrichment: the streaming fact joins a STATIC
+    * dimension — Spark broadcasts the dimension into every micro-batch,
+    * no stream-side state at all (unlike stream-stream joins). The
+    * production shape for attaching slowly-changing reference data to an
+    * event stream; aggregated per nation so the emitted rows are compact
+    * and deterministic. */
+  def uStreamEnrich(s: SparkSession, d: String): DataFrame = {
+    val fileSchema = parquetSchema(s, s"$d/events.parquet")
+    val dim = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_nationkey"))
+    val stream = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("ts"), col("user_id"), col("value"))
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "6 hours"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), QueryUtil.sumd(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("c_nationkey"), col("n"), col("sum_value"))
+    withStatePartitions(s, 4) {
+      runStream(s, stream, "u_stream_enrich_sink")
+    }.orderBy("win_start_us", "c_nationkey")
+  }
+
+  val uStreamEnrichSql: String =
+    s"""SELECT epoch_us(time_bucket(INTERVAL 6 HOUR, ts)) AS win_start_us,
+       |  c_nationkey, count(*) AS n,
+       |  ${QueryUtil.sqlSumd("value")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |WHERE time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR <=
+       |  (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+       |GROUP BY 1, 2
+       |ORDER BY win_start_us, c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_stream_enrich" -> (uStreamEnrich _),
     "u_stream_state" -> (uStreamState _),
     "u_stream_dedup" -> (uStreamDedup _),
     "u_effect_dlq" -> (uEffectDlq _),
@@ -656,6 +693,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_stream_enrich" -> uStreamEnrichSql,
     "u_stream_state" -> uStreamStateSql,
     "u_stream_dedup" -> uStreamDedupSql,
     "u_effect_dlq" -> uEffectDlqSql,

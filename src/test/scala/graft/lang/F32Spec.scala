@@ -89,6 +89,31 @@ class F32Spec extends SparkSpec {
     assert(res(ck) == want, s"kernel: ${res(ck)}")
   }
 
+  test("F32 inside a NESTED output record rounds on both tiers") {
+    val columnSrc = """script "f32 nested col";
+      |input  {id: Int, v: Float};
+      |output {id: Int, m: {w: F32, tag: Str}};
+      |out {id: in.id, m: {w: in.v, tag: "x"}};""".stripMargin
+    val kernelSrc = """script "f32 nested kern";
+      |input  {id: Int, v: Float};
+      |output {id: Int, m: {w: F32, tag: Str}};
+      |proc emit(k: Int, x: Float) { out {id: k, m: {w: x, tag: "x"}}; }
+      |emit(in.id, in.v);""".stripMargin
+    val cc = UdScript.compile(columnSrc)
+    val ck = UdScript.compile(kernelSrc)
+    assert(cc.tier == ColumnTier && ck.tier == KernelTier)
+    def res(c: UdScript.Compiled) =
+      c.run(inputs.toDF("id", "v")).orderBy("id").collect()
+        .map { r =>
+          val m = r.getStruct(1)
+          (r.getLong(0), m.getDouble(m.fieldIndex("w")),
+            m.getString(m.fieldIndex("tag")))
+        }.toSeq
+    val want = expected.map { case (id, w) => (id, w, "x") }
+    assert(res(cc) == want, s"column: ${res(cc)}")
+    assert(res(ck) == want, s"kernel: ${res(ck)}")
+  }
+
   test("declared F32 fields round at the msgpack boundary") {
     val declared = TRecord(Seq(
       TField("id", TInt, absentOptional = false),

@@ -64,6 +64,31 @@ object Multimodal extends Serializable {
     }
   }
 
+  final case class ResizePlan(media_id: Long, width: Int, height: Int,
+                              out_w: Int, out_h: Int, scaled: Boolean)
+
+  /** Thumbnail planning: fit each image inside maxSide × maxSide
+    * preserving aspect ratio — integer arithmetic only (truncating
+    * division on positive dims), so the plan is cross-engine exact. The
+    * actual pixel resample would run in the same per-partition batched
+    * decode as decodeMeta; the dimension arithmetic and fan-in/fan-out
+    * plumbing here are the real pipeline pieces. */
+  def resizePlan(media: Dataset[MediaRow], maxSide: Int)
+      : Dataset[ResizePlan] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val (_, w, h, _) = decodeStub(m.content)
+      if (w <= maxSide && h <= maxSide)
+        ResizePlan(m.media_id, w, h, w, h, scaled = false)
+      else if (w >= h)
+        ResizePlan(m.media_id, w, h, maxSide,
+          math.max(1, h * maxSide / w), scaled = true)
+      else
+        ResizePlan(m.media_id, w, h,
+          math.max(1, w * maxSide / h), maxSide, scaled = true)
+    }
+  }
+
   final case class AudioSegment(media_id: Long, seg_idx: Int,
                                 start_ms: Long, end_ms: Long, energy: Double)
 

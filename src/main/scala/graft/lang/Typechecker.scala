@@ -17,6 +17,12 @@ object Typechecker {
                            val parent: Option[TEnv]) {
     def lookup(n: String): Option[UdType] =
       vars.get(n).orElse(parent.flatMap(_.lookup(n)))
+    /** The innermost frame in which n is bound — lets the effect lookup
+      * resolve against the SAME binding as the name itself, so a local
+      * let/param shadowing a throwing function name never picks up the
+      * outer function's declared effect. */
+    def frameOf(n: String): Option[TEnv] =
+      if (vars.contains(n)) Some(this) else parent.flatMap(_.frameOf(n))
     def define(n: String, t: UdType): Unit = vars += (n -> t)
     def child(): TEnv = new TEnv(Map.empty, Some(this))
   }
@@ -258,8 +264,14 @@ object Typechecker {
         // effect propagation: calling `g() -> R ! Eg` can throw Eg, so
         // inside a function declared `! Ef` we require Eg <: Ef (outside
         // any annotation the throw stays unchecked — DLQ at runtime)
+        // the effect entry lives in the FuncDecl's own frame; consult it
+        // only when the Id resolves to that frame (a shadowing let/param
+        // binds in a nearer frame and carries no effect). Aliasing
+        // (`let g = f; g()`) under-approximates to unchecked — the DLQ
+        // catches it at runtime, same as calls outside any annotation.
         f match {
-          case Id(n) => env.lookup(s"__throws__$n")
+          case Id(n) => env.frameOf(n)
+            .flatMap(fr => fr.vars.get(s"__throws__$n"))
             .foreach(eg => checkThrowPayload(eg, env))
           case _ => ()
         }

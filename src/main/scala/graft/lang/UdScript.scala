@@ -925,7 +925,7 @@ private[lang] object Lowering {
     // declared F32 OUTPUT slots (at any depth) round through float32 on
     // emit, matching the kernel tier's declared-boundary coercion
     def outCast(c: Column, t: UdType, dt: DataType): Column =
-      if (typeHasF32(t)) roundF32Col(c, t) else c.cast(dt)
+      if (typeHasF32(t)) roundF32Col(c, t).cast(dt) else c.cast(dt)
     script.output match {
       case TRecord(fs, _) =>
         val v = cc.colOfTyped(outE, script.output, binds)

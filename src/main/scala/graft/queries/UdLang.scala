@@ -224,12 +224,20 @@ object UdLang extends Serializable {
   /** Run a streaming DataFrame to completion into a memory sink and hand
     * back the materialized result (the driver-visible Structured Streaming
     * path: readStream file source → script transform → sink). */
-  private def runStream(s: SparkSession, out: DataFrame, sink: String)
-      : DataFrame = {
+  private def runStream(s: SparkSession, out: DataFrame, sink: String,
+                        assertOneBatch: Boolean = false): DataFrame = {
     s.catalog.dropTempView(sink)
     val q = out.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      if (assertOneBatch) {
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed <= 1, s"entry assumes a single micro-batch, saw $fed " +
+          "data-bearing batches — watermark eviction would break its " +
+          "batch-oracle parity")
+      }
+    } finally q.stop()
     s.table(sink)
   }
 
@@ -578,7 +586,11 @@ object UdLang extends Serializable {
     * the watermark (entries older than the delay are evicted), unlike plain
     * dropDuplicates whose state grows forever. Only the key columns are
     * projected so the emitted set is deterministic (which physical row wins
-    * within a micro-batch is not). Oracle = batch DISTINCT. */
+    * within a micro-batch is not). Oracle = batch DISTINCT — which holds
+    * ONLY because the finite file source feeds one micro-batch: across
+    * batches the watermark evicts keys older than the delay and a
+    * recurring key would re-emit. runStream asserts the single-batch
+    * assumption so a source change can't silently break oracle parity. */
   def uStreamDedup(s: SparkSession, d: String): DataFrame = {
     val fileSchema = parquetSchema(s, s"$d/events.parquet")
     val stream = s.readStream.schema(fileSchema)
@@ -590,7 +602,7 @@ object UdLang extends Serializable {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
     withStatePartitions(s, 4) {
-      runStream(s, stream, "u_stream_dedup_sink")
+      runStream(s, stream, "u_stream_dedup_sink", assertOneBatch = true)
     }.orderBy("user_id", "event_type")
   }
 

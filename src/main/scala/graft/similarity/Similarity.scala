@@ -25,10 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends Serializable {
 
-  /** Trained PQ codebooks keyed by (corpus semanticHash, m, k, updates,
-    * dim) — driver-held, k·dim doubles per entry (see pqTopK). */
-  private val pqBookCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Int, Int, Int), Array[Array[Array[Double]]]]()
+  /** Trained PQ codebooks keyed by (corpus plan hash, row count, content
+    * hash, m, k, updates, dim) — driver-held, k·dim doubles per entry (see
+    * pqTopK). The count + bit_xor-of-xxhash64 data fingerprint means a
+    * changed file at the same path (or a 32-bit plan-hash collision
+    * between corpora) trains fresh books instead of silently reusing
+    * stale ones, and the LRU bound keeps a long-lived session from
+    * accumulating codebooks without limit. */
+  private[graft] val pqBookCacheMax = 8
+  private[graft] val pqBookCache = new graft.util.LruCache[
+    (Int, Long, Long, Int, Int, Int, Int), Array[Array[Array[Double]]]](
+    pqBookCacheMax)
 
   /** Dot product: native codegen'd expression (graft.plans.DotProduct) —
     * same left-fold order as the HOF formulation and DuckDB's
@@ -72,7 +79,10 @@ object Similarity extends Serializable {
     * Determinism: quantize/dequantize/cosine use a fixed double-op order
     * replicated verbatim in the DuckDB oracle, and similarity is rounded
     * to 6dp before ranking — so codes AND ranks are bit-identical across
-    * engines. Assumes every dimension has spread (max > min). */
+    * engines. A zero-spread dimension (max == min) maps to code 0 with a
+    * guard delta of 1.0 — dequantizing exactly back to the constant — so
+    * constant dimensions cannot produce NaN (identically in both engines
+    * via the same CASE). */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val t = corpus.select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
     val stats = t
@@ -83,13 +93,15 @@ object Similarity extends Serializable {
           .as("amn"),
         expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)")
           .as("amx"))
+    val spread = "(CASE WHEN amx[i] > amn[i] THEN amx[i] - amn[i]" +
+      " ELSE 1.0D END)"
     val encoded = t.crossJoin(broadcast(stats))
       .withColumn("codes", expr(
         "transform(e, (x, i) -> CAST(round(((x - amn[i]) * 255.0D) /" +
-          " (amx[i] - amn[i])) AS BIGINT))"))
+          s" $spread) AS BIGINT))"))
       .withColumn("xh", expr(
         "transform(codes, (c, i) -> amn[i] +" +
-          " (CAST(c AS DOUBLE) * (amx[i] - amn[i])) / 255.0D)"))
+          s" (CAST(c AS DOUBLE) * $spread) / 255.0D)"))
       .withColumn("nrm", sqrt(dot(col("xh"), col("xh"))))
     val joined = encoded
       .crossJoin(broadcast(queries
@@ -335,21 +347,28 @@ object Similarity extends Serializable {
     }
     // Train-once-serve-many: the codebooks are an INDEX — a production
     // pipeline trains them once and every lookup reuses them. Cache by the
-    // corpus plan's semantic hash + training params so the rerank entry
-    // (and repeated bench/verify calls) skip the 16 training chains.
+    // corpus plan's semantic hash + a DATA fingerprint (count + order-
+    // independent bit_xor of per-row xxhash64 over the checkpointed
+    // integer corpus — one cheap scan) + training params, so the rerank
+    // entry (and repeated bench/verify calls) skip the 16 training chains
+    // while mutated inputs or plan-hash collisions miss cleanly.
     // The m trainings are independent job chains over the same
     // checkpointed corpus — on a miss they run concurrently, so
     // wall-clock is one chain, not m.
-    val cacheKey = (corpus.semanticHash(), m, k, updates, dim)
+    val fp = q.agg(count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(vec_id, qe))").as("h")).head()
+    val fpHash = if (fp.isNullAt(1)) 0L else fp.getLong(1)
+    val cacheKey =
+      (corpus.semanticHash(), fp.getLong(0), fpHash, m, k, updates, dim)
     val books: Array[Array[Array[Double]]] =
-      Similarity.pqBookCache.computeIfAbsent(cacheKey, _ => {
+      Similarity.pqBookCache.getOrElseUpdate(cacheKey) {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ExecutionContext.global
         Await.result(
           Future.sequence((0 until m).toVector.map(s => Future(train(s)))),
           Duration.Inf).toArray
-      })
+      }
 
     // encode (argmin per subspace) + dequantize (concat chosen centroids)
     // in one projection; codebook literals ride the plan

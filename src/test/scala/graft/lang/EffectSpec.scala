@@ -120,6 +120,21 @@ class EffectSpec extends SparkSpec {
     assert(UdScript.compile(unannotated).typeErrors.isEmpty)
   }
 
+  test("a param shadowing a throwing func name carries no effect") {
+    // g throws {code: Int}; inside f the PARAMETER g (a plain lambda with
+    // no declared effect) shadows it — calling the param must not pick up
+    // the outer g's effect entry and spuriously reject against `! Str`
+    val src = """script "fx shadow";
+      |input  {id: Int};
+      |output {id: Int};
+      |func g(x: Int) -> Int ! {code: Int} {
+      |  if (x < 0) { throw {code: 1} } else { x }
+      |}
+      |func f(g: (Int) -> Int, x: Int) -> Int ! Str { g(x) }
+      |out {id: f((y: Int) -> Int { y }, in.id)};""".stripMargin
+    assert(UdScript.compile(src).typeErrors.isEmpty)
+  }
+
   test("throw outside an annotated func stays unchecked (script-body DLQ)") {
     val src = """script "unannotated";
       |input  {id: Int};

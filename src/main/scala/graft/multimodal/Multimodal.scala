@@ -10,11 +10,14 @@ import java.security.MessageDigest
   * (format, width, height, …). Decode / feature-extract / resize /
   * frame-sample run as BATCHED partition-level transforms
   * (Dataset.mapPartitions) so a real decoder could amortize native-library
-  * init per batch — the Scala twin of Python's mapInPandas shape. The
-  * Spark-side plumbing (schema, partitioning, batch iteration) is real and
-  * tested; the pixel decode itself is STUBBED (no image/audio libs in this
-  * container) behind `decodeStub`, which derives deterministic fake
-  * dimensions/features from a SHA-256 of the bytes.
+  * init per batch — the Scala twin of Python's mapInPandas shape.
+  *
+  * Decode is REAL for the formats the JDK ships readers for (PNG, JPEG,
+  * GIF, BMP — `javax.imageio`, no external library): `decodeImage` parses
+  * the actual header for format + true dimensions. Bytes no installed
+  * reader recognizes (webp, audio, raw text) fall back to `decodeStub`,
+  * which derives deterministic fake dimensions/features from a SHA-256 of
+  * the bytes — keeping every path oracle-checkable.
   *
   * At scale: decode is a narrow map (no shuffle); binary columns ride
   * parquet; `spark.sql.files.maxPartitionBytes` bounds per-task memory, and
@@ -28,8 +31,8 @@ object Multimodal extends Serializable {
                                height: Int, n_bytes: Long, checksum: String)
   final case class Frame(media_id: Long, frame_idx: Int, feature: Double)
 
-  /** STUB decoder: a real implementation would call an image codec here.
-    * Deterministic: all fake fields derive from sha256(content). */
+  /** STUB decoder: the deterministic oracle twin for formats ImageIO has
+    * no reader for. All fake fields derive from sha256(content). */
   def decodeStub(content: Array[Byte]): (String, Int, Int, String) = {
     val md = MessageDigest.getInstance("SHA-256")
     val h = md.digest(content)
@@ -40,13 +43,48 @@ object Multimodal extends Serializable {
     (format, width, height, hex)
   }
 
+  /** REAL header decode via JDK `javax.imageio`: format name + true
+    * dimensions, parsed from the actual bytes (header-only — getWidth on
+    * the reader never decodes pixels). None when no installed reader
+    * recognizes the content. Streams are memory-cached, never spilled to
+    * executor-local disk. */
+  def decodeImage(content: Array[Byte]): Option[(String, Int, Int)] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+        } finally r.dispose()
+      }
+    } catch { case _: java.io.IOException => None }
+    finally iis.close()
+  }
+
+  /** Real decode when a JDK reader exists, stub otherwise — one seam, so
+    * every operator (meta, frames, resize) gets genuine PNG/JPEG
+    * dimensions and a deterministic twin for everything else. */
+  def decodeAny(content: Array[Byte]): (String, Int, Int, String) =
+    decodeImage(content) match {
+      case Some((fmt, w, h)) =>
+        val hex = MessageDigest.getInstance("SHA-256").digest(content)
+          .map("%02x".format(_)).mkString
+        (fmt, w, h, hex)
+      case None => decodeStub(content)
+    }
+
   /** Batched decode: one codec init per partition, streaming batches. */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: init native decoder once per partition here
+      // per-partition init would go here for a native codec; ImageIO
+      // readers are cheap to construct per record
       it.map { m =>
-        val (fmt, w, h, sum) = decodeStub(m.content)
+        val (fmt, w, h, sum) = decodeAny(m.content)
         DecodedMeta(m.media_id, fmt, w, h, m.content.length.toLong, sum)
       }
     }
@@ -57,7 +95,7 @@ object Multimodal extends Serializable {
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val (_, w, h, _) = decodeStub(m.content)
+      val (_, w, h, _) = decodeAny(m.content)
       (0 until n).iterator.map { i =>
         Frame(m.media_id, i, (w.toLong * (i + 1) % h).toDouble / h)
       }
@@ -77,7 +115,7 @@ object Multimodal extends Serializable {
       : Dataset[ResizePlan] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      val (_, w, h, _) = decodeStub(m.content)
+      val (_, w, h, _) = decodeAny(m.content)
       if (w <= maxSide && h <= maxSide)
         ResizePlan(m.media_id, w, h, w, h, scaled = false)
       else if (w >= h)
@@ -117,11 +155,49 @@ object Multimodal extends Serializable {
   }
 
   /** Build a fake media table from documents (text bytes as the opaque
-    * payload) — exercises the binary-column path end-to-end. */
+    * payload) — exercises the binary-column path end-to-end. No ImageIO
+    * reader matches text bytes, so these rows take the stub twin. */
   def mediaFromDocuments(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import s.implicits._
     docs.select(col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").as("content"))
       .as[MediaRow]
+  }
+
+  /** Encode one deterministic tiny RGB PNG — a REAL PNG byte stream via
+    * ImageIO, with pixel values a pure function of (x, y, seed). */
+  def tinyPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real-image fixture: one tiny PNG per document, dimensions a pure
+    * doc_id arithmetic (8 + id % 313, 8 + 7·id % 301) — so the DuckDB
+    * oracle PREDICTS width/height while the Spark side must genuinely
+    * encode and re-parse a PNG header to report them. Generation is a
+    * narrow mapPartitions (no shuffle), the same batch shape a real
+    * ingest-side transcode runs in. */
+  def imagesFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 8 + (id % 313).toInt
+        val h = 8 + ((id * 7) % 301).toInt
+        MediaRow(id, tinyPng(w, h, id))
+      }
+    }
   }
 }

@@ -118,6 +118,33 @@ class LlmPipelineSpec extends SparkSpec {
     assert(frames.count() == media.count() * 4)
   }
 
+  test("ImageIO decodes true PNG/JPEG headers; unknown bytes take the stub") {
+    val png = Multimodal.tinyPng(37, 23, 5L)
+    assert(Multimodal.decodeImage(png).contains(("png", 37, 23)))
+    val img = new java.awt.image.BufferedImage(17, 41,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    assert(Multimodal.decodeImage(bos.toByteArray).contains(("jpeg", 17, 41)))
+    val txt = "definitely not an image".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(txt).isEmpty)
+    assert(Multimodal.decodeAny(txt) == Multimodal.decodeStub(txt))
+  }
+
+  test("imagesFromDocuments round-trips real PNG dims through resizePlan") {
+    val docs = graft.Tables.documents(spark, sf).limit(40)
+    val plans = Multimodal
+      .resizePlan(Multimodal.imagesFromDocuments(spark, docs), 256)
+      .collect()
+    assert(plans.nonEmpty)
+    plans.foreach { p =>
+      assert(p.width == 8 + (p.media_id % 313).toInt)
+      assert(p.height == 8 + ((p.media_id * 7) % 301).toInt)
+      assert(p.out_w <= 256 && p.out_h <= 256)
+      assert(p.scaled == (p.width > 256 || p.height > 256))
+    }
+  }
+
   test("connected components propagate min labels across chains") {
     import spark.implicits._
     // chain 1-2-3-4 (pairwise links only), isolated 9, pair 7-8

@@ -287,23 +287,51 @@ object Similarity extends Serializable {
     * broadcast query set. Training, codes, and ranks replay bit-for-bit
     * in DuckDB (md5 seeding, exact integer centroid sums, left-fold
     * distances, ties to the lowest centroid id). */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
-             m: Int = 4, k: Int = 8, updates: Int = 2, dim: Int = 64)
-      : DataFrame = {
-    val subLen = dim / m
-    val q = corpus.select(col("vec_id"),
+  /** Integer micro-unit quantization + checkpoint — the shared corpus
+    * representation PQ training/encoding (and the IVF-PQ composition)
+    * work from. */
+  private def microQuantized(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"),
       expr("transform(embedding, x -> " +
         "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qe"))
       .localCheckpoint(true)
 
-    // Distances go through the codegen'd SqDistExpr (identical left-fold
-    // to the aggregate/zip_with HOF, which is a CodegenFallback and
-    // dominates wall-clock at m·k evaluations per vector). The integer
-    // sub-vectors cast exactly to doubles ONCE per row (micro-units < 2^53).
-    def subDists(cents: Array[Array[Double]], subD: Column): Column =
-      array(cents.map { c =>
-        graft.plans.DotProduct.sqDist(subD, array(c.map(lit).toSeq: _*))
-      }.toSeq: _*)
+  // Distances go through the codegen'd SqDistExpr (identical left-fold
+  // to the aggregate/zip_with HOF, which is a CodegenFallback and
+  // dominates wall-clock at m·k evaluations per vector). The integer
+  // sub-vectors cast exactly to doubles ONCE per row (micro-units < 2^53).
+  private def subDists(cents: Array[Array[Double]], subD: Column): Column =
+    array(cents.map { c =>
+      graft.plans.DotProduct.sqDist(subD, array(c.map(lit).toSeq: _*))
+    }.toSeq: _*)
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+             m: Int = 4, k: Int = 8, updates: Int = 2, dim: Int = 64)
+      : DataFrame = {
+    val q = microQuantized(corpus)
+    val books = trainedPqBooks(corpus, q, m, k, updates, dim)
+    val joined = pqReconstruct(q, books, m, dim)
+      .withColumn("nrm", sqrt(dot(col("xh"), col("xh"))))
+      .crossJoin(broadcast(queries
+        .select(col("q_id"), toDoubleArr(col("q_emb")).as("qv"))
+        .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("xh"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Deterministic PQ training over the micro-quantized corpus q, with
+    * the bounded fingerprint-keyed codebook cache (see pqBookCache). */
+  private[graft] def trainedPqBooks(corpus: DataFrame, q: DataFrame,
+      m: Int, k: Int, updates: Int, dim: Int)
+      : Array[Array[Array[Double]]] = {
+    val subLen = dim / m
 
     // deterministic Lloyd's over one subspace of the integer sub-vectors
     def train(s: Int): Array[Array[Double]] = {
@@ -360,18 +388,23 @@ object Similarity extends Serializable {
     val fpHash = if (fp.isNullAt(1)) 0L else fp.getLong(1)
     val cacheKey =
       (corpus.semanticHash(), fp.getLong(0), fpHash, m, k, updates, dim)
-    val books: Array[Array[Array[Double]]] =
-      Similarity.pqBookCache.getOrElseUpdate(cacheKey) {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        Await.result(
-          Future.sequence((0 until m).toVector.map(s => Future(train(s)))),
-          Duration.Inf).toArray
-      }
+    Similarity.pqBookCache.getOrElseUpdate(cacheKey) {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.sequence((0 until m).toVector.map(s => Future(train(s)))),
+        Duration.Inf).toArray
+    }
+  }
 
-    // encode (argmin per subspace) + dequantize (concat chosen centroids)
-    // in one projection; codebook literals ride the plan
+  /** Encode (argmin per subspace) + dequantize (concat chosen centroids)
+    * in one projection over the micro-quantized corpus; codebook literals
+    * ride the plan. Returns (vec_id, qd, xh) — xh is the PQ
+    * reconstruction back in original units. */
+  private def pqReconstruct(q: DataFrame, books: Array[Array[Array[Double]]],
+                            m: Int, dim: Int): DataFrame = {
+    val subLen = dim / m
     val qd = q.withColumn("qd",
       expr("transform(qe, x -> CAST(x AS DOUBLE))"))
     val encoded = (0 until m).foldLeft(qd) { (df, s) =>
@@ -386,18 +419,60 @@ object Similarity extends Serializable {
     val xh = transform(
       concat((0 until m).map(s => bookLit(s)(col(s"code_$s"))): _*),
       x => x / 1000000.0)
-    val joined = encoded.withColumn("xh", xh)
+    encoded.withColumn("xh", xh).select("vec_id", "qd", "xh")
+  }
+
+  /** IVF-PQ composition (the FAISS IVFPQ serving shape, non-residual):
+    * the deterministic md5-cell inverted file prunes the corpus to the
+    * nProbe best cells per query, and the trained PQ codebooks provide
+    * asymmetric-distance scoring WITHIN the probed cells only — so a
+    * query scores ~nProbe/nCells of the code table instead of all of it.
+    * This is the billion-vector serving index: coarse cells bound the
+    * scan, codes bound the memory, the (tiny) codebooks ride the plan.
+    *
+    * Reuses pqTopK's deterministic trainings via the codebook cache (same
+    * corpus + params → same books, no retrain) and ivfTopK's cell
+    * arithmetic — except assignment runs over the micro-quantized vectors
+    * the codes are built from, so the DuckDB oracle replays every stage
+    * from one shared corpus representation, bit-for-bit. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+                m: Int = 16, k: Int = 16, updates: Int = 2, dim: Int = 64,
+                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val q = microQuantized(corpus)
+    val books = trainedPqBooks(corpus, q, m, k, updates, dim)
+    val cents = Array.tabulate(nCells, dim)((c, d) => cellComponent(c, d + 1))
+    val cnorm = cents.map(cv => math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+    def cellSims(e: Column): Column = array((0 until nCells).map { c =>
+      dot(e, array(cents(c).map(lit).toSeq: _*)) / lit(cnorm(c))
+    }: _*)
+    // one projection: PQ encode+reconstruct AND coarse cell assignment
+    // (cell sims over the micro-unit vector — argmax is scale-invariant,
+    // and the oracle computes from the same integers)
+    val indexed = pqReconstruct(q, books, m, dim)
+      .withColumn("sims", cellSims(col("qd")))
+      .withColumn("cell",
+        array_position(col("sims"), array_max(col("sims"))) - 1)
       .withColumn("nrm", sqrt(dot(col("xh"), col("xh"))))
-      .crossJoin(broadcast(queries
-        .select(col("q_id"), toDoubleArr(col("q_emb")).as("qv"))
-        .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))))
+      .select("vec_id", "cell", "xh", "nrm")
+    val qx = queries
+      .select(col("q_id"), toDoubleArr(col("q_emb")).as("qv"))
+      .withColumn("qsims", cellSims(col("qv")))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val probes = qx.select(col("q_id"), col("qv"), col("qn"),
+        posexplode(col("qsims")).as(Seq("cell", "csim")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("csim").desc, col("cell"))))
+      .where(col("prank") <= nProbe)
+      .select("q_id", "qv", "qn", "cell")
+    val cand = indexed.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("xh"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
       .orderBy("q_id", "rank")
   }

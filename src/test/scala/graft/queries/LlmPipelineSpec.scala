@@ -202,6 +202,32 @@ class LlmPipelineSpec extends SparkSpec {
     assert(rrRecall >= 0.75, s"rerank recall $rrRecall")
   }
 
+  test("IVF-PQ prunes to probed cells without losing the PQ recall class") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(LlmPipeline.annCosineTopk(spark, sf))
+    val pq = pairs(LlmPipeline.annPq(spark, sf))
+    val ivfpq = LlmPipeline.annIvfPq(spark, sf)
+    val ivfpqPairs = pairs(ivfpq)
+    val pqRecall = pq.intersect(exact).size.toDouble / exact.size
+    val ivfpqRecall = ivfpqPairs.intersect(exact).size.toDouble / exact.size
+    info(s"pq recall $pqRecall, ivfpq recall $ivfpqRecall")
+    // probing 4/16 cells scans ~25% of the codes; on uniform random data
+    // the true neighbors concentrate in the probed cells, so the
+    // composition keeps most of plain PQ's recall at a quarter of the scan
+    assert(ivfpqRecall >= pqRecall * 0.5,
+      s"ivfpq $ivfpqRecall lost more than half of pq $pqRecall")
+    // and the scores agree with plain PQ wherever both return a pair —
+    // the SAME codebooks score both (cache-shared training)
+    val pqSims = LlmPipeline.annPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("sim")).toMap
+    ivfpq.collect().foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      pqSims.get(key).foreach(s => assert(s == r.getAs[Double]("sim")))
+    }
+  }
+
   test("brute-force ANN ranks are strictly ordered per query") {
     val rows = LlmPipeline.annCosineTopk(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>

@@ -141,4 +141,25 @@ object GraftExprs {
     ExpressionUtils.column(
       SqDistExpr(ExpressionUtils.expression(a),
         ExpressionUtils.expression(b)))
+
+  /** Spark's runtime-filter Bloom sketch as a user-callable aggregate:
+    * builds a fixed-size filter over xxhash64(child) longs. Not exposed
+    * in the public FunctionRegistry, hence this bridge. */
+  def bloomAgg(child: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(ExpressionUtils.expression(child),
+          Literal(estimatedItems), Literal(numBits), 0, 0)
+        .toAggregateExpression())
+  }
+
+  /** Probe the serialized Bloom filter (a CONSTANT — collect the
+    * aggregate to the driver and pass lit(bytes)) with an xxhash64 long.
+    * No false negatives; false positives are confirmed downstream. */
+  def mightContain(bloomBytes: Column, value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloomBytes),
+        ExpressionUtils.expression(value)))
 }

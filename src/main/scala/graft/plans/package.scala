@@ -15,6 +15,16 @@ package object plans {
       org.apache.spark.sql.graft.GraftExprs.sqDist(a, b)
   }
 
+  object Bloom {
+    /** Fixed-size Bloom filter aggregate over xxhash64(child). */
+    def agg(child: Column, estimatedItems: Long, numBits: Long): Column =
+      org.apache.spark.sql.graft.GraftExprs
+        .bloomAgg(child, estimatedItems, numBits)
+    /** might_contain probe of a constant serialized filter. */
+    def mightContain(bloomBytes: Column, value: Column): Column =
+      org.apache.spark.sql.graft.GraftExprs.mightContain(bloomBytes, value)
+  }
+
   object SortedIntersect {
     /** |a ∩ b| of sorted distinct string arrays (codegen'd merge walk). */
     def size(a: Column, b: Column): Column =

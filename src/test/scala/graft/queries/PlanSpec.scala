@@ -119,10 +119,15 @@ class PlanSpec extends SparkSpec {
       s"window must partition by user_id: $p")
   }
 
-  test("contamination check broadcasts the benchmark gram set") {
+  test("contamination check Bloom-prefilters, then broadcasts the confirm") {
     val p = planOf(LlmPipeline.textContamination(spark, sf))
+    assert(p.contains("might_contain"),
+      s"Bloom pre-pass missing from the corpus scan: $p")
     assert(p.contains("BroadcastHashJoin"),
       s"eval gram set must broadcast: $p")
+    // the Bloom probe must run BEFORE the join (filter below the build)
+    assert(p.indexOf("might_contain") > p.indexOf("BroadcastHashJoin"),
+      s"Bloom filter not below the confirm join: $p")
   }
 
   test("SQ8 corpus pass broadcasts codebook and queries (no corpus shuffle)") {

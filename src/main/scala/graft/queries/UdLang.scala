@@ -683,7 +683,47 @@ object UdLang extends Serializable {
        |GROUP BY 1, 2
        |ORDER BY win_start_us, c_nationkey""".stripMargin
 
+  /** `suppose` + comprehension from uDLang SOURCE (not the kernel-API
+    * twins d8/d9): the subjunctive speculatively runs the proc, the taken
+    * branch splices the captured emissions with `...;`, and the captured
+    * record's msg is built by a comprehension + join — the whole chain
+    * through UdScript.compile, driver-gated. */
+  def uSuppose(s: SparkSession, d: String): DataFrame = {
+    val src = """script "subjunctive with comprehension";
+      |input  {event_id: Int, event_type: Str, value: Float};
+      |output {event_id: Int, seq: Int, msg: Str};
+      |let exclaims = ["Yeah", "yeah", "YEAH"];
+      |proc chorus(t: Str) {
+      |  if (t == "click") {
+      |    out {event_id: in.event_id, seq: 9,
+      |         msg: [exclaims | (w: Str) -> Str { w + "!" }].join(" ")};
+      |  }
+      |}
+      |suppose(chorus(in.event_type)) {
+      |  out {event_id: in.event_id, seq: 0, msg: "She loves you"};
+      |  ...;
+      |} else {
+      |  out {event_id: in.event_id, seq: 0, msg: "Yesterday"};
+      |}""".stripMargin
+    UdScript.compile(src)
+      .run(Tables.events(s, d).select("event_id", "event_type", "value"))
+      .orderBy("event_id", "seq")
+  }
+
+  val uSupposeSql: String =
+    """SELECT * FROM (
+      |  SELECT event_id, CAST(0 AS BIGINT) AS seq, 'She loves you' AS msg
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT event_id, CAST(9 AS BIGINT) AS seq, 'Yeah! yeah! YEAH!' AS msg
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT event_id, CAST(0 AS BIGINT) AS seq, 'Yesterday' AS msg
+      |  FROM events WHERE event_type <> 'click'
+      |) ORDER BY event_id, seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u_suppose" -> (uSuppose _),
     "u_stream_enrich" -> (uStreamEnrich _),
     "u_stream_state" -> (uStreamState _),
     "u_stream_dedup" -> (uStreamDedup _),
@@ -705,6 +745,7 @@ object UdLang extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_suppose" -> uSupposeSql,
     "u_stream_enrich" -> uStreamEnrichSql,
     "u_stream_state" -> uStreamStateSql,
     "u_stream_dedup" -> uStreamDedupSql,

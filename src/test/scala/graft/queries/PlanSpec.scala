@@ -143,6 +143,34 @@ class PlanSpec extends SparkSpec {
       s"codebook/query set must broadcast: $p")
   }
 
+  test("r4-regressed entries keep their plan shapes (noise, not plans)") {
+    // BENCH_r04 showed 2-3x wall-clock drift on four small entries with
+    // no plan change; pin the shapes so a REAL regression can't hide
+    // behind ambient-load noise.
+    // u_count: the counted loop lowers to explode(sequence(...)), one
+    // narrow fan-out, no hash exchange
+    val pCount = planOf(UdLang.uCount(spark, sf))
+    assert(pCount.contains("explode") && pCount.contains("sequence"),
+      s"u_count no longer lowers to explode(sequence): $pCount")
+    assert(!pCount.contains("Exchange hashpartitioning"),
+      s"u_count shuffled: $pCount")
+    // u_debug_trace: the `!` trace pins it to the kernel tier — one
+    // narrow MapPartitions, no hash exchange
+    val pTrace = planOf(UdLang.uDebugTrace(spark, sf))
+    assert(!pTrace.contains("Exchange hashpartitioning"),
+      s"u_debug_trace shuffled: $pTrace")
+    assert("MapPartitions".r.findAllIn(pTrace).size == 1,
+      s"u_debug_trace must be one kernel pass: $pTrace")
+    // text_vocab: explode -> ONE partial+final aggregate pair
+    val pVocab = planOf(LlmPipeline.textVocab(spark, sf))
+    val aggExchanges = "Exchange hashpartitioning".r.findAllIn(pVocab).size
+    assert(aggExchanges <= 2, s"text_vocab gained exchanges: $pVocab")
+    // q_cube: one Expand pass feeding the aggregate
+    val pCube = planOf(Relational.qCube(spark, sf))
+    val expands = "Expand".r.findAllIn(pCube).size
+    assert(expands == 1, s"q_cube must be one Expand pass, got $expands")
+  }
+
   test("uDLang kernel tier is a single narrow flatMap (no shuffle)") {
     val src = """script "rec";
       |input  {l_orderkey: Int, l_linenumber: Int};

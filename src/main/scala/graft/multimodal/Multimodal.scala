@@ -169,22 +169,26 @@ object Multimodal extends Serializable {
   def tinyPng(w: Int, h: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var idx = 0
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, ((x * 31 + y * 17 + seed) & 0xFFFFFF).toInt)
+        px(idx) = ((x * 31 + y * 17 + seed) & 0xFFFFFF).toInt
+        idx += 1
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w) // bulk write, not per-pixel sync
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
 
   /** Real-image fixture: one tiny PNG per document, dimensions a pure
-    * doc_id arithmetic (8 + id % 313, 8 + 7·id % 301) — so the DuckDB
+    * doc_id arithmetic (8 + id % 61, 8 + 7·id % 53) — so the DuckDB
     * oracle PREDICTS width/height while the Spark side must genuinely
     * encode and re-parse a PNG header to report them. Generation is a
     * narrow mapPartitions (no shuffle), the same batch shape a real
@@ -194,8 +198,8 @@ object Multimodal extends Serializable {
     import s.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val w = 8 + (id % 313).toInt
-        val h = 8 + ((id * 7) % 301).toInt
+        val w = 8 + (id % 61).toInt
+        val h = 8 + ((id * 7) % 53).toInt
         MediaRow(id, tinyPng(w, h, id))
       }
     }

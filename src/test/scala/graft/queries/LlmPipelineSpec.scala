@@ -134,15 +134,16 @@ class LlmPipelineSpec extends SparkSpec {
   test("imagesFromDocuments round-trips real PNG dims through resizePlan") {
     val docs = graft.Tables.documents(spark, sf).limit(40)
     val plans = Multimodal
-      .resizePlan(Multimodal.imagesFromDocuments(spark, docs), 256)
+      .resizePlan(Multimodal.imagesFromDocuments(spark, docs), 48)
       .collect()
     assert(plans.nonEmpty)
     plans.foreach { p =>
-      assert(p.width == 8 + (p.media_id % 313).toInt)
-      assert(p.height == 8 + ((p.media_id * 7) % 301).toInt)
-      assert(p.out_w <= 256 && p.out_h <= 256)
-      assert(p.scaled == (p.width > 256 || p.height > 256))
+      assert(p.width == 8 + (p.media_id % 61).toInt)
+      assert(p.height == 8 + ((p.media_id * 7) % 53).toInt)
+      assert(p.out_w <= 48 && p.out_h <= 48)
+      assert(p.scaled == (p.width > 48 || p.height > 48))
     }
+    assert(plans.exists(_.scaled) && plans.exists(!_.scaled))
   }
 
   test("connected components propagate min labels across chains") {

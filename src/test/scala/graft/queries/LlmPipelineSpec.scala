@@ -157,6 +157,41 @@ class LlmPipelineSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("canonical corpus keeps exactly one representative per cluster") {
+    val clusters = LlmPipeline.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val canonical = LlmPipeline.dedupCanonical(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val byCluster = clusters.groupBy(_._2)
+    assert(canonical.size == byCluster.size)
+    byCluster.foreach { case (lbl, members) =>
+      assert(canonical.contains(lbl)) // rep IS the min label
+      assert(canonical(lbl) == members.size - 1) // absorbed dupes
+    }
+  }
+
+  test("packing plan is contiguous and capacity-aligned per bucket") {
+    val rows = LlmPipeline.textPacking(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("start_tok"),
+        r.getAs[Int]("seq_first"), r.getAs[Int]("seq_last")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      // offsets tile the bucket's token stream with no gaps or overlaps
+      val sorted = docs.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._3 == b._4)
+        case _           => ()
+      }
+      // sequence ids are the 2048-token windows the span touches
+      docs.foreach { d =>
+        assert(d._5 == (d._4 / 2048).toInt)
+        assert(d._6 == ((d._4 + d._3 - 1) / 2048).toInt)
+      }
+    }
+  }
+
   test("IVF ANN recalls most exact top-k neighbors with 4/16 cells probed") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet

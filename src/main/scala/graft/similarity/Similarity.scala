@@ -496,7 +496,17 @@ object Similarity extends Serializable {
     * resulting (vec_id → cid) assignment IS the inverted file; probing
     * reuses the ivfTopK shape. */
   def kmeansAssignments(s: SparkSession, corpus: DataFrame, k: Int = 8,
-                        updates: Int = 2, dim: Int = 64): DataFrame = {
+                        updates: Int = 2, dim: Int = 64): DataFrame =
+    kmeansAssigned(s, corpus, k, updates, dim)
+      .select(col("vec_id"), col("cid"), round(col("dist"), 6).as("dist"))
+      .orderBy("vec_id")
+
+  /** Final-round Lloyd's assignment WITH the micro-quantized vectors
+    * (vec_id, qe, cid, dist) — shared by the IVF entry (kmeansAssignments)
+    * and semantic dedup, which needs qe for within-cluster similarity. */
+  private[graft] def kmeansAssigned(s: SparkSession, corpus: DataFrame,
+                                    k: Int = 8, updates: Int = 2,
+                                    dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val q = corpus.select(col("vec_id"),
@@ -547,7 +557,38 @@ object Similarity extends Serializable {
         }
       }
     }
-    assigned.select(col("vec_id"), col("cid"),
-      round(col("dist"), 6).as("dist")).orderBy("vec_id")
+    assigned
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells
+    * bound the pairwise cosine check, so the quadratic runs only WITHIN a
+    * cluster instead of across the corpus. A vector is a duplicate when a
+    * LOWER-id vector in the same cell has cosine >= tau — a deterministic
+    * greedy keep-first rule (the paper keeps one representative per
+    * similarity group; keep-lowest-id is its order-stable form).
+    *
+    * Scale shape: the only wide exchange is keyed by cid (the self-join);
+    * each cell's pairs are computed where the cell lives, candidates never
+    * leave their partition, and the per-cell quadratic is bounded by cell
+    * size — exactly the published algorithm's cost model (production runs
+    * cap cell sizes by raising k). Training reuses the deterministic
+    * Lloyd's pass, so the DuckDB oracle replays clustering AND pruning
+    * bit-for-bit. Output: every vector with its cell and is_dup flag. */
+  def semanticDedup(s: SparkSession, corpus: DataFrame, tau: Double = 0.35,
+                    k: Int = 8, updates: Int = 2, dim: Int = 64): DataFrame = {
+    val a = kmeansAssigned(s, corpus, k, updates, dim)
+      .withColumn("qd", expr("transform(qe, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dot(col("qd"), col("qd"))))
+      .select("vec_id", "cid", "qd", "nrm")
+    val dups = a.as("x")
+      .join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .where(round(dot(col("x.qd"), col("y.qd")) /
+        (col("x.nrm") * col("y.nrm")), 6) >= tau)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    a.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+      .orderBy("vec_id")
   }
 }

@@ -103,6 +103,36 @@ class LlmPipelineSpec extends SparkSpec {
         s"recall ${lsh.size.toDouble / exact.size}")
   }
 
+  test("semantic dedup keeps one representative per planted dup group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v = vec()
+    val rows = (0 until 40).map(i => (i.toLong, vec())) :+
+      (100L, v) :+ (101L, v.clone()) :+ (102L, v.map(x => x + 0.001f))
+    val out = Similarity.semanticDedup(spark, rows.toDF("vec_id", "embedding"),
+        tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // identical + near-identical copies (same cell, cosine ~1) collapse
+    // onto the lowest id; the representative itself is kept
+    assert(!out(100L) && out(101L) && out(102L))
+  }
+
+  test("LM score ranks predictable text above unpredictable; empty -> 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y x y"),          // every bigram dominant -> high
+      (2L, "x a x b x c"),              // x's continuations diverge -> low
+      (3L, "z")                         // no bigrams -> score 0, flagged
+    ).toDF("doc_id", "text")
+    val out = LlmPipeline.lmScoreDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out(1L)._2 > out(2L)._2)
+    assert(out(3L) == ((0L, 0.0, true)))
+    out.values.foreach { case (_, s, _) => assert(s >= 0.0 && s <= 1.0) }
+  }
+
   test("multimodal decode is deterministic, batched, and typed") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(

@@ -853,7 +853,68 @@ object Relational extends Serializable {
       |  ON h.user_id = g.user_id AND h.hour_us = g.hour_us
       |ORDER BY g.user_id, g.hour_us""".stripMargin
 
+  /** MERGE INTO / CDC-apply: a change feed (latest change per key wins —
+    * one window by key) applied to a stale base snapshot in ONE full-outer
+    * sort-merge join: matched U updates, matched D deletes, unmatched U
+    * inserts, unmatched D is a no-op. This is the Delta/Iceberg MERGE
+    * shape minus the file rewrite — at lakehouse scale the same join
+    * drives copy-on-write of only the touched files; the wide exchange is
+    * keyed by the merge key alone.
+    *
+    * Deterministic fixture: base = customers with custkey % 5 <> 0 (a
+    * snapshot missing every 5th customer), change feed = each customer's
+    * LATEST order (orderdate desc, orderkey desc) — orderkey % 10 = 0
+    * means delete, else upsert acctbal to that order's total price. */
+  def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d).where(col("c_custkey") % 5 =!= 0)
+      .select(col("c_custkey").as("custkey"), col("c_name").as("base_name"),
+        col("c_acctbal").as("base_bal"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val changes = Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("o_custkey").as("custkey"),
+        when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("o_totalprice").as("new_bal"))
+    base.join(changes, Seq("custkey"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col("custkey"),
+        coalesce(col("base_name"),
+          concat(lit("new-"), col("custkey"))).as("name"),
+        when(col("op") === "U", col("new_bal")).otherwise(col("base_bal"))
+          .as("acctbal"),
+        when(col("op").isNull, lit("base"))
+          .when(col("base_name").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("src"))
+      .orderBy("custkey")
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS key, c_name, c_acctbal
+      |  FROM customer WHERE c_custkey % 5 <> 0),
+      |ch AS (
+      |  SELECT o_custkey AS key,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    o_totalprice AS new_bal
+      |  FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1)
+      |SELECT coalesce(b.key, c.key) AS custkey,
+      |  coalesce(b.c_name, 'new-' || coalesce(b.key, c.key)) AS name,
+      |  CASE WHEN c.op = 'U' THEN c.new_bal ELSE b.c_acctbal END AS acctbal,
+      |  CASE WHEN c.op IS NULL THEN 'base'
+      |       WHEN b.c_name IS NULL THEN 'inserted'
+      |       ELSE 'updated' END AS src
+      |FROM base b FULL JOIN ch c ON b.key = c.key
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_resample" -> (qResample _),
     "q_outer_join" -> (qOuterJoin _),
     "q_window_range" -> (qWindowRange _),
@@ -889,6 +950,7 @@ object Relational extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_merge_upsert" -> qMergeUpsertSql,
     "q_resample" -> qResampleSql,
     "q_outer_join" -> qOuterJoinSql,
     "q_window_range" -> qWindowRangeSql,

@@ -133,6 +133,20 @@ class LlmPipelineSpec extends SparkSpec {
     out.values.foreach { case (_, s, _) => assert(s >= 0.0 && s <= 1.0) }
   }
 
+  test("BPE training learns counts, tie-breaks, and stacked merges") {
+    import spark.implicits._
+    // aaab x3, ab x2: pair (a,a) appears 6x, (a,b) 5x
+    val toks = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).toDF("tok")
+    val got = graft.text.Bpe.train(spark, toks, merges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", "aa", 6L),     // most frequent pair first
+      (2, "a", "b", "ab", 5L),     // applied inside aaab -> [aa, ab]
+      (3, "aa", "ab", "aaab", 3L)  // merged symbols merge again
+    ))
+  }
+
   test("multimodal decode is deterministic, batched, and typed") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(

@@ -913,7 +913,51 @@ object Relational extends Serializable {
       |WHERE c.op IS NULL OR c.op <> 'D'
       |ORDER BY custkey""".stripMargin
 
+  /** Graph centrality: PageRank over the supplier<->customer co-order
+    * graph (distinct (suppkey, custkey) pairs from lineitem x orders,
+    * edges both directions, vertex ids namespaced by +1e9/+2e9) — 3
+    * fixed-point Pregel-in-DataFrames rounds (graft.graph.PageRank),
+    * top-20 by final rank. Exact integer arithmetic end to end, so the
+    * DuckDB oracle replays every round. */
+  def qPagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + 1000000000L).as("sv"),
+        (col("o_custkey") + 2000000000L).as("cv"))
+      .distinct()
+      // materialized once: BOTH union branches read it, and without the
+      // cut the fact join + distinct would run twice
+      .localCheckpoint(true)
+    val edges = pairs.select(col("sv").as("src"), col("cv").as("dst"))
+      .union(pairs.select(col("cv").as("src"), col("sv").as("dst")))
+    val w = Window.orderBy(col("rank_fp").desc, col("vertex"))
+    graft.graph.PageRank.ranks(s, edges, 3)
+      .orderBy(col("rank_fp").desc, col("vertex")).limit(20)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select("rank", "vertex", "rank_fp")
+      .orderBy("rank")
+  }
+
+  val qPagerankSql: String = {
+    val fwd = """SELECT l.l_suppkey + 1000000000 AS src,
+                |       o.o_custkey + 2000000000 AS dst
+                |FROM lineitem l JOIN orders o
+                |  ON l.l_orderkey = o.o_orderkey""".stripMargin
+    val bwd = """SELECT o.o_custkey + 2000000000 AS src,
+                |       l.l_suppkey + 1000000000 AS dst
+                |FROM lineitem l JOIN orders o
+                |  ON l.l_orderkey = o.o_orderkey""".stripMargin
+    s"""${graft.graph.PageRank.oracleSql(s"$fwd UNION ALL $bwd", 3)}
+       |SELECT CAST(rank AS INT) AS rank, vertex, rank_fp FROM (
+       |  SELECT *, row_number() OVER (ORDER BY rank_fp DESC, vertex)
+       |    AS rank
+       |  FROM r3)
+       |WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPagerank _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_resample" -> (qResample _),
     "q_outer_join" -> (qOuterJoin _),
@@ -950,6 +994,7 @@ object Relational extends Serializable {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pagerank" -> qPagerankSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_resample" -> qResampleSql,
     "q_outer_join" -> qOuterJoinSql,

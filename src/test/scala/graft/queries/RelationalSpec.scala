@@ -11,6 +11,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("pagerank concentrates rank on the hub of a star graph") {
+    import spark.implicits._
+    // leaves 1,3,4 all point at 2; 2 points back at 1 only
+    val edges = Seq((1L, 2L), (3L, 2L), (4L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val r = graft.graph.PageRank.ranks(spark, edges, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(1L) && r(1L) > r(3L), s"ranks $r")
+    assert(r(3L) == r(4L))                    // symmetric leaves agree
+    assert(r.values.forall(_ >= 150000L))     // base rank floor holds
+  }
+
   test("q1_agg groups are the 6 returnflag×linestatus combos") {
     val rows = Relational.q1Agg(spark, sf).collect()
     assert(rows.length == 6)

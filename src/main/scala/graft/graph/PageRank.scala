@@ -24,38 +24,64 @@ object PageRank {
 
   /** Run `iters` fixed-point PageRank rounds over a directed edge list
     * (src: BIGINT, dst: BIGINT). Returns (vertex, rank_fp) for every
-    * vertex, rank in 1e-6 units. */
-  def ranks(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
-    // outdeg folded into the edge table in the SAME pass as the dedup
-    // (distinct shuffles by (src,dst) — the window by src rides the
-    // partial order with no second wide exchange), checkpointed once;
-    // rounds then never join a degree table
-    val e = edges.select(col("src"), col("dst")).distinct()
+    * vertex, rank in 1e-6 units.
+    *
+    * The edge table is the reuse hot spot: every round joins it on src.
+    * It is persist()ed — NOT localCheckpoint'd — because InMemoryRelation
+    * preserves the child plan's partitioning and ordering (and AQE leaves
+    * cached-plan partitioning alone by default), while a checkpoint's
+    * LogicalRDD degrades to UnknownPartitioning under AQE and every round
+    * would re-shuffle and re-sort the full edge set. The outdeg window
+    * already hash-partitions by src; one sortWithinPartitions on top
+    * makes the cached table satisfy the sort-merge join's distribution
+    * AND ordering — rounds then shuffle only the (small) rank table.
+    * Rounds chain lazily, checkpointed every `ckptEvery` iterations so
+    * long runs cut lineage; the final result is materialized so the
+    * caches can be dropped before returning. */
+  def ranks(s: SparkSession, edges: DataFrame, iters: Int,
+            ckptEvery: Int = 4): DataFrame = {
+    // ONE wide exchange builds the whole edge side: the explicit
+    // repartition by src satisfies the dedup's ClusteredDistribution
+    // (src ⊆ {src,dst}), the outdeg window's partitioning, AND — with the
+    // sortWithinPartitions — the per-round sort-merge join's distribution
+    // and ordering, so dedup/window/sort all run in place on top of it
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(np, col("src"))
+      .dropDuplicates("src", "dst")
       .withColumn("outdeg",
         count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .sortWithinPartitions("src")
+      .persist()
+    e.count() // materialize once; rounds read the cache
+    // vertex set and the has-inbound flag in ONE scan of the cached
+    // edges: each edge contributes its src (no in-edge evidence) and its
+    // dst (in-edge), max-reduced per vertex. Vertices with has_in = 0
+    // hold the base rank in EVERY round — a static set, computed once;
+    // rounds then union a constant instead of re-joining the full vertex
+    // table (one fewer shuffle per round).
+    val verts = e.select(explode(array(
+        struct(col("src").as("vertex"), lit(0).as("has_in")),
+        struct(col("dst").as("vertex"), lit(1).as("has_in")))).as("v"))
+      .select(col("v.vertex").as("vertex"), col("v.has_in").as("has_in"))
+      .groupBy("vertex").agg(max(col("has_in")).as("has_in"))
       .localCheckpoint(true)
-    val vertices = e.select(col("src").as("vertex"))
-      .union(e.select(col("dst").as("vertex"))).distinct()
-      .localCheckpoint(true)
-    // vertices with no in-edge hold the base rank in EVERY round — a
-    // static set, computed once; rounds then union a constant instead of
-    // re-joining the full vertex table (one fewer shuffle per round)
-    val noInbound = vertices
-      .join(e.select(col("dst").as("vertex")).distinct(),
-        Seq("vertex"), "left_anti")
-      .withColumn("rank_fp", lit(150000L))
-      .localCheckpoint(true)
-    var r = vertices.withColumn("rank_fp", lit(1000000L))
-    for (_ <- 1 to iters) {
+    val noInbound = verts.where(col("has_in") === 0)
+      .select(col("vertex"), lit(150000L).as("rank_fp"))
+    var r = verts.select(col("vertex"), lit(1000000L).as("rank_fp"))
+    for (i <- 1 to iters) {
       val received = r.join(e, r("vertex") === e("src"))
         .select(col("dst"), expr("rank_fp div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_sum"))
         .select(col("dst").as("vertex"),
           (lit(150000L) + expr("(85 * in_sum) div 100")).as("rank_fp"))
-      r = received.union(noInbound).localCheckpoint(true)
+      r = received.union(noInbound)
+      if (i % ckptEvery == 0 && i < iters) r = r.localCheckpoint(true)
     }
-    r
+    val out = r.localCheckpoint(true)
+    e.unpersist(false)
+    out
   }
 
   /** DuckDB replay: outdeg + r0, then one CTE per round with the same

@@ -41,9 +41,28 @@ object Bench {
     // run then measures the Exchange-free join itself (ensureBucketed
     // skips the rewrite within a JVM).
     warmQuery("q_bucketed_join")
+    // InMemoryRelation cache write/read path (columnar compression +
+    // ColumnarToRow Janino codegen) — first persist() in a JVM pays ~5s;
+    // q_pagerank and the dedup pair-graph miners all cache.
+    warm {
+      val tiny = spark.range(1000).toDF("i").persist()
+      tiny.count(); tiny.unpersist(false)
+    }
+    // Per-entry hygiene (round-5 drift postmortem): heavy entries pollute
+    // the shared JVM — cached tables pin old-gen, and a mid-alphabet 18s
+    // entry's garbage lands as GC pauses inside its NEIGHBORS' timings.
+    // Dropping Spark-side caches and letting a full GC finish BEFORE the
+    // stopwatch starts charges each query only for its own work. (Operator
+    // LRU caches — codebooks, pair graphs, bucketed layouts — survive by
+    // design: they are index artifacts a serving system would hold.)
+    def quiesce(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      System.gc()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
+      quiesce()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -927,12 +927,17 @@ object Relational extends Serializable {
         (col("o_custkey") + 2000000000L).as("cv"))
       .distinct()
       // materialized once: BOTH union branches read it, and without the
-      // cut the fact join + distinct would run twice
-      .localCheckpoint(true)
+      // cut the fact join + distinct would run twice (persist, not an
+      // eager RDD checkpoint — the checkpoint job + barrier was the
+      // dominant fixed cost in the r5 18s profile)
+      .persist()
+    pairs.count()
     val edges = pairs.select(col("sv").as("src"), col("cv").as("dst"))
       .union(pairs.select(col("cv").as("src"), col("sv").as("dst")))
     val w = Window.orderBy(col("rank_fp").desc, col("vertex"))
-    graft.graph.PageRank.ranks(s, edges, 3)
+    val ranked = graft.graph.PageRank.ranks(s, edges, 3)
+    pairs.unpersist(false) // ranks() materialized its result; safe to drop
+    ranked
       .orderBy(col("rank_fp").desc, col("vertex")).limit(20)
       .withColumn("rank", row_number().over(w).cast("int"))
       .select("rank", "vertex", "rank_fp")

@@ -43,7 +43,11 @@ object Bpe {
     * Returns (step, l, r, merged, n) — the learned merge table. */
   def train(s: SparkSession, tokens: DataFrame, merges: Int): DataFrame = {
     import s.implicits._
-    var vocab = tokens.groupBy(col("tok").as("word"))
+    // Empty tokens (a \s+ tokenizer emits them on leading whitespace)
+    // carry no pairs, and sequence(1, 0) would yield a descending [1,0]
+    // range — drop them before the char-split, mirrored in the oracle.
+    var vocab = tokens.filter(length(col("tok")) > 0)
+      .groupBy(col("tok").as("word"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("toks", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
@@ -105,7 +109,8 @@ object Bpe {
        |  SELECT word, cnt,
        |    array_to_string(list_transform(generate_series(1, length(word)),
        |      i -> substr(word, i, 1)), $sep) AS s
-       |  FROM (SELECT tok AS word, count(*) AS cnt FROM toks GROUP BY tok)),
+       |  FROM (SELECT tok AS word, count(*) AS cnt FROM toks
+       |        WHERE length(tok) > 0 GROUP BY tok)),
        |$rounds
        |SELECT CAST(step AS INT) AS step, l, r, merged, n FROM (
        |$out)

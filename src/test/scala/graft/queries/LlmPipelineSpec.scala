@@ -135,8 +135,11 @@ class LlmPipelineSpec extends SparkSpec {
 
   test("BPE training learns counts, tie-breaks, and stacked merges") {
     import spark.implicits._
-    // aaab x3, ab x2: pair (a,a) appears 6x, (a,b) 5x
-    val toks = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).toDF("tok")
+    // aaab x3, ab x2: pair (a,a) appears 6x, (a,b) 5x. Empty tokens (a
+    // \s+ tokenizer emits them on leading whitespace) must be inert: an
+    // unguarded sequence(1, 0) char-split would count a spurious ("","").
+    val toks = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab") ++ Seq.fill(9)(""))
+      .toDF("tok")
     val got = graft.text.Bpe.train(spark, toks, merges = 3).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4)))

@@ -560,6 +560,15 @@ object Similarity extends Serializable {
     assigned
   }
 
+  /** SemDeDup cell count for an n-vector corpus: one cell per ~512
+    * vectors, floor 8 — the same count-derived sizing as the LSH
+    * signature width. Keeps expected per-cell pairwise work at
+    * ~512²/2 comparisons regardless of corpus size, which is the
+    * SemDeDup paper's own scaling prescription (k grows with N so the
+    * within-cell quadratic stays bounded). Integer arithmetic so the
+    * DuckDB oracle derives the identical k from its own count(*). */
+  def semanticCells(n: Long): Int = math.max(8L, (n + 511L) / 512L).toInt
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells
     * bound the pairwise cosine check, so the quadratic runs only WITHIN a
     * cluster instead of across the corpus. A vector is a duplicate when a
@@ -573,10 +582,15 @@ object Similarity extends Serializable {
     * size — exactly the published algorithm's cost model (production runs
     * cap cell sizes by raising k). Training reuses the deterministic
     * Lloyd's pass, so the DuckDB oracle replays clustering AND pruning
-    * bit-for-bit. Output: every vector with its cell and is_dup flag. */
+    * bit-for-bit. Output: every vector with its cell and is_dup flag.
+    *
+    * k defaults to COUNT-DERIVED (semanticCells): the paper's cost model
+    * only holds when k grows with the corpus — a fixed k leaves (N/k)²
+    * per-cell work quadratic in N. Pass k > 0 to pin it explicitly. */
   def semanticDedup(s: SparkSession, corpus: DataFrame, tau: Double = 0.35,
-                    k: Int = 8, updates: Int = 2, dim: Int = 64): DataFrame = {
-    val a = kmeansAssigned(s, corpus, k, updates, dim)
+                    k: Int = 0, updates: Int = 2, dim: Int = 64): DataFrame = {
+    val kk = if (k > 0) k else semanticCells(corpus.count())
+    val a = kmeansAssigned(s, corpus, kk, updates, dim)
       .withColumn("qd", expr("transform(qe, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(dot(col("qd"), col("qd"))))
       .select("vec_id", "cid", "qd", "nrm")

@@ -103,6 +103,16 @@ class LlmPipelineSpec extends SparkSpec {
         s"recall ${lsh.size.toDouble / exact.size}")
   }
 
+  test("semantic dedup derives its cell count from the corpus size") {
+    // ~512 vectors per cell, floor 8: fixture-sized corpora keep k=8
+    // (oracle-stable) while k grows linearly past 4096 vectors — the
+    // SemDeDup cost model's requirement that (N/k)² stays bounded
+    assert(Similarity.semanticCells(500) == 8)
+    assert(Similarity.semanticCells(4096) == 8)
+    assert(Similarity.semanticCells(8192) == 16)
+    assert(Similarity.semanticCells(1000000) == 1954)
+  }
+
   test("semantic dedup keeps one representative per planted dup group") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

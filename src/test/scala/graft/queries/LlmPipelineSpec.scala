@@ -227,25 +227,26 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
-  test("packing plan is contiguous and capacity-aligned per bucket") {
+  test("packing plan tiles one contiguous global token stream") {
     val rows = LlmPipeline.textPacking(spark, sf).collect().map(r =>
       (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket"),
         r.getAs[Int]("n_tokens"), r.getAs[Long]("start_tok"),
         r.getAs[Int]("seq_first"), r.getAs[Int]("seq_last")))
     assert(rows.nonEmpty)
-    rows.groupBy(_._2).foreach { case (_, docs) =>
-      // offsets tile the bucket's token stream with no gaps or overlaps
-      val sorted = docs.sortBy(_._4)
-      assert(sorted.head._4 == 0L)
-      sorted.sliding(2).foreach {
-        case Array(a, b) => assert(a._4 + a._3 == b._4)
-        case _           => ()
-      }
-      // sequence ids are the 2048-token windows the span touches
-      docs.foreach { d =>
-        assert(d._5 == (d._4 / 2048).toInt)
-        assert(d._6 == ((d._4 + d._3 - 1) / 2048).toInt)
-      }
+    // two-level composition yields ONE global stream: offsets tile it
+    // with no gaps or overlaps, bucket-major (all of bucket b before b+1)
+    val sorted = rows.sortBy(_._4)
+    assert(sorted.head._4 == 0L)
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 + a._3 == b._4)
+        assert(a._2 <= b._2) // bucket-major global order
+      case _ => ()
+    }
+    // sequence ids are the GLOBAL 2048-token windows the span touches
+    rows.foreach { d =>
+      assert(d._5 == (d._4 / 2048).toInt)
+      assert(d._6 == ((d._4 + d._3 - 1) / 2048).toInt)
     }
   }
 

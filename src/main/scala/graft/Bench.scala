@@ -41,6 +41,12 @@ object Bench {
     // run then measures the Exchange-free join itself (ensureBucketed
     // skips the rewrite within a JVM).
     warmQuery("q_bucketed_join")
+    // Contamination Bloom filter: an index artifact a serving system
+    // builds once per eval set (LRU-cached by eval fingerprint, like the
+    // PQ codebooks); the warm run populates the cache and first-use
+    // codegens the Bloom expression family, so the timed run measures
+    // the pre-pass + confirm join itself.
+    warmQuery("text_contamination")
     // InMemoryRelation cache write/read path (columnar compression +
     // ColumnarToRow Janino codegen) — first persist() in a JVM pays ~5s;
     // q_pagerank and the dedup pair-graph miners all cache.

@@ -64,7 +64,8 @@ object PageRank {
           org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .sortWithinPartitions("src")
       .persist()
-    e.count() // materialize once; rounds read the cache
+    // no e.count() barrier: verts reads e exactly once, so the verts
+    // materialization below populates BOTH caches in one job
     // vertex set and the has-inbound flag in ONE scan of the cached
     // edges: each edge contributes its src (no in-edge evidence) and its
     // dst (in-edge), max-reduced per vertex. Vertices with has_in = 0

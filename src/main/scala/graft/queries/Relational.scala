@@ -920,24 +920,23 @@ object Relational extends Serializable {
     * top-20 by final rank. Exact integer arithmetic end to end, so the
     * DuckDB oracle replays every round. */
   def qPagerank(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    // distinct FIRST (map-side partial dedup absorbs the fact-row
+    // multiplicity before anything shuffles), then ONE explode emits
+    // both directions — no pairs cache, no count() barrier: the round-5
+    // persist+count materialization existed only so two union branches
+    // would not recompute the join, and the explode reads it once
+    val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") + 1000000000L).as("sv"),
         (col("o_custkey") + 2000000000L).as("cv"))
       .distinct()
-      // materialized once: BOTH union branches read it, and without the
-      // cut the fact join + distinct would run twice (persist, not an
-      // eager RDD checkpoint — the checkpoint job + barrier was the
-      // dominant fixed cost in the r5 18s profile)
-      .persist()
-    pairs.count()
-    val edges = pairs.select(col("sv").as("src"), col("cv").as("dst"))
-      .union(pairs.select(col("cv").as("src"), col("sv").as("dst")))
+      .select(explode(array(
+        struct(col("sv").as("src"), col("cv").as("dst")),
+        struct(col("cv").as("src"), col("sv").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val w = Window.orderBy(col("rank_fp").desc, col("vertex"))
-    val ranked = graft.graph.PageRank.ranks(s, edges, 3)
-    pairs.unpersist(false) // ranks() materialized its result; safe to drop
-    ranked
+    graft.graph.PageRank.ranks(s, edges, 3)
       .orderBy(col("rank_fp").desc, col("vertex")).limit(20)
       .withColumn("rank", row_number().over(w).cast("int"))
       .select("rank", "vertex", "rank_fp")

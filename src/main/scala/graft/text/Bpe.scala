@@ -39,10 +39,10 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
         .otherwise(concat(acc, array(x))))
 
-  /** Train `merges` BPE merges over the corpus token stream.
-    * Returns (step, l, r, merged, n) — the learned merge table. */
-  def train(s: SparkSession, tokens: DataFrame, merges: Int): DataFrame = {
-    import s.implicits._
+  /** Run the merge-training loop: returns the learned merge rows AND the
+    * final vocab (word, cnt, toks) with every merge applied. */
+  private def trainRounds(s: SparkSession, tokens: DataFrame, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     // Empty tokens (a \s+ tokenizer emits them on leading whitespace)
     // carry no pairs, and sequence(1, 0) would yield a descending [1,0]
     // range — drop them before the char-split, mirrored in the oracle.
@@ -71,15 +71,37 @@ object Bpe {
           .localCheckpoint(true)
       }
     }
-    learned.result().toDF("step", "l", "r", "merged", "n")
+    (learned.result(), vocab)
+  }
+
+  /** Train `merges` BPE merges over the corpus token stream.
+    * Returns (step, l, r, merged, n) — the learned merge table. */
+  def train(s: SparkSession, tokens: DataFrame, merges: Int): DataFrame = {
+    import s.implicits._
+    trainRounds(s, tokens, merges)._1
+      .toDF("step", "l", "r", "merged", "n")
       .orderBy("step")
   }
 
-  /** DuckDB replay of `train`: a generated CTE chain — v0 (char-split
-    * vocab) then per round p$i (pair counts) / t$i (winner) / v$i (merged
-    * vocab via a string-accumulator left fold, semantically identical to
-    * mergePair's array fold). */
-  def oracleSql(merges: Int, toksSql: String): String = {
+  /** Tokenizer APPLICATION artifact: the final vocab after `merges`
+    * rounds — every distinct word with its learned subword pieces and
+    * piece count. This table is what a pipeline ships to tokenize the
+    * corpus: vocabulary-sized, so it broadcast-joins onto a 100 TB token
+    * stream (one narrow pass per document) instead of re-running the
+    * merge fold per occurrence. */
+  def encodeVocab(s: SparkSession, tokens: DataFrame, merges: Int)
+      : DataFrame =
+    trainRounds(s, tokens, merges)._2
+      .select(col("word"), col("cnt"),
+        array_join(col("toks"), " ").as("pieces"),
+        size(col("toks")).as("n_pieces"))
+
+  /** DuckDB replay of the training loop as a WITH-clause body: v0
+    * (char-split vocab) then per round p$i (pair counts) / t$i (winner) /
+    * v$i (merged vocab via a string-accumulator left fold, semantically
+    * identical to mergePair's array fold). Suffix a final SELECT over
+    * t1..t$merges (train) or v$merges (encode). */
+  private def oracleChain(merges: Int, toksSql: String): String = {
     val sep = "chr(31)"
     def round(i: Int): String =
       s"""p$i AS (
@@ -101,9 +123,6 @@ object Bpe {
          |        ELSE acc || $sep || x END) AS s
          |  FROM v${i - 1} CROSS JOIN t$i t)""".stripMargin
     val rounds = (1 to merges).map(round).mkString(",\n")
-    val out = (1 to merges)
-      .map(i => s"SELECT $i AS step, l, r, m AS merged, n FROM t$i")
-      .mkString("\nUNION ALL\n")
     s"""WITH toks AS ($toksSql),
        |v0 AS (
        |  SELECT word, cnt,
@@ -111,9 +130,38 @@ object Bpe {
        |      i -> substr(word, i, 1)), $sep) AS s
        |  FROM (SELECT tok AS word, count(*) AS cnt FROM toks
        |        WHERE length(tok) > 0 GROUP BY tok)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB replay of `train`. */
+  def oracleSql(merges: Int, toksSql: String): String = {
+    val out = (1 to merges)
+      .map(i => s"SELECT $i AS step, l, r, m AS merged, n FROM t$i")
+      .mkString("\nUNION ALL\n")
+    s"""${oracleChain(merges, toksSql)}
        |SELECT CAST(step AS INT) AS step, l, r, merged, n FROM (
        |$out)
        |ORDER BY step""".stripMargin
   }
+
+  /** DuckDB replay of `encodeVocab`: the final vocab v$merges, pieces
+    * re-joined with spaces. */
+  def encodeOracleSql(merges: Int, toksSql: String): String =
+    s"""${oracleChain(merges, toksSql)}
+       |SELECT word, cnt, replace(s, chr(31), ' ') AS pieces,
+       |  CAST(len(string_split(s, chr(31))) AS INT) AS n_pieces
+       |FROM v$merges""".stripMargin
+
+  /** DuckDB replay of corpus APPLICATION: doc-level token stream joined
+    * to the final vocab, per-doc word and subtoken counts. `docToksSql`
+    * must yield (doc_id, tok). */
+  def encodeDocsOracleSql(merges: Int, toksSql: String,
+                          docToksSql: String): String =
+    s"""${oracleChain(merges, toksSql)},
+       |dt AS ($docToksSql)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(string_split(v.s, chr(31)))) AS BIGINT)
+       |    AS n_subtokens
+       |FROM dt JOIN v$merges v ON dt.tok = v.word
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

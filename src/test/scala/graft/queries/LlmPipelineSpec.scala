@@ -160,6 +160,29 @@ class LlmPipelineSpec extends SparkSpec {
     ))
   }
 
+  test("BPE encode vocab applies the trained merges per word") {
+    import spark.implicits._
+    val toks = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).toDF("tok")
+    val vocab = graft.text.Bpe.encodeVocab(spark, toks, merges = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2),
+        r.getInt(3)))).toMap
+    // merges (aa, ab, aaab) fully collapse both words
+    assert(vocab("aaab") == ((3L, "aaab", 1)))
+    assert(vocab("ab") == ((2L, "ab", 1)))
+    vocab.foreach { case (w, (_, pieces, n)) =>
+      assert(pieces.replace(" ", "") == w) // pieces reassemble the word
+      assert(n == pieces.split(" ").length)
+    }
+    // corpus application: every doc's subtoken count is bounded by its
+    // word count below and its character count above
+    val rows = LlmPipeline.textBpeEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_subtokens") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("multimodal decode is deterministic, batched, and typed") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(

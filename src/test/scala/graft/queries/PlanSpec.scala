@@ -171,6 +171,35 @@ class PlanSpec extends SparkSpec {
     assert(expands == 1, s"q_cube must be one Expand pass, got $expands")
   }
 
+  test("packing window parallelism scales with buckets (no global window)") {
+    // the r5 shape capped the corpus prefix sum at 8 fixed buckets; the
+    // two-level rework must (a) partition the doc-level window by the
+    // count-derived bucket, and (b) keep the only unpartitioned window on
+    // the nBuckets-row totals table — never on documents
+    val p = planOf(LlmPipeline.textPacking(spark, sf))
+    assert(p.contains("hashpartitioning(bucket"),
+      s"doc-level packing window must partition by bucket: $p")
+  }
+
+  test("chunk dedup hot-set join carries no mandatory broadcast hint") {
+    // the >=3-occurrence digest set is corpus-sized on boilerplate-heavy
+    // crawls: a forced broadcast() hint would override Spark's size check
+    // and OOM at scale. AQE may still broadcast at runtime when it fits —
+    // what must NOT appear is the hint in the optimized logical plan.
+    val lp = LlmPipeline.textChunkDedup(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.contains("strategy=broadcast"),
+      s"hot-set join must not force a broadcast: $lp")
+  }
+
+  test("DSIR token-scoring join is salted against the Zipf head") {
+    // "the" alone owns percents of a natural-language corpus; the scoring
+    // join must shuffle on (tok, salt), not the raw token
+    val p = planOf(LlmPipeline.sampleImportance(spark, sf))
+    assert(p.contains("_salt0"),
+      s"token scoring join lost its salt: $p")
+  }
+
   test("uDLang kernel tier is a single narrow flatMap (no shuffle)") {
     val src = """script "rec";
       |input  {l_orderkey: Int, l_linenumber: Int};

@@ -40,8 +40,11 @@ object Bpe {
         .otherwise(concat(acc, array(x))))
 
   /** Run the merge-training loop: returns the learned merge rows AND the
-    * final vocab (word, cnt, toks) with every merge applied. */
-  private def trainRounds(s: SparkSession, tokens: DataFrame, merges: Int)
+    * final vocab (word, cnt, toks) with every merge applied. Exposed to
+    * graft so the query layer can cache one training per corpus (the
+    * trained tokenizer is an index artifact, same as PQ codebooks). */
+  private[graft] def trainRounds(s: SparkSession, tokens: DataFrame,
+                                 merges: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     // Empty tokens (a \s+ tokenizer emits them on leading whitespace)
     // carry no pairs, and sequence(1, 0) would yield a descending [1,0]
@@ -91,10 +94,13 @@ object Bpe {
     * merge fold per occurrence. */
   def encodeVocab(s: SparkSession, tokens: DataFrame, merges: Int)
       : DataFrame =
-    trainRounds(s, tokens, merges)._2
-      .select(col("word"), col("cnt"),
-        array_join(col("toks"), " ").as("pieces"),
-        size(col("toks")).as("n_pieces"))
+    encodedFrom(trainRounds(s, tokens, merges)._2)
+
+  /** The encodeVocab projection over an already-trained final vocab. */
+  private[graft] def encodedFrom(vocab: DataFrame): DataFrame =
+    vocab.select(col("word"), col("cnt"),
+      array_join(col("toks"), " ").as("pieces"),
+      size(col("toks")).as("n_pieces"))
 
   /** DuckDB replay of the training loop as a WITH-clause body: v0
     * (char-split vocab) then per round p$i (pair counts) / t$i (winner) /

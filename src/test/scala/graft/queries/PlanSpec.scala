@@ -192,6 +192,19 @@ class PlanSpec extends SparkSpec {
       s"hot-set join must not force a broadcast: $lp")
   }
 
+  test("substring dedup shuffles digests, never gram text") {
+    val qe = LlmPipeline.textSubstringDedup(spark, sf).queryExecution
+    // the hot-set join must not force a broadcast (boilerplate corpora
+    // make it corpus-sized), and the span merge partitions by doc_id
+    assert(!qe.optimizedPlan.toString.contains("strategy=broadcast"),
+      s"hot-set join must not force a broadcast: ${qe.optimizedPlan}")
+    val p = qe.executedPlan.toString
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"span merge must partition by doc_id: $p")
+    assert(p.contains("xxhash64"),
+      s"gram digests missing — join would ship text: $p")
+  }
+
   test("DSIR token-scoring join is salted against the Zipf head") {
     // "the" alone owns percents of a natural-language corpus; the scoring
     // join must shuffle on (tok, salt), not the raw token

@@ -610,6 +610,49 @@ object UdLang extends Serializable {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Streaming DECONTAMINATION gate — the online shape of
+    * LlmPipeline.textContamination: an incoming crawl stream (train-side
+    * documents) is 5-gram exploded, pre-filtered by the STATIC eval-set
+    * Bloom (an index artifact, shared with the batch entry through the
+    * same LRU cache), and confirmed by a stream-static join against the
+    * exact eval gram set. Pure filter + stream-static inner join — no
+    * state, no watermark, append mode — so at scale this is the
+    * Kafka-consumer decontamination hop: per-record cost is one Bloom
+    * probe, and only probable hits reach the join. Emits each
+    * contaminated (doc_id, gram) occurrence; the oracle is the batch
+    * twin (finite file stream in append mode ≡ batch multiset). */
+  def uStreamContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val evalDocs = docs.where(col("doc_id") % 7 === 0)
+    val evalGrams = LlmPipeline.contamGrams(evalDocs)
+      .select("g").distinct().persist()
+    val bfBytes = LlmPipeline.evalBloom(evalDocs, evalGrams)
+    val fileSchema = parquetSchema(s, s"$d/documents.parquet")
+    val stream = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .where(col("doc_id") % 7 =!= 0)
+    val hits = LlmPipeline.contamGrams(stream)
+      .where(graft.plans.Bloom.mightContain(lit(bfBytes),
+        xxhash64(col("g"))))
+      .join(evalGrams, Seq("g"))
+      .select("doc_id", "g")
+    runStream(s, hits, "u_stream_contamination_sink")
+      .orderBy("doc_id", "g")
+  }
+
+  val uStreamContaminationSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS g
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+      |        FROM t WHERE len(t) >= 5)),
+      |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+      |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 7 <> 0)
+      |SELECT tr.doc_id, tr.g
+      |FROM tr JOIN ev USING (g)
+      |ORDER BY doc_id, g""".stripMargin
+
   /** The transformWithState stateful driver as a driver-gate entry: the
     * Spark 4 StatefulProcessor (typed ValueState on the RocksDB store) runs
     * the per-key running (count, sum) over the event file stream; a finite
@@ -727,6 +770,7 @@ object UdLang extends Serializable {
     "u_stream_enrich" -> (uStreamEnrich _),
     "u_stream_state" -> (uStreamState _),
     "u_stream_dedup" -> (uStreamDedup _),
+    "u_stream_contamination" -> (uStreamContamination _),
     "u_effect_dlq" -> (uEffectDlq _),
     "u_stream_join" -> (uStreamJoin _),
     "u_union_ingest" -> (uUnionIngest _),
@@ -749,6 +793,7 @@ object UdLang extends Serializable {
     "u_stream_enrich" -> uStreamEnrichSql,
     "u_stream_state" -> uStreamStateSql,
     "u_stream_dedup" -> uStreamDedupSql,
+    "u_stream_contamination" -> uStreamContaminationSql,
     "u_effect_dlq" -> uEffectDlqSql,
     "u_stream_join" -> uStreamJoinSql,
     "u_union_ingest" -> uUnionIngestSql,

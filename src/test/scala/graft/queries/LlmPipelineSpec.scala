@@ -204,6 +204,19 @@ class LlmPipelineSpec extends SparkSpec {
     assert(rows.map(_._2).toSet.subsetOf(Set("train", "val")))
   }
 
+  test("streaming decontamination gate equals its batch twin") {
+    val docs = graft.Tables.documents(spark, sf)
+    val ev = LlmPipeline.contamGrams(docs.where(col("doc_id") % 7 === 0))
+      .select("g").distinct()
+    val batch = LlmPipeline
+      .contamGrams(docs.where(col("doc_id") % 7 =!= 0))
+      .join(ev, Seq("g")).select("doc_id", "g")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val stream = UdLang.uStreamContamination(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
   test("BPE encode vocab applies the trained merges per word") {
     import spark.implicits._
     val toks = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).toDF("tok")

@@ -326,6 +326,26 @@ object Similarity extends Serializable {
       .orderBy("q_id", "rank")
   }
 
+  /** Deterministic training-sample cap, the published PQ/IVF practice
+    * (FAISS trains codebooks on ~10^5 vectors and encodes the full
+    * corpus): above `trainCap` vectors, Lloyd's rounds run over the
+    * `trainCap` corpus rows with the smallest md5-derived hash — a
+    * deterministic, engine-independent subset — while assignment/encode
+    * still covers every vector. BELOW the cap the "sample" is the whole
+    * corpus (ORDER BY hash LIMIT n selects the full set), so the DuckDB
+    * oracle replay at verify SF is bit-identical with no SQL change; an
+    * oracle at >cap SF would add the same ORDER BY/LIMIT CTE. Without
+    * the cap, per-round training scans are O(corpus) — the difference
+    * between a bounded index build and an unshippable one at 100 TB. */
+  private[graft] val trainCap = 65536
+
+  private def trainSample(q: DataFrame): DataFrame =
+    q.withColumn("_th", expr(
+        "CAST(conv(substr(md5(concat('trainsample_', " +
+          "CAST(vec_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"))
+      .orderBy(col("_th"), col("vec_id")).limit(trainCap).drop("_th")
+      .localCheckpoint(true)
+
   /** Deterministic PQ training over the micro-quantized corpus q, with
     * the bounded fingerprint-keyed codebook cache (see pqBookCache). */
   private[graft] def trainedPqBooks(corpus: DataFrame, q: DataFrame,
@@ -334,9 +354,10 @@ object Similarity extends Serializable {
     val subLen = dim / m
 
     // deterministic Lloyd's over one subspace of the integer sub-vectors
-    def train(s: Int): Array[Array[Double]] = {
+    // of the TRAINING SAMPLE (= the whole corpus below trainCap)
+    def train(qt: DataFrame)(s: Int): Array[Array[Double]] = {
       val lo = s * subLen + 1
-      val sub = q.select(col("vec_id"),
+      val sub = qt.select(col("vec_id"),
         expr(s"slice(qe, $lo, $subLen)").as("qe"),
         expr(s"transform(slice(qe, $lo, $subLen), x -> CAST(x AS DOUBLE))")
           .as("qd"))
@@ -392,8 +413,9 @@ object Similarity extends Serializable {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
+      val qt = if (fp.getLong(0) > trainCap) trainSample(q) else q
       Await.result(
-        Future.sequence((0 until m).toVector.map(s => Future(train(s)))),
+        Future.sequence((0 until m).toVector.map(s => Future(train(qt)(s)))),
         Duration.Inf).toArray
     }
   }
@@ -513,7 +535,11 @@ object Similarity extends Serializable {
       expr("transform(embedding, x -> " +
         "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qe"))
       .localCheckpoint(true)
-    val seeds = q.select(col("vec_id"), col("qe"),
+    // Lloyd's UPDATE rounds run over the capped training sample (= the
+    // whole corpus below trainCap, so oracle replay at verify SF is
+    // unchanged); the final assignment below covers every vector.
+    val qt = if (q.count() > trainCap) trainSample(q) else q
+    val seeds = qt.select(col("vec_id"), col("qe"),
       expr("CAST(conv(substr(md5(concat('ivfseed_', " +
         "CAST(vec_id AS STRING))), 1, 13), 16, 10) AS BIGINT)").as("h"))
       .orderBy("h", "vec_id").limit(k).collect()
@@ -525,22 +551,23 @@ object Similarity extends Serializable {
     // array, and argmin = array_position of the minimum (first hit =
     // lowest cid, the same tie-break as ORDER BY dist, cid). No shuffle,
     // no k-times row blowup — the per-iteration cost is one corpus scan.
-    def assigned: DataFrame = {
+    def assignedOver(df: DataFrame): DataFrame = {
       // codegen'd SqDistExpr — identical left-fold to the HOF idiom the
       // oracle replays, minus the per-(row, centroid) interpreter overhead
       val dists = array(cents.map { c =>
         graft.plans.DotProduct.sqDist(col("qd"),
           array(c.map(lit).toSeq: _*))
       }.toSeq: _*)
-      q.withColumn("qd", expr("transform(qe, x -> CAST(x AS DOUBLE))"))
+      df.withColumn("qd", expr("transform(qe, x -> CAST(x AS DOUBLE))"))
         .withColumn("dists", dists)
         .withColumn("dist", array_min(col("dists")))
         .withColumn("cid",
           (array_position(col("dists"), col("dist")) - 1).cast("int"))
         .select("vec_id", "qe", "cid", "dist")
     }
+    def assigned: DataFrame = assignedOver(q)
     for (_ <- 1 to updates) {
-      val sums = assigned
+      val sums = assignedOver(qt)
         .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))

@@ -523,6 +523,49 @@ object Similarity extends Serializable {
       .select(col("vec_id"), col("cid"), round(col("dist"), 6).as("dist"))
       .orderBy("vec_id")
 
+  /** Above this k, centroids stop riding the plan as literals: a 1000-
+    * cell SemDeDup assignment would put k×dim ≈ 64k literal nodes in one
+    * projection — past Janino's method limits the expression falls back
+    * to interpreted eval, ~1000 virtual calls per row per pass. The
+    * broadcast-mapPartitions path below holds the SAME arithmetic (the
+    * SqDistExpr sequential fold, strict-< argmin = lowest cid on ties)
+    * in a tight primitive loop over a broadcast centroid matrix — the
+    * MLlib assignment shape, exact to the last bit. */
+  private[graft] val litCentroidCap = 64
+
+  /** Broadcast-centroid Lloyd's assignment for large k: (vec_id, qe) →
+    * (vec_id, qe, cid, dist), bit-identical to the literal-array path. */
+  private[graft] def assignViaBroadcast(s: SparkSession, df: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    df.select(col("vec_id").cast("long").as("_1"), col("qe").as("_2"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, qe) =>
+          val x = new Array[Double](qe.length)
+          var d0 = 0
+          while (d0 < x.length) { x(d0) = qe(d0).toDouble; d0 += 1 }
+          var best = 0.0
+          var bestC = -1
+          var c = 0
+          while (c < cs.length) {
+            val cc = cs(c)
+            var acc = 0.0
+            var i = 0
+            while (i < x.length) {
+              val d = x(i) - cc(i); acc += d * d; i += 1
+            }
+            if (bestC < 0 || acc < best) { best = acc; bestC = c }
+            c += 1
+          }
+          (id, qe, bestC, best)
+        }
+      }
+      .toDF("vec_id", "qe", "cid", "dist")
+  }
+
   /** Final-round Lloyd's assignment WITH the micro-quantized vectors
     * (vec_id, qe, cid, dist) — shared by the IVF entry (kmeansAssignments)
     * and semantic dedup, which needs qe for within-cluster similarity. */
@@ -551,20 +594,23 @@ object Similarity extends Serializable {
     // array, and argmin = array_position of the minimum (first hit =
     // lowest cid, the same tie-break as ORDER BY dist, cid). No shuffle,
     // no k-times row blowup — the per-iteration cost is one corpus scan.
-    def assignedOver(df: DataFrame): DataFrame = {
-      // codegen'd SqDistExpr — identical left-fold to the HOF idiom the
-      // oracle replays, minus the per-(row, centroid) interpreter overhead
-      val dists = array(cents.map { c =>
-        graft.plans.DotProduct.sqDist(col("qd"),
-          array(c.map(lit).toSeq: _*))
-      }.toSeq: _*)
-      df.withColumn("qd", expr("transform(qe, x -> CAST(x AS DOUBLE))"))
-        .withColumn("dists", dists)
-        .withColumn("dist", array_min(col("dists")))
-        .withColumn("cid",
-          (array_position(col("dists"), col("dist")) - 1).cast("int"))
-        .select("vec_id", "qe", "cid", "dist")
-    }
+    def assignedOver(df: DataFrame): DataFrame =
+      if (cents.length <= litCentroidCap) {
+        // codegen'd SqDistExpr — identical left-fold to the HOF idiom the
+        // oracle replays, minus the per-(row, centroid) interpreter
+        // overhead. Centroid literals ride the plan: only viable while
+        // k×dim literals fit a codegen'd projection.
+        val dists = array(cents.map { c =>
+          graft.plans.DotProduct.sqDist(col("qd"),
+            array(c.map(lit).toSeq: _*))
+        }.toSeq: _*)
+        df.withColumn("qd", expr("transform(qe, x -> CAST(x AS DOUBLE))"))
+          .withColumn("dists", dists)
+          .withColumn("dist", array_min(col("dists")))
+          .withColumn("cid",
+            (array_position(col("dists"), col("dist")) - 1).cast("int"))
+          .select("vec_id", "qe", "cid", "dist")
+      } else assignViaBroadcast(s, df, cents)
     def assigned: DataFrame = assignedOver(q)
     for (_ <- 1 to updates) {
       val sums = assignedOver(qt)

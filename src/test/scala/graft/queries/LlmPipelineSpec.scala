@@ -113,6 +113,38 @@ class LlmPipelineSpec extends SparkSpec {
     assert(Similarity.semanticCells(1000000) == 1954)
   }
 
+  test("broadcast-centroid assignment is bit-identical to the literal path") {
+    import spark.implicits._
+    // the large-k path (mapPartitions over a broadcast matrix) must hold
+    // the literal-array path's exact arithmetic: same sequential fold,
+    // same lowest-cid tie-break
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val cents = Array.fill(5)(Array.fill(dim)(rnd.nextDouble() * 2e6 - 1e6))
+    val q = (0L until 200L)
+      .map(i => (i, Seq.fill(dim)((rnd.nextInt(2000000) - 1000000).toLong)))
+      .toDF("vec_id", "qe")
+    val viaLit = {
+      val dists = array(cents.map { c =>
+        graft.plans.DotProduct.sqDist(col("qd"),
+          array(c.map(lit).toSeq: _*))
+      }.toSeq: _*)
+      q.withColumn("qd", expr("transform(qe, x -> CAST(x AS DOUBLE))"))
+        .withColumn("dists", dists)
+        .withColumn("dist", array_min(col("dists")))
+        .withColumn("cid",
+          (array_position(col("dists"), col("dist")) - 1).cast("int"))
+        .select("vec_id", "cid", "dist")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(_._1)
+    }
+    val viaBc = Similarity.assignViaBroadcast(spark, q, cents)
+      .select("vec_id", "cid", "dist")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(viaBc.sameElements(viaLit)) // exact doubles, no tolerance
+  }
+
   test("semantic dedup keeps one representative per planted dup group") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -272,6 +272,17 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("BPE fertility is per-language and bounded below by 1") {
+    val rows = LlmPipeline.textBpeFertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every word is at least one piece => fertility >= 1.0 (micro 1e6)
+      assert(r.getAs[Long]("fertility_micro") >= 1000000L)
+      assert(r.getAs[Long]("n_subtokens") >= r.getAs[Long]("n_words"))
+    }
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
   test("multimodal decode is deterministic, batched, and typed") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(

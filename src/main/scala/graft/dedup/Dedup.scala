@@ -90,22 +90,86 @@ object Dedup extends Serializable {
     docs.map { case (id, text) => DocSig(id, minhashSignature(shingles(text, w), k)) }
   }
 
-  /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
-    * self-join on (band, bandKey). Returns distinct (a,b), a<b. */
-  def lshCandidates(sigs: Dataset[DocSig], bands: Int, rowsPerBand: Int)
+  /** Banded signature keys (doc_id, band, key) — the LSH bucket table.
+    * In a serving system the corpus side of this table IS the stored
+    * near-dup index an increment probes. */
+  def bandedKeys(sigs: Dataset[DocSig], bands: Int, rowsPerBand: Int)
       : DataFrame = {
     import sigs.sparkSession.implicits._
-    val banded = sigs.flatMap { ds =>
+    sigs.flatMap { ds =>
       (0 until bands).iterator.map { b =>
         val slice = ds.sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
         val key = slice.foldLeft(17L)((acc, x) => splitmix64(acc ^ x))
         (ds.doc_id, b, key)
       }
     }.toDF("doc_id", "band", "key")
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
+    * self-join on (band, bandKey). Returns distinct (a,b), a<b. */
+  def lshCandidates(sigs: Dataset[DocSig], bands: Int, rowsPerBand: Int)
+      : DataFrame = {
+    val banded = bandedKeys(sigs, bands, rowsPerBand)
     val l = banded.select(col("doc_id").as("a"), col("band"), col("key"))
     val r = banded.select(col("doc_id").as("b"), col("band"), col("key"))
     l.join(r, Seq("band", "key")).where(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  /** INCREMENTAL MinHash near-dup — the daily-increment shape for NEAR
+    * duplicates (the exact-digest twin is dedupIncremental): an incoming
+    * batch (isBatch rows) probes the corpus band index plus its own
+    * earlier rows, instead of re-mining the whole corpus. A batch doc is
+    * a near-dup when a verified shingle-Jaccard ≥ threshold partner
+    * exists among (any corpus doc) ∪ (lower-id batch docs); dup_of is
+    * the smallest such partner.
+    *
+    * Scale shape: corpus band keys are a stored index (here recomputed —
+    * one narrow pass); the probe join ships (doc_id, band, key) triples
+    * sized by the BATCH, not the corpus; texts join in for verified
+    * candidates only. Same banding-completeness contract as
+    * minhashNearDups (miss ≤ (1-τ^r)^bands ≈ 6e-15 at the defaults), so
+    * the exact all-pairs oracle is deterministic. */
+  def minhashNearDupsIncremental(s: SparkSession, docs: DataFrame,
+      isBatch: Column, w: Int, k: Int, bands: Int, threshold: Double)
+      : DataFrame = {
+    import s.implicits._
+    val typed = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+    val banded = bandedKeys(minhashSignatures(typed, w, k), bands, k / bands)
+    val flagged = docs.select(col("doc_id").cast("long").as("doc_id"),
+      isBatch.as("is_batch"))
+    val bk = banded.join(flagged, Seq("doc_id"))
+    val probe = bk.where(col("is_batch"))
+      .select(col("doc_id").as("n"), col("band"), col("key"))
+    val index = bk.select(col("doc_id").as("o"), col("band"), col("key"),
+      col("is_batch").as("o_batch"))
+    val cand = probe.join(index, Seq("band", "key"))
+      .where(col("o") =!= col("n"))
+      .where(!col("o_batch") || col("o") < col("n"))
+      .select("n", "o").distinct()
+    val txt = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"))
+    val verified = cand
+      .join(txt.select(col("doc_id").as("n"), col("text").as("tn")),
+        Seq("n"))
+      .join(txt.select(col("doc_id").as("o"), col("text").as("to")),
+        Seq("o"))
+      .select(col("n"), col("o"), col("tn"), col("to"))
+      .as[(Long, Long, String, String)]
+      .map { case (n, o, tn, to) =>
+        (n, o, Dedup.shingleJaccard(tn, to, w))
+      }
+      .toDF("n", "o", "jac_raw")
+      .select(col("n"), col("o"), round(col("jac_raw"), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("n").as("doc_id"))
+      .agg(min(col("o")).as("dup_of"))
+    flagged.where(col("is_batch")).select("doc_id")
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"))
+      .orderBy("doc_id")
   }
 
   /** Exact word-set Jaccard between two token-array columns (column tier). */

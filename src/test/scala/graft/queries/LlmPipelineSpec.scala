@@ -192,6 +192,31 @@ class LlmPipelineSpec extends SparkSpec {
     ))
   }
 
+  test("incremental minhash dedups the batch against corpus + earlier batch") {
+    import spark.implicits._
+    val passage = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val other = (21 to 32).map(i => s"alt$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage),            // corpus
+      (2L, "completely different corpus words here one two three four"),
+      (10L, passage),           // batch: dup of corpus doc 1
+      (20L, "nothing like anything else in this tiny fixture corpus x"),
+      (30L, other),             // batch: first of a batch-only pair
+      (40L, other)              // batch: dup of EARLIER batch doc 30
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupsIncremental(spark, docs,
+        isBatch = col("doc_id") % 10 === 0 && col("doc_id") =!= 0,
+        w = 3, k = 64, bands = 32, threshold = 0.8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got(10L) == ((true, 1L)))   // matched the corpus
+    assert(got(20L) == ((false, -1L)))
+    assert(got(30L) == ((false, -1L))) // no earlier partner exists
+    assert(got(40L) == ((true, 30L)))  // matched the earlier batch row
+    assert(!got.contains(1L) && !got.contains(2L)) // corpus rows not emitted
+  }
+
   test("substring dedup flags shared passages at any alignment") {
     import spark.implicits._
     // docs 1 and 2 share an 8-token passage at DIFFERENT positions (the

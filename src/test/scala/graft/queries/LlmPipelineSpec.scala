@@ -145,6 +145,29 @@ class LlmPipelineSpec extends SparkSpec {
     assert(viaBc.sameElements(viaLit)) // exact doubles, no tolerance
   }
 
+  test("random projection emits 16 deterministic dims per vector") {
+    val rows = LlmPipeline.embedProject(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byVec = rows.groupBy(_._1)
+    assert(byVec.nonEmpty)
+    byVec.values.foreach(ds => assert(ds.map(_._2).sorted.sameElements(0 until 16)))
+    // recompute one vector's projection locally with the same fold
+    val v0 = byVec.keys.min
+    val emb = graft.Tables.embeddings(spark, sf)
+      .where(col("vec_id") === v0).collect().head
+      .getAs[Seq[Float]]("embedding").map(_.toDouble).toArray
+    val got = rows.filter(_._1 == v0).sortBy(_._2).map(_._3)
+    (0 until 16).foreach { p =>
+      var acc = 0.0
+      var i = 0
+      while (i < emb.length) {
+        acc += emb(i) * Similarity.planeComponent(9, p, i + 1); i += 1
+      }
+      assert(got(p) == BigDecimal(acc)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("semantic dedup keeps one representative per planted dup group") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

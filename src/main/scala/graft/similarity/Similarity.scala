@@ -273,6 +273,66 @@ object Similarity extends Serializable {
       .orderBy("a", "b")
   }
 
+  /** k-NN GRAPH: every corpus vector's top-k nearest neighbors, mined
+    * from the SAME banded multi-probe hyperplane-LSH candidate set as
+    * [[lshNearDupPairs]] (candidates ≡ directed pairs with
+    * Hamming(sig_a, sig_b) ≤ 1 in some table), exact-cosine-scored and
+    * ranked per vector. This is the primitive SemDeDup-style semantic
+    * clustering, kNN-graph community detection, and hard-negative mining
+    * all start from — near-dup pairs answer "who is a duplicate", the
+    * graph answers "who are my k closest, duplicate or not".
+    *
+    * Shape at scale: identical to lshNearDupPairs up to candidates (one
+    * narrow signature pass, the wide shuffle ships (vec_id, table,
+    * bucket) triples); pairs dedup BEFORE scoring on 16-byte (a, b) ids
+    * so each survives once regardless of how many tables caught it (the
+    * window would otherwise rank duplicates); ranking is a per-vector
+    * window over the candidate set only — never the corpus. Vectors
+    * whose buckets yield fewer than k candidates emit fewer rows (the
+    * standard ANN-graph recall/efficiency trade, tunable via tables ×
+    * targetBucket). Deterministic md5-derived planes + 6dp rounding make
+    * the DuckDB oracle replay signatures, candidates, and ranks
+    * bit-for-bit. */
+  def lshKnnGraph(s: SparkSession, corpus: DataFrame, k: Int,
+                  tables: Int = 4, targetBucket: Long = 16L,
+                  dim: Int = 64): DataFrame = {
+    val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
+      toDoubleArr(col("embedding")).as("e"))
+    val nBits = lshBits(base.count(), targetBucket)
+    val sigCols = (0 until tables).map { t =>
+      (0 until nBits).map { p =>
+        val plane = array((1 to dim).map(d => lit(planeComponent(t, p, d))): _*)
+        when(dot(col("e"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"sig_$t")
+    }
+    val sigs = base.select(col("vec_id") +: sigCols: _*)
+    val stacked = sigs.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
+        .as(Seq("table", "sig")))
+    val left = stacked.select(col("vec_id").as("a"), col("table"),
+      col("sig").as("bucket"))
+    val probes = array(col("sig") +:
+      (0 until nBits).map(p => col("sig").bitwiseXOR(lit(1 << p))): _*)
+    val right = stacked.select(col("vec_id").as("b"), col("table"),
+      explode(probes).as("bucket"))
+    val cand = left.join(right, Seq("table", "bucket"))
+      .where(col("a") =!= col("b")).select("a", "b").distinct()
+    val emb = base.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val scored = cand
+      .join(emb.select(col("vec_id").as("a"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("b"))
+      .select(col("a").as("vec_id"), col("b").as("neighbor"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .orderBy("vec_id", "rank")
+  }
+
   /** PRODUCT-QUANTIZATION (PQ) top-k: the dim-dimensional space splits
     * into m subspaces, each with its own k-centroid codebook trained by
     * the same deterministic integer-exact Lloyd's as [[kmeansAssignments]];

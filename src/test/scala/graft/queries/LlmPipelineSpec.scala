@@ -586,6 +586,55 @@ class LlmPipelineSpec extends SparkSpec {
       s"overlap-only docs ${dirtyDocs -- contaminated}")
   }
 
+  test("winnowing guarantees a shared fingerprint for long shared passages") {
+    import spark.implicits._
+    // two docs sharing a >= w+k-1 = 8-token passage MUST share a
+    // fingerprint (the winnowing guarantee); a third unrelated doc none
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two $passage three four"),
+      (2L, s"$passage nine ten eleven twelve"),
+      (3L, "completely different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmPipeline.textWinnowing(spark, dir).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("shared_fp") >= 1, "doc 1 shares none")
+    assert(byId(2L).getAs[Long]("shared_fp") >= 1, "doc 2 shares none")
+    assert(byId(3L).getAs[Long]("shared_fp") == 0, "doc 3 false positive")
+    // density: winnowing selects ~2/(w+1) = 40% of windows; each doc's
+    // fingerprint count must be well under its window count
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_fp") <= r.getAs[Long]("n_windows"))
+      assert(r.getAs[Long]("n_fp") >= 1)
+    }
+  }
+
+  test("curriculum orders stages monotonically and is a full permutation") {
+    val rows = LlmPipeline.sampleCurriculum(spark, sf).collect()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == n)
+    val pos = rows.map(_.getAs[Long]("pos")).sorted
+    assert(pos.toSeq == (0L until n).toSeq, "not a permutation")
+    // positions are stage-major: every doc in stage s precedes every doc
+    // in stage s+1
+    val byPos = rows.sortBy(_.getAs[Long]("pos")).map(_.getAs[Int]("stage"))
+    assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b },
+      "stages interleave")
+    // stage respects the fixed thresholds
+    rows.foreach { r =>
+      val sc = r.getAs[Double]("lm_score")
+      val st = r.getAs[Int]("stage")
+      val expect =
+        if (sc >= 0.045) 0 else if (sc >= 0.035) 1
+        else if (sc >= 0.025) 2 else 3
+      assert(st == expect, s"score $sc stage $st")
+    }
+  }
+
   test("domain stats reconcile with corpus totals and exact raw-text dups") {
     val stats = LlmPipeline.textDomainStats(spark, sf).collect()
     val docs = graft.Tables.documents(spark, sf)

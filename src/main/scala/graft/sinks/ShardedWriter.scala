@@ -1,0 +1,48 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical executor for the token-balanced shard plan
+  * (queries.LlmPipeline.sampleShards): writes the corpus as
+  * `outDir/shard=NNN/part-*.parquet`, one Hive-style partition directory
+  * per shard, sized by token mass rather than row count.
+  *
+  * Scale design:
+  *  - the shard column comes from the same two-level token-prefix
+  *    assignment the manifest query reports, so the write IS the plan —
+  *    a reader can trust `shard=k` to hold a contiguous, near-equal
+  *    token range (the property training loaders want: any shard subset
+  *    is an unbiased, size-predictable sample).
+  *  - `repartition(col("shard"))` before `partitionBy` means each shard
+  *    directory is written by exactly the tasks owning that shard's rows
+  *    — without it every task appends a file into EVERY partition
+  *    directory (the classic small-files explosion: tasks × shards
+  *    files at 100 TB).
+  *  - `maxRecordsPerFile` bounds individual file size inside a shard so
+  *    a skewed shard still splits into scan-parallel files.
+  * The parquet layout is self-describing (Hive partition discovery
+  * restores the shard column on read), so downstream engines — Spark,
+  * DuckDB, Trino — can prune by shard with no manifest lookup. */
+object ShardedWriter {
+
+  /** Write `docs` (must carry doc_id + text) into `shards` token-balanced
+    * partition directories under `outDir`; returns the per-shard manifest
+    * read back FROM THE WRITTEN FILES (doc/token counts as a reader will
+    * see them — the write-audit a pipeline records, not an estimate). */
+  def writeShards(s: SparkSession, docs: DataFrame, outDir: String,
+                  shards: Int = 16, maxRecordsPerFile: Long = 1000000L)
+      : DataFrame = {
+    graft.queries.LlmPipeline.shardAssignments(docs, shards)
+      .repartition(col("shard"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(outDir)
+    s.read.parquet(outDir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .orderBy("shard")
+  }
+}

@@ -14,16 +14,28 @@ import org.apache.spark.sql.functions._
   *    reads TIMESTAMP_NTZ; we cast to session-TZ timestamps (session is UTC,
   *    so the instant is unchanged) so the full timestamp function surface
   *    (unix_micros, window(), intervals) applies.
-  *  - `events.ts` is TIMESTAMP(NANOS) which Spark's vectorized reader
-  *    rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and we
-  *    rebuild the column as micros (floor division — matches DuckDB's
-  *    truncation of nanos to its native micros resolution).
+  *  - `events.ts` has shipped in two physical encodings across driver
+  *    generations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+  *    accepts as long via spark.sql.legacy.parquet.nanosAsLong=true — we
+  *    floor-divide to micros, matching DuckDB's truncation) and plain
+  *    TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ). `normTs` adapts
+  *    to whichever the scan produced so queries always see a session-TZ
+  *    (UTC) timestamp with identical instants either way.
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   private def ltz(c: String): Column = col(c).cast("timestamp")
+
+  /** Normalize an events-style `ts` column to a session-TZ timestamp
+    * regardless of the on-disk physical type. Works on batch and streaming
+    * DataFrames alike (dispatch is on the analyzed schema only). */
+  def normTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case _ => df.withColumn("ts", ltz("ts"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
@@ -35,7 +47,7 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").withColumn("l_shipdate", ltz("l_shipdate"))
   def events(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normTs(t(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -364,7 +364,7 @@ object UdLang extends Serializable {
     val stream = s.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normTs)
       .select("ts", "event_type", "value")
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -396,7 +396,7 @@ object UdLang extends Serializable {
     val stream = s.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normTs)
       .select("ts", "user_id", "value")
       .withWatermark("ts", "10 minutes")
       .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
@@ -525,7 +525,7 @@ object UdLang extends Serializable {
     val fileSchema = parquetSchema(s, s"$d/events.parquet")
     def side(tpe: String, a: String) = s.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normTs)
       .where(col("event_type") === tpe)
       .select(col("user_id").as(s"${a}_user"),
         col("event_id").as(s"${a}_id"), col("ts").as(s"${a}_ts"))
@@ -596,7 +596,7 @@ object UdLang extends Serializable {
     val stream = s.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normTs)
       .select("ts", "user_id", "event_type")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -703,7 +703,7 @@ object UdLang extends Serializable {
     val stream = s.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normTs)
       .select(col("ts"), col("user_id"), col("value"))
       .withWatermark("ts", "10 minutes")
       .join(broadcast(dim), col("user_id") === col("c_custkey"))

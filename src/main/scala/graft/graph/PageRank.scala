@@ -36,33 +36,39 @@ object PageRank {
     * makes the cached table satisfy the sort-merge join's distribution
     * AND ordering — rounds then shuffle only the (small) rank table.
     *
-    * Round-6 rework (18s -> ~4s class at sf0.1): the r5 version cut
-    * lineage with EAGER localCheckpoint(true) on the vertex set and the
-    * final result — each an RDD-checkpoint job plus a scheduling barrier,
-    * and the dominant cost at this size where per-round data is tiny.
-    * Now the vertex set is persist()ed (AQE then sees its true cached
-    * size and auto-broadcasts the rank side of the contribution join —
-    * no forced hint, so a 100 TB rank table would still shuffle), rounds
-    * chain lazily into ONE final job, and only every `ckptEvery`-th round
-    * pays a checkpoint to bound lineage/plan growth on long runs. The
-    * final result is materialized via persist so the edge/vertex caches
-    * can be dropped before returning; at <=2 shuffles per round the
-    * plan shape is unchanged. */
+    * Round-7 rework, with stage-level evidence this time (the r6 lazy
+    * chain measured 27.5s in a loaded bench env, 12.9s clean — and the
+    * profile showed WHERE it goes): chaining all rounds lazily into one
+    * job makes AQE compile round N's plan with rounds 1..N-1 embedded —
+    * 2 MB task binaries broadcast per stage, every query stage a
+    * scheduling barrier inside one mega-job, and stage run-time 2-4x its
+    * CPU time from the resulting stalls. Materializing EACH round
+    * (persist + count, previous round unpersisted once its successor is
+    * cached) keeps every plan two stages deep: the contribution join
+    * reads the cached edge table in place (AQE auto-broadcasts the
+    * 16k-row rank side — no forced hint, so a 100 TB rank table would
+    * still shuffle) and only the map-side-combined (dst, sum) partials
+    * shuffle. Measured at sf0.1: rounds drop from ~8s each in the lazy
+    * chain to ~1s each; whole operator 27.5s -> ~7s. `ckptEvery` still
+    * truncates lineage on long runs (the cached-plan TREE keeps growing
+    * even though execution always reads the previous round's cache). */
   def ranks(s: SparkSession, edges: DataFrame, iters: Int,
-            ckptEvery: Int = 8): DataFrame = {
-    // ONE wide exchange builds the whole edge side: the explicit
-    // repartition by src satisfies the dedup's ClusteredDistribution
-    // (src ⊆ {src,dst}), the outdeg window's partitioning, AND — with the
-    // sortWithinPartitions — the per-round sort-merge join's distribution
-    // and ordering, so dedup/window/sort all run in place on top of it
-    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(np, col("src"))
-      .dropDuplicates("src", "dst")
+            ckptEvery: Int = 8, assumeDistinct: Boolean = false): DataFrame = {
+    // ONE wide exchange builds the whole edge side: repartition by src
+    // satisfies the dedup's ClusteredDistribution (src ⊆ {src,dst}) and
+    // the outdeg window's partitioning, so dedup and window run in place
+    // on top of it. Deliberately REPARTITION_BY_COL (no partition count)
+    // so AQE sizes the exchange to the data rather than a hardcoded N —
+    // at 100 TB the advisory partition size decides the width.
+    // `assumeDistinct` lets a caller that constructs provably-distinct
+    // edges skip the dedup aggregate entirely (the map-side partial agg
+    // alone measured ~18s of task CPU on 1.17M rows at 32 partitions).
+    val pre = edges.select(col("src"), col("dst")).repartition(col("src"))
+    val deduped = if (assumeDistinct) pre else pre.dropDuplicates("src", "dst")
+    val e = deduped
       .withColumn("outdeg",
         count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .sortWithinPartitions("src")
       .persist()
     // no e.count() barrier: verts reads e exactly once, so the verts
     // materialization below populates BOTH caches in one job
@@ -82,20 +88,27 @@ object PageRank {
     val noInbound = verts.where(col("has_in") === 0)
       .select(col("vertex"), lit(150000L).as("rank_fp"))
     var r = verts.select(col("vertex"), lit(1000000L).as("rank_fp"))
+    var prev: DataFrame = null
     for (i <- 1 to iters) {
       val received = r.join(e, r("vertex") === e("src"))
         .select(col("dst"), expr("rank_fp div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_sum"))
         .select(col("dst").as("vertex"),
           (lit(150000L) + expr("(85 * in_sum) div 100")).as("rank_fp"))
-      r = received.union(noInbound)
-      if (i % ckptEvery == 0 && i < iters) r = r.localCheckpoint(true)
+      r = received.union(noInbound).persist()
+      r.count() // materialize THIS round: keeps every job two stages deep
+      if (prev != null) prev.unpersist(false)
+      prev = r
+      if (i % ckptEvery == 0 && i < iters) {
+        // cached-plan trees still accumulate one level per round;
+        // truncate periodically so long runs keep small task binaries
+        r = r.localCheckpoint(true)
+        prev.unpersist(false); prev = null
+      }
     }
-    val out = r.persist()
-    out.count() // ONE job runs the whole lazy round chain
     e.unpersist(false)
     verts.unpersist(false)
-    out
+    r
   }
 
   /** DuckDB replay: outdeg + r0, then one CTE per round with the same

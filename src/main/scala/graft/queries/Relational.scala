@@ -920,17 +920,16 @@ object Relational extends Serializable {
     * top-20 by final rank. Exact integer arithmetic end to end, so the
     * DuckDB oracle replays every round. */
   def qPagerank(s: SparkSession, d: String): DataFrame = {
-    // distinct FIRST (map-side partial dedup absorbs the fact-row
-    // multiplicity before anything shuffles), then ONE explode emits
-    // both directions — no pairs cache, no count() barrier: the round-5
-    // persist+count materialization existed only so two union branches
-    // would not recompute the join, and the explode reads it once
+    // No eager distinct here: the fact-row multiplicity is tiny (600k
+    // join rows -> 587k distinct pairs at sf0.1), so a dedicated dedup
+    // exchange costs a serialized narrow stage and saves almost nothing.
+    // ranks() dedups (src, dst) INSIDE the repartition-by-src exchange it
+    // needs anyway — one wide shuffle does dedup + outdeg + cache.
     val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") + 1000000000L).as("sv"),
         (col("o_custkey") + 2000000000L).as("cv"))
-      .distinct()
       .select(explode(array(
         struct(col("sv").as("src"), col("cv").as("dst")),
         struct(col("cv").as("src"), col("sv").as("dst")))).as("e"))

@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   *  - `events.ts` has shipped in two physical encodings across driver
   *    generations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
   *    accepts as long via spark.sql.legacy.parquet.nanosAsLong=true — we
-  *    floor-divide to micros, matching DuckDB's truncation) and plain
-  *    TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ). `normTs` adapts
-  *    to whichever the scan produced so queries always see a session-TZ
-  *    (UTC) timestamp with identical instants either way.
+  *    reduce to micros by truncating integer division, which is what
+  *    DuckDB does too) and plain TIMESTAMP(MICROS) (read natively as
+  *    TIMESTAMP_NTZ). `normTs` adapts to whichever the scan produced so
+  *    queries always see a session-TZ (UTC) timestamp with identical
+  *    instants either way.
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -30,11 +31,21 @@ object Tables {
 
   /** Normalize an events-style `ts` column to a session-TZ timestamp
     * regardless of the on-disk physical type. Works on batch and streaming
-    * DataFrames alike (dispatch is on the analyzed schema only). */
+    * DataFrames alike (dispatch is on the analyzed schema only). The nanos
+    * branch uses TRUNCATING integer division (`div`, toward zero — what
+    * DuckDB does too; differs from floor only for pre-1970 instants).
+    * Exhaustive on the two encodings the driver has ever shipped: a third
+    * one must fail loudly here, not surface as silently-null timestamps
+    * downstream. */
   def normTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case org.apache.spark.sql.types.LongType =>
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    case _ => df.withColumn("ts", ltz("ts"))
+    case org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.TimestampType =>
+      df.withColumn("ts", ltz("ts"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unexpected physical type $other; expected " +
+        "TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
   }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
@@ -50,4 +61,17 @@ object Tables {
     normTs(t(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Corpus row counts, cached per (session, dir, table) — round-6
+    * verdict finding #5: adaptive operators (count-derived packing /
+    * shuffle / shard buckets, LSH signature widths, SemDeDup k) each ran
+    * their own full `count()` of an immutable test table, an extra
+    * corpus pass per operator invocation at 100 TB for one scalar. One
+    * count per table per session now; on a lakehouse this would read
+    * table statistics instead of scanning at all. */
+  private val countCache = new graft.util.LruCache[(Int, String, String), Long](64)
+
+  def cachedCount(s: SparkSession, d: String, name: String): Long =
+    countCache.getOrElseUpdate((System.identityHashCode(s), d, name))(
+      t(s, d, name).count())
 }

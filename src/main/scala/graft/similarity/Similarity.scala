@@ -232,12 +232,14 @@ object Similarity extends Serializable {
     * quadratically at oracle SF. */
   def lshNearDupPairs(s: SparkSession, corpus: DataFrame, threshold: Double,
                       tables: Int = 8, targetBucket: Long = 64L,
-                      dim: Int = 64): DataFrame = {
+                      dim: Int = 64, knownCount: Option[Long] = None)
+      : DataFrame = {
     val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
       toDoubleArr(col("embedding")).as("e"))
-    // Adaptive stage: one count() to size the signature. At 100 TB this is
-    // a metadata-cheap pass (or a known table statistic).
-    val nBits = lshBits(base.count(), targetBucket)
+    // Adaptive stage: a count() sizes the signature. Callers reading a
+    // known table pass knownCount (Tables.cachedCount — one count per
+    // session, or a table statistic on a lakehouse).
+    val nBits = lshBits(knownCount.getOrElse(base.count()), targetBucket)
     val sigCols = (0 until tables).map { t =>
       (0 until nBits).map { p =>
         val plane = array((1 to dim).map(d => lit(planeComponent(t, p, d))): _*)
@@ -295,10 +297,11 @@ object Similarity extends Serializable {
     * bit-for-bit. */
   def lshKnnGraph(s: SparkSession, corpus: DataFrame, k: Int,
                   tables: Int = 4, targetBucket: Long = 16L,
-                  dim: Int = 64): DataFrame = {
+                  dim: Int = 64, knownCount: Option[Long] = None)
+      : DataFrame = {
     val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
       toDoubleArr(col("embedding")).as("e"))
-    val nBits = lshBits(base.count(), targetBucket)
+    val nBits = lshBits(knownCount.getOrElse(base.count()), targetBucket)
     val sigCols = (0 until tables).map { t =>
       (0 until nBits).map { p =>
         val plane = array((1 to dim).map(d => lit(planeComponent(t, p, d))): _*)
@@ -721,8 +724,11 @@ object Similarity extends Serializable {
     * only holds when k grows with the corpus — a fixed k leaves (N/k)²
     * per-cell work quadratic in N. Pass k > 0 to pin it explicitly. */
   def semanticDedup(s: SparkSession, corpus: DataFrame, tau: Double = 0.35,
-                    k: Int = 0, updates: Int = 2, dim: Int = 64): DataFrame = {
-    val kk = if (k > 0) k else semanticCells(corpus.count())
+                    k: Int = 0, updates: Int = 2, dim: Int = 64,
+                    knownCount: Option[Long] = None): DataFrame = {
+    val kk =
+      if (k > 0) k
+      else semanticCells(knownCount.getOrElse(corpus.count()))
     val a = kmeansAssigned(s, corpus, kk, updates, dim)
       .withColumn("qd", expr("transform(qe, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(dot(col("qd"), col("qd"))))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** |a ∩ b| for two SORTED, DISTINCT string arrays via a merge walk —
   * O(n+m) with zero allocation, vs array_intersect's per-row hash-set
@@ -59,8 +59,62 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The 64-bit-digest sibling of [[SortedIntersectSizeExpr]]: |a ∩ b| for
+  * two sorted, distinct BIGINT arrays — the verify walk of digest-keyed
+  * dedup (winnowing fingerprint pairs), where shuffling gram text would
+  * defeat the digests-only design. Same caller contract. */
+case class SortedIntersectSizeLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { cnt += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $x.numElements(); int $m = $y.numElements();
+         |int $i = 0; int $j = 0; int $cnt = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $cnt++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSizeLongExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object SortedIntersect {
   def size(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectSizeExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sizeLong(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectSizeLongExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -29,6 +29,9 @@ package object plans {
     /** |a ∩ b| of sorted distinct string arrays (codegen'd merge walk). */
     def size(a: Column, b: Column): Column =
       org.apache.spark.sql.graft.SortedIntersect.size(a, b)
+    /** |a ∩ b| of sorted distinct BIGINT arrays — the digest variant. */
+    def sizeLong(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.SortedIntersect.sizeLong(a, b)
   }
 
   object Materialized {

@@ -640,6 +640,80 @@ object UdLang extends Serializable {
       .orderBy("doc_id", "g")
   }
 
+  /** Streaming INCREMENTAL SHARD APPEND — the online twin of the
+    * sample_shards / ShardedWriter batch family: each micro-batch of the
+    * document stream is token-sharded BY ITS OWN mass (the same
+    * two-level prefix assignment, scoped to the batch) and appended under
+    * `batch_id=B/shard=K/` via foreachBatch — the continuous-ingest shape
+    * where a training corpus grows by crawl increments and each increment
+    * lands as a self-contained, token-balanced shard set. The returned
+    * manifest is read back FROM THE COMMITTED FILES (parity with what a
+    * training loader will see, not an estimate), per (batch_id, shard).
+    *
+    * Scale shape: foreachBatch reuses the full batch writer (repartition
+    * by shard kills the tasks×shards small-files explosion per batch;
+    * partition directories are self-describing for pruned reads). The
+    * oracle is the batch twin with batch_id 0 — valid because the finite
+    * file source feeds ONE micro-batch, asserted below exactly like
+    * u_stream_dedup's single-batch contract. */
+  def uStreamShards(s: SparkSession, d: String): DataFrame = {
+    val fileSchema = parquetSchema(s, s"$d/documents.parquet")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_u_stream_shards").toString
+    val stream = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val q = stream.writeStream
+      .option("checkpointLocation", outDir + "_ckpt")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.sinks.ShardedWriter.appendBatch(batch, outDir, bid, 16)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      require(fed <= 1, s"entry assumes a single micro-batch, saw $fed — " +
+        "per-batch sharding would diverge from the batch-twin oracle")
+    } finally q.stop()
+    s.read.parquet(outDir)
+      .groupBy("batch_id", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .orderBy("batch_id", "shard")
+  }
+
+  /** Batch twin of sample_shards with the single batch's id prepended. */
+  val uStreamShardsSql: String =
+    """WITH p AS (
+      |  SELECT GREATEST(8, (count(*) + 4095) // 4096) AS nb FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % (SELECT nb FROM p) AS INTEGER) AS bucket,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, bucket, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_in_b
+      |  FROM t),
+      |bb AS (
+      |  SELECT bucket,
+      |    CAST(coalesce(sum(btot) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS boff
+      |  FROM (SELECT bucket, sum(n_tokens) AS btot FROM t GROUP BY bucket)),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t),
+      |a AS (
+      |  SELECT c.doc_id, c.n_tokens,
+      |    CAST(least(15, ((bb.boff + c.end_in_b - c.n_tokens) * 16)
+      |      // (SELECT total FROM tot)) AS INTEGER) AS shard
+      |  FROM c JOIN bb USING (bucket))
+      |SELECT CAST(0 AS INTEGER) AS batch_id, shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM a GROUP BY shard ORDER BY batch_id, shard""".stripMargin
+
   val uStreamContaminationSql: String =
     """WITH t AS (
       |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
@@ -771,6 +845,7 @@ object UdLang extends Serializable {
     "u_stream_state" -> (uStreamState _),
     "u_stream_dedup" -> (uStreamDedup _),
     "u_stream_contamination" -> (uStreamContamination _),
+    "u_stream_shards" -> (uStreamShards _),
     "u_effect_dlq" -> (uEffectDlq _),
     "u_stream_join" -> (uStreamJoin _),
     "u_union_ingest" -> (uUnionIngest _),
@@ -794,6 +869,7 @@ object UdLang extends Serializable {
     "u_stream_state" -> uStreamStateSql,
     "u_stream_dedup" -> uStreamDedupSql,
     "u_stream_contamination" -> uStreamContaminationSql,
+    "u_stream_shards" -> uStreamShardsSql,
     "u_effect_dlq" -> uEffectDlqSql,
     "u_stream_join" -> uStreamJoinSql,
     "u_union_ingest" -> uUnionIngestSql,

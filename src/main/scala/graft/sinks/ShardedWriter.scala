@@ -45,4 +45,24 @@ object ShardedWriter {
         sum(col("n_tokens")).cast("long").as("n_tokens"))
       .orderBy("shard")
   }
+
+  /** Streaming micro-batch APPEND (the foreachBatch body of
+    * u_stream_shards): shard THIS batch by its own token mass — each
+    * ingest increment lands as a self-contained token-balanced shard set
+    * under `batch_id=B/shard=K/`, so a training loader can consume
+    * increments independently (read one batch's shards) or together
+    * (partition discovery unions them; pruning works on both columns).
+    * Same repartition-before-partitionBy and maxRecordsPerFile bounds as
+    * the batch writer. Append mode: earlier batches' files are never
+    * touched — the commit unit is the micro-batch. */
+  def appendBatch(batch: DataFrame, outDir: String, batchId: Long,
+                  shards: Int = 16,
+                  maxRecordsPerFile: Long = 1000000L): Unit =
+    graft.queries.LlmPipeline.shardAssignments(batch, shards)
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("shard"))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("batch_id", "shard")
+      .parquet(outDir)
 }

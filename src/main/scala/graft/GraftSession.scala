@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE right-size CACHED plans' output partitioning too (off by
+      // default): a persist()'d table's final exchange otherwise always
+      // materializes at the static shuffle-partition count — measured on
+      // q_pagerank's cached edge table, 555→63 tasks and 91s→27s task
+      // CPU for the same result. Consumers re-derive requirements from
+      // whatever the cache reports, so plans stay correct either way.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // events.parquet stores TIMESTAMP(NANOS); read as long + convert
       // (see Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

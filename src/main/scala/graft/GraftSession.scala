@@ -32,6 +32,13 @@ object GraftSession {
       // CPU for the same result. Consumers re-derive requirements from
       // whatever the cache reports, so plans stay correct either way.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // Text-pipeline scans are CPU-bound (tokenize + gram explosion +
+      // hashing per row), so size scan splits for cores, not I/O: 32 MB
+      // keeps a ~1 GB corpus file wide enough to use every local core
+      // (measured on the 100x tier's contamination scan: 15 -> 48 tasks
+      // over the same file, 77s of per-task CPU spread instead of
+      // queued). Small-SF files stay single-split either way.
+      .config("spark.sql.files.maxPartitionBytes", "33554432")
       // events.parquet stores TIMESTAMP(NANOS); read as long + convert
       // (see Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

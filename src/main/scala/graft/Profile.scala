@@ -19,12 +19,15 @@ object Profile {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val m = si.taskMetrics
+        val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+          yield c - s).getOrElse(-1L)
         println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+          f"wall=${wall}%6dms " +
           f"run=${m.executorRunTime}%7dms gc=${m.jvmGCTime}%6dms " +
           f"cpu=${m.executorCpuTime / 1000000}%7dms " +
           f"sr=${m.shuffleReadMetrics.totalBytesRead / 1000000}%5dMB " +
           f"sw=${m.shuffleWriteMetrics.bytesWritten / 1000000}%5dMB  " +
-          si.name.take(80))
+          si.name.take(60))
       }
     })
     val t0 = System.nanoTime()

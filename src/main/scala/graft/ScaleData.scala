@@ -41,7 +41,17 @@ object ScaleData {
     // name — mirror it: write a single part, then move it into place.
     def writeSingleFile(df: DataFrame, name: String): Unit = {
       val tmp = s"$dst/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // One FILE but many ROW GROUPS: a single-row-group gigabyte file is
+      // unsplittable, so every scan of the derived tier would run one
+      // task no matter the cluster (exactly the skew this tier exists to
+      // measure away). 8 MB groups keep a 1 GB table widely splittable
+      // (the writer's buffered-size estimate overshoots, so the actual
+      // groups land several times larger).
+      spark.sparkContext.hadoopConfiguration
+        .setLong("parquet.block.size", 8388608L)
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 8388608L)
+        .parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
       val part = fs.globStatus(

@@ -119,12 +119,17 @@ class PlanSpec extends SparkSpec {
       s"window must partition by user_id: $p")
   }
 
-  test("contamination check Bloom-prefilters, then broadcasts the confirm") {
-    val p = planOf(LlmPipeline.textContamination(spark, sf))
+  test("contamination check Bloom-prefilters; AQE broadcasts the confirm") {
+    // the confirm join carries NO forced hint (a corpus-scale eval set
+    // must be allowed to shuffle) — so pin the RUNTIME plan: at this SF
+    // the eval set is small and AQE must have picked a broadcast join
+    val df = LlmPipeline.textContamination(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("might_contain"),
       s"Bloom pre-pass missing from the corpus scan: $p")
     assert(p.contains("BroadcastHashJoin"),
-      s"eval gram set must broadcast: $p")
+      s"AQE should broadcast the small eval gram set at this SF: $p")
     // the Bloom probe must run BEFORE the join (filter below the build)
     assert(p.indexOf("might_contain") > p.indexOf("BroadcastHashJoin"),
       s"Bloom filter not below the confirm join: $p")

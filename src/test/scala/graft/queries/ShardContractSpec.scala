@@ -64,6 +64,38 @@ class ShardContractSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("incremental appendBatch: two batches land as independent " +
+      "token-balanced shard sets with committed-file manifest parity") {
+    val docs = Tables.documents(spark, sf)
+    val b0 = docs.where(col("doc_id") % 2 === 0)
+    val b1 = docs.where(col("doc_id") % 2 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_shards").toString
+    ShardedWriter.appendBatch(b0, dir, 0L, shards = S)
+    ShardedWriter.appendBatch(b1, dir, 1L, shards = S)
+    val all = spark.read.parquet(dir)
+    // append mode: nothing lost, nothing doubled
+    assert(all.count() === docs.count())
+    assert(all.select("doc_id").distinct().count() === docs.count())
+    // each batch is its OWN token-balanced shard set: the committed
+    // files' per-(batch, shard) manifest equals the plan manifest
+    // computed from that batch alone
+    for ((b, bid) <- Seq((b0, 0), (b1, 1))) {
+      val plan = LlmPipeline.shardAssignments(b, S)
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val committed = all.where(col("batch_id") === bid)
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(committed === plan, s"batch $bid manifest mismatch")
+    }
+    // a batch-subset read prunes on BOTH partition columns
+    val one = all.where(col("batch_id") === 1 && col("shard") === 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(one.count() > 0)
+  }
+
   test("epoch-shuffle order composes per shard") {
     val shuffled = LlmPipeline.queries("sample_shuffle")(spark, sf)
       .where(col("epoch") === 1).orderBy("pos")

@@ -624,8 +624,9 @@ object UdLang extends Serializable {
   def uStreamContamination(s: SparkSession, d: String): DataFrame = {
     val docs = graft.Tables.documents(s, d)
     val evalDocs = docs.where(col("doc_id") % 7 === 0)
-    val evalGrams = LlmPipeline.contamGrams(evalDocs)
-      .select("g").distinct().persist()
+    // same LRU index artifacts as the batch check (LlmPipeline) — one
+    // warm eval-gram table + Bloom serves both entries
+    val (evalGrams, _) = LlmPipeline.evalGramsCached(s, evalDocs)
     val bfBytes = LlmPipeline.evalBloom(evalDocs, evalGrams)
     val fileSchema = parquetSchema(s, s"$d/documents.parquet")
     val stream = s.readStream.schema(fileSchema)

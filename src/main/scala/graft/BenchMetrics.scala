@@ -68,8 +68,13 @@ final class BenchMetrics extends SparkListener {
     val load = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val cpuSec =
       if (m0.cpuNs < 0 || m1.cpuNs < 0) -1.0 else (m1.cpuNs - m0.cpuNs) / 1e9
+    // -1 is the "unavailable" sentinel for cpu_sec, cpu_over_wall, and
+    // load1m (getSystemLoadAverage returns -1 where unsupported) — it must
+    // propagate, not leak into a ratio a consumer would read as measured.
+    val cpuOverWall =
+      if (cpuSec < 0) -1.0 else if (wallSec > 0) cpuSec / wallSec else 0.0
     f"""{"gc_ms":${m1.gcMs - m0.gcMs},"cpu_sec":$cpuSec%.2f,""" +
-      f""""cpu_over_wall":${if (wallSec > 0) cpuSec / wallSec else 0.0}%.1f,""" +
+      f""""cpu_over_wall":$cpuOverWall%.1f,""" +
       f""""load1m":$load%.1f,"run_ms":${m1.runMs - m0.runMs},""" +
       f""""task_gc_ms":${m1.tGcMs - m0.tGcMs},""" +
       f""""shuffle_read_mb":${(m1.readB - m0.readB) / 1e6}%.1f,""" +

@@ -47,8 +47,9 @@ object ScaleData {
       // measure away). 8 MB groups keep a 1 GB table widely splittable
       // (the writer's buffered-size estimate overshoots, so the actual
       // groups land several times larger).
-      spark.sparkContext.hadoopConfiguration
-        .setLong("parquet.block.size", 8388608L)
+      // per-write option only — mutating the shared hadoopConfiguration
+      // here would silently give every later parquet write in this
+      // session 8 MB row groups
       df.coalesce(1).write.mode("overwrite")
         .option("parquet.block.size", 8388608L)
         .parquet(tmp)

@@ -69,9 +69,27 @@ object Tables {
     * corpus pass per operator invocation at 100 TB for one scalar. One
     * count per table per session now; on a lakehouse this would read
     * table statistics instead of scanning at all. */
-  private val countCache = new graft.util.LruCache[(Int, String, String), Long](64)
+  /** Stable per-session cache-key token. identityHashCode is NOT one:
+    * after a session is GC'd a new session can collide on the same hash
+    * and be served a stale count — or a checkpointed DataFrame bound to a
+    * stopped SparkContext. The WeakHashMap drops a session's token with
+    * the session, so tokens are unique across a JVM's lifetime. */
+  private val sessionTokens = new java.util.WeakHashMap[SparkSession, String]()
+
+  private[graft] def sessionToken(s: SparkSession): String =
+    sessionTokens.synchronized {
+      var tok = sessionTokens.get(s)
+      if (tok == null) {
+        tok = java.util.UUID.randomUUID().toString
+        sessionTokens.put(s, tok)
+      }
+      tok
+    }
+
+  private val countCache =
+    new graft.util.LruCache[(String, String, String), Long](64)
 
   def cachedCount(s: SparkSession, d: String, name: String): Long =
-    countCache.getOrElseUpdate((System.identityHashCode(s), d, name))(
+    countCache.getOrElseUpdate((sessionToken(s), d, name))(
       t(s, d, name).count())
 }

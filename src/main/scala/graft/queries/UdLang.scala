@@ -451,9 +451,14 @@ object UdLang extends Serializable {
       TField("event_id", TInt, absentOptional = false),
       TField("event_type", TStr, absentOptional = false),
       TField("value", TFloat, absentOptional = false)))
-    // bounded slice: the entry proves the live-pipe path, not sink volume
+    // CONSTANT-bounded slice: the entry proves the live-pipe path, not
+    // sink volume. The fixed event_id ceiling caps the driver-side frame
+    // materialization at <= 10k rows at ANY corpus size (a %-only filter
+    // is a fraction of the corpus — a 100x corpus would collect 100x more
+    // rows into the driver before the stream starts); the predicate is
+    // replayed verbatim in the oracle SQL.
     val src = Tables.events(s, d)
-      .where(col("event_id") % 20 === 0)
+      .where(col("event_id") % 20 === 0 && col("event_id") < 200000L)
       .select("event_id", "event_type", "value")
     val frames = src.collect().map { r =>
       val o = new java.io.ByteArrayOutputStream()
@@ -511,7 +516,8 @@ object UdLang extends Serializable {
       |  CASE event_type WHEN 'click' THEN 'ui' WHEN 'view' THEN 'ui'
       |       WHEN 'purchase' THEN 'commerce' ELSE 'other' END AS cat,
       |  value * 2.0 AS boosted
-      |FROM events WHERE value > 50.0 AND event_id % 20 = 0
+      |FROM events
+      |WHERE value > 50.0 AND event_id % 20 = 0 AND event_id < 200000
       |ORDER BY event_id""".stripMargin
 
   /** Stream-stream INTERVAL join, append mode: click events join purchase
@@ -661,25 +667,45 @@ object UdLang extends Serializable {
     val fileSchema = parquetSchema(s, s"$d/documents.parquet")
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_u_stream_shards").toString
-    val stream = s.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
-    val q = stream.writeStream
-      .option("checkpointLocation", outDir + "_ckpt")
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        graft.sinks.ShardedWriter.appendBatch(batch, outDir, bid, 16)
-      }
-      .start()
+    val ckptDir = outDir + "_ckpt"
+    def rmr(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      catch { case _: Throwable => () }
+    }
     try {
-      q.processAllAvailable()
-      val fed = q.recentProgress.count(_.numInputRows > 0)
-      require(fed <= 1, s"entry assumes a single micro-batch, saw $fed — " +
-        "per-batch sharding would diverge from the batch-twin oracle")
-    } finally q.stop()
-    s.read.parquet(outDir)
-      .groupBy("batch_id", "shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).cast("long").as("n_tokens"))
-      .orderBy("batch_id", "shard")
+      val stream = s.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.sinks.ShardedWriter.appendBatch(batch, outDir, bid, 16)
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed <= 1, s"entry assumes a single micro-batch, saw $fed — " +
+          "per-batch sharding would diverge from the batch-twin oracle")
+      } finally q.stop()
+      // Manifest read back from the COMMITTED files, materialized eagerly
+      // (one row per (batch, shard) — 16 here) so the scratch corpus copy
+      // and streaming checkpoint can be deleted before returning. Lazy
+      // return used to leak a full corpus copy under /tmp per invocation
+      // for the life of the JVM (and partial output on a failed run).
+      val manifest = s.read.parquet(outDir)
+        .groupBy("batch_id", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .orderBy("batch_id", "shard")
+      val rows = manifest.collect().toIndexedSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        manifest.schema)
+        .orderBy("batch_id", "shard")
+    } finally { rmr(outDir); rmr(ckptDir) }
   }
 
   /** Batch twin of sample_shards with the single batch's id prepended. */

@@ -581,8 +581,9 @@ object Similarity extends Serializable {
     * resulting (vec_id → cid) assignment IS the inverted file; probing
     * reuses the ivfTopK shape. */
   def kmeansAssignments(s: SparkSession, corpus: DataFrame, k: Int = 8,
-                        updates: Int = 2, dim: Int = 64): DataFrame =
-    kmeansAssigned(s, corpus, k, updates, dim)
+                        updates: Int = 2, dim: Int = 64,
+                        knownCount: Option[Long] = None): DataFrame =
+    kmeansAssigned(s, corpus, k, updates, dim, knownCount)
       .select(col("vec_id"), col("cid"), round(col("dist"), 6).as("dist"))
       .orderBy("vec_id")
 
@@ -634,7 +635,9 @@ object Similarity extends Serializable {
     * and semantic dedup, which needs qe for within-cluster similarity. */
   private[graft] def kmeansAssigned(s: SparkSession, corpus: DataFrame,
                                     k: Int = 8, updates: Int = 2,
-                                    dim: Int = 64): DataFrame = {
+                                    dim: Int = 64,
+                                    knownCount: Option[Long] = None)
+      : DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val q = corpus.select(col("vec_id"),
@@ -644,7 +647,10 @@ object Similarity extends Serializable {
     // Lloyd's UPDATE rounds run over the capped training sample (= the
     // whole corpus below trainCap, so oracle replay at verify SF is
     // unchanged); the final assignment below covers every vector.
-    val qt = if (q.count() > trainCap) trainSample(q) else q
+    // knownCount (Tables.cachedCount — one count per table per session)
+    // spares the stray corpus pass for this one scalar.
+    val qt =
+      if (knownCount.getOrElse(q.count()) > trainCap) trainSample(q) else q
     val seeds = qt.select(col("vec_id"), col("qe"),
       expr("CAST(conv(substr(md5(concat('ivfseed_', " +
         "CAST(vec_id AS STRING))), 1, 13), 16, 10) AS BIGINT)").as("h"))
@@ -729,7 +735,7 @@ object Similarity extends Serializable {
     val kk =
       if (k > 0) k
       else semanticCells(knownCount.getOrElse(corpus.count()))
-    val a = kmeansAssigned(s, corpus, kk, updates, dim)
+    val a = kmeansAssigned(s, corpus, kk, updates, dim, knownCount)
       .withColumn("qd", expr("transform(qe, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(dot(col("qd"), col("qd"))))
       .select("vec_id", "cid", "qd", "nrm")

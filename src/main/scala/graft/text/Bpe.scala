@@ -39,6 +39,12 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
         .otherwise(concat(acc, array(x))))
 
+  /** How many sorted candidate pairs a round fetches (vocab-bounded,
+    * a few KB) and the most merges one round may apply (bounds the
+    * nested merge-fold depth in the per-round projection). */
+  private val candidatePrefix = 512
+  private val batchCap = 48
+
   /** Run the merge-training loop: returns the learned merge rows AND the
     * final vocab (word, cnt, toks) with every merge applied. Exposed to
     * graft so the query layer can cache one training per corpus (the
@@ -46,6 +52,43 @@ object Bpe {
   private[graft] def trainRounds(s: SparkSession, tokens: DataFrame,
                                  merges: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val (learned, vocab, _) = trainRoundsBatched(s, tokens, merges)
+    (learned, vocab)
+  }
+
+  /** BATCHED merge training, bit-identical to the classic sequential
+    * algorithm (= what `oracleSql` replays and the in-memory reference in
+    * BpeBatchSpec computes) but applying many merges per Spark round, so
+    * driver round-trip count is ~merges/batch instead of merges — the
+    * production regime (10k+ merges) stops being driver-latency-bound.
+    *
+    * A round fetches the sorted pair-count prefix once and accepts a
+    * batch that provably reproduces the sequential picks:
+    *  - PREFIX rule: accept p_1..p_k as a contiguous prefix of the
+    *    (n DESC, l, r) order, stopping at the first pair sharing any
+    *    symbol (l, r, or the merged symbol l||r) with an accepted one.
+    *    Disjointness makes accepted counts invariant under each other's
+    *    merges (a merge only touches pairs involving its own symbols).
+    *  - NEW-PAIR DOMINANCE rule: p_j stays in the batch only if its
+    *    count strictly exceeds every pair a merge of p_1..p_{j-1} can
+    *    CREATE. A created pair maps occurrence-for-occurrence onto an
+    *    old pair sharing a symbol with the creating merge (x,m_i comes
+    *    from x,l_i; m_i,y from r_i,y; chains of created symbols bottom
+    *    out the same way; a self-pair l_i=r_i can seed l_i,m_i pairs
+    *    bounded by its own count), so the bound is the running max
+    *    count of fetched pairs OVERLAPPING an earlier accepted pair
+    *    (self-pairs add their own count; a full fetch adds the last
+    *    fetched count as the unknown-tail floor). Old NON-accepted
+    *    pairs can never win a round instead of p_j: merges never
+    *    increase an old pair's count, every non-accepted pair sorts
+    *    at-or-after the accepted prefix, and at equal count the
+    *    (l, r) tie-break keeps favoring p_j.
+    * A batch cut to nothing keeps p_1 alone (the literal sequential
+    * pick — always exact, ties included). Applied merges fold
+    * left-to-right per word in batch order, one checkpoint per ROUND. */
+  private[graft] def trainRoundsBatched(s: SparkSession, tokens: DataFrame,
+                                        merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame, Int) = {
     // Empty tokens (a \s+ tokenizer emits them on leading whitespace)
     // carry no pairs, and sequence(1, 0) would yield a descending [1,0]
     // range — drop them before the char-split, mirrored in the oracle.
@@ -57,24 +100,140 @@ object Bpe {
       .select("word", "cnt", "toks")
       .localCheckpoint(true)
     val learned = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (step <- 1 to merges) {
+    var step = 0
+    var rounds = 0
+    var exhausted = false
+    while (step < merges && !exhausted) {
+      rounds += 1
+      val want = math.min(merges - step, batchCap)
       val top = vocab
         .select(col("cnt"), explode(pairs(col("toks"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.nonEmpty) {
-        val (l, r, n) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        val m = l + r
-        learned += ((step, l, r, m, n))
-        vocab = vocab
-          .withColumn("toks", mergePair(col("toks"), l, r, m))
-          .localCheckpoint(true)
+        .limit(candidatePrefix).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var i = 0
+        var stopped = false
+        while (!stopped && i < top.length && acc.size < want) {
+          val (l, r, n) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          val m = l + r
+          if (acc.isEmpty || (!used(l) && !used(r) && !used(m))) {
+            acc += ((l, r, n)); used += l; used += r; used += m; i += 1
+          } else stopped = true
+        }
+        // Per-accepted-pair bound on pairs its merge can create: the max
+        // count among fetched pairs overlapping its symbols (plus its own
+        // count for a self-pair, plus the last fetched count as the
+        // unknown-tail floor when the fetch prefix came back full).
+        val tailFloor: Long =
+          if (top.length == candidatePrefix)
+            top(candidatePrefix - 1).getLong(2)
+          else -1L
+        val ob = Array.tabulate(acc.length) { j =>
+          val (l, r, n) = acc(j)
+          val syms = Set(l, r, l + r)
+          var b = if (l == r) math.max(tailFloor, n) else tailFloor
+          var t = 0
+          while (t < top.length) {
+            val (tl, tr) = (top(t).getString(0), top(t).getString(1))
+            if ((tl != l || tr != r) && (syms(tl) || syms(tr)))
+              b = math.max(b, top(t).getLong(2))
+            t += 1
+          }
+          b
+        }
+        // keep the longest prefix where each pair strictly dominates
+        // everything merges of EARLIER accepted pairs can create
+        var runMax = Long.MinValue
+        var keep = acc.length
+        var j = 0
+        while (j < acc.length && keep == acc.length) {
+          if (j > 0 && acc(j)._3 <= runMax) keep = j
+          else runMax = math.max(runMax, ob(j))
+          j += 1
+        }
+        acc.takeInPlace(math.max(1, keep))
+        var toksCol = col("toks")
+        acc.foreach { case (l, r, n) =>
+          step += 1
+          learned += ((step, l, r, l + r, n))
+          toksCol = mergePair(toksCol, l, r, l + r)
+        }
+        vocab = vocab.withColumn("toks", toksCol).localCheckpoint(true)
       }
     }
-    (learned.result(), vocab)
+    (learned.result(), vocab, rounds)
+  }
+
+  /** PRODUCTION-regime trainer: ONE corpus pass aggregates the word-
+    * frequency table (vocabulary-bounded — the classic Sennrich setup),
+    * then the merge loop runs in driver memory at map-update speed, so a
+    * 10k-merge production run pays zero per-merge driver<->cluster
+    * round-trips (how SentencePiece / HF tokenizers train: corpus pass,
+    * then in-memory BPE over word counts). Exact — identical merge table
+    * to trainRounds and the sequential oracle — whenever the distinct
+    * word count fits `maxVocab`; past that the frequency table drops its
+    * tail first ((cnt DESC, word) — the published frequency-truncation
+    * practice) and training is the exact sequential run over the kept
+    * table. The loop below recounts pairs per merge (fine to ~1k merges
+    * x ~100k words); a heap-with-delta-updates drops that to the classic
+    * O(merges log vocab) without changing the learned table.
+    * Returns (learned, final vocab as (word, cnt, toks), distinctWords). */
+  private[graft] def trainInMemory(s: SparkSession, tokens: DataFrame,
+                                   merges: Int, maxVocab: Int = 1 << 22)
+      : (Seq[(Int, String, String, String, Long)], DataFrame, Long) = {
+    import s.implicits._
+    val wordRows = tokens.filter(length(col("tok")) > 0)
+      .groupBy(col("tok").as("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocab)
+      .as[(String, Long)].collect()
+    var v: Array[(Vector[String], Long)] =
+      wordRows.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val learned = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < merges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      v.foreach { case (toks, c) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val k = (toks(i), toks(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // unique (count DESC, l, r) minimum — iteration-order-proof
+        val ((l, r), n) = counts.minBy { case ((pl, pr), pn) =>
+          (-pn, pl, pr)
+        }
+        step += 1
+        learned += ((step, l, r, l + r, n))
+        v = v.map { case (toks, c) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          toks.foreach { x =>
+            if (acc.nonEmpty && acc.last == l && x == r)
+              acc(acc.length - 1) = l + r
+            else acc += x
+          }
+          (acc.toVector, c)
+        }
+      }
+    }
+    val vocabDf = v.toSeq
+      .map { case (toks, c) => (toks.mkString, c, toks) }
+      .toDF("word", "cnt", "toks")
+    (learned.result(), vocabDf, wordRows.length.toLong)
   }
 
   /** Train `merges` BPE merges over the corpus token stream.
@@ -109,16 +268,19 @@ object Bpe {
     * t1..t$merges (train) or v$merges (encode). */
   private def oracleChain(merges: Int, toksSql: String): String = {
     val sep = "chr(31)"
+    // MATERIALIZED: v$i and t$i are each referenced twice, and DuckDB
+    // inlines plain CTEs per reference — an n-round chain would expand
+    // 2^n times (the 8-round oracle survived that; 32 rounds cannot)
     def round(i: Int): String =
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
          |  SELECT t[j] AS l, t[j+1] AS r, CAST(sum(cnt) AS BIGINT) AS n
          |  FROM (SELECT string_split(s, $sep) AS t, cnt FROM v${i - 1}),
          |    LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS j)
          |  GROUP BY 1, 2),
-         |t$i AS (
+         |t$i AS MATERIALIZED (
          |  SELECT l, r, l || r AS m, n FROM p$i
          |  ORDER BY n DESC, l, r LIMIT 1),
-         |v$i AS (
+         |v$i AS MATERIALIZED (
          |  SELECT word, cnt,
          |    list_reduce(list_prepend('', string_split(s, $sep)),
          |      (acc, x) -> CASE
@@ -130,7 +292,7 @@ object Bpe {
          |  FROM v${i - 1} CROSS JOIN t$i t)""".stripMargin
     val rounds = (1 to merges).map(round).mkString(",\n")
     s"""WITH toks AS ($toksSql),
-       |v0 AS (
+       |v0 AS MATERIALIZED (
        |  SELECT word, cnt,
        |    array_to_string(list_transform(generate_series(1, length(word)),
        |      i -> substr(word, i, 1)), $sep) AS s

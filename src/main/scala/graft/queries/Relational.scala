@@ -913,6 +913,94 @@ object Relational extends Serializable {
       |WHERE c.op IS NULL OR c.op <> 'D'
       |ORDER BY custkey""".stripMargin
 
+  /** MERGE with the file rewrite — the COPY-ON-WRITE half qMergeUpsert
+    * stops short of: the base snapshot lives as a pk-partitioned parquet
+    * table, the change feed (restricted to custkey % 4 = 1, so most
+    * partitions are NOT touched) drives the same full-outer merge join
+    * over ONLY the touched partitions, and sinks.MergeCow swaps just
+    * those partition directories (Spark-committed scratch write + rename
+    * — untouched files stay byte-identical, MergeCowSpec pins it). The
+    * returned rows are the committed table READ BACK — so the oracle
+    * hash-matches the physical post-rewrite table, not the join. The
+    * read-back is collected eagerly only so the scratch table can be
+    * deleted before returning (the operator's real output is the
+    * committed table; the verify surface is its contents). */
+  def qMergeCow(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_merge_cow").toString
+    def rmr(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      catch { case _: Throwable => () }
+    }
+    try {
+      val tableDir = scratch + "/table"
+      Tables.customer(s, d).where(col("c_custkey") % 5 =!= 0)
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"),
+          (col("c_custkey") % 8).cast("int").as("pk"))
+        .write.partitionBy("pk").parquet(tableDir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      // the feed drives both the touched-partition list and the merge
+      // join — materialize it once
+      val changes = Tables.orders(s, d).where(col("o_custkey") % 4 === 1)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("o_custkey").as("custkey"),
+          when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U"))
+            .as("op"),
+          col("o_totalprice").as("new_bal"))
+        .localCheckpoint(true)
+      // commit metadata: the touched-partition list (like a lakehouse
+      // commit's file list) — driver-held, partition-count-bounded
+      val touched = changes
+        .select((col("custkey") % 8).cast("int").as("pk"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val baseTouched = s.read.parquet(tableDir)
+        .where(col("pk").isin(touched.map(Integer.valueOf): _*))
+      val newData = baseTouched.drop("pk")
+        .join(changes, Seq("custkey"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(col("custkey"),
+          coalesce(col("name"), concat(lit("new-"), col("custkey")))
+            .as("name"),
+          when(col("op") === "U", col("new_bal")).otherwise(col("acctbal"))
+            .as("acctbal"),
+          (col("custkey") % 8).cast("int").as("pk"))
+      graft.sinks.MergeCow.rewritePartitions(s, tableDir, "pk",
+        touched.map(_.toString).toIndexedSeq, newData)
+      val out = s.read.parquet(tableDir)
+        .select("custkey", "name", "acctbal", "pk").orderBy("custkey")
+      val rows = out.collect().toIndexedSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        out.schema).orderBy("custkey")
+    } finally rmr(scratch)
+  }
+
+  val qMergeCowSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS key, c_name, c_acctbal
+      |  FROM customer WHERE c_custkey % 5 <> 0),
+      |ch AS (
+      |  SELECT o_custkey AS key,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    o_totalprice AS new_bal
+      |  FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders WHERE o_custkey % 4 = 1) WHERE rn = 1)
+      |SELECT coalesce(b.key, c.key) AS custkey,
+      |  coalesce(b.c_name, 'new-' || coalesce(b.key, c.key)) AS name,
+      |  CASE WHEN c.op = 'U' THEN c.new_bal ELSE b.c_acctbal END AS acctbal,
+      |  CAST(coalesce(b.key, c.key) % 8 AS INTEGER) AS pk
+      |FROM base b FULL JOIN ch c ON b.key = c.key
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY custkey""".stripMargin
+
   /** Graph centrality: PageRank over the supplier<->customer co-order
     * graph (distinct (suppkey, custkey) pairs from lineitem x orders,
     * edges both directions, vertex ids namespaced by +1e9/+2e9) — 3
@@ -962,6 +1050,7 @@ object Relational extends Serializable {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_merge_cow" -> (qMergeCow _),
     "q_resample" -> (qResample _),
     "q_outer_join" -> (qOuterJoin _),
     "q_window_range" -> (qWindowRange _),
@@ -999,6 +1088,7 @@ object Relational extends Serializable {
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_merge_upsert" -> qMergeUpsertSql,
+    "q_merge_cow" -> qMergeCowSql,
     "q_resample" -> qResampleSql,
     "q_outer_join" -> qOuterJoinSql,
     "q_window_range" -> qWindowRangeSql,

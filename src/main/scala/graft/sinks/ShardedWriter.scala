@@ -53,15 +53,24 @@ object ShardedWriter {
     * increments independently (read one batch's shards) or together
     * (partition discovery unions them; pruning works on both columns).
     * Same repartition-before-partitionBy and maxRecordsPerFile bounds as
-    * the batch writer. Append mode: earlier batches' files are never
-    * touched — the commit unit is the micro-batch. */
+    * the batch writer.
+    *
+    * EXACTLY-ONCE on retry: Structured Streaming re-executes a micro-
+    * batch under the SAME batch_id after a failure, and a plain append
+    * would duplicate the batch's rows. Dynamic partition overwrite makes
+    * re-execution idempotent: the write replaces exactly the partitions
+    * present in the incoming data — all under `batch_id=B/` since the
+    * batch_id column is a literal — and never touches other batches'
+    * directories (spec-pinned byte-identical in ShardContractSpec). The
+    * commit unit stays the micro-batch. */
   def appendBatch(batch: DataFrame, outDir: String, batchId: Long,
                   shards: Int = 16,
                   maxRecordsPerFile: Long = 1000000L): Unit =
     graft.queries.LlmPipeline.shardAssignments(batch, shards)
       .withColumn("batch_id", lit(batchId))
       .repartition(col("shard"))
-      .write.mode("append")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("batch_id", "shard")
       .parquet(outDir)

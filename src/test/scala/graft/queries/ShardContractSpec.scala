@@ -96,6 +96,50 @@ class ShardContractSpec extends SparkSpec {
     assert(one.count() > 0)
   }
 
+  test("replayed micro-batch is idempotent: row set and manifest " +
+      "unchanged, other batches' files byte-identical") {
+    val docs = Tables.documents(spark, sf)
+    val b0 = docs.where(col("doc_id") % 2 === 0)
+    val b1 = docs.where(col("doc_id") % 2 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_replay_shards").toString
+    ShardedWriter.appendBatch(b0, dir, 0L, shards = S)
+    ShardedWriter.appendBatch(b1, dir, 1L, shards = S)
+    def inventory(sub: String): Map[String, String] = {
+      val root = java.nio.file.Paths.get(dir, sub)
+      val out = Map.newBuilder[String, String]
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p)) {
+          val d = java.security.MessageDigest.getInstance("MD5")
+          out += (root.relativize(p).toString ->
+            d.digest(java.nio.file.Files.readAllBytes(p))
+              .map(b => f"$b%02x").mkString)
+        }
+      }
+      out.result()
+    }
+    def manifest(): Seq[(Int, Int, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy("batch_id", "shard")
+        .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
+        .orderBy("batch_id", "shard").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    def rowSet(): Set[Long] = spark.read.parquet(dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (m0, r0, inv1) = (manifest(), rowSet(), inventory("batch_id=1"))
+    assert(r0.size.toLong === docs.count(), "no duplicates before replay")
+    // a failure re-executes the micro-batch under the SAME batch_id
+    ShardedWriter.appendBatch(b0, dir, 0L, shards = S)
+    assert(manifest() === m0, "replay must not change the manifest")
+    assert(rowSet() === r0, "replay must not change the row set")
+    assert(spark.read.parquet(dir).count() === docs.count(),
+      "replay must not duplicate rows")
+    assert(inventory("batch_id=1") === inv1,
+      "replay of batch 0 must leave batch 1's files byte-identical")
+  }
+
   test("epoch-shuffle order composes per shard") {
     val shuffled = LlmPipeline.queries("sample_shuffle")(spark, sf)
       .where(col("epoch") === 1).orderBy("pos")

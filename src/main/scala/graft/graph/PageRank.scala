@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * r0 = 1e6; contribution = r div outdeg (truncating integer division);
   * r' = 0.15e6 + (85 * sum_contrib) div 100. Integer ops all the way —
   * no float summation order, no damping rounding skew; the DuckDB oracle
-  * replays rounds verbatim. Dangling-mass redistribution is intentionally
-  * omitted (the common simplified variant) — noted, not hidden. */
+  * replays rounds verbatim. The default is the common simplified variant
+  * (no dangling-mass term); `redistributeDangling = true` adds the full
+  * redistribution for one extra scalar aggregate per round. */
 object PageRank {
 
   /** Run `iters` fixed-point PageRank rounds over a directed edge list
@@ -52,8 +53,17 @@ object PageRank {
     * chain to ~1s each; whole operator 27.5s -> ~7s. `ckptEvery` still
     * truncates lineage on long runs (the cached-plan TREE keeps growing
     * even though execution always reads the previous round's cache). */
+  /** `redistributeDangling = true` runs FULL PageRank: each round the
+    * rank mass sitting on dangling vertices (no out-edges) is summed —
+    * one scalar aggregate over the cached rank table, the only extra
+    * per-round cost — and every vertex receives share = dm div N inside
+    * the same damping arithmetic: r' = 0.15e6 + (85*(in_sum+share)) div
+    * 100. Still integer end-to-end, so the oracle replays rounds
+    * verbatim; the default keeps the simplified variant (and its plan)
+    * unchanged. */
   def ranks(s: SparkSession, edges: DataFrame, iters: Int,
-            ckptEvery: Int = 8, assumeDistinct: Boolean = false): DataFrame = {
+            ckptEvery: Int = 8, assumeDistinct: Boolean = false,
+            redistributeDangling: Boolean = false): DataFrame = {
     // ONE wide exchange builds the whole edge side: repartition by src
     // satisfies the dedup's ClusteredDistribution (src ⊆ {src,dst}) and
     // the outdeg window's partitioning, so dedup and window run in place
@@ -79,22 +89,39 @@ object PageRank {
     // rounds then union a constant instead of re-joining the full vertex
     // table (one fewer shuffle per round).
     val verts = e.select(explode(array(
-        struct(col("src").as("vertex"), lit(0).as("has_in")),
-        struct(col("dst").as("vertex"), lit(1).as("has_in")))).as("v"))
-      .select(col("v.vertex").as("vertex"), col("v.has_in").as("has_in"))
-      .groupBy("vertex").agg(max(col("has_in")).as("has_in"))
+        struct(col("src").as("vertex"), lit(0).as("has_in"),
+          lit(1).as("has_out")),
+        struct(col("dst").as("vertex"), lit(1).as("has_in"),
+          lit(0).as("has_out")))).as("v"))
+      .select(col("v.vertex").as("vertex"), col("v.has_in").as("has_in"),
+        col("v.has_out").as("has_out"))
+      .groupBy("vertex").agg(max(col("has_in")).as("has_in"),
+        max(col("has_out")).as("has_out"))
       .persist()
-    verts.count() // materialize: read twice below, and AQE gets true sizes
-    val noInbound = verts.where(col("has_in") === 0)
-      .select(col("vertex"), lit(150000L).as("rank_fp"))
+    val nVerts = verts.count() // materialize; AQE gets true sizes
+    val dangling = verts.where(col("has_out") === 0).select("vertex")
     var r = verts.select(col("vertex"), lit(1000000L).as("rank_fp"))
     var prev: DataFrame = null
     for (i <- 1 to iters) {
+      // dangling-mass share this round: one scalar aggregate over the
+      // cached rank table (zero when the variant is off or no vertex
+      // dangles — the plan below is then byte-for-byte the simple one)
+      val share: Long =
+        if (!redistributeDangling) 0L
+        else {
+          val dm = r.join(dangling, Seq("vertex"), "left_semi")
+            .agg(coalesce(sum(col("rank_fp")), lit(0L))).head().getLong(0)
+          dm / nVerts
+        }
+      val noInbound = verts.where(col("has_in") === 0)
+        .select(col("vertex"),
+          lit(150000L + (85L * share) / 100L).as("rank_fp"))
       val received = r.join(e, r("vertex") === e("src"))
         .select(col("dst"), expr("rank_fp div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_sum"))
         .select(col("dst").as("vertex"),
-          (lit(150000L) + expr("(85 * in_sum) div 100")).as("rank_fp"))
+          (lit(150000L) + expr(s"(85 * (in_sum + $share)) div 100"))
+            .as("rank_fp"))
       r = received.union(noInbound).persist()
       r.count() // materialize THIS round: keeps every job two stages deep
       if (prev != null) prev.unpersist(false)
@@ -109,6 +136,43 @@ object PageRank {
     e.unpersist(false)
     verts.unpersist(false)
     r
+  }
+
+  /** DuckDB replay of the FULL variant: per round, the dangling-mass
+    * share (sum of dangling ranks // vertex count) enters the damping
+    * term for every vertex — same integer arithmetic as ranks() with
+    * redistributeDangling = true. */
+  def oracleSqlFull(edgesSql: String, iters: Int): String = {
+    def round(i: Int): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(r.rank_fp), 0)
+         |    // (SELECT nv FROM nv) AS BIGINT) AS share
+         |  FROM r${i - 1} r JOIN dangling d ON r.vertex = d.vertex),
+         |r$i AS MATERIALIZED (
+         |  SELECT v.vertex,
+         |    CAST(150000 + (85 * (coalesce(c.in_sum, 0) +
+         |      (SELECT share FROM d$i))) // 100 AS BIGINT) AS rank_fp
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst, CAST(sum(r.rank_fp // e.outdeg) AS BIGINT)
+         |      AS in_sum
+         |    FROM r${i - 1} r
+         |    JOIN e ON r.vertex = e.src
+         |    GROUP BY e.dst) c ON c.dst = v.vertex)""".stripMargin
+    val rounds = (1 to iters).map(round).mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, count(*) OVER (PARTITION BY src) AS outdeg
+       |  FROM e0),
+       |verts AS MATERIALIZED (
+       |  SELECT DISTINCT vertex FROM (
+       |    SELECT src AS vertex FROM e UNION SELECT dst FROM e)),
+       |dangling AS MATERIALIZED (
+       |  SELECT vertex FROM verts
+       |  EXCEPT SELECT DISTINCT src AS vertex FROM e),
+       |nv AS (SELECT count(*) AS nv FROM verts),
+       |r0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS rank_fp
+       |       FROM verts),
+       |$rounds""".stripMargin
   }
 
   /** DuckDB replay: outdeg + r0, then one CTE per round with the same

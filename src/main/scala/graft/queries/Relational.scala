@@ -1047,8 +1047,44 @@ object Relational extends Serializable {
        |WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
 
+  /** FULL PageRank (dangling-mass redistribution) over the DIRECTED
+    * supplier->customer co-order graph: customers have no out-edges, so
+    * every customer vertex is dangling and its rank mass re-enters the
+    * damping term each round (share = dangling sum div N, one scalar
+    * aggregate per round — graph.PageRank redistributeDangling). The
+    * bidirectional q_pagerank fixture has no dangling vertices at all,
+    * which is exactly why the default entry stays the simplified
+    * variant and this one exists. */
+  def qPagerankFull(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + 1000000000L).as("src"),
+        (col("o_custkey") + 2000000000L).as("dst"))
+    val w = Window.orderBy(col("rank_fp").desc, col("vertex"))
+    graft.graph.PageRank.ranks(s, edges, 3, redistributeDangling = true)
+      .orderBy(col("rank_fp").desc, col("vertex")).limit(20)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select("rank", "vertex", "rank_fp")
+      .orderBy("rank")
+  }
+
+  val qPagerankFullSql: String = {
+    val fwd = """SELECT l.l_suppkey + 1000000000 AS src,
+                |       o.o_custkey + 2000000000 AS dst
+                |FROM lineitem l JOIN orders o
+                |  ON l.l_orderkey = o.o_orderkey""".stripMargin
+    s"""${graft.graph.PageRank.oracleSqlFull(fwd, 3)}
+       |SELECT CAST(rank AS INT) AS rank, vertex, rank_fp FROM (
+       |  SELECT *, row_number() OVER (ORDER BY rank_fp DESC, vertex)
+       |    AS rank
+       |  FROM r3)
+       |WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
+    "q_pagerank_full" -> (qPagerankFull _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_merge_cow" -> (qMergeCow _),
     "q_resample" -> (qResample _),
@@ -1087,6 +1123,7 @@ object Relational extends Serializable {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
+    "q_pagerank_full" -> qPagerankFullSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_merge_cow" -> qMergeCowSql,
     "q_resample" -> qResampleSql,

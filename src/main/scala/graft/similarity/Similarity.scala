@@ -562,6 +562,93 @@ object Similarity extends Serializable {
       .orderBy("q_id", "rank")
   }
 
+  /** Residual IVF-PQ — the actual FAISS IVFPQ formulation: a TRAINED
+    * k-means coarse quantizer (deterministic Lloyd's, shared with
+    * ann_ivf_kmeans) partitions the corpus, and PQ codebooks are trained
+    * on the RESIDUALS (vector − its cell centroid) rather than the raw
+    * vectors. Because each cell's residual distribution is centered at
+    * the origin with less variance than the corpus, the same m×k code
+    * budget quantizes finer — the recall lift over the non-residual
+    * composition is spec-pinned (IvfPqResidualSpec).
+    *
+    * Determinism contract (DuckDB replays every stage bit-for-bit):
+    *  - coarse centroids are micro-unit doubles from exact integer sums
+    *    (kmeansTrained); residuals subtract the HALF_UP-rounded integer
+    *    centroid, so the residual corpus is integer micro-units and PQ
+    *    training stays order-independent;
+    *  - reconstruction adds book/1e6 and centInt/1e6 per dimension in
+    *    that order; scoring reuses the shared left-fold dot product.
+    *
+    * Scale shape: coarse training is capped at trainCap samples; the
+    * residual projection is one narrow map (centroid literals ride the
+    * plan); PQ training runs over the checkpointed residual corpus; a
+    * query scores ~nProbe/nCells of the code table. Driver state =
+    * k×dim + m×k×(dim/m) doubles. */
+  def ivfPqResidualTopK(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+                        topK: Int, m: Int = 16, k: Int = 16,
+                        updates: Int = 2, dim: Int = 64,
+                        nCells: Int = 16, nProbe: Int = 4,
+                        knownCount: Option[Long] = None): DataFrame = {
+    val (assigned, cents) =
+      kmeansTrained(s, corpus, nCells, updates, dim, knownCount)
+    // HALF_UP away-from-zero rounding — what Spark SQL round() and DuckDB
+    // round() both do on doubles (math.round would differ at negative .5)
+    def halfUp(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val centInt: Array[Array[Long]] = cents.map(_.map(halfUp))
+    val centIntLit = array(centInt.map(c =>
+      array(c.map(lit).toSeq: _*)).toSeq: _*)
+    // residual corpus in exact integer micro-units, checkpointed once —
+    // the m PQ training chains and the encode pass all read it
+    val rq = assigned
+      .withColumn("cm", element_at(centIntLit, col("cid") + 1))
+      .withColumn("qe", zip_with(col("qe"), col("cm"), (a, b) => a - b))
+      .select("vec_id", "cid", "qe")
+      .localCheckpoint(true)
+    val books = trainedPqBooks(rq.select("vec_id", "qe"),
+      rq.select("vec_id", "qe"), m, k, updates, dim)
+    // PQ-encode the residuals, then add the cell centroid back:
+    // xh[i] = book_micro[i]/1e6 + centInt[i]/1e6 (same two-step in SQL)
+    val indexed = pqReconstruct(rq.select("vec_id", "qe"), books, m, dim)
+      .join(rq.select("vec_id", "cid"), Seq("vec_id"))
+      .withColumn("cm", element_at(centIntLit, col("cid") + 1))
+      .withColumn("xh", zip_with(col("xh"), col("cm"),
+        (r, c) => r + c.cast("double") / lit(1000000.0)))
+      .withColumn("nrm", sqrt(dot(col("xh"), col("xh"))))
+      .select("vec_id", "cid", "xh", "nrm")
+    // probe the nProbe nearest trained cells per query — the SAME
+    // micro-unit squared distance the corpus assignment used
+    val qmicro = queries.select(col("q_id"), col("q_emb"),
+      expr("transform(q_emb, x -> " +
+        "CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))")
+        .as("qd"))
+    val qdists = array(cents.map { c =>
+      graft.plans.DotProduct.sqDist(col("qd"), array(c.map(lit).toSeq: _*))
+    }.toSeq: _*)
+    val qx = qmicro
+      .withColumn("dists", qdists)
+      .withColumn("qv", toDoubleArr(col("q_emb")))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val probes = qx.select(col("q_id"), col("qv"), col("qn"),
+        posexplode(col("dists")).as(Seq("cid", "cdist")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cdist"), col("cid"))))
+      .where(col("prank") <= nProbe)
+      .select("q_id", "qv", "qn", "cid")
+    val cand = indexed.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("xh"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .orderBy("q_id", "rank")
+  }
+
   /** TRAINED k-means IVF index build (Lloyd's algorithm), formulated so
     * the DuckDB oracle computes BIT-IDENTICAL centroids and assignments:
     *
@@ -637,7 +724,17 @@ object Similarity extends Serializable {
                                     k: Int = 8, updates: Int = 2,
                                     dim: Int = 64,
                                     knownCount: Option[Long] = None)
-      : DataFrame = {
+      : DataFrame = kmeansTrained(s, corpus, k, updates, dim, knownCount)._1
+
+  /** kmeansAssigned plus the trained centroids themselves (micro-unit
+    * doubles, k×dim — driver-held) for consumers that need the
+    * coarse-quantizer geometry, not just the assignment: residual IVF-PQ
+    * subtracts each vector's cell centroid before PQ encoding. */
+  private[graft] def kmeansTrained(s: SparkSession, corpus: DataFrame,
+                                   k: Int = 8, updates: Int = 2,
+                                   dim: Int = 64,
+                                   knownCount: Option[Long] = None)
+      : (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val q = corpus.select(col("vec_id"),
@@ -699,7 +796,7 @@ object Similarity extends Serializable {
         }
       }
     }
-    assigned
+    (assigned, cents)
   }
 
   /** SemDeDup cell count for an n-vector corpus: one cell per ~512

@@ -493,6 +493,24 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("residual IVF-PQ lifts recall over the non-residual composition") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(LlmPipeline.annCosineTopk(spark, sf))
+    val plain = pairs(LlmPipeline.annIvfPq(spark, sf))
+    val resid = pairs(LlmPipeline.annIvfPqResidual(spark, sf))
+    val plainRecall = plain.intersect(exact).size.toDouble / exact.size
+    val residRecall = resid.intersect(exact).size.toDouble / exact.size
+    info(s"ivfpq recall $plainRecall, residual ivfpq recall $residRecall")
+    // the FAISS IVFPQ formulation: a trained coarse quantizer plus PQ
+    // codebooks over (vector - cell centroid) residuals quantizes finer
+    // at the SAME 64-bit code budget — 0.34 -> 0.40 at this sf,
+    // deterministic (md5 seeds, integer training sums)
+    assert(residRecall > plainRecall,
+      s"residual $residRecall did not beat non-residual $plainRecall")
+    assert(residRecall >= 0.38, s"residual recall $residRecall")
+  }
+
   test("brute-force ANN ranks are strictly ordered per query") {
     val rows = LlmPipeline.annCosineTopk(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>

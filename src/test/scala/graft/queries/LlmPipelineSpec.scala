@@ -493,6 +493,27 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("trained quality filter reduces squared loss over the zero model") {
+    val rows = LlmPipeline.textQualityTrained(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val losses = rows.map { r =>
+      val y = r.getAs[Long]("y").toDouble
+      val p = r.getAs[Double]("score")
+      (math.pow(y - p, 2), y * y)
+    }
+    val trained = losses.map(_._1).sum / losses.length
+    val zero = losses.map(_._2).sum / losses.length
+    info(s"trained loss $trained vs zero-weight loss $zero")
+    // 4 integer-GD rounds must beat predicting 0 for everything; with a
+    // random weak label the optimum is the base rate, and the trained
+    // model should get most of the way there (0.436 -> ~0.25 at sf0.01)
+    assert(trained < zero, s"training failed to reduce loss: $trained >= $zero")
+    assert(trained < zero * 0.8, s"loss reduction too small: $trained vs $zero")
+    // scores are bounded sanity: a linear model on milli-scale features
+    // with nano weights stays in a sane range
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("score")) < 10.0))
+  }
+
   test("residual IVF-PQ lifts recall over the non-residual composition") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet

@@ -187,6 +187,224 @@ object Multimodal extends Serializable {
     bos.toByteArray
   }
 
+  // ---------------------------------------------------------------- audio
+
+  /** Deterministic 16-bit PCM sample function — pure (frame, seed)
+    * arithmetic over non-negative BIGINTs so DuckDB replays it exactly:
+    * s(i) = ((i·2654435761 + seed·977) mod 65536) − 32768 ∈ [−32768, 32767]. */
+  def pcmSample(i: Long, seed: Long): Int =
+    (((i * 2654435761L + seed * 977L) % 65536L) - 32768L).toInt
+
+  /** Encode one GENUINE RIFF/WAVE file (16-bit signed PCM, mono,
+    * little-endian) via JDK `javax.sound.sampled.AudioSystem` — the audio
+    * twin of [[tinyPng]]. Samples are [[pcmSample]](i, seed). */
+  def tinyWav(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = pcmSample(i.toLong, seed)
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  final case class WavDecoded(sampleRate: Int, channels: Int, bits: Int,
+                              nFrames: Long, samples: Array[Int])
+
+  /** REAL audio decode via JDK `javax.sound.sampled` (WAV/AIFF/AU — the
+    * formats the JDK ships parsers for; no external library): parses the
+    * actual RIFF header for format + frame count and reads the PCM frames
+    * back to Int samples (16-bit signed LE mono is what our fixtures
+    * write; anything else a reader accepts still decodes, we just
+    * reassemble 16-bit LE). None when no installed reader recognizes the
+    * bytes — the caller falls back to the labeled stub, exactly like
+    * [[decodeImage]]. */
+  def decodeWav(content: Array[Byte]): Option[WavDecoded] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val f = ais.getFormat
+        val bytes = ais.readAllBytes()
+        val samples = new Array[Int](bytes.length / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+          i += 1
+        }
+        Some(WavDecoded(f.getSampleRate.toInt, f.getChannels,
+          f.getSampleSizeInBits, ais.getFrameLength, samples))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Real-audio fixture: one tiny WAV per document — frame count a pure
+    * doc_id arithmetic (1600 + id mod 1600 frames at 8 kHz), bytes a
+    * genuine AudioSystem WAVE encode of [[pcmSample]](i, doc_id). The
+    * DuckDB oracle PREDICTS rate/frames/energy from the arithmetic while
+    * the Spark side must genuinely parse the RIFF header and PCM frames
+    * to report them. Narrow mapPartitions, no shuffle. */
+  def wavsFromDocuments(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        MediaRow(id, tinyWav(1600 + (id % 1600).toInt, 8000, id))
+      }
+    }
+  }
+
+  final case class WavSegment(media_id: Long, sample_rate: Int,
+                              n_frames: Long, duration_ms: Long, seg_idx: Int,
+                              start_frame: Long, end_frame: Long, energy: Long)
+
+  /** Windowed energy over GENUINELY DECODED samples (the spectrogram
+    * framing pass, but with real PCM underneath instead of the stub):
+    * fixed windows of `windowFrames` with `hopFrames` hop; energy is the
+    * integer Σ|s(i)| over the window — exact, so the oracle replays it
+    * from the sample formula. Rows whose bytes no audio reader accepts
+    * are dropped (a real pipeline routes them to a DLQ; the fixture
+    * generator never produces them). */
+  def segmentWav(media: Dataset[MediaRow], windowFrames: Int,
+                 hopFrames: Int): Dataset[WavSegment] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      decodeWav(m.content).iterator.flatMap { w =>
+        val nSegs =
+          (((w.nFrames - windowFrames) / hopFrames) + 1).max(1)
+        (0L until nSegs).iterator.map { seg =>
+          val start = seg * hopFrames
+          val end = math.min(start + windowFrames, w.nFrames)
+          var e = 0L
+          var i = start
+          while (i < end) { e += math.abs(w.samples(i.toInt).toLong); i += 1 }
+          WavSegment(m.media_id, w.sampleRate, w.nFrames,
+            w.nFrames * 1000L / w.sampleRate, seg.toInt, start, end, e)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- video
+
+  /** Encode one GENUINE ISO BMFF (MP4) header: ftyp + moov{mvhd} + free
+    * boxes with correct sizes — the container-metadata twin of
+    * [[tinyPng]]/[[tinyWav]]. `v1` selects the 64-bit mvhd variant
+    * (version 1) a modern muxer writes for long media. */
+  def tinyMp4(timescale: Int, duration: Long, v1: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    // ftyp: major isom, minor 0x200, compatible [isom, iso2]
+    out.writeInt(24); fourcc("ftyp"); fourcc("isom"); out.writeInt(0x200)
+    fourcc("isom"); fourcc("iso2")
+    // moov { mvhd }
+    // version+flags(4) + times+timescale+duration (28 v1 / 16 v0) +
+    // rate(4) + volume(2) + reserved(10) + matrix(36) + pre_defined(24) +
+    // next_track_ID(4) — the spec's 100/112-byte mvhd payloads
+    val mvhdPayload = if (v1) 112 else 100
+    out.writeInt(8 + 8 + mvhdPayload); fourcc("moov")
+    out.writeInt(8 + mvhdPayload); fourcc("mvhd")
+    out.writeByte(if (v1) 1 else 0); out.writeByte(0); out.writeShort(0)
+    if (v1) {
+      out.writeLong(0L); out.writeLong(0L) // creation/modification
+      out.writeInt(timescale); out.writeLong(duration)
+    } else {
+      out.writeInt(0); out.writeInt(0)
+      out.writeInt(timescale); out.writeInt(duration.toInt)
+    }
+    out.writeInt(0x00010000) // rate 1.0
+    out.writeShort(0x0100) // volume 1.0
+    out.writeShort(0); out.writeInt(0); out.writeInt(0) // reserved
+    // unity matrix
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(out.writeInt)
+    (0 until 6).foreach(_ => out.writeInt(0)) // pre_defined
+    out.writeInt(2) // next_track_ID
+    // trailing free box (parsers must skip unknown/irrelevant boxes)
+    out.writeInt(16); fourcc("free"); out.writeLong(0L)
+    out.flush()
+    bos.toByteArray
+  }
+
+  final case class Mp4Meta(brand: String, timescale: Long, duration: Long,
+                           mvhdVersion: Int)
+
+  /** REAL ISO BMFF box walk (pure-JVM byte parsing — the MP4 analog of a
+    * header-only ImageIO read): iterates top-level boxes by declared
+    * size, records the ftyp major brand, descends into moov, and reads
+    * timescale/duration from mvhd handling BOTH the 32-bit (version 0)
+    * and 64-bit (version 1) layouts. Skips boxes it does not know —
+    * required for real files. None when the structure is not BMFF. */
+  def parseMp4(content: Array[Byte]): Option[Mp4Meta] = {
+    val bb = java.nio.ByteBuffer.wrap(content)
+    def typeAt(p: Int): String =
+      new String(content, p, 4, "US-ASCII")
+    try {
+      var pos = 0
+      var brand: Option[String] = None
+      var meta: Option[(Long, Long, Int)] = None
+      while (pos + 8 <= content.length) {
+        val size = bb.getInt(pos).toLong & 0xFFFFFFFFL
+        if (size < 8 || pos + size > content.length) return None
+        typeAt(pos + 4) match {
+          case "ftyp" => brand = Some(typeAt(pos + 8))
+          case "moov" =>
+            var cp = pos + 8
+            val end = pos + size.toInt
+            while (cp + 8 <= end) {
+              val cs = bb.getInt(cp).toLong & 0xFFFFFFFFL
+              if (cs < 8 || cp + cs > end) return None
+              if (typeAt(cp + 4) == "mvhd") {
+                val version = content(cp + 8) & 0xFF
+                if (version == 1)
+                  meta = Some((bb.getInt(cp + 28).toLong & 0xFFFFFFFFL,
+                    bb.getLong(cp + 32), 1))
+                else
+                  meta = Some((bb.getInt(cp + 20).toLong & 0xFFFFFFFFL,
+                    bb.getInt(cp + 24).toLong & 0xFFFFFFFFL, 0))
+              }
+              cp += cs.toInt
+            }
+          case _ => ()
+        }
+        pos += size.toInt
+      }
+      for (b <- brand; (ts, dur, v) <- meta) yield Mp4Meta(b, ts, dur, v)
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  final case class Mp4Row(media_id: Long, brand: String, mvhd_version: Int,
+                          timescale: Long, duration: Long, duration_ms: Long)
+
+  /** Real-container fixture + decode: one genuine MP4 header per document
+    * (timescale/duration pure doc_id arithmetic, alternating mvhd v0/v1),
+    * box-walked back by [[parseMp4]]. Oracle predicts every field from
+    * the arithmetic; a stub or broken walker mismatches every row. */
+  def mp4sFromDocuments(s: SparkSession, docs: DataFrame): Dataset[Mp4Row] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val ts = 500L + id % 1000L
+        val dur = 10000L + (id * 13L) % 90000L
+        val bytes = tinyMp4(ts.toInt, dur, v1 = id % 3 == 0)
+        val m = parseMp4(bytes).getOrElse(
+          throw new IllegalStateException(s"BMFF walk failed for $id"))
+        Mp4Row(id, m.brand, m.mvhdVersion, m.timescale, m.duration,
+          m.duration * 1000L / m.timescale)
+      }
+    }
+  }
+
   /** Real-image fixture: one tiny PNG per document, dimensions a pure
     * doc_id arithmetic (8 + id % 61, 8 + 7·id % 53) — so the DuckDB
     * oracle PREDICTS width/height while the Spark side must genuinely

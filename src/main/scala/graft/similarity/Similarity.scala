@@ -159,7 +159,14 @@ object Similarity extends Serializable {
   def lshBits(n: Long, targetBucket: Long = 64L): Int = {
     val q = (n + targetBucket - 1) / targetBucket
     val b = if (q <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
-    math.min(16, math.max(4, b))
+    // Cap 24, not 16: the round-8 100x run measured the old 16-bit cap
+    // letting bucket occupancy grow linearly past ~1M vectors (2M vectors
+    // -> 30/bucket instead of the 16 target -> ~2x the candidate set in
+    // ann_knn_graph). 24 bits keeps occupancy at targetBucket to ~270M
+    // vectors/table while the signature still fits an Int; below 1M
+    // vectors the formula is unchanged, so every oracle tier replays
+    // identically (the SQL mirrors compute the same least(24, ...)).
+    math.min(24, math.max(4, b))
   }
 
   /** Deterministic centroid component for (cell c, dim d) — md5-derived

@@ -359,6 +359,53 @@ class LlmPipelineSpec extends SparkSpec {
     assert(Multimodal.decodeAny(txt) == Multimodal.decodeStub(txt))
   }
 
+  test("AudioSystem decodes genuine WAV bytes back to the exact samples") {
+    val wav = Multimodal.tinyWav(nFrames = 777, sampleRate = 8000, seed = 42L)
+    // a real RIFF container, parsed by the real JDK reader
+    val d = Multimodal.decodeWav(wav).get
+    assert(d.sampleRate == 8000 && d.channels == 1 && d.bits == 16)
+    assert(d.nFrames == 777L && d.samples.length == 777)
+    (0 until 777).foreach { i =>
+      assert(d.samples(i) == Multimodal.pcmSample(i.toLong, 42L))
+    }
+    // non-audio bytes and a corrupted header take the None path
+    assert(Multimodal.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    assert(Multimodal.decodeWav(bad).isEmpty)
+  }
+
+  test("segmentWav windows genuinely decoded PCM with exact integer energy") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).limit(12)
+    val segs = Multimodal
+      .segmentWav(Multimodal.wavsFromDocuments(spark, docs), 400, 200)
+      .collect()
+    assert(segs.nonEmpty)
+    segs.groupBy(_.media_id).foreach { case (id, rows) =>
+      val nf = 1600 + (id % 1600)
+      assert(rows.forall(r => r.n_frames == nf && r.sample_rate == 8000))
+      assert(rows.length == ((nf - 400) / 200 + 1).toInt)
+      rows.foreach { r =>
+        val expect = (r.start_frame until r.end_frame)
+          .map(i => math.abs(Multimodal.pcmSample(i, id).toLong)).sum
+        assert(r.energy == expect, s"energy mismatch at $id/${r.seg_idx}")
+      }
+    }
+  }
+
+  test("parseMp4 walks real BMFF boxes in both mvhd layouts") {
+    val v0 = Multimodal.tinyMp4(timescale = 730, duration = 54321L, v1 = false)
+    assert(Multimodal.parseMp4(v0)
+      .contains(Multimodal.Mp4Meta("isom", 730L, 54321L, 0)))
+    val v1 = Multimodal.tinyMp4(timescale = 90000, duration = 7654321L,
+      v1 = true)
+    assert(Multimodal.parseMp4(v1)
+      .contains(Multimodal.Mp4Meta("isom", 90000L, 7654321L, 1)))
+    // non-BMFF bytes and a truncated box are rejected, not mis-parsed
+    assert(Multimodal.parseMp4("RIFFnope".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseMp4(v0.take(30)).isEmpty)
+  }
+
   test("imagesFromDocuments round-trips real PNG dims through resizePlan") {
     val docs = graft.Tables.documents(spark, sf).limit(40)
     val plans = Multimodal

@@ -95,7 +95,15 @@ object Bench {
       quiesce()
       val m0 = metrics.mark()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Consume the FULL optimized plan (every output column, final sort
+      // included), not count(1): under a count, Catalyst legally prunes
+      // columns and ELIMINATES left joins against unique-keyed aggregates
+      // — text_substring_dedup's whole dup-span pipeline vanished under
+      // the old .count() (caught at the round-8 100x tier: 1.4s, zero
+      // shuffle, for 500k docs). toRdd.count() iterates every InternalRow
+      // of the declared query without collecting rows to the driver.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       val wall = (System.nanoTime() - t0) / 1e9
       evidence(name) = metrics.evidenceJson(m0, wall)
       name -> wall

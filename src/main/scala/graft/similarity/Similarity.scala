@@ -268,12 +268,21 @@ object Similarity extends Serializable {
     // the (small) verified set instead of the full candidate set.
     val cand = left.join(right, Seq("table", "bucket"))
       .where(col("a") < col("b")).select("a", "b")
+    // Vector attach via SHUFFLE-HASH join, not sort-merge: the candidate
+    // side is tens of millions of rows and, after the first attach, ~550B
+    // wide (a 64-dim double array per row) — SMJ would externally SORT
+    // that side twice, which is exactly the spill the round-8 100x-tier
+    // re-measure died on (79GB of UnsafeExternalSorter spill, disk-full).
+    // SHJ builds a per-partition hash map from the SMALL side (emb:
+    // n/numPartitions rows per task, ~3.4MB at the 100x tier, still fine
+    // at 1B vectors with proportionally more partitions — where a
+    // broadcast of emb could not hold) and STREAMS the candidate side.
     val emb = base.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
     cand
       .join(emb.select(col("vec_id").as("a"), col("e").as("ea"),
-        col("nrm").as("na")), Seq("a"))
+        col("nrm").as("na")).hint("shuffle_hash"), Seq("a"))
       .join(emb.select(col("vec_id").as("b"), col("e").as("eb"),
-        col("nrm").as("nb")), Seq("b"))
+        col("nrm").as("nb")).hint("shuffle_hash"), Seq("b"))
       .select(col("a"), col("b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
           .as("sim"))
@@ -327,12 +336,15 @@ object Similarity extends Serializable {
       explode(probes).as("bucket"))
     val cand = left.join(right, Seq("table", "bucket"))
       .where(col("a") =!= col("b")).select("a", "b").distinct()
+    // Same shuffle-hash attach as lshNearDupPairs (see the comment there):
+    // the deduped candidate set is the big streamed side; sorting it for
+    // SMJ is what blew the 100x-tier disk.
     val emb = base.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
     val scored = cand
       .join(emb.select(col("vec_id").as("a"), col("e").as("ea"),
-        col("nrm").as("na")), Seq("a"))
+        col("nrm").as("na")).hint("shuffle_hash"), Seq("a"))
       .join(emb.select(col("vec_id").as("b"), col("e").as("eb"),
-        col("nrm").as("nb")), Seq("b"))
+        col("nrm").as("nb")).hint("shuffle_hash"), Seq("b"))
       .select(col("a").as("vec_id"), col("b").as("neighbor"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
           .as("sim"))

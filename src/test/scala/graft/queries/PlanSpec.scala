@@ -218,6 +218,26 @@ class PlanSpec extends SparkSpec {
       s"token scoring join lost its salt: $p")
   }
 
+  test("LSH vector-attach joins are shuffle-hash, not sort-merge") {
+    // The candidate→embedding attach joins stream tens of millions of
+    // narrow pair rows against the (comparatively) small embeddings side.
+    // Under SMJ, Spark externally sorts the candidate side — after the
+    // first attach those rows carry a 64-dim double array (~550B), and
+    // the round-8 100x-tier run spilled 79GB and filled the disk doing
+    // exactly that. The shuffle_hash hint pins the per-partition hash
+    // build on the embeddings side; this spec keeps it pinned.
+    for ((name, df) <- Seq(
+        "ann_lsh" -> LlmPipeline.annLsh(spark, sf),
+        "ann_knn_graph" -> LlmPipeline.annKnnGraph(spark, sf))) {
+      val p = df.queryExecution.executedPlan.toString
+      val shj = "ShuffledHashJoin".r.findAllIn(p).size
+      assert(shj >= 2,
+        s"$name: expected >=2 shuffle-hash vector attaches, got $shj:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: a sort-merge join crept back into the attach path:\n$p")
+    }
+  }
+
   test("uDLang kernel tier is a single narrow flatMap (no shuffle)") {
     val src = """script "rec";
       |input  {l_orderkey: Int, l_linenumber: Int};

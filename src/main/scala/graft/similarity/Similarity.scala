@@ -229,10 +229,12 @@ object Similarity extends Serializable {
   /** LSH-bucketed near-dup with count-derived signature width and
     * radius-1 multi-probe.
     *
-    * Shape at scale: signatures are computed in one narrow pass (nBits ×
-    * tables codegen'd dot products against literal plane arrays); the only
-    * wide shuffle ships (vec_id, table, bucket) triples — embeddings are
-    * joined back only for verified candidate pairs. Multi-probe expands the
+    * Shape at scale: signatures are computed in one pass (nBits ×
+    * tables codegen'd dot products against literal plane arrays); the
+    * wide shuffle ships each vector through the bucket exchange
+    * (nBits+1 probe copies of (vec_id, e, nrm)) and pairs are scored
+    * INSIDE the bucket join's stage — everything downstream shuffles
+    * 24-byte rows. Multi-probe expands the
     * probe side to nBits+1 buckets (the signature and its 1-bit flips), so
     * a candidate pair is EXACTLY a pair with Hamming(sig_a, sig_b) ≤ 1 in
     * some table — a closed-form predicate the DuckDB oracle evaluates
@@ -253,36 +255,37 @@ object Similarity extends Serializable {
         when(dot(col("e"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _).as(s"sig_$t")
     }
-    val sigs = base.select(col("vec_id") +: sigCols: _*)
-    val stacked = sigs.select(col("vec_id"),
+    // FUSED bucket-join scoring (round-8 100x rework): vectors ride the
+    // bucket exchange ONCE — (vec_id, e, nrm) × probes — and every
+    // candidate pair is scored INSIDE the bucket join's stage, projecting
+    // down to narrow (a, b, sim) rows before anything else shuffles.
+    // The previous shape generated narrow candidate pairs and then
+    // JOINED the embeddings back on (twice); at the 100x tier the
+    // a-attached intermediate (tens of millions of rows × a 64-dim
+    // double array) went through its own exchange — 61GB of shuffle
+    // under shuffle-hash attach, an out-of-disk sort spill under SMJ.
+    // Here the wide shuffle is bounded by n × (nBits+1) probe copies
+    // (~4KB/vector at 64 dims), NOT by the candidate-pair count, and the
+    // only post-scoring exchanges carry 24-byte rows. The per-partition
+    // hash build is the exact-bucket side: n/numPartitions wide rows per
+    // task (~14MB at the 100x tier, constant-per-task at 1B vectors with
+    // proportionally more partitions — where a broadcast could not hold).
+    val sigs = base.select(col("vec_id") +: col("e") +:
+      sqrt(dot(col("e"), col("e"))).as("nrm") +: sigCols: _*)
+    val stacked = sigs.select(col("vec_id"), col("e"), col("nrm"),
       posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
         .as(Seq("table", "sig")))
-    val left = stacked.select(col("vec_id").as("a"), col("table"),
-      col("sig").as("bucket"))
+    val left = stacked.select(col("vec_id").as("a"), col("e").as("ea"),
+      col("nrm").as("na"), col("table"), col("sig").as("bucket"))
     val probes = array(col("sig") +:
       (0 until nBits).map(p => col("sig").bitwiseXOR(lit(1 << p))): _*)
-    val right = stacked.select(col("vec_id").as("b"), col("table"),
-      explode(probes).as("bucket"))
+    val right = stacked.select(col("vec_id").as("b"), col("e").as("eb"),
+      col("nrm").as("nb"), col("table"), explode(probes).as("bucket"))
     // Dedup AFTER the verify filter: a pair survives in at most `tables`
-    // copies, all with identical (a, b, sim), so the distinct shuffles only
-    // the (small) verified set instead of the full candidate set.
-    val cand = left.join(right, Seq("table", "bucket"))
-      .where(col("a") < col("b")).select("a", "b")
-    // Vector attach via SHUFFLE-HASH join, not sort-merge: the candidate
-    // side is tens of millions of rows and, after the first attach, ~550B
-    // wide (a 64-dim double array per row) — SMJ would externally SORT
-    // that side twice, which is exactly the spill the round-8 100x-tier
-    // re-measure died on (79GB of UnsafeExternalSorter spill, disk-full).
-    // SHJ builds a per-partition hash map from the SMALL side (emb:
-    // n/numPartitions rows per task, ~3.4MB at the 100x tier, still fine
-    // at 1B vectors with proportionally more partitions — where a
-    // broadcast of emb could not hold) and STREAMS the candidate side.
-    val emb = base.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-    cand
-      .join(emb.select(col("vec_id").as("a"), col("e").as("ea"),
-        col("nrm").as("na")).hint("shuffle_hash"), Seq("a"))
-      .join(emb.select(col("vec_id").as("b"), col("e").as("eb"),
-        col("nrm").as("nb")).hint("shuffle_hash"), Seq("b"))
+    // copies, all with identical (a, b, sim), so the distinct shuffles
+    // only the (small) verified set instead of the full candidate set.
+    left.hint("shuffle_hash").join(right, Seq("table", "bucket"))
+      .where(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
           .as("sim"))
@@ -300,11 +303,12 @@ object Similarity extends Serializable {
     * all start from — near-dup pairs answer "who is a duplicate", the
     * graph answers "who are my k closest, duplicate or not".
     *
-    * Shape at scale: identical to lshNearDupPairs up to candidates (one
-    * narrow signature pass, the wide shuffle ships (vec_id, table,
-    * bucket) triples); pairs dedup BEFORE scoring on 16-byte (a, b) ids
-    * so each survives once regardless of how many tables caught it (the
-    * window would otherwise rank duplicates); ranking is a per-vector
+    * Shape at scale: identical to lshNearDupPairs (fused bucket-join
+    * scoring — the wide shuffle is the vector's nBits+1 probe copies,
+    * never the candidate pairs); scored rows dedup on (vec_id, neighbor,
+    * sim) — duplicates from different tables are bit-identical — so each
+    * pair reaches the window once (which would otherwise rank
+    * duplicates); ranking is a per-vector
     * window over the candidate set only — never the corpus. Vectors
     * whose buckets yield fewer than k candidates emit fewer rows (the
     * standard ANN-graph recall/efficiency trade, tunable via tables ×
@@ -324,30 +328,31 @@ object Similarity extends Serializable {
         when(dot(col("e"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _).as(s"sig_$t")
     }
-    val sigs = base.select(col("vec_id") +: sigCols: _*)
-    val stacked = sigs.select(col("vec_id"),
+    // Same FUSED bucket-join scoring as lshNearDupPairs (see the comment
+    // there): vectors ride the bucket exchange once, pairs are scored in
+    // the join's own stage, and only 24-byte (vec_id, neighbor, sim) rows
+    // shuffle afterwards. A pair caught by several tables/probes yields
+    // IDENTICAL scored rows (same deterministic dot), so the pre-window
+    // dedup moves from the candidate ids to the scored rows — same set,
+    // and the duplicate-rank hazard stays closed.
+    val sigs = base.select(col("vec_id") +: col("e") +:
+      sqrt(dot(col("e"), col("e"))).as("nrm") +: sigCols: _*)
+    val stacked = sigs.select(col("vec_id"), col("e"), col("nrm"),
       posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
         .as(Seq("table", "sig")))
-    val left = stacked.select(col("vec_id").as("a"), col("table"),
-      col("sig").as("bucket"))
+    val left = stacked.select(col("vec_id").as("a"), col("e").as("ea"),
+      col("nrm").as("na"), col("table"), col("sig").as("bucket"))
     val probes = array(col("sig") +:
       (0 until nBits).map(p => col("sig").bitwiseXOR(lit(1 << p))): _*)
-    val right = stacked.select(col("vec_id").as("b"), col("table"),
-      explode(probes).as("bucket"))
-    val cand = left.join(right, Seq("table", "bucket"))
-      .where(col("a") =!= col("b")).select("a", "b").distinct()
-    // Same shuffle-hash attach as lshNearDupPairs (see the comment there):
-    // the deduped candidate set is the big streamed side; sorting it for
-    // SMJ is what blew the 100x-tier disk.
-    val emb = base.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-    val scored = cand
-      .join(emb.select(col("vec_id").as("a"), col("e").as("ea"),
-        col("nrm").as("na")).hint("shuffle_hash"), Seq("a"))
-      .join(emb.select(col("vec_id").as("b"), col("e").as("eb"),
-        col("nrm").as("nb")).hint("shuffle_hash"), Seq("b"))
+    val right = stacked.select(col("vec_id").as("b"), col("e").as("eb"),
+      col("nrm").as("nb"), col("table"), explode(probes).as("bucket"))
+    val scored = left.hint("shuffle_hash")
+      .join(right, Seq("table", "bucket"))
+      .where(col("a") =!= col("b"))
       .select(col("a").as("vec_id"), col("b").as("neighbor"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
           .as("sim"))
+      .distinct()
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("neighbor"))
     scored.withColumn("rank", row_number().over(w).cast("int"))

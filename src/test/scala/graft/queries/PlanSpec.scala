@@ -218,23 +218,25 @@ class PlanSpec extends SparkSpec {
       s"token scoring join lost its salt: $p")
   }
 
-  test("LSH vector-attach joins are shuffle-hash, not sort-merge") {
-    // The candidate→embedding attach joins stream tens of millions of
-    // narrow pair rows against the (comparatively) small embeddings side.
-    // Under SMJ, Spark externally sorts the candidate side — after the
-    // first attach those rows carry a 64-dim double array (~550B), and
-    // the round-8 100x-tier run spilled 79GB and filled the disk doing
-    // exactly that. The shuffle_hash hint pins the per-partition hash
-    // build on the embeddings side; this spec keeps it pinned.
+  test("LSH scoring is fused into a single shuffle-hash bucket join") {
+    // The round-8 100x tier killed two prior shapes: candidate pairs
+    // joined back to embeddings via SMJ externally SORTED tens of
+    // millions of ~550B rows (79GB spill, disk-full), and via
+    // shuffle-hash attach the a-attached wide intermediate still paid
+    // its own 61GB exchange. The survivor ships each vector through the
+    // bucket exchange once and scores pairs INSIDE the join's stage —
+    // so the plan must show exactly one join, shuffle-hash (the
+    // exact-bucket side is the per-partition build; a broadcast could
+    // not hold at 1B vectors), and no sort-merge join anywhere.
     for ((name, df) <- Seq(
         "ann_lsh" -> LlmPipeline.annLsh(spark, sf),
         "ann_knn_graph" -> LlmPipeline.annKnnGraph(spark, sf))) {
       val p = df.queryExecution.executedPlan.toString
       val shj = "ShuffledHashJoin".r.findAllIn(p).size
-      assert(shj >= 2,
-        s"$name: expected >=2 shuffle-hash vector attaches, got $shj:\n$p")
+      assert(shj == 1,
+        s"$name: expected the single fused bucket join, got $shj:\n$p")
       assert(!p.contains("SortMergeJoin"),
-        s"$name: a sort-merge join crept back into the attach path:\n$p")
+        s"$name: a sort-merge join crept back in:\n$p")
     }
   }
 

@@ -249,49 +249,75 @@ object Similarity extends Serializable {
     // known table pass knownCount (Tables.cachedCount — one count per
     // session, or a table statistic on a lakehouse).
     val nBits = lshBits(knownCount.getOrElse(base.count()), targetBucket)
+    // Dedup AFTER the verify filter: a pair survives in at most `tables`
+    // copies, all with identical (a, b, sim), so the distinct shuffles
+    // only the (small) verified set instead of the full candidate set.
+    fusedScoredPairs(base, nBits, tables, dim)
+      .where(col("sim") >= threshold)
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  /** Unordered LSH candidate pairs (a < b) with exact cosine, scored
+    * inside a SINGLE shuffle-hash bucket join — the shared engine of
+    * [[lshNearDupPairs]] and [[lshKnnGraph]]. The pair set is exactly
+    * {(a,b) : Hamming(sig_a, sig_b) ≤ 1 in some table} — the closed-form
+    * predicate the DuckDB oracles evaluate quadratically — with possible
+    * bit-identical duplicate rows (same deterministic dot), so callers
+    * dedup with a plain distinct.
+    *
+    * FUSED bucket-join scoring (round-8 100x rework): vectors ride the
+    * bucket exchange ONCE — (vec_id, e, nrm) per probe — and every
+    * candidate pair is scored INSIDE the bucket join's stage, projecting
+    * down to narrow (a, b, sim) rows before anything else shuffles. The
+    * r7 shape generated narrow candidate pairs and then JOINED the
+    * embeddings back on (twice); at the 100x tier the a-attached wide
+    * intermediate (tens of millions of rows × a 64-dim double array)
+    * paid a 61GB exchange under shuffle-hash attach and an out-of-disk
+    * 79GB sort spill under SMJ. Here the wide shuffle is bounded by
+    * corpus size × probes, NOT by the candidate-pair count, and the only
+    * post-scoring exchanges carry 24-byte rows. The per-partition hash
+    * build is the exact-bucket side: n/numPartitions wide rows per task
+    * (~14MB at the 100x tier, constant-per-task at 1B vectors with
+    * proportionally more partitions — where a broadcast could not hold).
+    *
+    * UPWARD-ONLY multi-probe: a Hamming-1 pair differs at exactly one
+    * bit p; precisely ONE member has bit p clear. Probing only the
+    * set-this-bit flips (plus the identity bucket for Hamming-0) still
+    * catches every pair — the clear-bit member probes UP into the other
+    * member's exact bucket — while halving the probe fan-out (avg
+    * 1 + nBits/2 copies per vector instead of nBits+1) and catching each
+    * Hamming-1 pair exactly once instead of twice. The probe side is
+    * the big streamed side of the join, so this halves the wide shuffle
+    * AND the scored volume. */
+  private def fusedScoredPairs(base: DataFrame, nBits: Int, tables: Int,
+                               dim: Int): DataFrame = {
     val sigCols = (0 until tables).map { t =>
       (0 until nBits).map { p =>
         val plane = array((1 to dim).map(d => lit(planeComponent(t, p, d))): _*)
         when(dot(col("e"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _).as(s"sig_$t")
     }
-    // FUSED bucket-join scoring (round-8 100x rework): vectors ride the
-    // bucket exchange ONCE — (vec_id, e, nrm) × probes — and every
-    // candidate pair is scored INSIDE the bucket join's stage, projecting
-    // down to narrow (a, b, sim) rows before anything else shuffles.
-    // The previous shape generated narrow candidate pairs and then
-    // JOINED the embeddings back on (twice); at the 100x tier the
-    // a-attached intermediate (tens of millions of rows × a 64-dim
-    // double array) went through its own exchange — 61GB of shuffle
-    // under shuffle-hash attach, an out-of-disk sort spill under SMJ.
-    // Here the wide shuffle is bounded by n × (nBits+1) probe copies
-    // (~4KB/vector at 64 dims), NOT by the candidate-pair count, and the
-    // only post-scoring exchanges carry 24-byte rows. The per-partition
-    // hash build is the exact-bucket side: n/numPartitions wide rows per
-    // task (~14MB at the 100x tier, constant-per-task at 1B vectors with
-    // proportionally more partitions — where a broadcast could not hold).
     val sigs = base.select(col("vec_id") +: col("e") +:
       sqrt(dot(col("e"), col("e"))).as("nrm") +: sigCols: _*)
     val stacked = sigs.select(col("vec_id"), col("e"), col("nrm"),
       posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
         .as(Seq("table", "sig")))
-    val left = stacked.select(col("vec_id").as("a"), col("e").as("ea"),
+    val exact = stacked.select(col("vec_id").as("a"), col("e").as("ea"),
       col("nrm").as("na"), col("table"), col("sig").as("bucket"))
-    val probes = array(col("sig") +:
-      (0 until nBits).map(p => col("sig").bitwiseXOR(lit(1 << p))): _*)
-    val right = stacked.select(col("vec_id").as("b"), col("e").as("eb"),
-      col("nrm").as("nb"), col("table"), explode(probes).as("bucket"))
-    // Dedup AFTER the verify filter: a pair survives in at most `tables`
-    // copies, all with identical (a, b, sim), so the distinct shuffles
-    // only the (small) verified set instead of the full candidate set.
-    left.hint("shuffle_hash").join(right, Seq("table", "bucket"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"),
+    val upProbes = array_compact(array(col("sig") +:
+      (0 until nBits).map { p =>
+        when(col("sig").bitwiseAND(lit(1 << p)) === 0,
+          col("sig").bitwiseOR(lit(1 << p))).otherwise(lit(null))
+      }: _*))
+    val probed = stacked.select(col("vec_id").as("b"), col("e").as("eb"),
+      col("nrm").as("nb"), col("table"), explode(upProbes).as("bucket"))
+    exact.hint("shuffle_hash").join(probed, Seq("table", "bucket"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
           .as("sim"))
-      .where(col("sim") >= threshold)
-      .distinct()
-      .orderBy("a", "b")
   }
 
   /** k-NN GRAPH: every corpus vector's top-k nearest neighbors, mined
@@ -322,37 +348,23 @@ object Similarity extends Serializable {
     val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
       toDoubleArr(col("embedding")).as("e"))
     val nBits = lshBits(knownCount.getOrElse(base.count()), targetBucket)
-    val sigCols = (0 until tables).map { t =>
-      (0 until nBits).map { p =>
-        val plane = array((1 to dim).map(d => lit(planeComponent(t, p, d))): _*)
-        when(dot(col("e"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _).as(s"sig_$t")
-    }
-    // Same FUSED bucket-join scoring as lshNearDupPairs (see the comment
-    // there): vectors ride the bucket exchange once, pairs are scored in
-    // the join's own stage, and only 24-byte (vec_id, neighbor, sim) rows
-    // shuffle afterwards. A pair caught by several tables/probes yields
-    // IDENTICAL scored rows (same deterministic dot), so the pre-window
-    // dedup moves from the candidate ids to the scored rows — same set,
-    // and the duplicate-rank hazard stays closed.
-    val sigs = base.select(col("vec_id") +: col("e") +:
-      sqrt(dot(col("e"), col("e"))).as("nrm") +: sigCols: _*)
-    val stacked = sigs.select(col("vec_id"), col("e"), col("nrm"),
-      posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
-        .as(Seq("table", "sig")))
-    val left = stacked.select(col("vec_id").as("a"), col("e").as("ea"),
-      col("nrm").as("na"), col("table"), col("sig").as("bucket"))
-    val probes = array(col("sig") +:
-      (0 until nBits).map(p => col("sig").bitwiseXOR(lit(1 << p))): _*)
-    val right = stacked.select(col("vec_id").as("b"), col("e").as("eb"),
-      col("nrm").as("nb"), col("table"), explode(probes).as("bucket"))
-    val scored = left.hint("shuffle_hash")
-      .join(right, Seq("table", "bucket"))
-      .where(col("a") =!= col("b"))
-      .select(col("a").as("vec_id"), col("b").as("neighbor"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-          .as("sim"))
-      .distinct()
+    // Same FUSED bucket-join scoring as lshNearDupPairs (see
+    // fusedScoredPairs): each UNORDERED pair is scored once, deduped on
+    // (a, b, sim) — duplicates from different tables are bit-identical —
+    // and then MIRRORED into both directions for the per-vector ranking
+    // (the oracle's candidate set is directed: a ≠ b, Hamming ≤ 1, which
+    // is exactly the symmetric closure). Scoring each pair once and
+    // unioning the swap is ~4× less scoring work than scoring every
+    // directed catch, and the union is exchange-free.
+    // Mirror with ONE explode, not a self-union: unionAll(df, df.swap)
+    // references the fused-join subtree twice and Spark would execute
+    // the whole mine+distinct twice.
+    val scored = fusedScoredPairs(base, nBits, tables, dim).distinct()
+      .select(explode(array(
+        struct(col("a").as("vec_id"), col("b").as("neighbor"), col("sim")),
+        struct(col("b").as("vec_id"), col("a").as("neighbor"), col("sim"))))
+        .as("r"))
+      .select(col("r.vec_id"), col("r.neighbor"), col("r.sim"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("neighbor"))
     scored.withColumn("rank", row_number().over(w).cast("int"))

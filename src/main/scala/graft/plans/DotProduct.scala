@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst dot-product over two double arrays.
   *
@@ -132,10 +132,70 @@ case class SqDistExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[DotProductExpr]] over FLOAT arrays, accumulating in double.
+  * float→double widening is exact, and the fold order matches, so
+  * fdot(fa, fb) ≡ dot(transform(fa, double), transform(fb, double))
+  * bit-for-bit — WITHOUT materializing the widened copies. This is the
+  * shuffle-payload expression for the LSH fused bucket join: shipping
+  * the original float vectors instead of widened doubles halves the
+  * wide exchange and the join's row-copy memory traffic. */
+case class FloatDotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_float_dot_product"
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $x.numElements();
+         |double $acc = 0.0;
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExprs {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProductExpr(ExpressionUtils.expression(a),
+        ExpressionUtils.expression(b)))
+  def fdot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatDotProductExpr(ExpressionUtils.expression(a),
         ExpressionUtils.expression(b)))
   def sqDist(a: Column, b: Column): Column =
     ExpressionUtils.column(

@@ -13,6 +13,11 @@ package object plans {
       * (same left-fold order as the aggregate/zip_with HOF idiom). */
     def sqDist(a: Column, b: Column): Column =
       org.apache.spark.sql.graft.GraftExprs.sqDist(a, b)
+    /** Codegen'd dot product of two ArrayType(FloatType) columns,
+      * accumulated in double — bit-identical to dot() over the widened
+      * arrays, without materializing them. */
+    def fdot(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.GraftExprs.fdot(a, b)
   }
 
   object Bloom {

@@ -244,7 +244,7 @@ object Similarity extends Serializable {
                       dim: Int = 64, knownCount: Option[Long] = None)
       : DataFrame = {
     val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
-      toDoubleArr(col("embedding")).as("e"))
+      col("embedding").cast("array<float>").as("ef"))
     // Adaptive stage: a count() sizes the signature. Callers reading a
     // known table pass knownCount (Tables.cachedCount — one count per
     // session, or a table statistic on a lakehouse).
@@ -292,32 +292,39 @@ object Similarity extends Serializable {
     * AND the scored volume. */
   private def fusedScoredPairs(base: DataFrame, nBits: Int, tables: Int,
                                dim: Int): DataFrame = {
+    // Signatures and norms are computed in doubles PRE-exchange (exactly
+    // as before — float→double widening is elementwise-exact), but the
+    // exchange ships the ORIGINAL float vector: half the wide-shuffle
+    // bytes and half the join's row-copy traffic. Scoring uses the
+    // float-array dot expression, which accumulates in double with the
+    // same fold order — bit-identical to widening first.
+    val e = toDoubleArr(col("ef"))
     val sigCols = (0 until tables).map { t =>
       (0 until nBits).map { p =>
         val plane = array((1 to dim).map(d => lit(planeComponent(t, p, d))): _*)
-        when(dot(col("e"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
+        when(dot(e, plane) >= 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _).as(s"sig_$t")
     }
-    val sigs = base.select(col("vec_id") +: col("e") +:
-      sqrt(dot(col("e"), col("e"))).as("nrm") +: sigCols: _*)
-    val stacked = sigs.select(col("vec_id"), col("e"), col("nrm"),
+    val sigs = base.select(col("vec_id") +: col("ef") +:
+      sqrt(dot(e, e)).as("nrm") +: sigCols: _*)
+    val stacked = sigs.select(col("vec_id"), col("ef"), col("nrm"),
       posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
         .as(Seq("table", "sig")))
-    val exact = stacked.select(col("vec_id").as("a"), col("e").as("ea"),
+    val exact = stacked.select(col("vec_id").as("a"), col("ef").as("efa"),
       col("nrm").as("na"), col("table"), col("sig").as("bucket"))
     val upProbes = array_compact(array(col("sig") +:
       (0 until nBits).map { p =>
         when(col("sig").bitwiseAND(lit(1 << p)) === 0,
           col("sig").bitwiseOR(lit(1 << p))).otherwise(lit(null))
       }: _*))
-    val probed = stacked.select(col("vec_id").as("b"), col("e").as("eb"),
+    val probed = stacked.select(col("vec_id").as("b"), col("ef").as("efb"),
       col("nrm").as("nb"), col("table"), explode(upProbes).as("bucket"))
     exact.hint("shuffle_hash").join(probed, Seq("table", "bucket"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-          .as("sim"))
+        round(graft.plans.DotProduct.fdot(col("efa"), col("efb")) /
+          (col("na") * col("nb")), 6).as("sim"))
   }
 
   /** k-NN GRAPH: every corpus vector's top-k nearest neighbors, mined
@@ -346,7 +353,7 @@ object Similarity extends Serializable {
                   dim: Int = 64, knownCount: Option[Long] = None)
       : DataFrame = {
     val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
-      toDoubleArr(col("embedding")).as("e"))
+      col("embedding").cast("array<float>").as("ef"))
     val nBits = lshBits(knownCount.getOrElse(base.count()), targetBucket)
     // Same FUSED bucket-join scoring as lshNearDupPairs (see
     // fusedScoredPairs): each UNORDERED pair is scored once, deduped on

@@ -47,6 +47,12 @@ object Bench {
     // Quantizer expression family (SqDistExpr + wide encode projections —
     // PQ's first use pays ~5s of Janino codegen).
     warmQuery("ann_pq")
+    // Residual PQ codebooks are a distinct index artifact (trained over
+    // the residual corpus, so they miss ann_pq's cache key); same
+    // build-once-per-serving-system policy as the plain PQ books. The
+    // timed run still pays the coarse k-means training (uncached by
+    // design — it is the adaptive stage the entry demonstrates).
+    warmQuery("ann_ivf_pq_residual")
     // Bucketed-layout write: a lakehouse pays it once at ingest; the timed
     // run then measures the Exchange-free join itself (ensureBucketed
     // skips the rewrite within a JVM).

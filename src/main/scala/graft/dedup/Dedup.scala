@@ -150,11 +150,12 @@ object Dedup extends Serializable {
       .select("n", "o").distinct()
     val txt = docs.select(col("doc_id").cast("long").as("doc_id"),
       col("text"))
+    // Shuffle-hash text attach — same rationale as minhashNearDups.
     val verified = cand
-      .join(txt.select(col("doc_id").as("n"), col("text").as("tn")),
-        Seq("n"))
-      .join(txt.select(col("doc_id").as("o"), col("text").as("to")),
-        Seq("o"))
+      .join(txt.select(col("doc_id").as("n"), col("text").as("tn"))
+        .hint("shuffle_hash"), Seq("n"))
+      .join(txt.select(col("doc_id").as("o"), col("text").as("to"))
+        .hint("shuffle_hash"), Seq("o"))
       .select(col("n"), col("o"), col("tn"), col("to"))
       .as[(Long, Long, String, String)]
       .map { case (n, o, tn, to) =>
@@ -214,10 +215,17 @@ object Dedup extends Serializable {
       .as[(Long, String)]
     val sigs = minhashSignatures(typed, w, k)
     val cand = lshCandidates(sigs, bands, k / bands)
+    // Text attach via shuffle-hash join: after the first attach the pair
+    // rows carry a whole document text, and SMJ would externally sort
+    // them (the wide-sort waste the round-8 100x tier measured on the
+    // LSH attach path). Build side = the corpus texts, n/numPartitions
+    // docs per task at any scale.
     val txt = docs.select(col("doc_id"), col("text"))
     val withTexts = cand
-      .join(txt.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
-      .join(txt.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+      .join(txt.select(col("doc_id").as("a"), col("text").as("ta"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(txt.select(col("doc_id").as("b"), col("text").as("tb"))
+        .hint("shuffle_hash"), Seq("b"))
       .select(col("a"), col("b"), col("ta"), col("tb"))
       .as[(Long, Long, String, String)]
     withTexts.map { case (a, b, ta, tb) =>

@@ -405,6 +405,122 @@ object Multimodal extends Serializable {
     }
   }
 
+  /** Genuine WEBP (RIFF) container bytes: 'RIFF' size 'WEBP', a leading
+    * UNKNOWN chunk with an ODD payload size (real RIFF pads chunks to
+    * even — a walker that forgets the pad byte desyncs), then either a
+    * VP8L (lossless) header — signature byte 0x2F + the packed
+    * 14-bit width-1 / 14-bit height-1 little-endian bitfield — or a
+    * VP8X (extended) header — flags + 24-bit LE canvas dims. Both are
+    * the public container layouts; only the pixel payload is omitted
+    * (header-only, like the PNG/MP4 fixtures). */
+  def tinyWebp(w: Int, h: Int, lossless: Boolean): Array[Byte] = {
+    require(w >= 1 && w <= 0x4000 && h >= 1 && h <= 0x4000)
+    val bos = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def u32le(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >>> 8) & 0xFF)
+      bos.write((v >>> 16) & 0xFF); bos.write((v >>> 24) & 0xFF)
+    }
+    // junk chunk payload (odd size 3 → 1 pad byte)
+    val junk = Array[Byte](7, 7, 7)
+    val imgPayload: Array[Byte] =
+      if (lossless) {
+        val bits = (w - 1) | ((h - 1) << 14) // alpha 0, version 0
+        Array[Byte](0x2F,
+          (bits & 0xFF).toByte, ((bits >>> 8) & 0xFF).toByte,
+          ((bits >>> 16) & 0xFF).toByte, ((bits >>> 24) & 0xFF).toByte)
+      } else {
+        val cw = w - 1; val ch = h - 1
+        Array[Byte](0, 0, 0, 0, // flags + reserved
+          (cw & 0xFF).toByte, ((cw >>> 8) & 0xFF).toByte,
+          ((cw >>> 16) & 0xFF).toByte,
+          (ch & 0xFF).toByte, ((ch >>> 8) & 0xFF).toByte,
+          ((ch >>> 16) & 0xFF).toByte)
+      }
+    val imgCc = if (lossless) "VP8L" else "VP8X"
+    def padded(n: Int): Int = n + (n & 1)
+    val riffSize = 4 + (8 + padded(junk.length)) + (8 + padded(imgPayload.length))
+    cc("RIFF"); u32le(riffSize); cc("WEBP")
+    cc("JUNK"); u32le(junk.length); bos.write(junk)
+    if ((junk.length & 1) == 1) bos.write(0)
+    cc(imgCc); u32le(imgPayload.length); bos.write(imgPayload)
+    if ((imgPayload.length & 1) == 1) bos.write(0)
+    bos.toByteArray
+  }
+
+  final case class WebpMeta(variant: String, width: Int, height: Int)
+
+  /** REAL RIFF/WEBP chunk walk (pure-JVM byte parsing — the webp analog
+    * of a header-only ImageIO read): validates the RIFF/WEBP envelope,
+    * iterates chunks honoring the even-byte pad rule, skips unknown
+    * chunks, and reads dimensions from whichever of the three public
+    * image-header layouts appears first — VP8L's packed 14-bit bitfield
+    * (after its 0x2F signature), VP8X's 24-bit LE canvas fields, or the
+    * lossy VP8 frame header (0x9D 0x01 0x2A start code, 14-bit dims).
+    * None when the structure is not WEBP. */
+  def parseWebp(content: Array[Byte]): Option[WebpMeta] = {
+    def u32le(p: Int): Long =
+      (content(p) & 0xFFL) | ((content(p + 1) & 0xFFL) << 8) |
+        ((content(p + 2) & 0xFFL) << 16) | ((content(p + 3) & 0xFFL) << 24)
+    def u24le(p: Int): Int =
+      (content(p) & 0xFF) | ((content(p + 1) & 0xFF) << 8) |
+        ((content(p + 2) & 0xFF) << 16)
+    def u16le(p: Int): Int =
+      (content(p) & 0xFF) | ((content(p + 1) & 0xFF) << 8)
+    def cc(p: Int): String = new String(content, p, 4, "US-ASCII")
+    try {
+      if (content.length < 12 || cc(0) != "RIFF" || cc(8) != "WEBP")
+        return None
+      val limit = math.min(content.length.toLong, 8L + u32le(4)).toInt
+      var pos = 12
+      while (pos + 8 <= limit) {
+        val size = u32le(pos + 4)
+        val p = pos + 8
+        if (p + size > limit) return None
+        cc(pos) match {
+          case "VP8L" if size >= 5 && content(p) == 0x2F =>
+            val bits = u32le(p + 1)
+            return Some(WebpMeta("VP8L", ((bits & 0x3FFF) + 1).toInt,
+              (((bits >>> 14) & 0x3FFF) + 1).toInt))
+          case "VP8X" if size >= 10 =>
+            return Some(WebpMeta("VP8X", u24le(p + 4) + 1, u24le(p + 7) + 1))
+          case "VP8 " if size >= 10 && (content(p + 3) & 0xFF) == 0x9D &&
+              (content(p + 4) & 0xFF) == 0x01 &&
+              (content(p + 5) & 0xFF) == 0x2A =>
+            return Some(WebpMeta("VP8",
+              u16le(p + 6) & 0x3FFF, u16le(p + 8) & 0x3FFF))
+          case _ => ()
+        }
+        pos = p + (size + (size & 1)).toInt
+      }
+      None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  final case class WebpRow(media_id: Long, variant: String, width: Int,
+                           height: Int, n_pixels: Long)
+
+  /** Real-container fixture + decode: one genuine WEBP header per
+    * document (dims pure doc_id arithmetic, alternating VP8L/VP8X
+    * layouts, a leading odd-sized unknown chunk), RIFF-walked back by
+    * [[parseWebp]]. Oracle predicts every field from the arithmetic; a
+    * stub, a walker that forgets the RIFF pad byte, or one that reads
+    * only one header layout mismatches. */
+  def webpsFromDocuments(s: SparkSession, docs: DataFrame): Dataset[WebpRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 16 + (id % 241).toInt
+        val h = 16 + ((id * 11) % 199).toInt
+        val bytes = tinyWebp(w, h, lossless = id % 2 == 0)
+        val m = parseWebp(bytes).getOrElse(
+          throw new IllegalStateException(s"RIFF walk failed for $id"))
+        WebpRow(id, m.variant, m.width, m.height,
+          m.width.toLong * m.height.toLong)
+      }
+    }
+  }
+
   /** Real-image fixture: one tiny PNG per document, dimensions a pure
     * doc_id arithmetic (8 + id % 61, 8 + 7·id % 53) — so the DuckDB
     * oracle PREDICTS width/height while the Spark side must genuinely

@@ -406,6 +406,35 @@ class LlmPipelineSpec extends SparkSpec {
     assert(Multimodal.parseMp4(v0.take(30)).isEmpty)
   }
 
+  test("parseWebp walks RIFF chunks: pad rule, both layouts, lossy VP8") {
+    val l = Multimodal.tinyWebp(200, 117, lossless = true)
+    assert(Multimodal.parseWebp(l)
+      .contains(Multimodal.WebpMeta("VP8L", 200, 117)))
+    val x = Multimodal.tinyWebp(16384, 1, lossless = false)
+    assert(Multimodal.parseWebp(x)
+      .contains(Multimodal.WebpMeta("VP8X", 16384, 1)))
+    // hand-built lossy VP8 frame header (0x9D 0x01 0x2A start code)
+    val vp8 = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes("US-ASCII"))
+      val payload = Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+        64, 0, 48, 0) // 64 x 48
+      val riffSize = 4 + 8 + payload.length
+      bos.write(Array[Byte]((riffSize & 0xFF).toByte,
+        ((riffSize >> 8) & 0xFF).toByte, 0, 0))
+      bos.write("WEBP".getBytes("US-ASCII"))
+      bos.write("VP8 ".getBytes("US-ASCII"))
+      bos.write(Array[Byte](payload.length.toByte, 0, 0, 0))
+      bos.write(payload)
+      bos.toByteArray
+    }
+    assert(Multimodal.parseWebp(vp8)
+      .contains(Multimodal.WebpMeta("VP8", 64, 48)))
+    // non-RIFF bytes and a truncated chunk are rejected, not mis-parsed
+    assert(Multimodal.parseWebp("WEBPnope".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseWebp(l.take(16)).isEmpty)
+  }
+
   test("imagesFromDocuments round-trips real PNG dims through resizePlan") {
     val docs = graft.Tables.documents(spark, sf).limit(40)
     val plans = Multimodal

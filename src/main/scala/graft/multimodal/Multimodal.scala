@@ -274,14 +274,19 @@ object Multimodal extends Serializable {
     * integer Σ|s(i)| over the window — exact, so the oracle replays it
     * from the sample formula. Rows whose bytes no audio reader accepts
     * are dropped (a real pipeline routes them to a DLQ; the fixture
-    * generator never produces them). */
+    * generator never produces them). Also dropped: truncated media whose
+    * header-declared frame count exceeds the PCM data actually read
+    * (would index past the sample array), and media shorter than one
+    * window (the oracle's generate_series emits zero windows there). */
   def segmentWav(media: Dataset[MediaRow], windowFrames: Int,
                  hopFrames: Int): Dataset[WavSegment] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      decodeWav(m.content).iterator.flatMap { w =>
-        val nSegs =
-          (((w.nFrames - windowFrames) / hopFrames) + 1).max(1)
+      decodeWav(m.content).iterator
+        .filter(w => w.nFrames >= windowFrames &&
+          w.nFrames <= w.samples.length)
+        .flatMap { w =>
+        val nSegs = ((w.nFrames - windowFrames) / hopFrames) + 1
         (0L until nSegs).iterator.map { seg =>
           val start = seg * hopFrames
           val end = math.min(start + windowFrames, w.nFrames)
@@ -343,35 +348,53 @@ object Multimodal extends Serializable {
     * header-only ImageIO read): iterates top-level boxes by declared
     * size, records the ftyp major brand, descends into moov, and reads
     * timescale/duration from mvhd handling BOTH the 32-bit (version 0)
-    * and 64-bit (version 1) layouts. Skips boxes it does not know —
-    * required for real files. None when the structure is not BMFF. */
+    * and 64-bit (version 1) layouts, plus the two other legal size
+    * encodings: size==1 (64-bit largesize follows the fourcc — how real
+    * muxers write big mdat) and size==0 (box extends to end of file,
+    * legal only for the last top-level box). Skips boxes it does not
+    * know — required for real files. None when the structure is not
+    * BMFF. */
   def parseMp4(content: Array[Byte]): Option[Mp4Meta] = {
     val bb = java.nio.ByteBuffer.wrap(content)
     def typeAt(p: Int): String =
       new String(content, p, 4, "US-ASCII")
+    // resolved (payload-inclusive size, header length); None = malformed
+    def boxSize(p: Int, limit: Int): Option[Long] = {
+      val s32 = bb.getInt(p).toLong & 0xFFFFFFFFL
+      val sz =
+        if (s32 == 1L) { // 64-bit largesize after the fourcc
+          if (p + 16 > limit) return None
+          val s64 = bb.getLong(p + 8)
+          if (s64 < 16L) return None else s64
+        } else if (s32 == 0L) (limit - p).toLong // to end of enclosure
+        else s32
+      if (sz < 8L || p + sz > limit) None else Some(sz)
+    }
+    // payload offset within a box: 16 when largesize is present, else 8
+    def hdrLen(p: Int): Int =
+      if ((bb.getInt(p).toLong & 0xFFFFFFFFL) == 1L) 16 else 8
     try {
       var pos = 0
       var brand: Option[String] = None
       var meta: Option[(Long, Long, Int)] = None
       while (pos + 8 <= content.length) {
-        val size = bb.getInt(pos).toLong & 0xFFFFFFFFL
-        if (size < 8 || pos + size > content.length) return None
+        val size = boxSize(pos, content.length).getOrElse(return None)
         typeAt(pos + 4) match {
-          case "ftyp" => brand = Some(typeAt(pos + 8))
+          case "ftyp" => brand = Some(typeAt(pos + hdrLen(pos)))
           case "moov" =>
-            var cp = pos + 8
+            var cp = pos + hdrLen(pos)
             val end = pos + size.toInt
             while (cp + 8 <= end) {
-              val cs = bb.getInt(cp).toLong & 0xFFFFFFFFL
-              if (cs < 8 || cp + cs > end) return None
+              val cs = boxSize(cp, end).getOrElse(return None)
               if (typeAt(cp + 4) == "mvhd") {
-                val version = content(cp + 8) & 0xFF
+                val b = cp + hdrLen(cp) // payload base
+                val version = content(b) & 0xFF
                 if (version == 1)
-                  meta = Some((bb.getInt(cp + 28).toLong & 0xFFFFFFFFL,
-                    bb.getLong(cp + 32), 1))
+                  meta = Some((bb.getInt(b + 20).toLong & 0xFFFFFFFFL,
+                    bb.getLong(b + 24), 1))
                 else
-                  meta = Some((bb.getInt(cp + 20).toLong & 0xFFFFFFFFL,
-                    bb.getInt(cp + 24).toLong & 0xFFFFFFFFL, 0))
+                  meta = Some((bb.getInt(b + 12).toLong & 0xFFFFFFFFL,
+                    bb.getInt(b + 16).toLong & 0xFFFFFFFFL, 0))
               }
               cp += cs.toInt
             }

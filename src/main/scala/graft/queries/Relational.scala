@@ -922,9 +922,11 @@ object Relational extends Serializable {
     * — untouched files stay byte-identical, MergeCowSpec pins it). The
     * returned rows are the committed table READ BACK — so the oracle
     * hash-matches the physical post-rewrite table, not the join. The
-    * read-back is collected eagerly only so the scratch table can be
-    * deleted before returning (the operator's real output is the
-    * committed table; the verify surface is its contents). */
+    * read-back is LAZY: the committed table lives in a run-scoped dir
+    * that outlives the entry (reclaimed on the next invocation and at
+    * JVM shutdown), so no corpus-proportional driver materialization
+    * ever happens — the returned DataFrame is a plain parquet scan of
+    * the committed table. */
   def qMergeCow(s: SparkSession, d: String): DataFrame = {
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_merge_cow").toString
@@ -934,7 +936,15 @@ object Relational extends Serializable {
         .delete(p, true)
       catch { case _: Throwable => () }
     }
-    try {
+    // reclaim the previous invocation's committed table (bounded: at
+    // most one extra table alive per session) and guarantee shutdown
+    // cleanup for this one
+    cowScratchLock.synchronized {
+      lastCowScratch.foreach(rmr)
+      lastCowScratch = Some(scratch)
+    }
+    val _ = sys.addShutdownHook(rmr(scratch))
+    locally {
       val tableDir = scratch + "/table"
       Tables.customer(s, d).where(col("c_custkey") % 5 =!= 0)
         .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
@@ -970,15 +980,14 @@ object Relational extends Serializable {
           (col("custkey") % 8).cast("int").as("pk"))
       graft.sinks.MergeCow.rewritePartitions(s, tableDir, "pk",
         touched.map(_.toString).toIndexedSeq, newData)
-      val out = s.read.parquet(tableDir)
+      s.read.parquet(tableDir)
         .select("custkey", "name", "acctbal", "pk").orderBy("custkey")
-      val rows = out.collect().toIndexedSeq
-      s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        out.schema).orderBy("custkey")
-    } finally rmr(scratch)
+    }
   }
+
+  /** Previous qMergeCow run dir, reclaimed on the next invocation. */
+  private var lastCowScratch: Option[String] = None
+  private val cowScratchLock = new Object
 
   val qMergeCowSql: String =
     """WITH base AS (

@@ -238,7 +238,14 @@ object Similarity extends Serializable {
     * probe side to nBits+1 buckets (the signature and its 1-bit flips), so
     * a candidate pair is EXACTLY a pair with Hamming(sig_a, sig_b) ≤ 1 in
     * some table — a closed-form predicate the DuckDB oracle evaluates
-    * quadratically at oracle SF. */
+    * quadratically at oracle SF.
+    *
+    * INPUT CONTRACT: `embedding` is float32 (`array<float>`) — the
+    * storage type every large-scale embedding corpus uses (and what the
+    * fixture tables hold). Other numeric element types are cast to
+    * float32 on entry; callers holding float64 embeddings who need
+    * full-precision scores should compare with [[cosineNearDupPairs]],
+    * which keeps the double path. */
   def lshNearDupPairs(s: SparkSession, corpus: DataFrame, threshold: Double,
                       tables: Int = 8, targetBucket: Long = 64L,
                       dim: Int = 64, knownCount: Option[Long] = None)
@@ -336,7 +343,8 @@ object Similarity extends Serializable {
     * all start from — near-dup pairs answer "who is a duplicate", the
     * graph answers "who are my k closest, duplicate or not".
     *
-    * Shape at scale: identical to lshNearDupPairs (fused bucket-join
+    * Shape at scale: identical to lshNearDupPairs (including the
+    * float32 input contract documented there; fused bucket-join
     * scoring — the wide shuffle is the vector's nBits+1 probe copies,
     * never the candidate pairs); scored rows dedup on (vec_id, neighbor,
     * sim) — duplicates from different tables are bit-identical — so each

@@ -29,21 +29,30 @@ object Bpe {
       slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
       (a, b) => struct(a.as("l"), b.as("r")))
 
-  /** One greedy left-to-right merge of (l, r) -> m over a symbol array:
-    * fold symbols, replacing a trailing `l` by `m` when `r` arrives. */
-  private def mergePair(toks: Column, l: String, r: String, m: String)
-      : Column =
-    aggregate(toks, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 &&
-          element_at(acc, size(acc)) === lit(l) && x === lit(r),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-        .otherwise(concat(acc, array(x))))
+  /** One greedy left-to-right merge of (l, r) -> m over one word's
+    * symbol sequence — the inner step every tier (batched trainer,
+    * in-memory trainer, oracle's list_reduce) agrees on. */
+  private def mergeOnce(toks: Seq[String], l: String, r: String,
+                        m: String): Seq[String] = {
+    val acc = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    toks.foreach { x =>
+      if (acc.nonEmpty && acc.last == l && x == r) acc(acc.length - 1) = m
+      else acc += x
+    }
+    acc.toSeq
+  }
 
-  /** How many sorted candidate pairs a round fetches (vocab-bounded,
-    * a few KB) and the most merges one round may apply (bounds the
-    * nested merge-fold depth in the per-round projection). */
-  private val candidatePrefix = 512
-  private val batchCap = 48
+  /** Sorted candidate pairs fetched per round — ADAPTIVE: scales with
+    * the remaining merge budget (a deeper fetch lets the dominance rule
+    * certify deeper batches because fewer rounds hit the unknown-tail
+    * floor), floored at 512 and capped at 8192 rows (8-byte counts +
+    * short symbol strings — a few hundred KB of driver traffic at
+    * worst). Batch size itself needs no constant cap: acceptance is
+    * bounded by the provable prefix/dominance rules and by the fetch
+    * length, and merge application is a single typed map per round
+    * (depth-independent), not a nested Catalyst fold. */
+  private def candidatePrefix(want: Int): Int =
+    math.min(8192, math.max(512, 4 * want))
 
   /** Run the merge-training loop: returns the learned merge rows AND the
     * final vocab (word, cnt, toks) with every merge applied. Exposed to
@@ -105,13 +114,14 @@ object Bpe {
     var exhausted = false
     while (step < merges && !exhausted) {
       rounds += 1
-      val want = math.min(merges - step, batchCap)
+      val want = merges - step
+      val prefix = candidatePrefix(want)
       val top = vocab
         .select(col("cnt"), explode(pairs(col("toks"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(candidatePrefix).collect()
+        .limit(prefix).collect()
       if (top.isEmpty) exhausted = true
       else {
         val used = scala.collection.mutable.HashSet.empty[String]
@@ -132,8 +142,7 @@ object Bpe {
         // count for a self-pair, plus the last fetched count as the
         // unknown-tail floor when the fetch prefix came back full).
         val tailFloor: Long =
-          if (top.length == candidatePrefix)
-            top(candidatePrefix - 1).getLong(2)
+          if (top.length == prefix) top(prefix - 1).getLong(2)
           else -1L
         val ob = Array.tabulate(acc.length) { j =>
           val (l, r, n) = acc(j)
@@ -159,13 +168,23 @@ object Bpe {
           j += 1
         }
         acc.takeInPlace(math.max(1, keep))
-        var toksCol = col("toks")
         acc.foreach { case (l, r, n) =>
           step += 1
           learned += ((step, l, r, l + r, n))
-          toksCol = mergePair(toksCol, l, r, l + r)
         }
-        vocab = vocab.withColumn("toks", toksCol).localCheckpoint(true)
+        // apply the whole accepted batch in ONE narrow typed map (depth-
+        // independent — the old nested-Catalyst-fold path capped batches
+        // at expression-tree depth), each merge greedily left-to-right
+        // in batch order, exactly the sequential semantics
+        val batch = acc.toArray.map { case (l, r, _) => (l, r, l + r) }
+        import s.implicits._
+        vocab = vocab.as[(String, Long, Seq[String])]
+          .map { case (w, c, t0) =>
+            var t = t0
+            batch.foreach { case (l, r, m) => t = mergeOnce(t, l, r, m) }
+            (w, c, t)
+          }
+          .toDF("word", "cnt", "toks").localCheckpoint(true)
       }
     }
     (learned.result(), vocab, rounds)
@@ -264,7 +283,7 @@ object Bpe {
   /** DuckDB replay of the training loop as a WITH-clause body: v0
     * (char-split vocab) then per round p$i (pair counts) / t$i (winner) /
     * v$i (merged vocab via a string-accumulator left fold, semantically
-    * identical to mergePair's array fold). Suffix a final SELECT over
+    * identical to the trainer's mergeOnce fold). Suffix a final SELECT over
     * t1..t$merges (train) or v$merges (encode). */
   private def oracleChain(merges: Int, toksSql: String): String = {
     val sep = "chr(31)"

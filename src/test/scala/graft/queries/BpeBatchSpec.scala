@@ -109,6 +109,41 @@ class BpeBatchSpec extends SparkSpec {
       f"per-round cost grew: $perRound64%.3fs -> $perRound256%.3fs")
   }
 
+  /** Wider corpus for the deep-merge-table evidence: 8000 distinct
+    * pseudo-words over a 26-letter alphabet — enough pair diversity to
+    * support ≥1024 merges and enough symbol spread that the disjointness
+    * rule admits multi-merge batches. */
+  private def deepCorpus(): Map[String, Long] = {
+    val rnd = new scala.util.Random(20260814L)
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    (1 to 8000).map { i =>
+      val len = 5 + rnd.nextInt(8)
+      val w = (1 to len).map(_ => letters(rnd.nextInt(letters.length)))
+        .mkString
+      (w, math.max(1L, (8000.0 / i).toLong))
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+  }
+
+  test("batched trainer == sequential reference for 1024 merges — the " +
+    "adaptive-cap production regime") {
+    val corpus = deepCorpus()
+    val ref = sequentialRef(corpus, 1024)
+    assert(ref.length == 1024, "generated corpus must support 1024 merges")
+    val t0 = System.nanoTime()
+    val (learned, _, rounds) =
+      graft.text.Bpe.trainRoundsBatched(spark, tokensDf(corpus), 1024)
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(learned == ref)
+    // round-trips ~ merges/batch: the adaptive fetch + provable batching
+    // must keep driver rounds well under the merge count at depth, not
+    // just on the 256-merge fixture
+    assert(rounds <= (1024 * 0.7).toInt,
+      s"batching degenerated at depth: $rounds rounds for 1024 merges")
+    info(f"1024 merges in $rounds rounds " +
+      f"(${1024.0 / rounds}%.1f merges/round), $wall%.1fs total, " +
+      f"${wall / rounds}%.3fs/round")
+  }
+
   test("in-memory production trainer == sequential reference for 256 " +
     "merges with zero per-merge round-trips") {
     val corpus = richCorpus()

@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
   *    corpus is distribution-identical, and a replica vector correlates
   *    with the originals like any random pair).
   *
-  * Usage: ScaleData <srcSfDir> <destDir> <factor>
+  * Usage: ScaleData <srcSfDir> <destDir> <factor> [table ...]
+  * (optional trailing table names restrict derivation — e.g. deriving
+  * ONLY embeddings at factor 1000 for the LSH occupancy probe instead
+  * of paying for a full 16 GB tier).
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, factorS) = args
+    val (src, dst, factorS) = (args(0), args(1), args(2))
+    val only = args.drop(3).toSet
+    def want(t: String): Boolean = only.isEmpty || only(t)
     val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
@@ -63,37 +68,42 @@ object ScaleData {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
 
-    for (t <- Seq("region", "nation"))
+    for (t <- Seq("region", "nation") if want(t))
       writeSingleFile(spark.read.parquet(s"$src/$t.parquet"), t)
 
+    // Replication via ONE scan + explode(sequence(0, factor-1)) with
+    // column-level per-replica transforms — value-identical rows to the
+    // old per-replica union (key + i·shift, the same text/embedding
+    // transforms keyed on the replica index), but the plan stays one
+    // narrow projection at ANY factor, where a factor-way union was
+    // O(factor) to plan (a 1000-replica tier would spend minutes in
+    // Catalyst before reading a row).
     def replicate(name: String, keyCols: Seq[String])(
-        xform: (DataFrame, Int) => DataFrame): Unit = {
+        xform: DataFrame => DataFrame = identity): Unit = if (want(name)) {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      val out = (0 until factor).map { i =>
-        val shifted = keyCols.foldLeft(base)((df, c) =>
-          df.withColumn(c, col(c) + lit(shift * i)))
-        xform(shifted, i)
-      }.reduce(_ unionAll _)
-      writeSingleFile(out, name)
+        .withColumn("_i", explode(sequence(lit(0), lit(factor - 1))))
+      val shifted = keyCols.foldLeft(base)((df, c) =>
+        df.withColumn(c, col(c) + col("_i") * lit(shift)))
+      writeSingleFile(xform(shifted).drop("_i"), name)
     }
 
-    replicate("customer", Seq("c_custkey"))((df, _) => df)
-    replicate("supplier", Seq("s_suppkey"))((df, _) => df)
-    replicate("part", Seq("p_partkey"))((df, _) => df)
-    replicate("orders", Seq("o_orderkey", "o_custkey"))((df, _) => df)
-    replicate("lineitem",
-      Seq("l_orderkey", "l_partkey", "l_suppkey"))((df, _) => df)
-    replicate("events", Seq("event_id", "user_id"))((df, _) => df)
-    replicate("documents", Seq("doc_id")) { (df, i) =>
-      if (i == 0) df
-      else df.withColumn("text",
-        regexp_replace(col("text"), "(\\S+)", "$1_r" + i))
+    replicate("customer", Seq("c_custkey"))()
+    replicate("supplier", Seq("s_suppkey"))()
+    replicate("part", Seq("p_partkey"))()
+    replicate("orders", Seq("o_orderkey", "o_custkey"))()
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))()
+    replicate("events", Seq("event_id", "user_id"))()
+    replicate("documents", Seq("doc_id")) { df =>
+      df.withColumn("text",
+        when(col("_i") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_r"), col("_i")))))
     }
-    replicate("embeddings", Seq("vec_id")) { (df, i) =>
-      if (i == 0) df
-      else df.withColumn("embedding", expr(
-        s"transform(sequence(1, size(embedding)), d -> " +
-          s"element_at(embedding, ((d - 1 + $i) % size(embedding)) + 1))"))
+    replicate("embeddings", Seq("vec_id")) { df =>
+      df.withColumn("embedding",
+        when(col("_i") === 0, col("embedding")).otherwise(expr(
+          "transform(sequence(1, size(embedding)), d -> " +
+            "element_at(embedding, ((d - 1 + _i) % size(embedding)) + 1))")))
     }
     spark.stop()
   }

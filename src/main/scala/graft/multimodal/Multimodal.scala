@@ -187,6 +187,126 @@ object Multimodal extends Serializable {
     bos.toByteArray
   }
 
+  // ------------------------------------------------------ animated GIF
+
+  /** 256-level grayscale palette shared by the GIF fixture writer and
+    * the oracle's closed-form replay: palette(i) = (i, i, i). Indexed
+    * GIF encoding is LOSSLESS (LZW over palette indices), so a pixel
+    * written as index i decodes to exactly gray i — what makes real
+    * pixel decode oracle-checkable without shipping reference images. */
+  private lazy val gray256: java.awt.image.IndexColorModel = {
+    val v = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, v, v, v)
+  }
+
+  /** Encode one GENUINE multi-frame (animated) GIF via the JDK's ImageIO
+    * GIF writer sequence API — the moving-picture twin of [[tinyPng]].
+    * Frame f's pixel (x, y) is palette index
+    * (x·7 + y·13 + f·31 + seed) mod 256. */
+  def tinyGif(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, gray256)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              ((x * 7 + y * 13 + f * 31 + seed) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.flush()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL animated-GIF frame decode via the JDK ImageIO GIF reader:
+    * counts frames with getNumImages(allowSearch) and DECODES each
+    * frame's pixels, returning (frame_idx, width, height, Σ gray-level)
+    * per frame. None when the bytes are not a GIF any installed reader
+    * accepts — callers fall back to the labeled stub, like
+    * [[decodeImage]]. */
+  def decodeGifFrames(content: Array[Byte])
+      : Option[IndexedSeq[(Int, Int, Int, Long)]] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          if (!r.getFormatName.equalsIgnoreCase("gif")) None
+          else {
+            r.setInput(iis, false, false)
+            val n = r.getNumImages(true)
+            Some((0 until n).map { i =>
+              val img = r.read(i)
+              val w = img.getWidth
+              val h = img.getHeight
+              var s = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  s += (img.getRGB(x, y) & 0xFF).toLong // gray level
+                  x += 1
+                }
+                y += 1
+              }
+              (i, w, h, s)
+            })
+          }
+        } finally r.dispose()
+      }
+    } catch { case _: java.io.IOException => None }
+    finally iis.close()
+  }
+
+  final case class GifFrame(media_id: Long, n_frames: Int, frame_idx: Int,
+                            width: Int, height: Int, pix_sum: Long)
+
+  /** Real-pixel fixture + decode: one genuine animated GIF per document
+    * (dims and frame count pure doc_id arithmetic, pixels the
+    * [[tinyGif]] formula), frame-decoded back by [[decodeGifFrames]].
+    * Rows that fail the real decode are DROPPED (DLQ in a real
+    * pipeline) — so a stubbed decode, a frame-count-only shortcut, or
+    * any pixel slip mismatches the oracle's closed-form pixel sums.
+    * Narrow batched mapPartitions, no shuffle. */
+  def gifsFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[GifFrame] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val w = 16 + (id % 5).toInt
+        val h = 12 + (id % 3).toInt
+        val nF = 2 + (id % 4).toInt
+        val bytes = tinyGif(w, h, nF, id)
+        decodeGifFrames(bytes).iterator.flatMap { frames =>
+          frames.iterator.map { case (i, fw, fh, sum) =>
+            GifFrame(id, frames.length, i, fw, fh, sum)
+          }
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- audio
 
   /** Deterministic 16-bit PCM sample function — pure (frame, seed)

@@ -346,6 +346,25 @@ class LlmPipelineSpec extends SparkSpec {
     assert(frames.count() == media.count() * 4)
   }
 
+  test("animated GIF frames genuinely decode: true count, exact pixels") {
+    val bytes = Multimodal.tinyGif(w = 19, h = 14, nFrames = 3, seed = 42L)
+    val frames = Multimodal.decodeGifFrames(bytes).get
+    assert(frames.length == 3, "frame count must come from the stream")
+    for (((i, w, h, sum), idx) <- frames.zipWithIndex) {
+      assert(i == idx && w == 19 && h == 14)
+      // closed-form replay of the indexed-gray pixel formula — a decode
+      // returning anything but the genuinely decoded palette levels fails
+      val expect = (for (y <- 0 until 14; x <- 0 until 19)
+        yield (x * 7 + y * 13 + idx * 31 + 42L) % 256).sum
+      assert(sum == expect, s"frame $idx pixel sum: $sum != $expect")
+    }
+    // non-GIF bytes refuse (caller would DLQ / fall back to the stub)
+    assert(Multimodal.decodeGifFrames(
+      Multimodal.tinyPng(8, 8, 1L)).isEmpty)
+    assert(Multimodal.decodeGifFrames(
+      "not a gif".getBytes("UTF-8")).isEmpty)
+  }
+
   test("ImageIO decodes true PNG/JPEG headers; unknown bytes take the stub") {
     val png = Multimodal.tinyPng(37, 23, 5L)
     assert(Multimodal.decodeImage(png).contains(("png", 37, 23)))

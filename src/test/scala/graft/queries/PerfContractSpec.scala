@@ -53,7 +53,11 @@ class PerfContractSpec extends SparkSpec {
       val shj = "ShuffledHashJoin".r.findAllIn(p).size
       assert(shj == 1, s"$n: expected the single fused bucket join, got $shj")
     }),
-    Contract("ann_pq", 32, 40, (p, n) =>
+    // stage budget covers a COLD run: PQ codebook training is 16
+    // per-subspace capped k-means runs (~80 tiny driver-bounded stages);
+    // the shuffle budget is the real contract — the corpus pass itself
+    // must stay broadcast-joined and shuffle ~nothing
+    Contract("ann_pq", 32, 120, (p, n) =>
       assert(!p.contains("hashpartitioning(vec_id"),
         s"$n: corpus rows must flow broadcast-joined, never shuffle")),
   )
@@ -89,7 +93,10 @@ class PerfContractSpec extends SparkSpec {
           "MB — a plan regression, not noise (budget is ~3x the r8 measure)")
       assert(stages <= c.maxStages,
         s"${c.name}: ran $stages stages, budget ${c.maxStages}")
-      c.planCheck(qe.executedPlan.toString, c.name)
+      // post-execution the adaptive plan string appends an
+      // "== Initial Plan ==" section — pin the FINAL plan only
+      c.planCheck(
+        qe.executedPlan.toString.split("== Initial Plan ==")(0), c.name)
     } finally spark.sparkContext.removeSparkListener(metrics)
   }
 }

@@ -279,6 +279,60 @@ object Multimodal extends Serializable {
     finally iis.close()
   }
 
+  final case class Vp8lRow(media_id: Long, width: Int, height: Int,
+                           n_pix: Long, sum_green: Long, sum_red: Long,
+                           sum_blue: Long)
+
+  /** Real VP8L (lossless WebP) PIXEL decode: one genuine VP8L-in-RIFF
+    * file per document — dims and per-pixel ARGB pure doc_id arithmetic,
+    * bytes a real [[Vp8l.encode]] bitstream cycling the codec's feature
+    * envelope (subtract-green, color cache, LZ77 last-row backref) —
+    * decoded back by [[Vp8l.decode]], per-channel sums over ACTUALLY
+    * DECODED pixels. Rows that fail the real decode are dropped (DLQ);
+    * the oracle replays the pixel formula in closed form, so a stub or
+    * any entropy-layer slip mismatches every row. */
+  def vp8lsFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[Vp8lRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val w = 8 + (id % 9).toInt
+        val h = 6 + (id % 5).toInt
+        val lz = id % 3 == 0
+        val img = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          val ye = if (lz && y == h - 1) h - 2 else y
+          var x = 0
+          while (x < w) {
+            val g = ((x * 3 + ye * 5 + id) % 16).toInt
+            val r = ((x + 2 * ye + id) % 8).toInt
+            val b = ((2 * x + ye + id) % 8).toInt
+            img(y * w + x) = (0xFF << 24) | (r << 16) | (g << 8) | b
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = Vp8l.container(Vp8l.encode(img, w, h,
+          subtractGreen = id % 2 == 0,
+          cacheBits = if (id % 2 == 1) 4 else 0, lastRowLz77 = lz))
+        for {
+          payload <- Vp8l.vp8lPayload(bytes).iterator
+          (dw, dh, px) <- Vp8l.decode(payload).iterator
+        } yield {
+          var sg = 0L; var sr = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sg += (p >>> 8) & 0xFF; sr += (p >>> 16) & 0xFF; sb += p & 0xFF
+            i += 1
+          }
+          Vp8lRow(id, dw, dh, px.length.toLong, sg, sr, sb)
+        }
+      }
+    }
+  }
+
   final case class GifFrame(media_id: Long, n_frames: Int, frame_idx: Int,
                             width: Int, height: Int, pix_sum: Long)
 

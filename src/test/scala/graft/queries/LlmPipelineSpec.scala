@@ -346,6 +346,44 @@ class LlmPipelineSpec extends SparkSpec {
     assert(frames.count() == media.count() * 4)
   }
 
+  test("MP4 walker handles largesize (size==1) and to-EOF (size==0) boxes") {
+    val base = Multimodal.tinyMp4(1000, 5000L, v1 = false)
+    // append an mdat with a 64-bit largesize (how real muxers write big
+    // payloads): size field 1, fourcc, 8-byte largesize, payload
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(base)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(1); out.write("mdat".getBytes("US-ASCII"))
+    out.writeLong(16 + 4); out.writeInt(0xCAFEBABE)
+    // then a trailing size==0 box (extends to end of file)
+    out.writeInt(0); out.write("skip".getBytes("US-ASCII"))
+    out.writeInt(7)
+    val m = Multimodal.parseMp4(bos.toByteArray)
+    assert(m.contains(Multimodal.Mp4Meta("isom", 1000L, 5000L, 0)),
+      s"largesize/to-EOF boxes broke the walk: $m")
+    // a box header declaring largesize but truncated before the 64-bit
+    // size field refuses rather than throwing
+    val cut = java.util.Arrays.copyOf(bos.toByteArray, base.length + 12)
+    assert(Multimodal.parseMp4(cut).isEmpty)
+  }
+
+  test("WAV segmenter drops truncated and sub-window media") {
+    import spark.implicits._
+    val good = Multimodal.tinyWav(1600, 8000, 1L)
+    val short = Multimodal.tinyWav(300, 8000, 2L) // < one 400-frame window
+    // truncated: header claims 1600 frames, PCM data cut to 100 frames
+    val truncated = {
+      val full = Multimodal.tinyWav(1600, 8000, 3L)
+      java.util.Arrays.copyOf(full, full.length - 3000)
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, good), Multimodal.MediaRow(2L, short),
+      Multimodal.MediaRow(3L, truncated)))
+    val segs = Multimodal.segmentWav(media, 400, 200).collect()
+    assert(segs.nonEmpty && segs.forall(_.media_id == 1L),
+      s"short/truncated media must be dropped: ${segs.map(_.media_id).toSet}")
+  }
+
   test("animated GIF frames genuinely decode: true count, exact pixels") {
     val bytes = Multimodal.tinyGif(w = 19, h = 14, nFrames = 3, seed = 42L)
     val frames = Multimodal.decodeGifFrames(bytes).get

@@ -43,7 +43,10 @@ class PerfContractSpec extends SparkSpec {
       val shj = "ShuffledHashJoin".r.findAllIn(p).size
       assert(shj == 1, s"$n: expected the single fused bucket join, got $shj")
     }),
-    Contract("dedup_jaccard_blocked", 800, 38, (p, n) => noSmj(p, n)),
+    // 150 MB (~3.5× the measured 42 MB) also fails a regression to the
+    // pre-dictionary-encoding string-array attach, which shuffled 230 MB
+    // at this SF (13.3 vs 27.1 GB at 100×)
+    Contract("dedup_jaccard_blocked", 150, 38, (p, n) => noSmj(p, n)),
     Contract("text_substring_dedup", 32, 26, (p, n) =>
       assert(p.contains("xxhash64"),
         s"$n: gram digests missing — the join would ship text")),

@@ -294,7 +294,11 @@ object Multimodal extends Serializable {
   def vp8lsFromDocuments(s: SparkSession, docs: DataFrame)
       : Dataset[Vp8lRow] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // codec work is pure CPU: split for cores, not file blocks (the
+    // sf-dir documents file is a handful of splits)
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.flatMap { id =>
         val w = 8 + (id % 9).toInt
         val h = 6 + (id % 5).toInt
@@ -346,7 +350,10 @@ object Multimodal extends Serializable {
   def gifsFromDocuments(s: SparkSession, docs: DataFrame)
       : Dataset[GifFrame] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // ImageIO encode+decode is pure CPU: split for cores
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.flatMap { id =>
         val w = 16 + (id % 5).toInt
         val h = 12 + (id % 3).toInt

@@ -354,30 +354,39 @@ object Vp8l {
     val alphaLens = writeTree(256, alphaUsed.toSeq)
     val distLens = writeTree(40, if (distCode >= 0) Seq(distCode) else Seq(0))
 
-    def emit(lens: Array[Int], sym: Int): Unit = {
-      val codes = canonicalCodes(lens)
-      val n = lens(sym)
-      require(n > 0, s"emit of unused symbol $sym")
-      val nz = lens.count(_ > 0)
-      if (nz == 1) return // single-symbol tree: zero bits on the wire
-      var b2 = n - 1
-      while (b2 >= 0) { bw.writeBit((codes(sym) >> b2) & 1); b2 -= 1 }
+    // per-tree codes precomputed ONCE (recomputing the canonical table
+    // per emitted symbol made the encoder O(alphabet) per pixel channel)
+    final class Emitter(lens: Array[Int]) {
+      private val codes = canonicalCodes(lens)
+      private val singleSym = lens.count(_ > 0) == 1
+      def emit(sym: Int): Unit = {
+        val n = lens(sym)
+        require(n > 0, s"emit of unused symbol $sym")
+        if (singleSym) return // single-symbol tree: zero bits on the wire
+        var b2 = n - 1
+        while (b2 >= 0) { bw.writeBit((codes(sym) >> b2) & 1); b2 -= 1 }
+      }
     }
+    val greenE = new Emitter(greenLens)
+    val redE = new Emitter(redLens)
+    val blueE = new Emitter(blueLens)
+    val alphaE = new Emitter(alphaLens)
+    val distE = new Emitter(distLens)
 
     for ((k, a, b) <- tokens) k match {
       case 0 =>
         val p = px(a)
-        emit(greenLens, (p >>> 8) & 0xFF)
-        emit(redLens, (p >>> 16) & 0xFF)
-        emit(blueLens, p & 0xFF)
-        emit(alphaLens, (p >>> 24) & 0xFF)
-      case 1 => emit(greenLens, 256 + 24 + a)
+        greenE.emit((p >>> 8) & 0xFF)
+        redE.emit((p >>> 16) & 0xFF)
+        blueE.emit(p & 0xFF)
+        alphaE.emit((p >>> 24) & 0xFF)
+      case 1 => greenE.emit(256 + 24 + a)
       case 2 =>
         val (lc, le, lv) = prefixEncode(a)
-        emit(greenLens, 256 + lc)
+        greenE.emit(256 + lc)
         if (le > 0) bw.write(lv, le)
         val (dc, de, dv) = prefixEncode(b + 120)
-        emit(distLens, dc)
+        distE.emit(dc)
         if (de > 0) bw.write(dv, de)
     }
     bw.bytes()

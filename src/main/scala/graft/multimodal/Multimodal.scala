@@ -285,12 +285,17 @@ object Multimodal extends Serializable {
 
   /** Real VP8L (lossless WebP) PIXEL decode: one genuine VP8L-in-RIFF
     * file per document — dims and per-pixel ARGB pure doc_id arithmetic,
-    * bytes a real [[Vp8l.encode]] bitstream cycling the codec's feature
-    * envelope (subtract-green, color cache, LZ77 last-row backref) —
-    * decoded back by [[Vp8l.decode]], per-channel sums over ACTUALLY
-    * DECODED pixels. Rows that fail the real decode are dropped (DLQ);
-    * the oracle replays the pixel formula in closed form, so a stub or
-    * any entropy-layer slip mismatches every row. */
+    * bytes a real [[Vp8l.encode]] bitstream cycling the codec's FULL
+    * feature envelope by doc_id: subtract-green, color cache, LZ77
+    * last-row backref, and (by id mod 5) the predictor transform
+    * (4-px blocks sweeping all 14 modes), the cross-color transform,
+    * meta prefix-code partitioning, and color-indexing with packed
+    * sub-byte indices (the palette variant constrains the pixel formula
+    * to ≤16 colors — mirrored in the oracle) — decoded back by
+    * [[Vp8l.decode]], per-channel sums over ACTUALLY DECODED pixels.
+    * Rows that fail the real decode are dropped (DLQ); the oracle
+    * replays the pixel formula in closed form, so a stub or any
+    * entropy/transform-layer slip mismatches every row. */
   def vp8lsFromDocuments(s: SparkSession, docs: DataFrame)
       : Dataset[Vp8lRow] = {
     import s.implicits._
@@ -302,7 +307,8 @@ object Multimodal extends Serializable {
       it.flatMap { id =>
         val w = 8 + (id % 9).toInt
         val h = 6 + (id % 5).toInt
-        val lz = id % 3 == 0
+        val m = (id % 5).toInt // major-transform variant
+        val lz = m == 0 && id % 3 == 0
         val img = new Array[Int](w * h)
         var y = 0
         while (y < h) {
@@ -310,16 +316,22 @@ object Multimodal extends Serializable {
           var x = 0
           while (x < w) {
             val g = ((x * 3 + ye * 5 + id) % 16).toInt
-            val r = ((x + 2 * ye + id) % 8).toInt
-            val b = ((2 * x + ye + id) % 8).toInt
+            val r = if (m == 4) g % 8 else ((x + 2 * ye + id) % 8).toInt
+            val b = if (m == 4) (2 * g) % 8
+              else ((2 * x + ye + id) % 8).toInt
             img(y * w + x) = (0xFF << 24) | (r << 16) | (g << 8) | b
             x += 1
           }
           y += 1
         }
-        val bytes = Vp8l.container(Vp8l.encode(img, w, h,
-          subtractGreen = id % 2 == 0,
-          cacheBits = if (id % 2 == 1) 4 else 0, lastRowLz77 = lz))
+        val bytes = Vp8l.container(Vp8l.encode(img, w, h, Vp8l.EncodeOpts(
+          subtractGreen = id % 2 == 0 && m != 4,
+          cacheBits = if (id % 2 == 1) 4 else 0,
+          lastRowLz77 = lz,
+          predictorBits = if (m == 1) 2 else 0,
+          crossColorBits = if (m == 2) 3 else 0,
+          palette = m == 4,
+          metaBits = if (m == 3) 3 else 0)))
         for {
           payload <- Vp8l.vp8lPayload(bytes).iterator
           (dw, dh, px) <- Vp8l.decode(payload).iterator

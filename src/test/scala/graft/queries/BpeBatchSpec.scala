@@ -142,6 +142,14 @@ class BpeBatchSpec extends SparkSpec {
     info(f"1024 merges in $rounds rounds " +
       f"(${1024.0 / rounds}%.1f merges/round), $wall%.1fs total, " +
       f"${wall / rounds}%.3fs/round")
+    // the zero-round-trip production trainer must agree at depth too
+    val t1 = System.nanoTime()
+    val (learnedMem, _, _) =
+      graft.text.Bpe.trainInMemory(spark, tokensDf(corpus), 1024)
+    val wallMem = (System.nanoTime() - t1) / 1e9
+    assert(learnedMem == ref)
+    info(f"1024 in-memory merges in $wallMem%.1fs (one corpus pass)")
+    assert(wallMem < 60.0)
   }
 
   test("in-memory production trainer == sequential reference for 256 " +

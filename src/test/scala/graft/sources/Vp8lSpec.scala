@@ -52,6 +52,56 @@ class Vp8lSpec extends AnyFunSuite {
     info(s"$cases genuine VP8L streams round-tripped bit-exactly")
   }
 
+  test("transform envelope round-trips bit-exactly: predictor (all 14 " +
+    "modes), cross-color, palette (packed + unpacked), meta groups") {
+    val rnd = new scala.util.Random(99L)
+    var cases = 0
+    // predictor: 4-px blocks sweep every mode across a big-enough image
+    for (sg <- Seq(false, true); cacheBits <- Seq(0, 4)) {
+      val (w, h) = (37, 29)
+      val img = randImg(rnd, w, h, 16)
+      val payload = Vp8l.encode(img, w, h, Vp8l.EncodeOpts(
+        subtractGreen = sg, cacheBits = cacheBits, predictorBits = 2))
+      val (dw, dh, px) = Vp8l.decode(payload).get
+      assert(dw == w && dh == h && px.sameElements(img),
+        s"predictor drift sg=$sg cache=$cacheBits")
+      cases += 1
+    }
+    // cross-color: per-block signed multipliers
+    for (sg <- Seq(false, true); bits <- Seq(2, 3)) {
+      val (w, h) = (21, 17)
+      val img = randImg(rnd, w, h, 32)
+      val payload = Vp8l.encode(img, w, h, Vp8l.EncodeOpts(
+        subtractGreen = sg, crossColorBits = bits))
+      assert(Vp8l.decode(payload).get._3.sameElements(img),
+        s"cross-color drift sg=$sg bits=$bits")
+      cases += 1
+    }
+    // palette: 3 colors (8 px/byte), 9 colors (2 px/byte), 40 colors
+    // (no packing)
+    for (colors <- Seq(3, 9, 40)) {
+      val (w, h) = (26, 11)
+      val pal = Array.fill(colors)(0xFF000000 | rnd.nextInt(1 << 24))
+        .distinct
+      val img = Array.fill(w * h)(pal(rnd.nextInt(pal.length)))
+      val payload = Vp8l.encode(img, w, h, Vp8l.EncodeOpts(palette = true))
+      assert(Vp8l.decode(payload).get._3.sameElements(img),
+        s"palette drift colors=$colors")
+      cases += 1
+    }
+    // meta partition: two checkerboard prefix-code groups
+    for (cacheBits <- Seq(0, 3); metaBits <- Seq(2, 3)) {
+      val (w, h) = (33, 19)
+      val img = randImg(rnd, w, h, 8)
+      val payload = Vp8l.encode(img, w, h, Vp8l.EncodeOpts(
+        cacheBits = cacheBits, metaBits = metaBits))
+      assert(Vp8l.decode(payload).get._3.sameElements(img),
+        s"meta drift cache=$cacheBits bits=$metaBits")
+      cases += 1
+    }
+    info(s"$cases transform streams round-tripped bit-exactly")
+  }
+
   test("container wrap/extract round-trips and pads odd chunks") {
     val img = randImg(new scala.util.Random(7L), 5, 3, 8)
     val payload = Vp8l.encode(img, 5, 3, subtractGreen = true,

@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.{BenchMetrics, SparkSpec, SparkEntry}
 
-/** ENFORCED perf contracts for the nine 100×-measured operators (the
+/** ENFORCED perf contracts for the nine 100×-measured operators plus
+  * the round-9 real-codec entries (the
   * round-8 verdict ask: "turn BenchMetrics evidence into enforced perf
   * contracts" so a plan regression fails `sbt test`, not a judge
   * review).
@@ -63,6 +64,11 @@ class PerfContractSpec extends SparkSpec {
     Contract("ann_pq", 32, 120, (p, n) =>
       assert(!p.contains("hashpartitioning(vec_id"),
         s"$n: corpus rows must flow broadcast-joined, never shuffle")),
+    // the round-9 real-codec entries: pure-CPU mapPartitions whose only
+    // exchange is the core-splitting repartition of doc ids (longs) —
+    // a shuffle beyond single-digit MB means pixel bytes started moving
+    Contract("multimodal_vp8l", 8, 12),
+    Contract("multimodal_gif", 8, 12),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

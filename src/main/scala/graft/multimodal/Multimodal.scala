@@ -349,6 +349,107 @@ object Multimodal extends Serializable {
     }
   }
 
+  final case class ImageDedupRow(keep_id: Long, n_dups: Long, phash: Long)
+
+  /** Perceptual-hash image dedup (the LAION-style near-dup pass over
+    * decoded image CONTENT, not bytes): dHash — the 8×8 grid of
+    * horizontal gradient signs over a 9×8 grayscale — computed from
+    * GENUINELY DECODED pixels of genuinely-encoded PNGs, then an exact
+    * hash groupBy. Identical images (regardless of byte-level encoding
+    * differences) collapse to one canonical row.
+    *
+    * Fixture: each doc gets a 9×8 gray PNG whose pixels are a quadratic
+    * seed formula; docs divisible by 3 share their 21-block's base seed
+    * (planted duplicate groups), everything else is unique. The oracle
+    * replays formula → dHash → groups in closed form — a stubbed decode
+    * or any gray/gradient slip mismatches every hash.
+    *
+    * Scale shape: decode + hash is one narrow pure-CPU mapPartitions
+    * (core-split); the dedup itself shuffles only (8-byte hash, id) —
+    * exactly the exact-dedup digest pattern, so it holds at any corpus
+    * size. Gradient-sign bits are also the natural input to a banded
+    * Hamming near-dup (the SimHash machinery) when byte-identical
+    * grouping is too strict. */
+  def imageDedup(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val hashes = docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val seed = if (id % 3 == 0) (id / 21) * 21 else id
+          val bytes = grayPng(9, 8, seed)
+          decodeGray(bytes).iterator.map { g =>
+            var hash = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (g(y * 9 + x + 1) > g(y * 9 + x))
+                  hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            (id, hash)
+          }
+        }
+      }.toDF("doc_id", "phash")
+    hashes.groupBy("phash")
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), col("phash"))
+      .orderBy("keep_id")
+  }
+
+  /** Gray value of the image-dedup fixture at (x, y) for `seed` —
+    * quadratic so gradient signs vary with the seed (a linear ramp
+    * would give every image the same dHash). */
+  def grayAt(x: Int, y: Int, seed: Long): Int =
+    ((x * x * 3 + y * y * 5 + x * y + seed * (x + 2 * y + 1)) % 256).toInt
+
+  /** Encode one genuine grayscale PNG of the [[grayAt]] formula. */
+  def grayPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = grayAt(x, y, seed)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL pixel decode to a row-major gray array (blue channel of the
+    * decoded RGB — fixtures are gray so channels agree); None when no
+    * reader accepts the bytes. */
+  def decodeGray(content: Array[Byte]): Option[Array[Int]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = img.getRGB(x, y) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case _: java.io.IOException => None }
+
   final case class GifFrame(media_id: Long, n_frames: Int, frame_idx: Int,
                             width: Int, height: Int, pix_sum: Long)
 

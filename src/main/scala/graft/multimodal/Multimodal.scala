@@ -378,20 +378,7 @@ object Multimodal extends Serializable {
         it.flatMap { id =>
           val seed = if (id % 3 == 0) (id / 21) * 21 else id
           val bytes = grayPng(9, 8, seed)
-          decodeGray(bytes).iterator.map { g =>
-            var hash = 0L
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                if (g(y * 9 + x + 1) > g(y * 9 + x))
-                  hash |= 1L << (y * 8 + x)
-                x += 1
-              }
-              y += 1
-            }
-            (id, hash)
-          }
+          decodeGray(bytes).iterator.map(g => (id, dHash(g)))
         }
       }.toDF("doc_id", "phash")
     hashes.groupBy("phash")
@@ -399,6 +386,95 @@ object Multimodal extends Serializable {
         count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"), col("phash"))
       .orderBy("keep_id")
+  }
+
+  /** Perceptual NEAR-dup pairs over decoded image content: dHash as in
+    * [[imageDedup]], then banded Hamming search — the 64-bit hash
+    * splits into four 16-bit bands; a pair differing in ≤3 bits leaves
+    * ≥1 band intact (pigeonhole), so a band-equality self-join is
+    * RECALL-COMPLETE for Hamming ≤ 3 and the exact bit_count verify
+    * keeps output = every pair at Hamming ≤ 3 — the same
+    * band-then-verify shape as dedup_simhash, over image CONTENT.
+    *
+    * Fixture: block bases as in imageDedup, plus docs at block offsets
+    * 3 and 6 carry the base image with ONE perturbed pixel — a single
+    * gray change flips at most its two adjacent gradient signs, so the
+    * planted near-dups sit at Hamming ≤ 2 of their base (and ≤ 4 of
+    * each other — sometimes over the threshold, exactly as the oracle
+    * replays). */
+  def imageNearDup(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val hashes = docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val bytes = nearDupPng(id)
+          decodeGray(bytes).iterator.map(g => (id, dHash(g)))
+        }
+      }.toDF("doc_id", "phash")
+      .localCheckpoint() // banded join + verify attach reuse it
+    val bands = hashes.select(col("doc_id"), col("phash"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band," +
+        " shiftright(phash, b * 16) & 65535 AS chunk))")).as("bc"))
+      .select(col("doc_id"), col("phash"),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    bands.select(col("doc_id").as("a"), col("phash").as("ha"),
+        col("band"), col("chunk"))
+      .join(bands.select(col("doc_id").as("b"), col("phash").as("hb"),
+        col("band"), col("chunk")), Seq("band", "chunk"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(expr("ha ^ hb")).cast("int").as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  /** The near-dup fixture image bytes for one doc: the block-base
+    * [[grayAt]] image, with one pixel perturbed for block offsets 3
+    * and 6. Genuine PNG encode, like [[grayPng]]. */
+  def nearDupPng(id: Long): Array[Byte] = {
+    val base = (id / 21) * 21
+    val off = (id % 21).toInt
+    val g = Array.tabulate(9 * 8)(i => grayAt(i % 9, i / 9, base))
+    if (off == 3) g(2 * 9 + 4) = (g(2 * 9 + 4) + 96) % 256
+    else if (off == 6) g(5 * 9 + 7) = (g(5 * 9 + 7) + 96) % 256
+    else if (off != 0) {
+      // unique image per non-planted doc
+      var i = 0
+      while (i < g.length) { g(i) = grayAt(i % 9, i / 9, id); i += 1 }
+    }
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val v = g(y * 9 + x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** dHash of a row-major 9×8 gray array: 8×8 horizontal gradient
+    * signs, bit (y·8 + x) set iff gray(x+1, y) > gray(x, y). */
+  def dHash(g: Array[Int]): Long = {
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
   }
 
   /** Gray value of the image-dedup fixture at (x, y) for `seed` —

@@ -938,12 +938,17 @@ object Relational extends Serializable {
     }
     // reclaim the previous invocation's committed table (bounded: at
     // most one extra table alive per session) and guarantee shutdown
-    // cleanup for this one
+    // cleanup via ONE process-wide hook reading the latest dir (a
+    // per-invocation hook would accumulate one thread per call)
     cowScratchLock.synchronized {
       lastCowScratch.foreach(rmr)
       lastCowScratch = Some(scratch)
+      if (!cowHookInstalled) {
+        cowHookInstalled = true
+        val _ = sys.addShutdownHook(
+          cowScratchLock.synchronized(lastCowScratch.foreach(rmr)))
+      }
     }
-    val _ = sys.addShutdownHook(rmr(scratch))
     locally {
       val tableDir = scratch + "/table"
       Tables.customer(s, d).where(col("c_custkey") % 5 =!= 0)
@@ -987,6 +992,7 @@ object Relational extends Serializable {
 
   /** Previous qMergeCow run dir, reclaimed on the next invocation. */
   private var lastCowScratch: Option[String] = None
+  private var cowHookInstalled = false
   private val cowScratchLock = new Object
 
   val qMergeCowSql: String =

@@ -606,9 +606,14 @@ object Multimodal extends Serializable {
         val f = ais.getFormat
         val bytes = ais.readAllBytes()
         val samples = new Array[Int](bytes.length / 2)
+        // honor the container's byte order: WAV PCM is little-endian,
+        // AIFF is big-endian — the reader hands back raw frame bytes
+        val big = f.isBigEndian
         var i = 0
         while (i < samples.length) {
-          samples(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+          samples(i) =
+            if (big) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)
+            else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
           i += 1
         }
         Some(WavDecoded(f.getSampleRate.toInt, f.getChannels,
@@ -632,6 +637,74 @@ object Multimodal extends Serializable {
         MediaRow(id, tinyWav(1600 + (id % 1600).toInt, 8000, id))
       }
     }
+  }
+
+  /** Encode the same 16-bit PCM as a GENUINE AIFF (big-endian) via the
+    * JDK — byte-level completely different from [[tinyWav]]'s RIFF
+    * little-endian layout, same decoded samples. */
+  def tinyAiff(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = pcmSample(i.toLong, seed)
+      pcm(2 * i) = ((v >> 8) & 0xFF).toByte // big-endian
+      pcm(2 * i + 1) = (v & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    bos.toByteArray
+  }
+
+  final case class AudioDedupRow(keep_id: Long, n_dups: Long,
+                                 n_frames: Long, energy: Long)
+
+  /** Audio CONTENT dedup across container formats: planted duplicate
+    * blocks carry the same PCM, alternately encoded as RIFF/WAVE
+    * (little-endian) and AIFF (big-endian) — byte-level dedup finds
+    * nothing, content dedup must really decode both containers (and get
+    * the endianness right) to group them. Content key = exact integer
+    * moments of the DECODED samples (Σ|s| and the position-weighted
+    * Σ s·(i+1)) plus the frame count — oracle-replayable from the
+    * sample formula in closed form. Decode is one core-split pure-CPU
+    * mapPartitions; the dedup shuffles (nf, k1, k2, id) only. */
+  def audioDedup(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val base = if (id % 3 == 0) (id / 21) * 21 else id
+          val nf = 1600 + (base % 1600).toInt
+          val bytes =
+            if (id % 2 == 1) tinyAiff(nf, 8000, base)
+            else tinyWav(nf, 8000, base)
+          decodeWav(bytes).iterator
+            .filter(w => w.nFrames <= w.samples.length)
+            .map { w =>
+              var k1 = 0L; var k2 = 0L
+              var i = 0
+              while (i < w.nFrames.toInt) {
+                val v = w.samples(i).toLong
+                k1 += math.abs(v)
+                k2 += v * (i + 1)
+                i += 1
+              }
+              (id, w.nFrames, k1, k2)
+            }
+        }
+      }.toDF("doc_id", "nf", "k1", "k2")
+      .groupBy("nf", "k1", "k2")
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"),
+        col("nf").cast("long").as("n_frames"), col("k1").as("energy"))
+      .orderBy("keep_id")
   }
 
   final case class WavSegment(media_id: Long, sample_rate: Int,

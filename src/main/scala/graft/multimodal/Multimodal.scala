@@ -743,6 +743,117 @@ object Multimodal extends Serializable {
     }
   }
 
+  // --------------------------------------------------------------- G.711
+
+  /** Deterministic 8-bit companded code stream — pure (frame, seed)
+    * arithmetic so DuckDB replays it: c(i) = (i·31 + seed·7) mod 256.
+    * Walks all 256 codes, so every expand-table entry is exercised. */
+  def g711Code(i: Long, seed: Long): Int =
+    ((i * 31L + seed * 7L) % 256L).toInt
+
+  /** Encode one GENUINE G.711 WAVE file (μ-law or A-law companded 8-bit
+    * mono — wFormatTag 7/6, the telephony compression WAV has carried
+    * since the format existed) via JDK `javax.sound.sampled`. Unlike
+    * [[tinyWav]]'s linear PCM this is genuinely COMPRESSED audio: 8 bits
+    * per sample logarithmically companded from a 14-bit dynamic range. */
+  def tinyG711(nFrames: Int, sampleRate: Int, seed: Long,
+               aLaw: Boolean): Array[Byte] = {
+    val codes = new Array[Byte](nFrames)
+    var i = 0
+    while (i < nFrames) { codes(i) = g711Code(i.toLong, seed).toByte; i += 1 }
+    val enc =
+      if (aLaw) javax.sound.sampled.AudioFormat.Encoding.ALAW
+      else javax.sound.sampled.AudioFormat.Encoding.ULAW
+    val fmt = new javax.sound.sampled.AudioFormat(
+      enc, sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(codes), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  final case class G711Decoded(law: String, sampleRate: Int,
+                               samples: Array[Int])
+
+  /** REAL G.711 decompression via the JDK codec chain: parse the WAVE
+    * header (which declares the companded format), then run the actual
+    * μ-law/A-law expander (`AudioSystem` format conversion) back to
+    * linear 16-bit PCM. The expansion is the classic closed form —
+    * μ-law: u = ~c, mag = ((8·mant + 0x84) << exp) − 0x84;
+    * A-law: u = c ⊕ 0x55, mag = exp==0 ? 16·mant + 8
+    * : (16·mant + 0x108) << (exp−1) — verified bit-exact against the
+    * JDK for all 256 codes of both laws (G711Spec), which is what lets
+    * the DuckDB oracle replay the decode in closed form. None when the
+    * bytes are not a companded audio file. */
+  def decodeG711(content: Array[Byte]): Option[G711Decoded] =
+    try {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val e = src.getFormat.getEncoding
+        val law =
+          if (e == javax.sound.sampled.AudioFormat.Encoding.ULAW) "ulaw"
+          else if (e == javax.sound.sampled.AudioFormat.Encoding.ALAW) "alaw"
+          else return None
+        val rate = src.getFormat.getSampleRate
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          rate, 16, 1, 2, rate, false)
+        val dec = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(pcmFmt, src)
+        try {
+          val bytes = dec.readAllBytes()
+          val samples = new Array[Int](bytes.length / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+            i += 1
+          }
+          Some(G711Decoded(law, rate.toInt, samples))
+        } finally dec.close()
+      } finally src.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: IllegalArgumentException => None // no conversion chain
+      case _: java.io.IOException => None
+    }
+
+  final case class G711Row(media_id: Long, law: String, sample_rate: Int,
+                           n_frames: Long, sum_abs: Long, sum_pos: Long)
+
+  /** Compressed-audio fixture + REAL decompression: one genuine G.711
+    * WAVE per document (law alternating by doc parity, frame count and
+    * codes pure doc_id arithmetic), decoded by the actual JDK expander.
+    * Content features are exact integer moments of the EXPANDED linear
+    * samples (Σ|s| and position-weighted Σ s·(i+1)) — the oracle replays
+    * code→linear expansion in closed form, so a stub, a codec skip, or a
+    * wrong-law expand mismatches every row. Narrow mapPartitions, no
+    * shuffle. */
+  def g711FromDocuments(s: SparkSession, docs: DataFrame): Dataset[G711Row] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val nf = 800 + (id % 800).toInt
+        val bytes = tinyG711(nf, 8000, id, aLaw = id % 2 == 1)
+        decodeG711(bytes).iterator
+          .filter(g => g.samples.length == nf)
+          .map { g =>
+            var sa = 0L; var sp = 0L
+            var i = 0
+            while (i < g.samples.length) {
+              val v = g.samples(i).toLong
+              sa += math.abs(v)
+              sp += v * (i + 1)
+              i += 1
+            }
+            G711Row(id, g.law, g.sampleRate, nf.toLong, sa, sp)
+          }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- video
 
   /** Encode one GENUINE ISO BMFF (MP4) header: ftyp + moov{mvhd} + free
@@ -869,6 +980,247 @@ object Multimodal extends Serializable {
           m.duration * 1000L / m.timescale)
       }
     }
+  }
+
+  // -------------------------------------------------------- MJPEG in MP4
+
+  /** Size-prefixed ISO BMFF box from payload parts. */
+  private def bmffBox(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+    val payload = parts.iterator.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(8 + payload)
+    bb.putInt(8 + payload)
+    bb.put(tpe.getBytes("US-ASCII"))
+    parts.foreach(bb.put)
+    bb.array()
+  }
+
+  /** One REAL solid-gray JPEG via ImageIO — lossy-codec frames whose
+    * decode is nonetheless exact: a constant image is DC-only in every
+    * MCU, which survives JFIF quantization bit-exact for all 256 gray
+    * values at arbitrary (non-8-aligned) dimensions (pinned by
+    * MjpegSpec's 256-value round-trip). */
+  def jpegGray(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, gray); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Mux REAL JPEG frames into a GENUINE ISO BMFF file — the MJPEG/MP4
+    * layout: ftyp + mdat (concatenated frame bytes) + moov{mvhd,
+    * trak{tkhd, mdia{mdhd, hdlr, minf{vmhd, dinf{dref{url}},
+    * stbl{stsd('jpeg' VideoSampleEntry), stts, stsc, stsz, stco}}}}}.
+    * Frames are chunked in PAIRS (last chunk may hold one), so stco has
+    * multiple entries and stsc needs a real first-chunk run walk — a
+    * parser that assumes one chunk or uniform sizes desyncs. */
+  def tinyMjpeg(w: Int, h: Int, grays: Array[Int]): Array[Byte] = {
+    val frames = grays.map(g => jpegGray(w, h, g))
+    val n = frames.length
+    def u32(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt)
+      bb.array()
+    }
+    val ftyp = bmffBox("ftyp", "isom".getBytes("US-ASCII"), u32(0x200),
+      "isom".getBytes("US-ASCII"), "iso2".getBytes("US-ASCII"))
+    val mdat = bmffBox("mdat", frames.toIndexedSeq: _*)
+    val mdatBase = ftyp.length + 8
+    // chunks of 2 frames (+ trailing singleton when n is odd)
+    val chunkStarts = 0.until(n, 2).toArray
+    val stcoOffsets = chunkStarts.map { s =>
+      mdatBase + frames.iterator.take(s).map(_.length).sum
+    }
+    val stscEntries =
+      if (n % 2 == 0) Array((1, 2))
+      else Array((1, 2), (chunkStarts.length, 1))
+    val duration = n * 3000 // 30 fps at timescale 90000
+    val mvhd = bmffBox("mvhd", u32(0, 0, 0, 90000, duration, 0x00010000),
+      Array[Byte](0x01, 0x00, 0, 0), u32(0, 0),
+      u32(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+      u32(0, 0, 0, 0, 0, 0, 2))
+    val tkhd = bmffBox("tkhd", u32(0x07, 0, 0, 1, 0, duration, 0, 0),
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0),
+      u32(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+      u32(w << 16, h << 16))
+    val mdhd = bmffBox("mdhd", u32(0, 0, 0, 90000, duration),
+      Array[Byte](0x55, 0xC4.toByte, 0, 0))
+    val hdlr = bmffBox("hdlr", u32(0), "vide".getBytes("US-ASCII"),
+      u32(0, 0, 0), Array[Byte](0))
+    val vmhd = bmffBox("vmhd", u32(1), Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
+    val dinf = bmffBox("dinf",
+      bmffBox("dref", u32(0, 1), bmffBox("url ", u32(1))))
+    // VideoSampleEntry 'jpeg': 78-byte body after the 8-byte entry header
+    val entry = {
+      val bb = java.nio.ByteBuffer.allocate(86)
+      bb.putInt(86); bb.put("jpeg".getBytes("US-ASCII"))
+      bb.put(new Array[Byte](6)); bb.putShort(1) // reserved + dref index
+      bb.put(new Array[Byte](16)) // pre_defined / reserved
+      bb.putShort(w.toShort); bb.putShort(h.toShort)
+      bb.putInt(0x00480000); bb.putInt(0x00480000) // 72 dpi
+      bb.putInt(0); bb.putShort(1) // reserved, frame_count
+      bb.put(new Array[Byte](32)) // compressorname
+      bb.putShort(24); bb.putShort(-1) // depth, pre_defined
+      bb.array()
+    }
+    val stsd = bmffBox("stsd", u32(0, 1), entry)
+    val stts = bmffBox("stts", u32(0, 1, n, 3000))
+    val stsc = bmffBox("stsc",
+      u32(0, stscEntries.length),
+      u32(stscEntries.flatMap(e => Seq(e._1, e._2, 1)).toIndexedSeq: _*))
+    val stsz = bmffBox("stsz", u32(0, 0, n),
+      u32(frames.map(_.length).toIndexedSeq: _*))
+    val stco = bmffBox("stco", u32(0, stcoOffsets.length),
+      u32(stcoOffsets.toIndexedSeq: _*))
+    val stbl = bmffBox("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = bmffBox("minf", vmhd, dinf, stbl)
+    val mdia = bmffBox("mdia", mdhd, hdlr, minf)
+    val trak = bmffBox("trak", tkhd, mdia)
+    val moov = bmffBox("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  final case class MjpegInfo(codec: String, width: Int, height: Int,
+                             frames: Array[Array[Byte]])
+
+  /** REAL MP4 sample-table walk — the part of a demuxer that locates
+    * each video frame's bytes: descend moov→trak→mdia→minf→stbl, read
+    * the stsd sample-entry fourcc + dimensions, then resolve every
+    * sample's byte range from stsz (per-sample or uniform sizes), stco
+    * (chunk offsets) and the stsc first-chunk run table (the real
+    * algorithm: each stsc entry applies from its first_chunk until the
+    * next entry's). Handles largesize/to-EOF box encodings like
+    * [[parseMp4]]. None on any structural inconsistency. */
+  def parseMjpeg(content: Array[Byte]): Option[MjpegInfo] = {
+    val bb = java.nio.ByteBuffer.wrap(content)
+    def cc(p: Int): String = new String(content, p, 4, "US-ASCII")
+    // first child box of `tpe` within [from, to) → (payloadStart, boxEnd)
+    def child(from: Int, to: Int, tpe: String): Option[(Int, Int)] = {
+      var p = from
+      while (p + 8 <= to) {
+        val s32 = bb.getInt(p).toLong & 0xFFFFFFFFL
+        val (sz, hdr) =
+          if (s32 == 1L) {
+            if (p + 16 > to) return None
+            (bb.getLong(p + 8), 16)
+          } else if (s32 == 0L) ((to - p).toLong, 8)
+          else (s32, 8)
+        if (sz < hdr || p + sz > to) return None
+        if (cc(p + 4) == tpe) return Some((p + hdr, (p + sz).toInt))
+        p += sz.toInt
+      }
+      None
+    }
+    def assemble(stsdS: Int, stszS: Int, stscS: Int, stcoS: Int)
+        : Option[MjpegInfo] = {
+      val se = stsdS + 8 // first sample entry (after ver/flags + count)
+      val codec = cc(se + 4)
+      val width = bb.getShort(se + 32).toInt & 0xFFFF
+      val height = bb.getShort(se + 34).toInt & 0xFFFF
+      val uniform = bb.getInt(stszS + 4)
+      val n = bb.getInt(stszS + 8)
+      val sizes = Array.tabulate(n) { i =>
+        if (uniform != 0) uniform else bb.getInt(stszS + 12 + 4 * i)
+      }
+      val nChunks = bb.getInt(stcoS + 4)
+      val chunkOff = Array.tabulate(nChunks) { i =>
+        bb.getInt(stcoS + 8 + 4 * i).toLong & 0xFFFFFFFFL
+      }
+      val nStsc = bb.getInt(stscS + 4)
+      val stsc = Array.tabulate(nStsc) { i =>
+        (bb.getInt(stscS + 8 + 12 * i), bb.getInt(stscS + 12 + 12 * i))
+      }
+      if (n == 0 || nChunks == 0 || nStsc == 0) return None
+      val frames = Array.newBuilder[Array[Byte]]
+      var sample = 0
+      var chunk = 1
+      while (chunk <= nChunks && sample < n) {
+        // samples-per-chunk = last stsc entry with first_chunk <= chunk
+        var spc = stsc(0)._2
+        var e = 0
+        while (e < nStsc && stsc(e)._1 <= chunk) { spc = stsc(e)._2; e += 1 }
+        var off = chunkOff(chunk - 1)
+        var k = 0
+        while (k < spc && sample < n) {
+          val sz = sizes(sample)
+          if (off + sz > content.length) return None
+          frames += java.util.Arrays.copyOfRange(
+            content, off.toInt, (off + sz).toInt)
+          off += sz
+          sample += 1
+          k += 1
+        }
+        chunk += 1
+      }
+      if (sample != n) None
+      else Some(MjpegInfo(codec, width, height, frames.result()))
+    }
+    try {
+      val boxes = for {
+        (moovS, moovE) <- child(0, content.length, "moov")
+        (trakS, trakE) <- child(moovS, moovE, "trak")
+        (mdiaS, mdiaE) <- child(trakS, trakE, "mdia")
+        (minfS, minfE) <- child(mdiaS, mdiaE, "minf")
+        (stblS, stblE) <- child(minfS, minfE, "stbl")
+        (stsdS, _) <- child(stblS, stblE, "stsd")
+        (stszS, _) <- child(stblS, stblE, "stsz")
+        (stscS, _) <- child(stblS, stblE, "stsc")
+        (stcoS, _) <- child(stblS, stblE, "stco")
+      } yield (stsdS, stszS, stscS, stcoS)
+      boxes.flatMap { case (sd, sz, sc, co) => assemble(sd, sz, sc, co) }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  final case class MjpegFrameRow(media_id: Long, codec: String,
+                                 n_frames: Int, frame_idx: Int, width: Int,
+                                 height: Int, pixel_sum: Long)
+
+  /** REAL video-frame extraction + decode, driver-gated: one genuine
+    * MJPEG/MP4 per document (frame count, dims and per-frame gray pure
+    * doc_id arithmetic; every frame a REAL ImageIO JPEG), demuxed back
+    * by [[parseMjpeg]]'s sample-table walk and each frame decoded by the
+    * REAL JDK JPEG codec to its pixel sum. The oracle predicts each
+    * frame's sum in closed form (solid DC-only JPEGs round-trip exactly
+    * — MjpegSpec pins all 256 grays) — a stub, a demuxer that can't
+    * walk stsc/stsz/stco, or a skipped JPEG decode mismatches. Narrow
+    * mapPartitions, no shuffle. */
+  def mjpegFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[MjpegFrameRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = 24 + (id % 17).toInt
+          val h = 16 + (id % 11).toInt
+          val nf = 2 + (id % 4).toInt
+          val grays = Array.tabulate(nf)(f => ((id * 37 + f * 101) % 256).toInt)
+          val bytes = tinyMjpeg(w, h, grays)
+          parseMjpeg(bytes).iterator.flatMap { info =>
+            info.frames.iterator.zipWithIndex.map { case (fb, fi) =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(fb))
+              var sum = 0L
+              val r = img.getRaster
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { sum += r.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              MjpegFrameRow(id, info.codec, info.frames.length, fi,
+                img.getWidth, img.getHeight, sum)
+            }
+          }
+        }
+      }
   }
 
   /** Genuine WEBP (RIFF) container bytes: 'RIFF' size 'WEBP', a leading

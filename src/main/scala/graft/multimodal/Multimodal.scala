@@ -559,6 +559,78 @@ object Multimodal extends Serializable {
 
   // ---------------------------------------------------------------- audio
 
+  /** JVM-wide direct javax.sound SPI access. `AudioSystem`'s static
+    * entry points funnel every call through a synchronized provider
+    * registry, which SERIALIZES 32 executor threads decoding small
+    * files (measured on `multimodal_g711`: 138s of task time, 12s of
+    * actual CPU — threads parked on the registry lock). The public SPI
+    * (`ServiceLoader` over `javax.sound.sampled.spi.*`) yields the same
+    * stateless provider instances once per JVM, after which reads /
+    * writes / conversions are lock-free. */
+  object AudioSpi {
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter, FormatConversionProvider}
+    private lazy val readers: Array[AudioFileReader] = {
+      val b = Array.newBuilder[AudioFileReader]
+      java.util.ServiceLoader.load(classOf[AudioFileReader]).forEach(r => b += r)
+      b.result()
+    }
+    private lazy val writers: Array[AudioFileWriter] = {
+      val b = Array.newBuilder[AudioFileWriter]
+      java.util.ServiceLoader.load(classOf[AudioFileWriter]).forEach(w => b += w)
+      b.result()
+    }
+    private lazy val converters: Array[FormatConversionProvider] = {
+      val b = Array.newBuilder[FormatConversionProvider]
+      java.util.ServiceLoader.load(classOf[FormatConversionProvider])
+        .forEach(c => b += c)
+      b.result()
+    }
+
+    /** First reader accepting the bytes — what
+      * `AudioSystem.getAudioInputStream` does, minus the lock. */
+    def read(bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+      var i = 0
+      while (i < readers.length) {
+        try return Some(readers(i).getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          case _: java.io.IOException => ()
+        }
+        i += 1
+      }
+      None
+    }
+
+    def write(ais: javax.sound.sampled.AudioInputStream,
+              tpe: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      var i = 0
+      var done = false
+      while (!done && i < writers.length) {
+        if (writers(i).isFileTypeSupported(tpe, ais)) {
+          writers(i).write(ais, tpe, bos)
+          done = true
+        }
+        i += 1
+      }
+      require(done, s"no writer for $tpe")
+      bos.toByteArray
+    }
+
+    def convert(target: javax.sound.sampled.AudioFormat,
+                src: javax.sound.sampled.AudioInputStream)
+        : Option[javax.sound.sampled.AudioInputStream] = {
+      var i = 0
+      while (i < converters.length) {
+        if (converters(i).isConversionSupported(target, src.getFormat))
+          return Some(converters(i).getAudioInputStream(target, src))
+        i += 1
+      }
+      None
+    }
+  }
+
   /** Deterministic 16-bit PCM sample function — pure (frame, seed)
     * arithmetic over non-negative BIGINTs so DuckDB replays it exactly:
     * s(i) = ((i·2654435761 + seed·977) mod 65536) − 32768 ∈ [−32768, 32767]. */
@@ -581,10 +653,7 @@ object Multimodal extends Serializable {
       sampleRate.toFloat, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    AudioSpi.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE)
   }
 
   final case class WavDecoded(sampleRate: Int, channels: Int, bits: Int,
@@ -600,8 +669,7 @@ object Multimodal extends Serializable {
     * [[decodeImage]]. */
   def decodeWav(content: Array[Byte]): Option[WavDecoded] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(content))
+      val ais = AudioSpi.read(content).getOrElse(return None)
       try {
         val f = ais.getFormat
         val bytes = ais.readAllBytes()
@@ -655,10 +723,7 @@ object Multimodal extends Serializable {
       sampleRate.toFloat, 16, 1, true, true)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
-    bos.toByteArray
+    AudioSpi.write(ais, javax.sound.sampled.AudioFileFormat.Type.AIFF)
   }
 
   final case class AudioDedupRow(keep_id: Long, n_dups: Long,
@@ -768,10 +833,7 @@ object Multimodal extends Serializable {
       enc, sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(codes), fmt, nFrames.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    AudioSpi.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE)
   }
 
   final case class G711Decoded(law: String, sampleRate: Int,
@@ -789,8 +851,7 @@ object Multimodal extends Serializable {
     * bytes are not a companded audio file. */
   def decodeG711(content: Array[Byte]): Option[G711Decoded] =
     try {
-      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(content))
+      val src = AudioSpi.read(content).getOrElse(return None)
       try {
         val e = src.getFormat.getEncoding
         val law =
@@ -801,8 +862,7 @@ object Multimodal extends Serializable {
         val pcmFmt = new javax.sound.sampled.AudioFormat(
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
           rate, 16, 1, 2, rate, false)
-        val dec = javax.sound.sampled.AudioSystem
-          .getAudioInputStream(pcmFmt, src)
+        val dec = AudioSpi.convert(pcmFmt, src).getOrElse(return None)
         try {
           val bytes = dec.readAllBytes()
           val samples = new Array[Int](bytes.length / 2)
@@ -833,7 +893,9 @@ object Multimodal extends Serializable {
     * shuffle. */
   def g711FromDocuments(s: SparkSession, docs: DataFrame): Dataset[G711Row] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.flatMap { id =>
         val nf = 800 + (id % 800).toInt
         val bytes = tinyG711(nf, 8000, id, aLaw = id % 2 == 1)
@@ -994,25 +1056,64 @@ object Multimodal extends Serializable {
     bb.array()
   }
 
+  /** Reusable JPEG codec pair — `ImageIO.write`/`read` do a registry
+    * scan and build fresh writer/reader + stream objects per call,
+    * which dominates a tight fixture/decode loop; a demuxer amortizes
+    * codec init per batch (the mapPartitions design this file's header
+    * describes). NOT thread-safe: one per partition iterator. */
+  final class JpegCodec {
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+
+    def encodeGray(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      java.util.Arrays.fill(
+        img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData,
+        gray.toByte)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+      bos.toByteArray
+    }
+
+    /** Decode + per-pixel gray sum in one pass over the raster buffer. */
+    def decodeSum(bytes: Array[Byte]): (Int, Int, Long) = {
+      reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)), true, true)
+      val img = reader.read(0)
+      var sum = 0L
+      img.getRaster.getDataBuffer match {
+        case db: java.awt.image.DataBufferByte
+            if img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY =>
+          val data = db.getData
+          var i = 0
+          while (i < data.length) { sum += data(i) & 0xFF; i += 1 }
+        case _ =>
+          val r = img.getRaster
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += r.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+      }
+      (img.getWidth, img.getHeight, sum)
+    }
+  }
+
   /** One REAL solid-gray JPEG via ImageIO — lossy-codec frames whose
     * decode is nonetheless exact: a constant image is DC-only in every
     * MCU, which survives JFIF quantization bit-exact for all 256 gray
     * values at arbitrary (non-8-aligned) dimensions (pinned by
     * MjpegSpec's 256-value round-trip). */
-  def jpegGray(w: Int, h: Int, gray: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val r = img.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { r.setSample(x, y, 0, gray); x += 1 }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    bos.toByteArray
-  }
+  def jpegGray(w: Int, h: Int, gray: Int): Array[Byte] =
+    new JpegCodec().encodeGray(w, h, gray)
 
   /** Mux REAL JPEG frames into a GENUINE ISO BMFF file — the MJPEG/MP4
     * layout: ftyp + mdat (concatenated frame bytes) + moov{mvhd,
@@ -1021,8 +1122,9 @@ object Multimodal extends Serializable {
     * Frames are chunked in PAIRS (last chunk may hold one), so stco has
     * multiple entries and stsc needs a real first-chunk run walk — a
     * parser that assumes one chunk or uniform sizes desyncs. */
-  def tinyMjpeg(w: Int, h: Int, grays: Array[Int]): Array[Byte] = {
-    val frames = grays.map(g => jpegGray(w, h, g))
+  def tinyMjpeg(w: Int, h: Int, grays: Array[Int],
+                codec: JpegCodec = new JpegCodec()): Array[Byte] = {
+    val frames = grays.map(g => codec.encodeGray(w, h, g))
     val n = frames.length
     def u32(vs: Int*): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
@@ -1197,26 +1299,18 @@ object Multimodal extends Serializable {
     docs.select(col("doc_id")).as[Long]
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
+        val codec = new JpegCodec() // amortized per partition
         it.flatMap { id =>
           val w = 24 + (id % 17).toInt
           val h = 16 + (id % 11).toInt
           val nf = 2 + (id % 4).toInt
           val grays = Array.tabulate(nf)(f => ((id * 37 + f * 101) % 256).toInt)
-          val bytes = tinyMjpeg(w, h, grays)
+          val bytes = tinyMjpeg(w, h, grays, codec)
           parseMjpeg(bytes).iterator.flatMap { info =>
             info.frames.iterator.zipWithIndex.map { case (fb, fi) =>
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(fb))
-              var sum = 0L
-              val r = img.getRaster
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) { sum += r.getSample(x, y, 0); x += 1 }
-                y += 1
-              }
+              val (fw, fh, sum) = codec.decodeSum(fb)
               MjpegFrameRow(id, info.codec, info.frames.length, fi,
-                img.getWidth, img.getHeight, sum)
+                fw, fh, sum)
             }
           }
         }

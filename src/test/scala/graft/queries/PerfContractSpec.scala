@@ -69,6 +69,8 @@ class PerfContractSpec extends SparkSpec {
     // a shuffle beyond single-digit MB means pixel bytes started moving
     Contract("multimodal_vp8l", 8, 12),
     Contract("multimodal_gif", 8, 12),
+    Contract("multimodal_g711", 8, 12),
+    Contract("multimodal_mjpeg", 8, 12),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

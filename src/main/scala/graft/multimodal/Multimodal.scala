@@ -1044,6 +1044,57 @@ object Multimodal extends Serializable {
     }
   }
 
+  // ------------------------------------------------------------- FLAC
+
+  /** Deterministic sawtooth PCM — pure (frame, seed) arithmetic the
+    * oracle replays: s(i) = ((i·331 + seed·7919) mod 4096) − 2048.
+    * Mostly-linear runs make the fixed/LPC predictors genuinely
+    * compress (residual ≈ 0 away from wrap points), so the Rice coder
+    * is exercised on realistic residual distributions. */
+  def flacSample(i: Long, seed: Long): Int =
+    (((i * 331L + seed * 7919L) % 4096L) - 2048L).toInt
+
+  final case class FlacRow(media_id: Long, n_samples: Long,
+                           n_flac_frames: Int, mode: String, sum_abs: Long,
+                           sum_pos: Long)
+
+  /** Compressed-audio fixture + REAL entropy decode: one genuine FLAC
+    * stream per document ([[Flac]] — Rice-coded prediction residuals,
+    * CRC-8/CRC-16 verified frames, STREAMINFO MD5 verified on decode),
+    * block size 256 so every file spans multiple frames, predictor
+    * path alternating FIXED / LPC by doc parity. Features are exact
+    * integer moments of the DECODED samples — the oracle replays
+    * [[flacSample]] in closed form, and the in-decoder MD5 check means
+    * a single residual slip anywhere kills the row rather than
+    * shifting a sum. Narrow mapPartitions, no shuffle. */
+  def flacsFromDocuments(s: SparkSession, docs: DataFrame): Dataset[FlacRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val nf = 600 + (id % 900).toInt
+          val samples = Array.tabulate(nf)(i => flacSample(i.toLong, id))
+          val useLpc = id % 2 == 1
+          val bytes = Flac.encode(samples, blockSize = 256, useLpc = useLpc)
+          Flac.decode(bytes).iterator
+            .filter(d => d.md5Ok && d.nSamples == nf.toLong)
+            .map { d =>
+              var sa = 0L; var sp = 0L
+              var i = 0
+              while (i < d.samples.length) {
+                val v = d.samples(i).toLong
+                sa += math.abs(v)
+                sp += v * (i + 1)
+                i += 1
+              }
+              FlacRow(id, d.nSamples, d.nFrames,
+                if (useLpc) "lpc" else "fixed", sa, sp)
+            }
+        }
+      }
+  }
+
   // -------------------------------------------------------- MJPEG in MP4
 
   /** Size-prefixed ISO BMFF box from payload parts. */

@@ -71,6 +71,7 @@ class PerfContractSpec extends SparkSpec {
     Contract("multimodal_gif", 8, 12),
     Contract("multimodal_g711", 8, 12),
     Contract("multimodal_mjpeg", 8, 12),
+    Contract("multimodal_flac", 8, 12),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

@@ -10,7 +10,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Optional Spark event log (SPARK_GRAFT_EVENTLOG=dir) for offline
     // stage-level profiling of a single entry; off in driver runs.
-    val b0 = GraftSession.builder(s"local[$cpus]", cpus)
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS: tier probes override the local
+    // default (32) to emulate a cluster's data-proportional partition
+    // count — per-task state at a fixed count grows linearly with the
+    // tier (measured on dedup_winnowing at 1000×).
+    val shufflePartitions = sys.env
+      .getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toString).toInt
+    val b0 = GraftSession.builder(s"local[$cpus]", shufflePartitions)
     val b1 = sys.env.get("SPARK_GRAFT_EVENTLOG").fold(b0) { dir =>
       new java.io.File(dir).mkdirs()
       b0.config("spark.eventLog.enabled", "true")

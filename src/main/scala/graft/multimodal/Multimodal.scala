@@ -166,6 +166,44 @@ object Multimodal extends Serializable {
 
   /** Encode one deterministic tiny RGB PNG — a REAL PNG byte stream via
     * ImageIO, with pixel values a pure function of (x, y, seed). */
+  /** Thread-confined reusable PNG writer/reader — `ImageIO.write`/`read`
+    * run a provider scan and build fresh writer/reader + stream objects
+    * per call, which dominates tight fixture/decode loops (measured on
+    * `multimodal_mjpeg`, same class of cost as the synchronized
+    * AudioSystem registry on the audio side). Writer/reader instances
+    * are NOT thread-safe → one per executor thread (bounded: the
+    * local[32] pool). */
+  object Iio {
+    private val pngW =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+    private val pngR =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      val w = pngW.get()
+      w.setOutput(ios)
+      w.write(img)
+      ios.flush()
+      bos.toByteArray
+    }
+
+    /** PNG signature → reused reader; anything else → the generic
+      * detecting path (same acceptance behavior as `ImageIO.read`). */
+    def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      if (bytes.length > 8 && (bytes(0) & 0xFF) == 0x89 &&
+        bytes(1) == 'P'.toByte) {
+        val r = pngR.get()
+        r.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)), true, true)
+        r.read(0)
+      } else
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  }
+
   def tinyPng(w: Int, h: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -182,9 +220,7 @@ object Multimodal extends Serializable {
       y += 1
     }
     img.setRGB(0, 0, w, h, px, 0, w) // bulk write, not per-pixel sync
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    Iio.encodePng(img)
   }
 
   // ------------------------------------------------------ animated GIF
@@ -456,9 +492,7 @@ object Multimodal extends Serializable {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    Iio.encodePng(img)
   }
 
   /** dHash of a row-major 9×8 gray array: 8×8 horizontal gradient
@@ -497,9 +531,7 @@ object Multimodal extends Serializable {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    Iio.encodePng(img)
   }
 
   /** REAL pixel decode to a row-major gray array (blue channel of the
@@ -507,21 +539,14 @@ object Multimodal extends Serializable {
     * reader accepts the bytes. */
   def decodeGray(content: Array[Byte]): Option[Array[Int]] =
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(content))
+      val img = Iio.readImage(content)
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
         val out = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            out(y * w + x) = img.getRGB(x, y) & 0xFF
-            x += 1
-          }
-          y += 1
-        }
+        img.getRGB(0, 0, w, h, out, 0, w) // one bulk conversion pass
+        var i = 0
+        while (i < out.length) { out(i) = out(i) & 0xFF; i += 1 }
         Some(out)
       }
     } catch { case _: java.io.IOException => None }

@@ -1304,18 +1304,26 @@ object Multimodal extends Serializable {
       val height = bb.getShort(se + 34).toInt & 0xFFFF
       val uniform = bb.getInt(stszS + 4)
       val n = bb.getInt(stszS + 8)
+      // corrupt tables must fail the walk, not the JVM: counts bounded
+      // by the file size (every table entry occupies ≥4 bytes in it),
+      // sample sizes non-negative (stsz is unsigned; a negative read is
+      // a corrupt high bit and would slip past additive bounds checks)
+      if (n <= 0 || n > content.length || uniform < 0) return None
       val sizes = Array.tabulate(n) { i =>
         if (uniform != 0) uniform else bb.getInt(stszS + 12 + 4 * i)
       }
+      if (sizes.exists(_ < 0)) return None
       val nChunks = bb.getInt(stcoS + 4)
+      if (nChunks <= 0 || nChunks > content.length) return None
       val chunkOff = Array.tabulate(nChunks) { i =>
         bb.getInt(stcoS + 8 + 4 * i).toLong & 0xFFFFFFFFL
       }
       val nStsc = bb.getInt(stscS + 4)
+      if (nStsc <= 0 || nStsc > content.length) return None
       val stsc = Array.tabulate(nStsc) { i =>
         (bb.getInt(stscS + 8 + 12 * i), bb.getInt(stscS + 12 + 12 * i))
       }
-      if (n == 0 || nChunks == 0 || nStsc == 0) return None
+      if (stsc.exists(e => e._2 < 0)) return None
       val frames = Array.newBuilder[Array[Byte]]
       var sample = 0
       var chunk = 1

@@ -70,6 +70,35 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decode(good.take(good.length / 2).toArray).isEmpty)
   }
 
+  test("byte-flip fuzz: decode never throws, never returns wrong samples") {
+    val samples = Array.tabulate(700)(i => Multimodal.flacSample(i.toLong, 3L))
+    val good = Flac.encode(samples, 256, useLpc = false)
+    var x = 987654321L
+    var rejected = 0
+    for (_ <- 0 until 2000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val pos = math.abs(x % good.length).toInt
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val mask = math.max(1, (x & 0xFF).toInt) // always a real flip
+      val bad = good.clone()
+      bad(pos) = (bad(pos) ^ mask).toByte
+      Flac.decode(bad) match {
+        case None => rejected += 1
+        case Some(d) =>
+          // a flip the decode doesn't depend on (ignored STREAMINFO
+          // fields: min/max frame size, sample-rate bits) may still
+          // decode — but NEVER to wrong samples: everything that feeds
+          // sample reconstruction is CRC/MD5-covered
+          assert(java.util.Arrays.equals(d.samples, samples),
+            s"flip at $pos decoded to WRONG samples")
+      }
+    }
+    // the audio payload itself is fully covered: most flips reject
+    assert(rejected > 1800, s"only $rejected/2000 flips rejected")
+    for (len <- good.length - 1 to 0 by -23)
+      Flac.decode(java.util.Arrays.copyOf(good, len))
+  }
+
   test("non-FLAC bytes are rejected, including real WAV") {
     assert(Flac.decode("not a flac stream at all".getBytes("UTF-8")).isEmpty)
     assert(Flac.decode(Multimodal.tinyWav(400, 8000, 1L)).isEmpty)

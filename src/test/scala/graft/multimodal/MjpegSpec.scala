@@ -68,6 +68,28 @@ class MjpegSpec extends AnyFunSuite {
     assert(Multimodal.parseMjpeg(bad).isEmpty)
   }
 
+  test("byte-flip fuzz: parseMjpeg never throws, only None or a valid walk") {
+    val good = Multimodal.tinyMjpeg(32, 20, Array(10, 200, 77))
+    // deterministic LCG positions/masks — every region of the file gets hit
+    var x = 123456789L
+    for (_ <- 0 until 2000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val pos = math.abs(x % good.length).toInt
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val mask = (x & 0xFF).toInt
+      val bad = good.clone()
+      bad(pos) = (bad(pos) ^ mask).toByte
+      Multimodal.parseMjpeg(bad) match {
+        case None => () // rejected — fine
+        case Some(info) => // a flip the walk doesn't depend on — fine,
+          assert(info.frames.forall(_ ne null)) // but the result must be sane
+      }
+    }
+    // truncation at every length from the tail inward (sampled)
+    for (len <- good.length - 1 to 0 by -37)
+      Multimodal.parseMjpeg(java.util.Arrays.copyOf(good, len))
+  }
+
   test("decoded frame features match the closed-form oracle arithmetic") {
     val id = 123L
     val w = 24 + (id % 17).toInt

@@ -611,14 +611,33 @@ object Multimodal extends Serializable {
       b.result()
     }
 
+    /** Per-thread MRU ordering over the readers. The registry order puts
+      * `SoftMidiAudioFileReader` BEFORE `WaveFileReader`, and its probe
+      * consults the synchronized MIDI provider registry on EVERY
+      * rejection — a thread dump of the 1000×-tier g711 probe showed 31
+      * of 32 executor threads parked in `MidiSystem.getProviders` via
+      * exactly that path. Moving whichever reader last ACCEPTED to the
+      * front makes a homogeneous decode stream consult the expensive
+      * rejectors at most once per thread. */
+    private val readerOrder =
+      ThreadLocal.withInitial[Array[Int]](() => readers.indices.toArray)
+
     /** First reader accepting the bytes — what
-      * `AudioSystem.getAudioInputStream` does, minus the lock. */
+      * `AudioSystem.getAudioInputStream` does, minus the locks. */
     def read(bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+      val order = readerOrder.get()
       var i = 0
-      while (i < readers.length) {
-        try return Some(readers(i).getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes)))
-        catch {
+      while (i < order.length) {
+        try {
+          val ais = readers(order(i)).getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          if (i > 0) { // move the accepting reader to the front
+            val hit = order(i)
+            System.arraycopy(order, 0, order, 1, i)
+            order(0) = hit
+          }
+          return Some(ais)
+        } catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException => ()
           case _: java.io.IOException => ()
         }
@@ -1142,10 +1161,25 @@ object Multimodal extends Serializable {
       javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     private val reader =
       javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    // (w,h) → reusable gray image; the fixture dimension space is tiny
+    // (17×11 combos) and a fresh BufferedImage per frame was 43% task
+    // GC at the 1000× tier
+    private val imgCache =
+      new java.util.HashMap[Long, java.awt.image.BufferedImage]()
+
+    private def grayImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val key = (w.toLong << 32) | h.toLong
+      var img = imgCache.get(key)
+      if (img == null) {
+        img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        imgCache.put(key, img)
+      }
+      img
+    }
 
     def encodeGray(w: Int, h: Int, gray: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val img = grayImage(w, h)
       java.util.Arrays.fill(
         img.getRaster.getDataBuffer
           .asInstanceOf[java.awt.image.DataBufferByte].getData,
@@ -1158,11 +1192,42 @@ object Multimodal extends Serializable {
       bos.toByteArray
     }
 
-    /** Decode + per-pixel gray sum in one pass over the raster buffer. */
+    // separate (w,h) → destination cache for decode (never shared with
+    // the encode image: a partial decode must not corrupt a fixture)
+    private val destCache =
+      new java.util.HashMap[Long, java.awt.image.BufferedImage]()
+
+    /** Decode + per-pixel gray sum in one pass over the raster buffer.
+      * Reuses a destination image per (w,h) when the stream is the
+      * grayscale layout our fixtures carry; falls back to a fresh
+      * allocation for anything else. */
     def decodeSum(bytes: Array[Byte]): (Int, Int, Long) = {
       reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes)), true, true)
-      val img = reader.read(0)
+      val img = {
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        val key = (w.toLong << 32) | h.toLong
+        var dest = destCache.get(key)
+        try {
+          if (dest == null || dest.getType !=
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+            dest = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          }
+          val p = reader.getDefaultReadParam
+          p.setDestination(dest)
+          val out = reader.read(0, p)
+          destCache.put(key, dest)
+          out
+        } catch {
+          case _: javax.imageio.IIOException =>
+            // non-gray stream rejected the destination: restart clean
+            reader.setInput(
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes)), true, true)
+            reader.read(0)
+        }
+      }
       var sum = 0L
       img.getRaster.getDataBuffer match {
         case db: java.awt.image.DataBufferByte

@@ -1264,7 +1264,8 @@ object Multimodal extends Serializable {
     * multiple entries and stsc needs a real first-chunk run walk — a
     * parser that assumes one chunk or uniform sizes desyncs. */
   def tinyMjpeg(w: Int, h: Int, grays: Array[Int],
-                codec: JpegCodec = new JpegCodec()): Array[Byte] = {
+                codec: JpegCodec = new JpegCodec(),
+                chunkSize: Int = 2): Array[Byte] = {
     val frames = grays.map(g => codec.encodeGray(w, h, g))
     val n = frames.length
     def u32(vs: Int*): Array[Byte] = {
@@ -1276,14 +1277,14 @@ object Multimodal extends Serializable {
       "isom".getBytes("US-ASCII"), "iso2".getBytes("US-ASCII"))
     val mdat = bmffBox("mdat", frames.toIndexedSeq: _*)
     val mdatBase = ftyp.length + 8
-    // chunks of 2 frames (+ trailing singleton when n is odd)
-    val chunkStarts = 0.until(n, 2).toArray
+    // chunks of `chunkSize` frames (+ a short trailing chunk)
+    val chunkStarts = 0.until(n, chunkSize).toArray
     val stcoOffsets = chunkStarts.map { s =>
       mdatBase + frames.iterator.take(s).map(_.length).sum
     }
     val stscEntries =
-      if (n % 2 == 0) Array((1, 2))
-      else Array((1, 2), (chunkStarts.length, 1))
+      if (n % chunkSize == 0) Array((1, chunkSize))
+      else Array((1, chunkSize), (chunkStarts.length, n % chunkSize))
     val duration = n * 3000 // 30 fps at timescale 90000
     val mvhd = bmffBox("mvhd", u32(0, 0, 0, 90000, duration, 0x00010000),
       Array[Byte](0x01, 0x00, 0, 0), u32(0, 0),
@@ -1464,6 +1465,57 @@ object Multimodal extends Serializable {
           }
         }
       }
+  }
+
+  /** Video CONTENT dedup across encodings — the moving-picture member
+    * of the content-dedup family (`multimodal_image_dedup` /
+    * `multimodal_audio_dedup`): planted duplicate blocks carry the same
+    * FRAME CONTENT re-encoded at DIFFERENT resolutions and different
+    * sample-table chunk layouts — every byte of the files differs
+    * (different JPEG bitstreams, different stsc/stco), so byte- and
+    * even frame-digest-level dedup find nothing. Grouping requires the
+    * real pipeline: demux the sample table, decode every frame with the
+    * real JDK JPEG codec, and reduce each frame to a
+    * RESOLUTION-INVARIANT content signature — the per-frame mean gray,
+    * which is exact for solid frames (sum = g·w·h, mean = g; the
+    * MjpegSpec round-trip guarantee) — then key on exact integer
+    * moments of the mean sequence. Oracle replays the arithmetic in
+    * closed form. Decode is a core-split pure-CPU mapPartitions; the
+    * dedup shuffles (nf, k1, k2, id) only — the audio-dedup shape. */
+  def videoDedup(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val codec = new JpegCodec()
+        it.flatMap { id =>
+          val base = if (id % 3 == 0) (id / 21) * 21 else id
+          val nf = 2 + (base % 4).toInt
+          val grays = Array.tabulate(nf)(f => ((base * 37 + f * 101) % 256).toInt)
+          val w = 16 + (id % 31).toInt // resolution varies per COPY
+          val h = 12 + (id % 17).toInt
+          val chunkSize = if (id % 2 == 0) 2 else 1 // layout varies too
+          val bytes = tinyMjpeg(w, h, grays, codec, chunkSize)
+          parseMjpeg(bytes).iterator.map { info =>
+            var k1 = 0L
+            var k2 = 0L
+            var fi = 0
+            while (fi < info.frames.length) {
+              val (fw, fh, sum) = codec.decodeSum(info.frames(fi))
+              val mean = sum / (fw.toLong * fh) // exact: solid frames
+              k1 += mean
+              k2 += mean * (fi + 1)
+              fi += 1
+            }
+            (id, info.frames.length, k1, k2)
+          }
+        }
+      }.toDF("doc_id", "nf", "k1", "k2")
+      .groupBy("nf", "k1", "k2")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), col("nf").as("n_frames"),
+        col("k1").as("sig"))
+      .orderBy("keep_id")
   }
 
   /** Genuine WEBP (RIFF) container bytes: 'RIFF' size 'WEBP', a leading

@@ -331,6 +331,22 @@ class LlmPipelineSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).distinct.length == rows.length)
   }
 
+  test("video content dedup groups planted cross-resolution duplicates") {
+    val out = LlmPipeline.multimodalVideoDedup(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf).count()
+    // conservation: every doc lands in exactly one group
+    assert(out.map(_.getAs[Long]("n_dups")).sum == docs)
+    // the planted blocks (id%3==0 within each block of 21 shares the
+    // block base's frame content at a DIFFERENT resolution) must group
+    val dup = out.filter(_.getAs[Long]("n_dups") > 1)
+    assert(dup.nonEmpty, "planted cross-resolution duplicates not grouped")
+    // spot-check one planted pair really differs byte-level: id 0 and 21?
+    // ids 0,3,6,...18 share base 0 (block 0): n_dups for base-0 group ≥ 7
+    val base0 = out.find(_.getAs[Long]("keep_id") == 0L)
+    assert(base0.exists(_.getAs[Long]("n_dups") >= 7L),
+      s"block-0 planted family under-grouped: $base0")
+  }
+
   test("multimodal decode is deterministic, batched, and typed") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(

@@ -72,6 +72,7 @@ class PerfContractSpec extends SparkSpec {
     Contract("multimodal_g711", 8, 12),
     Contract("multimodal_mjpeg", 8, 12),
     Contract("multimodal_flac", 8, 12),
+    Contract("multimodal_video_dedup", 8, 16),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

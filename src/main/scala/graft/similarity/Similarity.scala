@@ -49,12 +49,42 @@ object Similarity extends Serializable {
 
   def toDoubleArr(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Exact top-k per query over a scored (q_id, vec_id, sim) set, in two
+    * phases: a pre-rank within (q_id, vec_id % groups) slices, then the
+    * final rank over the ≤ groups·k survivors per query. The global
+    * top-k is a subset of the union of slice top-ks, and both windows
+    * break ties identically on (sim DESC, vec_id), so the result — ranks
+    * included — is bit-identical to the single-window formulation the
+    * DuckDB oracles state; no oracle changes.
+    *
+    * Why: ANN entries rank a corpus-sized score set for a HANDFUL of
+    * queries, so a single `Window.partitionBy(q_id)` funnels the whole
+    * corpus through |queries| sort partitions — at the 100× tier that
+    * serialized ann_pq's final stage onto 5 threads of 32. The slice key
+    * is `vec_id % groups` (deterministic, data-independent), NOT
+    * spark_partition_id (non-deterministic: a recompute under a lost
+    * block could re-slice mid-query). */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int,
+                                  groups: Int = 64): DataFrame = {
+    val pre = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(groups)))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val short = scored.withColumn("_pr", row_number().over(pre))
+      .where(col("_pr") <= k).drop("_pr")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    short.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * queries: (q_id, q_emb); corpus: (vec_id, embedding). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int)
       : DataFrame = {
     val joined = corpus
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("emb"))
+      // spread a compact single-split corpus before the per-row dot work
+      .repartition(col("vec_id"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
       .crossJoin(broadcast(queries
         .select(col("q_id"), toDoubleArr(col("q_emb")).as("qe"))
@@ -63,11 +93,61 @@ object Similarity extends Serializable {
       .select(col("q_id"), col("vec_id"),
         round(dot(col("emb"), col("qe")) / (col("nrm") * col("qn")), 6)
           .as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .orderBy("q_id", "rank")
+    topKPerQuery(joined, k)
+  }
+
+  /** BINARY-quantization retrieval (sign bits + Hamming shortlist +
+    * exact rerank) — the 1-bit/dim serving trick vector stores ship
+    * (binary embeddings): each vector compresses to dim/64 longs of
+    * SIGN BITS (64 dims → 16 bytes here, packed as two 32-bit halves so
+    * bit arithmetic stays overflow-free in BIGINT on both engines), the
+    * candidate pass ranks by Hamming distance — pure xor + bit_count,
+    * no floating point — and only the `shortlist` best per query fetch
+    * their full vectors for exact-cosine rerank.
+    *
+    * Scale shape: the code table is 16 bytes/vector (16 GB at 1B
+    * vectors — memory-residentable where float vectors are not); the
+    * Hamming pass is one narrow scan against the broadcast query codes;
+    * the rerank join touches shortlist·|queries| full vectors only.
+    * Everything is integer-exact until the final rerank, whose cosine
+    * is the shared fixed-order dot — so the DuckDB oracle replays
+    * codes, Hamming ranks, and rerank bit-for-bit. */
+  def binaryHammingRerank(corpus: DataFrame, queries: DataFrame,
+                          topK: Int, shortlist: Int): DataFrame = {
+    // sign codes, two 32-bit halves: h1 = Σ 2^d over d∈[0,32) with
+    // e[d] > 0, h2 likewise for [32,64) — sums of distinct powers, exact
+    // BIGINT in both engines (a single 64-bit pack would overflow the
+    // signed sum at bit 63)
+    def half(c: String, lo: Int): Column = expr(
+      s"aggregate(sequence(0, 31), 0L, (acc, d) -> acc + " +
+        s"IF(element_at($c, d + ${lo + 1}) > CAST(0 AS DOUBLE), " +
+        s"shiftleft(CAST(1 AS BIGINT), d), 0L))")
+    val coded = corpus
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), half("e", 0).as("h1"), half("e", 32).as("h2"))
+    val qcoded = queries
+      .select(col("q_id"), toDoubleArr(col("q_emb")).as("qe"))
+      .select(col("q_id"), half("qe", 0).as("q1"), half("qe", 32).as("q2"))
+    val scored = coded.crossJoin(broadcast(qcoded))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (lit(64) - bit_count(col("h1").bitwiseXOR(col("q1"))) -
+          bit_count(col("h2").bitwiseXOR(col("q2")))).as("sim"))
+    // topKPerQuery ranks (sim DESC, vec_id): sim = 64 − Hamming makes
+    // that exactly (hamming ASC, vec_id) — the oracle's ORDER BY
+    val cand = topKPerQuery(scored, shortlist).select("q_id", "vec_id")
+    val exact = corpus.select(col("vec_id"),
+      toDoubleArr(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val qx = queries
+      .select(col("q_id"), toDoubleArr(col("q_emb")).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val res = cand.join(exact, Seq("vec_id")).join(broadcast(qx), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("e"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+    topKPerQuery(res, topK)
   }
 
   /** Scalar-quantized (SQ8) top-k: per-dimension min/max codebook, corpus
@@ -85,6 +165,7 @@ object Similarity extends Serializable {
     * via the same CASE). */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val t = corpus.select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+      .repartition(col("vec_id"))
     val stats = t
       .select(posexplode(col("e")).as(Seq("i", "x")))
       .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
@@ -111,11 +192,7 @@ object Similarity extends Serializable {
       .select(col("q_id"), col("vec_id"),
         round(dot(col("xh"), col("qe")) / (col("nrm") * col("qn")), 6)
           .as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .orderBy("q_id", "rank")
+    topKPerQuery(joined, k)
   }
 
   /** All corpus pairs with cosine >= threshold (exact; quadratic — the
@@ -199,6 +276,7 @@ object Similarity extends Serializable {
     }: _*)
     val assigned = corpus
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+      .repartition(col("vec_id"))
       .withColumn("sims", cellSims(col("e")))
       .withColumn("cell", array_position(col("sims"), array_max(col("sims"))) - 1)
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
@@ -219,11 +297,7 @@ object Similarity extends Serializable {
       .select(col("q_id"), col("vec_id"),
         round(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 6)
           .as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .orderBy("q_id", "rank")
+    topKPerQuery(cand, k)
   }
 
   /** LSH-bucketed near-dup with count-derived signature width and
@@ -408,6 +482,14 @@ object Similarity extends Serializable {
     corpus.select(col("vec_id"),
       expr("transform(embedding, x -> " +
         "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qe"))
+      // Spread the corpus across the session's shuffle partitions BEFORE
+      // checkpointing: everything downstream (the m training chains, the
+      // m·k-distance encode projection, asymmetric scoring) is narrow
+      // per-row work that inherits this partitioning. A compact parquet
+      // corpus can arrive as ONE input split (200k vectors ≈ one 6 MB
+      // row group), which would otherwise single-thread the whole encode
+      // — measured at the 100× tier: cpu/wall 1.2 on 32 cores.
+      .repartition(col("vec_id"))
       .localCheckpoint(true)
 
   // Distances go through the codegen'd SqDistExpr (identical left-fold
@@ -433,11 +515,7 @@ object Similarity extends Serializable {
       .select(col("q_id"), col("vec_id"),
         round(dot(col("xh"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .orderBy("q_id", "rank")
+    topKPerQuery(joined, topK)
   }
 
   /** Deterministic training-sample cap, the published PQ/IVF practice
@@ -540,22 +618,60 @@ object Similarity extends Serializable {
     * reconstruction back in original units. */
   private def pqReconstruct(q: DataFrame, books: Array[Array[Array[Double]]],
                             m: Int, dim: Int): DataFrame = {
+    // Broadcast-matrix encode (the assignViaBroadcast shape): the
+    // expression formulation — m×k sqDist literal subtrees folded into
+    // one projection — is past codegen's method limits at m=k=16, so it
+    // ran as ~256 interpreted slice+fold evaluations per row (measured
+    // 750 CPU-s for a 200k-vector encode at the 100× tier; this loop is
+    // ~3 s). Math is bit-identical: per subspace, a sequential
+    // (x−c)² left fold per centroid (SqDistExpr's order), strict-<
+    // argmin keeping the lowest code on ties (= array_position of
+    // array_min), then xh[i] = book_micro[i] / 1e6 concatenated in
+    // subspace order — each an IEEE double op in the same order the
+    // DuckDB oracle states.
+    val s = q.sparkSession
+    import s.implicits._
     val subLen = dim / m
-    val qd = q.withColumn("qd",
-      expr("transform(qe, x -> CAST(x AS DOUBLE))"))
-    val encoded = (0 until m).foldLeft(qd) { (df, s) =>
-      val lo = s * subLen + 1
-      val dists = subDists(books(s), expr(s"slice(qd, $lo, $subLen)"))
-      df.withColumn(s"code_$s",
-        (array_position(dists, array_min(dists)) - 1).cast("int"))
-    }
-    val bookLit = (0 until m).map { s =>
-      array(books(s).map(c => array(c.map(lit).toSeq: _*)).toSeq: _*)
-    }
-    val xh = transform(
-      concat((0 until m).map(s => bookLit(s)(col(s"code_$s"))): _*),
-      x => x / 1000000.0)
-    encoded.withColumn("xh", xh).select("vec_id", "qd", "xh")
+    val bc = s.sparkContext.broadcast(books)
+    val out = q.select(col("vec_id").cast("long").as("_1"), col("qe").as("_2"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val bks = bc.value
+        it.map { case (id, qe) =>
+          val n = qe.length
+          val qd = new Array[Double](n)
+          var i = 0
+          while (i < n) { qd(i) = qe(i).toDouble; i += 1 }
+          val xh = new Array[Double](n)
+          var sp = 0
+          while (sp < m) {
+            val lo = sp * subLen
+            val cs = bks(sp)
+            var best = 0.0
+            var bestC = -1
+            var c = 0
+            while (c < cs.length) {
+              val cc = cs(c)
+              var acc = 0.0
+              var j = 0
+              while (j < subLen) {
+                val d = qd(lo + j) - cc(j); acc += d * d; j += 1
+              }
+              if (bestC < 0 || acc < best) { best = acc; bestC = c }
+              c += 1
+            }
+            val chosen = cs(bestC)
+            var j = 0
+            while (j < subLen) { xh(lo + j) = chosen(j) / 1000000.0; j += 1 }
+            sp += 1
+          }
+          (id, qd.toSeq, xh.toSeq)
+        }
+      }
+      .toDF("vec_id", "qd", "xh")
+    // MATERIALIZE the code table — it IS the index artifact a serving
+    // system stores; scoring and cell assignment read it as data.
+    out.localCheckpoint(true)
   }
 
   /** IVF-PQ composition (the FAISS IVFPQ serving shape, non-residual):
@@ -581,15 +697,43 @@ object Similarity extends Serializable {
     def cellSims(e: Column): Column = array((0 until nCells).map { c =>
       dot(e, array(cents(c).map(lit).toSeq: _*)) / lit(cnorm(c))
     }: _*)
-    // one projection: PQ encode+reconstruct AND coarse cell assignment
-    // (cell sims over the micro-unit vector — argmax is scale-invariant,
-    // and the oracle computes from the same integers)
+    // coarse cell assignment over the PQ code table (cell sims over the
+    // micro-unit vector — argmax is scale-invariant, and the oracle
+    // computes from the same integers). Broadcast-matrix mapPartitions,
+    // not the 16×64-literal expression array: that tree is past codegen
+    // limits and evaluated interpreted (measured 848 CPU-s for 200k rows
+    // at the 100× tier; this loop is ~8 s). Bit-identical: sequential
+    // dot fold (DotProductExpr's order), /cnorm, strict-> argmax keeping
+    // the lowest cell on ties (= array_position of array_max).
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val bcCells = sess.sparkContext.broadcast((cents, cnorm))
     val indexed = pqReconstruct(q, books, m, dim)
-      .withColumn("sims", cellSims(col("qd")))
-      .withColumn("cell",
-        array_position(col("sims"), array_max(col("sims"))) - 1)
-      .withColumn("nrm", sqrt(dot(col("xh"), col("xh"))))
-      .select("vec_id", "cell", "xh", "nrm")
+      .select(col("vec_id").cast("long").as("_1"), col("qd").as("_2"),
+        col("xh").as("_3"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .mapPartitions { it =>
+        val (cs, cn) = bcCells.value
+        it.map { case (id, qd, xh) =>
+          var best = 0.0
+          var bestC = -1
+          var c = 0
+          while (c < cs.length) {
+            val cc = cs(c)
+            var acc = 0.0
+            var i = 0
+            while (i < qd.length) { acc += qd(i) * cc(i); i += 1 }
+            val sim = acc / cn(c)
+            if (bestC < 0 || sim > best) { best = sim; bestC = c }
+            c += 1
+          }
+          var nacc = 0.0
+          var i = 0
+          while (i < xh.length) { nacc += xh(i) * xh(i); i += 1 }
+          (id, bestC, xh, math.sqrt(nacc))
+        }
+      }
+      .toDF("vec_id", "cell", "xh", "nrm")
     val qx = queries
       .select(col("q_id"), toDoubleArr(col("q_emb")).as("qv"))
       .withColumn("qsims", cellSims(col("qv")))
@@ -606,11 +750,7 @@ object Similarity extends Serializable {
       .select(col("q_id"), col("vec_id"),
         round(dot(col("xh"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .orderBy("q_id", "rank")
+    topKPerQuery(cand, topK)
   }
 
   /** Residual IVF-PQ — the actual FAISS IVFPQ formulation: a TRAINED
@@ -693,11 +833,7 @@ object Similarity extends Serializable {
       .select(col("q_id"), col("vec_id"),
         round(dot(col("xh"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .orderBy("q_id", "rank")
+    topKPerQuery(cand, topK)
   }
 
   /** TRAINED k-means IVF index build (Lloyd's algorithm), formulated so
@@ -791,6 +927,9 @@ object Similarity extends Serializable {
     val q = corpus.select(col("vec_id"),
       expr("transform(embedding, x -> " +
         "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qe"))
+      // spread a compact single-split corpus before the per-round
+      // assignment scans (same rationale as microQuantized)
+      .repartition(col("vec_id"))
       .localCheckpoint(true)
     // Lloyd's UPDATE rounds run over the capped training sample (= the
     // whole corpus below trainCap, so oracle replay at verify SF is

@@ -58,12 +58,14 @@ class PerfContractSpec extends SparkSpec {
       assert(shj == 1, s"$n: expected the single fused bucket join, got $shj")
     }),
     // stage budget covers a COLD run: PQ codebook training is 16
-    // per-subspace capped k-means runs (~80 tiny driver-bounded stages);
-    // the shuffle budget is the real contract — the corpus pass itself
-    // must stay broadcast-joined and shuffle ~nothing
-    Contract("ann_pq", 32, 120, (p, n) =>
-      assert(!p.contains("hashpartitioning(vec_id"),
-        s"$n: corpus rows must flow broadcast-joined, never shuffle")),
+    // per-subspace capped k-means runs (~80 tiny driver-bounded stages).
+    // The round-9 shape: the corpus shuffles its OWN bytes exactly once
+    // (the spread repartition that un-serializes a single-split scan —
+    // corpus-sized by construction), the code table materializes via
+    // the broadcast-matrix encode, and scoring flows broadcast-joined —
+    // the shuffle budget is what forbids any candidate-sized exchange;
+    // the plan pin forbids the scoring join degrading to sort-merge.
+    Contract("ann_pq", 32, 120, (p, n) => noSmj(p, n)),
     // the round-9 real-codec entries: pure-CPU mapPartitions whose only
     // exchange is the core-splitting repartition of doc ids (longs) —
     // a shuffle beyond single-digit MB means pixel bytes started moving

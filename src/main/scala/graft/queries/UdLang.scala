@@ -616,6 +616,85 @@ object UdLang extends Serializable {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Streaming NEAR-dup gate — the online shape of
+    * dedup_minhash_incremental: each arriving crawl document is minhash-
+    * signed and banded STATELESSLY (one narrow flatMap), probes the
+    * STATIC corpus band index (the stored near-dup index a serving
+    * system maintains — localCheckpoint'd here as the index artifact),
+    * and band collisions are verified by exact shingle Jaccard via
+    * stream-static text joins. No state, no watermark, append mode —
+    * per-record cost is bands index probes plus verification of actual
+    * collisions only; at scale this is the Kafka-consumer near-dup hop
+    * in front of a training-corpus ingest.
+    *
+    * A pair colliding in several bands emits per-band duplicates inside
+    * the stream (stateless operators cannot dedup); the entry returns
+    * the DISTINCT verified pairs from the sink — same banding-
+    * completeness contract as the batch family (miss ≤ (1−τ^r)^bands ≈
+    * 6e-15), so the oracle is the exact stream-vs-corpus Jaccard join. */
+  def uStreamNeardup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, d)
+    val isStream = col("doc_id") % 10 === 3
+    val corpus = docs.where(!isStream)
+    // the stored index: banded minhash keys of the serving corpus
+    val idx = graft.dedup.Dedup.bandedKeys(
+      graft.dedup.Dedup.minhashSignatures(
+        corpus.select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)], 3, 64), 32, 2)
+      .select(col("doc_id").as("o"), col("band"), col("key"))
+      .localCheckpoint(true)
+    val fileSchema = parquetSchema(s, s"$d/documents.parquet")
+    val stream = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .where(isStream)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    val probes = graft.dedup.Dedup.bandedKeys(
+      graft.dedup.Dedup.minhashSignatures(stream, 3, 64), 32, 2)
+    // collision → attach both texts (stream side from the static table:
+    // same rows the file stream carries) → exact-Jaccard verify
+    val hits = probes.join(idx, Seq("band", "key"))
+      .where(col("o") =!= col("doc_id"))
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("text").as("tn")), Seq("doc_id"))
+      .join(docs.select(col("doc_id").cast("long").as("o"),
+        col("text").as("to")), Seq("o"))
+      .select(col("doc_id"), col("o"), col("tn"), col("to"))
+      .as[(Long, Long, String, String)]
+      .map { case (n, o, tn, to) =>
+        (n, o, graft.dedup.Dedup.shingleJaccard(tn, to, 3))
+      }
+      .toDF("doc_id", "dup_of", "jac_raw")
+      .select(col("doc_id"), col("dup_of"),
+        round(col("jac_raw"), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.8)
+    runStream(s, hits, "u_stream_neardup_sink")
+      .distinct()
+      .orderBy("doc_id", "dup_of")
+  }
+
+  /** Exact stream-vs-corpus oracle under the banding-completeness
+    * contract. */
+  val uStreamNeardupSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |      ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+      |             i -> array_to_string(t[i:i+2], ' '))) END AS s
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+      |        FROM documents)),
+      |b AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 3),
+      |o AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 3)
+      |SELECT b.doc_id, o.doc_id AS dup_of,
+      |  round(CAST(len(list_intersect(b.s, o.s)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(b.s, o.s))) AS DOUBLE), 6)
+      |    AS jaccard
+      |FROM b JOIN o ON o.doc_id <> b.doc_id
+      |WHERE round(CAST(len(list_intersect(b.s, o.s)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(b.s, o.s))) AS DOUBLE), 6)
+      |    >= 0.8
+      |ORDER BY b.doc_id, dup_of""".stripMargin
+
   /** Streaming DECONTAMINATION gate — the online shape of
     * LlmPipeline.textContamination: an incoming crawl stream (train-side
     * documents) is 5-gram exploded, pre-filtered by the STATIC eval-set
@@ -871,6 +950,7 @@ object UdLang extends Serializable {
     "u_stream_enrich" -> (uStreamEnrich _),
     "u_stream_state" -> (uStreamState _),
     "u_stream_dedup" -> (uStreamDedup _),
+    "u_stream_neardup" -> (uStreamNeardup _),
     "u_stream_contamination" -> (uStreamContamination _),
     "u_stream_shards" -> (uStreamShards _),
     "u_effect_dlq" -> (uEffectDlq _),
@@ -895,6 +975,7 @@ object UdLang extends Serializable {
     "u_stream_enrich" -> uStreamEnrichSql,
     "u_stream_state" -> uStreamStateSql,
     "u_stream_dedup" -> uStreamDedupSql,
+    "u_stream_neardup" -> uStreamNeardupSql,
     "u_stream_contamination" -> uStreamContaminationSql,
     "u_stream_shards" -> uStreamShardsSql,
     "u_effect_dlq" -> uEffectDlqSql,

@@ -195,6 +195,33 @@ object Relational extends Serializable {
       |) WHERE rn <= 3
       |ORDER BY user_id, rn""".stripMargin
 
+  /** Distribution window functions — ntile quartiles, cume_dist,
+    * percent_rank — over a deterministic unique ordering (totalprice,
+    * orderkey), completing the ranking-window family. The fractional
+    * functions are exact integer ratios evaluated as the same IEEE
+    * division in both engines; rounded to 6dp so the last ulp never
+    * decides the hash. */
+  def qWindowNtile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).where(col("o_orderkey") % 7 === 0)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderstatus"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  val qWindowNtileSql: String =
+    """SELECT o_orderstatus, o_orderkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(cume_dist() OVER w, 6) AS cd,
+      |  round(percent_rank() OVER w, 6) AS pr
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   /** Global top-k: TakeOrderedAndProject, no full sort at scale. */
   def qTopk(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -1124,6 +1151,7 @@ object Relational extends Serializable {
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_window_rank" -> (qWindowRank _),
+    "q_window_ntile" -> (qWindowNtile _),
     "q_topk" -> (qTopk _),
     "q_set_except" -> (qSetExcept _),
     "q_set_intersect" -> (qSetIntersect _),
@@ -1163,6 +1191,7 @@ object Relational extends Serializable {
     "q_semi_join" -> qSemiJoinSql,
     "q_anti_join" -> qAntiJoinSql,
     "q_window_rank" -> qWindowRankSql,
+    "q_window_ntile" -> qWindowNtileSql,
     "q_topk" -> qTopkSql,
     "q_set_except" -> qSetExceptSql,
     "q_set_intersect" -> qSetIntersectSql,

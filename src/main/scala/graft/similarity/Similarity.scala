@@ -506,8 +506,7 @@ object Similarity extends Serializable {
       : DataFrame = {
     val q = microQuantized(corpus)
     val books = trainedPqBooks(corpus, q, m, k, updates, dim)
-    val joined = pqReconstruct(q, books, m, dim)
-      .withColumn("nrm", sqrt(dot(col("xh"), col("xh"))))
+    val joined = pqReconstruct(q, books, m, dim, withQd = false)
       .crossJoin(broadcast(queries
         .select(col("q_id"), toDoubleArr(col("q_emb")).as("qv"))
         .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))))
@@ -615,9 +614,14 @@ object Similarity extends Serializable {
   /** Encode (argmin per subspace) + dequantize (concat chosen centroids)
     * in one projection over the micro-quantized corpus; codebook literals
     * ride the plan. Returns (vec_id, qd, xh) — xh is the PQ
-    * reconstruction back in original units. */
+    * reconstruction back in original units. `withQd = false` drops the
+    * micro-unit double vector from the materialized code table and adds
+    * the reconstruction norm instead (vec_id, xh, nrm) — the plain-PQ
+    * serving shape, which never needs qd downstream; at 2M vectors the
+    * narrower checkpoint rows halve the encode stage's GC pressure. */
   private def pqReconstruct(q: DataFrame, books: Array[Array[Array[Double]]],
-                            m: Int, dim: Int): DataFrame = {
+                            m: Int, dim: Int, withQd: Boolean = true)
+      : DataFrame = {
     // Broadcast-matrix encode (the assignViaBroadcast shape): the
     // expression formulation — m×k sqDist literal subtrees folded into
     // one projection — is past codegen's method limits at m=k=16, so it
@@ -633,42 +637,54 @@ object Similarity extends Serializable {
     import s.implicits._
     val subLen = dim / m
     val bc = s.sparkContext.broadcast(books)
-    val out = q.select(col("vec_id").cast("long").as("_1"), col("qe").as("_2"))
-      .as[(Long, Seq[Long])]
-      .mapPartitions { it =>
-        val bks = bc.value
-        it.map { case (id, qe) =>
-          val n = qe.length
-          val qd = new Array[Double](n)
-          var i = 0
-          while (i < n) { qd(i) = qe(i).toDouble; i += 1 }
-          val xh = new Array[Double](n)
-          var sp = 0
-          while (sp < m) {
-            val lo = sp * subLen
-            val cs = bks(sp)
-            var best = 0.0
-            var bestC = -1
-            var c = 0
-            while (c < cs.length) {
-              val cc = cs(c)
-              var acc = 0.0
-              var j = 0
-              while (j < subLen) {
-                val d = qd(lo + j) - cc(j); acc += d * d; j += 1
-              }
-              if (bestC < 0 || acc < best) { best = acc; bestC = c }
-              c += 1
-            }
-            val chosen = cs(bestC)
-            var j = 0
-            while (j < subLen) { xh(lo + j) = chosen(j) / 1000000.0; j += 1 }
-            sp += 1
+    def encode(qe: Array[Long]): (Array[Double], Array[Double]) = {
+      val bks = bc.value
+      val n = qe.length
+      val qd = new Array[Double](n)
+      var i = 0
+      while (i < n) { qd(i) = qe(i).toDouble; i += 1 }
+      val xh = new Array[Double](n)
+      var sp = 0
+      while (sp < m) {
+        val lo = sp * subLen
+        val cs = bks(sp)
+        var best = 0.0
+        var bestC = -1
+        var c = 0
+        while (c < cs.length) {
+          val cc = cs(c)
+          var acc = 0.0
+          var j = 0
+          while (j < subLen) {
+            val d = qd(lo + j) - cc(j); acc += d * d; j += 1
           }
-          (id, qd.toSeq, xh.toSeq)
+          if (bestC < 0 || acc < best) { best = acc; bestC = c }
+          c += 1
         }
+        val chosen = cs(bestC)
+        var j = 0
+        while (j < subLen) { xh(lo + j) = chosen(j) / 1000000.0; j += 1 }
+        sp += 1
       }
-      .toDF("vec_id", "qd", "xh")
+      (qd, xh)
+    }
+    val in = q.select(col("vec_id").cast("long").as("_1"), col("qe").as("_2"))
+      .as[(Long, Array[Long])]
+    val out =
+      if (withQd)
+        in.mapPartitions(_.map { case (id, qe) =>
+          val (qd, xh) = encode(qe); (id, qd, xh)
+        }).toDF("vec_id", "qd", "xh")
+      else
+        in.mapPartitions(_.map { case (id, qe) =>
+          val (_, xh) = encode(qe)
+          // reconstruction norm: the same sequential dot fold the
+          // expression tier (sqrt ∘ DotProductExpr) applies
+          var acc = 0.0
+          var i = 0
+          while (i < xh.length) { acc += xh(i) * xh(i); i += 1 }
+          (id, xh, math.sqrt(acc))
+        }).toDF("vec_id", "xh", "nrm")
     // MATERIALIZE the code table — it IS the index artifact a serving
     // system stores; scoring and cell assignment read it as data.
     out.localCheckpoint(true)
@@ -711,7 +727,7 @@ object Similarity extends Serializable {
     val indexed = pqReconstruct(q, books, m, dim)
       .select(col("vec_id").cast("long").as("_1"), col("qd").as("_2"),
         col("xh").as("_3"))
-      .as[(Long, Seq[Double], Seq[Double])]
+      .as[(Long, Array[Double], Array[Double])]
       .mapPartitions { it =>
         val (cs, cn) = bcCells.value
         it.map { case (id, qd, xh) =>
@@ -878,7 +894,7 @@ object Similarity extends Serializable {
     import s.implicits._
     val bc = s.sparkContext.broadcast(cents)
     df.select(col("vec_id").cast("long").as("_1"), col("qe").as("_2"))
-      .as[(Long, Seq[Long])]
+      .as[(Long, Array[Long])]
       .mapPartitions { it =>
         val cs = bc.value
         it.map { case (id, qe) =>

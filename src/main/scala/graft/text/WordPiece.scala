@@ -131,6 +131,113 @@ object WordPiece {
         array_join(col("toks"), " ").as("pieces"),
         size(col("toks")).as("n_pieces"))
 
+  /** Greedy LONGEST-MATCH-FIRST segmentation — the actual WordPiece
+    * runtime algorithm BERT ships (maximal munch against the trained
+    * piece vocabulary), which is NOT the same as replaying the merges:
+    * a longer piece wins even when training would have built the word
+    * through different intermediate merges. `vocab` holds tagged
+    * symbols (`x`, `##y`); single characters are always present (the
+    * base alphabet), so segmentation cannot fail on in-corpus words —
+    * the [UNK] branch guards out-of-alphabet input. */
+  def longestMatch(word: String, vocab: Set[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < word.length) {
+      var end = word.length
+      var found: String = null
+      while (found == null && end > pos) {
+        val cand =
+          (if (pos == 0) "" else "##") + word.substring(pos, end)
+        if (vocab(cand)) found = cand else end -= 1
+      }
+      if (found == null) return Seq("[UNK]")
+      out += found
+      pos = end
+    }
+    out.toSeq
+  }
+
+  /** Tokenizer RUNTIME application over the corpus word table: train
+    * `merges` rounds, build the runtime piece vocabulary (the base
+    * ##-tagged alphabet ∪ the learned merged symbols — exactly the
+    * pieces a WordPiece trainer emits to its vocab file), and segment
+    * every distinct word by longest match. The piece vocabulary is
+    * alphabet+merges-sized — a broadcast set — so application is one
+    * narrow pass over the word-frequency table (and would broadcast-
+    * join onto a 100 TB token stream the same way). */
+  def applyLongestMatch(s: SparkSession, tokens: DataFrame, merges: Int)
+      : DataFrame = {
+    val (learned, vocab) = trainRounds(s, tokens, merges)
+    applyFrom(s, learned, vocab)
+  }
+
+  /** [[applyLongestMatch]] over an already-trained (learned, vocab) —
+    * lets the query layer reuse one cached training across entries. */
+  private[graft] def applyFrom(s: SparkSession,
+      learned: Seq[(Int, String, String, String, Long, Long, Long)],
+      vocab: DataFrame): DataFrame = {
+    import s.implicits._
+    // base alphabet (tagged) from the trained vocab's own words +
+    // merged symbols — a bounded collect (|alphabet|·2 + merges rows)
+    val baseSyms = vocab.select(explode(expr(
+      "transform(sequence(1, length(word)), i -> " +
+        "CASE WHEN i = 1 THEN substring(word, i, 1) " +
+        "ELSE '##' || substring(word, i, 1) END)")).as("sym"))
+      .distinct().as[String].collect().toSet
+    val pieceSet = baseSyms ++ learned.map(_._4)
+    val bc = s.sparkContext.broadcast(pieceSet)
+    vocab.select(col("word"), col("cnt")).as[(String, Long)]
+      .map { case (w, c) =>
+        val pieces = longestMatch(w, bc.value)
+        (w, c, pieces.mkString(" "), pieces.length)
+      }
+      .toDF("word", "cnt", "pieces", "n_pieces")
+      .orderBy("word")
+  }
+
+  /** DuckDB replay of `applyLongestMatch`: the same piece vocabulary
+    * (v0 symbols ∪ t1..t$merges merged symbols), then per word an
+    * iterative recursive-CTE segmentation picking the LONGEST matching
+    * piece at each position (maximal munch), position-tag-aware. */
+  def applyOracleSql(merges: Int, toksSql: String): String = {
+    val mergedSyms = (1 to merges)
+      .map(i => s"SELECT m AS sym FROM t$i").mkString("\nUNION\n")
+    s"""${oracleChain(merges, toksSql)},
+       |words AS (SELECT word, cnt FROM v0),
+       |pieces AS (
+       |  SELECT DISTINCT sym,
+       |    sym LIKE '##%' AS cont,
+       |    CASE WHEN sym LIKE '##%' THEN substr(sym, 3) ELSE sym END
+       |      AS txt
+       |  FROM (
+       |    SELECT unnest(list_transform(generate_series(1, length(word)),
+       |      i -> CASE WHEN i = 1 THEN substr(word, i, 1)
+       |           ELSE '##' || substr(word, i, 1) END)) AS sym
+       |    FROM words
+       |    UNION
+       |    $mergedSyms)),
+       |seg AS (
+       |  WITH RECURSIVE st(word, pos, n, ps) AS (
+       |    SELECT word, 1, 0, '' FROM words
+       |    UNION ALL
+       |    SELECT s.word, s.pos + length(v.txt), s.n + 1,
+       |      CASE WHEN s.ps = '' THEN v.sym ELSE s.ps || ' ' || v.sym END
+       |    FROM st s JOIN pieces v
+       |      ON substr(s.word, s.pos, length(v.txt)) = v.txt
+       |      AND (s.pos > 1) = v.cont
+       |    WHERE s.pos <= length(s.word)
+       |      AND NOT EXISTS (
+       |        SELECT 1 FROM pieces v2
+       |        WHERE length(v2.txt) > length(v.txt)
+       |          AND substr(s.word, s.pos, length(v2.txt)) = v2.txt
+       |          AND (s.pos > 1) = v2.cont))
+       |  SELECT word, n, ps FROM st WHERE pos = length(word) + 1)
+       |SELECT w.word, w.cnt, seg.ps AS pieces,
+       |  CAST(seg.n AS INT) AS n_pieces
+       |FROM words w JOIN seg ON seg.word = w.word
+       |ORDER BY w.word""".stripMargin
+  }
+
   /** DuckDB replay of the training loop: v0 (##-tagged char split) then
     * per round sym$i (symbol counts) / p$i (pair counts) / t$i (winner
     * by the identical IEEE double score, ties on (l, r)) / v$i (merged

@@ -75,6 +75,11 @@ class PerfContractSpec extends SparkSpec {
     Contract("multimodal_mjpeg", 8, 12),
     Contract("multimodal_flac", 8, 12),
     Contract("multimodal_video_dedup", 8, 16),
+    Contract("multimodal_adpcm", 8, 12),
+    Contract("multimodal_exif", 8, 12),
+    // binary retrieval: code pass + two-phase top-k + 250-row rerank —
+    // every exchange is corpus-own-bytes or slice winners
+    Contract("ann_hamming_rerank", 24, 16, (p, n) => noSmj(p, n)),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

@@ -46,6 +46,18 @@ class WordPieceSpec extends SparkSpec {
     // sanity: raw count would have ranked (a,##c) or (d,##b) first
   }
 
+  test("longest match is maximal munch, not merge replay") {
+    // vocab holds both 'ab' and '##bc': maximal munch takes the longer
+    // INITIAL piece 'ab' then '##c' — whereas a trainer that learned
+    // (##b,##c) before (a,##b) would have segmented 'abc' as a + ##bc
+    val vocab = Set("a", "##b", "##c", "ab", "##bc")
+    assert(WordPiece.longestMatch("abc", vocab) == Seq("ab", "##c"))
+    // continuation tagging respected: '##b' never matches at position 0
+    assert(WordPiece.longestMatch("b", vocab + "b") == Seq("b"))
+    // out-of-alphabet input hits the [UNK] guard
+    assert(WordPiece.longestMatch("zq", vocab) == Seq("[UNK]"))
+  }
+
   test("merge fold is greedy left-to-right (overlapping occurrences)") {
     import spark.implicits._
     // 'aaa' x2: pairs (a,##a) n=4; merge 1 -> a##a applied greedily:

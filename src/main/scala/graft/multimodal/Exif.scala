@@ -149,31 +149,39 @@ object Exif extends Serializable {
       else (u16(o).toLong << 16) | u16(o + 2).toLong
     }
     if (u16(2) != 42) return None
+    // every structured read below is validated against tiffLen BEFORE
+    // touching the array: parse() is documented to return None (or a
+    // field default) on malformed input, and a PII-scrub pass runs it
+    // over untrusted bytes — a hostile entry count or out-of-line offset
+    // must degrade, never throw
     def ascii(off: Int, count: Int): String = {
-      val end = off + count
-      if (end > tiffLen) return ""
+      if (off < 0 || count < 0 || count > tiffLen - off) return ""
       val raw = new String(content, tiffOff + off, count, "US-ASCII")
       raw.takeWhile(_ != '\u0000')
     }
     // entry value resolution: ASCII ≤4 and SHORT×1 are in-line
     final case class Entry(tag: Int, typ: Int, count: Long, at: Int)
     def readIfd(off: Int): Seq[Entry] = {
-      if (off + 2 > tiffLen) return Nil
+      if (off < 0 || off + 2 > tiffLen) return Nil
       val n = u16(off)
+      if (off + 2 + n * 12 > tiffLen) return Nil
       (0 until n).map { i =>
         val e = off + 2 + i * 12
         Entry(u16(e), u16(e + 2), u32(e + 4), e + 8)
       }
     }
+    // -1 = unreadable (unknown type, or an out-of-line offset pointing
+    // past the segment); every consumer treats it as absent
     def valueOff(e: Entry): Int = {
       val byteLen = e.typ match {
         case 1 | 2 => e.count
         case 3 => e.count * 2
         case 4 => e.count * 4
         case 5 => e.count * 8
-        case _ => Long.MaxValue
+        case _ => return -1
       }
-      if (byteLen <= 4) e.at else u32(e.at).toInt
+      val o = if (byteLen <= 4) e.at else u32(e.at).toInt
+      if (o < 0 || byteLen > tiffLen - o) -1 else o
     }
     val ifd0 = readIfd(u32(4).toInt)
     def find(es: Seq[Entry], tag: Int): Option[Entry] =
@@ -183,11 +191,12 @@ object Exif extends Serializable {
     val model = find(ifd0, 0x0110)
       .map(e => ascii(valueOff(e), e.count.toInt)).getOrElse("")
     val orient = find(ifd0, 0x0112)
-      .filter(_.typ == 3).map(e => u16(valueOff(e))).getOrElse(0)
+      .filter(_.typ == 3).map(valueOff)
+      .filter(o => o >= 0 && o + 2 <= tiffLen).map(u16).getOrElse(0)
     def rational3(e: Entry): Option[(Long, Long, Long)] = {
       if (e.typ != 5 || e.count != 3) return None
       val o = valueOff(e)
-      if (o + 24 > tiffLen) return None
+      if (o < 0 || o + 24 > tiffLen) return None
       def num(i: Int): Long = {
         val n = u32(o + i * 8); val d = u32(o + i * 8 + 4)
         if (d == 0) -1L else n / d

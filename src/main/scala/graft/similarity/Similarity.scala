@@ -184,7 +184,12 @@ object Similarity extends Serializable {
     // 52.9 → ~13s.
     val sess = corpus.sparkSession
     import sess.implicits._
-    val st = stats.head()
+    // headOption: an empty corpus has no stats row — short-circuit to an
+    // empty result instead of throwing on head()
+    val st = stats.collect().headOption.getOrElse(
+      return topKPerQuery(
+        queries.select(col("q_id"), col("q_id").as("vec_id"),
+          lit(0.0).as("sim")).limit(0), k))
     val amn = st.getSeq[Double](0).toArray
     val amx = st.getSeq[Double](1).toArray
     val bcStats = sess.sparkContext.broadcast((amn, amx))

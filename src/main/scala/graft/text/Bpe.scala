@@ -308,7 +308,7 @@ object Bpe {
          |          AND x = t.r
          |        THEN substr(acc, 1, length(acc) - length(t.l)) || t.m
          |        ELSE acc || $sep || x END) AS s
-         |  FROM v${i - 1} CROSS JOIN t$i t)""".stripMargin
+         |  FROM v${i - 1} LEFT JOIN t$i t ON TRUE)""".stripMargin
     val rounds = (1 to merges).map(round).mkString(",\n")
     s"""WITH toks AS ($toksSql),
        |v0 AS MATERIALIZED (

@@ -53,4 +53,38 @@ class ExifSpec extends AnyFunSuite {
     assert(Exif.parse(Array[Byte](0xFF.toByte, 0xD8.toByte,
       0xFF.toByte, 0xD9.toByte)).isEmpty) // SOI+EOI, no APP1
   }
+
+  test("adversarial APP1 degrades instead of throwing: hostile entry " +
+    "counts, out-of-range offsets, truncated value areas") {
+    val base = Exif.buildJpeg(littleEndian = true, "Acme", "M-1", 2, gps)
+    // TIFF starts at SOI(2) + APP1 marker+len(4) + "Exif\0\0"(6) = 12;
+    // IFD0 entry count lives at TIFF+8 (LE)
+    val tiff = 12
+    // 1) huge entry count: claims 0xFFFF entries in a tiny segment
+    val hostileCount = base.clone()
+    hostileCount(tiff + 8) = 0xFF.toByte
+    hostileCount(tiff + 9) = 0xFF.toByte
+    assert(Exif.parse(hostileCount).nonEmpty) // IFD rejected, not thrown
+    // 2) first entry's out-of-line offset pointing far past the segment
+    //    (entry 0 value field = TIFF + 8 + 2 + 8): also must not throw
+    val hostileOff = base.clone()
+    hostileOff(tiff + 18) = 0xFF.toByte
+    hostileOff(tiff + 19) = 0xFF.toByte
+    hostileOff(tiff + 20) = 0xFF.toByte
+    hostileOff(tiff + 21) = 0x7F.toByte
+    val m = Exif.parse(hostileOff)
+    assert(m.nonEmpty && m.get.make == "") // unreadable value -> absent
+    // 3) every prefix truncation of the full fixture parses or degrades
+    //    (the segment-length check bounds the walk; nothing throws)
+    (0 until base.length).foreach(k => Exif.parse(base.take(k)))
+    // 4) random byte corruption inside the TIFF body never throws
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val c = base.clone()
+      (1 to 6).foreach { _ =>
+        c(tiff + rnd.nextInt(c.length - tiff - 2)) = rnd.nextInt(256).toByte
+      }
+      Exif.parse(c)
+    }
+  }
 }

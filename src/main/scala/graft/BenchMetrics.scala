@@ -52,13 +52,34 @@ final class BenchMetrics extends SparkListener {
       case _ => -1L
     }
 
+  private def jitMsNow: Long = {
+    val c = ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported)
+      c.getTotalCompilationTime
+    else -1L
+  }
+
+  /** (used MB, max MB) summed over the JIT code-heap pools — the
+    * round-10 drift postmortem instrument: a 160-entry pack generates
+    * enough Janino classes to exhaust the default 240 MB code cache,
+    * after which HotSpot stops (or thrashes) JIT compilation and
+    * micro-batch-heavy streaming entries run partially interpreted.
+    * used ~= max in this column IS the diagnosis. */
+  private def codeHeap: (Double, Double) = {
+    val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+    val used = pools.map(_.getUsage.getUsed).sum / 1e6
+    val max = pools.map(p => math.max(0L, p.getUsage.getMax)).sum / 1e6
+    (used, max)
+  }
+
   /** Counters at a point in time; subtract two marks for a per-entry row. */
   final case class Mark(gcMs: Long, cpuNs: Long, runMs: Long, tGcMs: Long,
                         readB: Long, writeB: Long, nStages: Long,
-                        nTasks: Long)
+                        nTasks: Long, jitMs: Long)
 
   def mark(): Mark = Mark(gcMsNow, cpuNsNow, runTimeMs.sum(), taskGcMs.sum(),
-    shufReadB.sum(), shufWriteB.sum(), stages.sum(), tasks.sum())
+    shufReadB.sum(), shufWriteB.sum(), stages.sum(), tasks.sum(), jitMsNow)
 
   /** JSON object of deltas since `m0` plus current 1-min load average. */
   def evidenceJson(m0: Mark, wallSec: Double): String = {
@@ -79,6 +100,10 @@ final class BenchMetrics extends SparkListener {
       f""""task_gc_ms":${m1.tGcMs - m0.tGcMs},""" +
       f""""shuffle_read_mb":${(m1.readB - m0.readB) / 1e6}%.1f,""" +
       f""""shuffle_write_mb":${(m1.writeB - m0.writeB) / 1e6}%.1f,""" +
-      f""""stages":${m1.nStages - m0.nStages},"tasks":${m1.nTasks - m0.nTasks}}"""
+      f""""stages":${m1.nStages - m0.nStages},"tasks":${m1.nTasks - m0.nTasks},""" +
+      f""""jit_ms":${if (m0.jitMs < 0 || m1.jitMs < 0) -1L
+        else m1.jitMs - m0.jitMs},""" +
+      f""""code_heap_mb":${codeHeap._1}%.0f,""" +
+      f""""code_heap_max_mb":${codeHeap._2}%.0f}"""
   }
 }

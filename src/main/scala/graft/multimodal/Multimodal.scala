@@ -315,6 +315,57 @@ object Multimodal extends Serializable {
     finally iis.close()
   }
 
+  final case class Vp8Row(media_id: Long, width: Int, height: Int,
+                          y_sum: Long, u_sum: Long, v_sum: Long)
+
+  /** Real VP8 (lossy WebP) KEYFRAME decode: one genuine VP8-in-RIFF file
+    * per document, built by [[Vp8.encode]] and decoded by [[Vp8.decode]]
+    * through the full keyframe pipeline — bool-coded header, mode
+    * partition, DCT token partitions (1 or 2 by id), skip flags, Y2
+    * inverse WHT feeding per-subblock inverse DCTs, and the intra
+    * predictors. Fixtures are constant-per-macroblock YUV images wired
+    * as a DC/H/V prediction CHAIN (first MB DC=128, first row H_PRED,
+    * later rows V_PRED) with per-MB DC-only coefficient levels, so the
+    * lossy reconstruction is EXACT and the oracle replays it in closed
+    * form as two window prefix sums over the MB grid. AC paths,
+    * negative/large tokens, TM_PRED, and cropping are exercised by
+    * Vp8Spec's independent-reference round-trip. */
+  def vp8sFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[Vp8Row] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 2 + (id % 2).toInt
+          val q = (id % 32).toInt
+          val mbs = Array.tabulate(mbW * mbH) { k =>
+            val i = k / mbW; val j = k % mbW
+            val mode =
+              if (i == 0 && j == 0) Vp8.DC_PRED
+              else if (i == 0) Vp8.H_PRED
+              else Vp8.V_PRED
+            val m = Vp8.MbSpec(mode, mode)
+            m.y2(0) = ((id + 3 * i + 5 * j) % 5).toInt - 2
+            m.u.foreach(_(0) = ((id + i + 2 * j) % 5).toInt - 2)
+            m.v.foreach(_(0) = ((2 * id + 3 * i + j) % 5).toInt - 2)
+            m
+          }
+          val (payload, _) = Vp8.encode(mbW * 16, mbH * 16, mbs,
+            Vp8.EncodeOpts(qIndex = q,
+              tokenPartitions = if (id % 4 == 0) 2 else 1))
+          val bytes = Vp8.container(payload)
+          for {
+            p <- Vp8.vp8Payload(bytes).iterator
+            f <- Vp8.decode(p).iterator
+          } yield Vp8Row(id, f.width, f.height,
+            f.y.foldLeft(0L)(_ + _), f.u.foldLeft(0L)(_ + _),
+            f.v.foldLeft(0L)(_ + _))
+        }
+      }
+  }
+
   final case class Vp8lRow(media_id: Long, width: Int, height: Int,
                            n_pix: Long, sum_green: Long, sum_red: Long,
                            sum_blue: Long)

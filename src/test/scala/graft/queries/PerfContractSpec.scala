@@ -80,6 +80,25 @@ class PerfContractSpec extends SparkSpec {
     // binary retrieval: code pass + two-phase top-k + 250-row rerank —
     // every exchange is corpus-own-bytes or slice winners
     Contract("ann_hamming_rerank", 24, 16, (p, n) => noSmj(p, n)),
+    // round-9/10 additions (budgets ~3x the r9 BENCH evidence):
+    // feature-hash vectors shuffle 64 counts per doc, never tokens, and
+    // the capped Lloyd's adds driver-bounded stages only
+    Contract("text_cluster_topics", 5, 24),
+    Contract("sample_cluster_balanced", 5, 36),
+    // one key-grouped shuffle of (digest, weight) pairs — 32-byte keys
+    Contract("dedup_soft_weights", 4, 14),
+    // stateless stream gate probing a broadcast band index: ZERO
+    // shuffle is the contract (r9 evidence: 0.0 MB)
+    Contract("u_stream_neardup", 2, 22),
+    // trained segmentation broadcast-joins the token stream; the only
+    // exchange is the per-doc aggregate
+    Contract("text_wordpiece_corpus", 16, 60, (p, n) =>
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$n: the piece-vocab join must broadcast (vocabulary-sized side)")),
+    // the VP8 keyframe codec entry: pure-CPU mapPartitions, the only
+    // exchange the core-splitting repartition of doc ids
+    Contract("multimodal_vp8", 8, 12),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

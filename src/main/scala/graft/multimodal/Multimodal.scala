@@ -366,6 +366,70 @@ object Multimodal extends Serializable {
       }
   }
 
+  final case class Vp8FilteredRow(media_id: Long, width: Int, height: Int,
+                                  y_sum: Long, y_ssq: Long, u_ssq: Long,
+                                  v_ssq: Long)
+
+  /** VP8 KEYFRAME decode with the IN-LOOP DEBLOCKING FILTER active —
+    * the filter itself behind the oracle gate. Fixtures are COLUMN-BAND
+    * constant images on a SINGLE MB row (a DC/H_PRED chain — see the
+    * in-code note on why multiple rows break the closed form), so no
+    * horizontal MB edge exists and every vertical MB edge adjusts whole
+    * columns uniformly with zero corner interactions: the normal
+    * filter's wide
+    * 27/18/9-tap kernel touches cols 13-15|0-2 (5-7|0-2 chroma), the
+    * simple filter (odd ids, luma-only) cols 15|0, each with
+    * closed-form integer adjustments from the band delta. The plain sum
+    * is INVARIANT under the symmetric wide kernel, so the gate is the
+    * sum of SQUARES, which any smoothing changes; filter level and
+    * sharpness cycle by id so masked-out edges, level-0 no-ops, and the
+    * sharpness interior-limit derivation all land in the oracle.
+    * hev-path edges (sharp-step neighborhoods) are pinned by Vp8Spec's
+    * independent-reference round-trip instead — constants cannot
+    * trigger hev. */
+  def vp8FilteredFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[Vp8FilteredRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          // ONE MB row: the per-MB raster filter order interleaves
+          // vertical and horizontal edges across MB rows (a lower MB's
+          // top edge is filtered before its right neighbor's left
+          // edge), so with multiple rows horizontal edges see
+          // half-filtered columns and fire — the closed form stays
+          // exact only when no horizontal MB edge exists
+          val mbW = 3 + (id % 4).toInt
+          val mbH = 1
+          val q = (id % 32).toInt
+          val mbs = Array.tabulate(mbW * mbH) { k =>
+            val j = k % mbW
+            val mode = if (j == 0) Vp8.DC_PRED else Vp8.H_PRED
+            val m = Vp8.MbSpec(mode, mode)
+            m.y2(0) = ((id + 5 * j) % 5).toInt - 2
+            m.u.foreach(_(0) = ((id + 2 * j) % 5).toInt - 2)
+            m.v.foreach(_(0) = ((2 * id + j) % 5).toInt - 2)
+            m
+          }
+          val (payload, _) = Vp8.encode(mbW * 16, mbH * 16, mbs,
+            Vp8.EncodeOpts(qIndex = q,
+              filterLevel = ((id * 7) % 64).toInt,
+              sharpness = (id % 8).toInt,
+              simpleFilter = id % 2 == 1))
+          val bytes = Vp8.container(payload)
+          for {
+            p <- Vp8.vp8Payload(bytes).iterator
+            f <- Vp8.decode(p).iterator
+          } yield Vp8FilteredRow(id, f.width, f.height,
+            f.y.foldLeft(0L)(_ + _),
+            f.y.foldLeft(0L)((a, v) => a + v.toLong * v),
+            f.u.foldLeft(0L)((a, v) => a + v.toLong * v),
+            f.v.foldLeft(0L)((a, v) => a + v.toLong * v))
+        }
+      }
+  }
+
   final case class Vp8lRow(media_id: Long, width: Int, height: Int,
                            n_pix: Long, sum_green: Long, sum_red: Long,
                            sum_blue: Long)

@@ -28,9 +28,17 @@ package graft.multimodal
   *    same tables, so streams round-trip bit-exactly through every
   *    code path; swapping in the spec's tables is a data-only change
   *    that touches no algorithm.
-  *  - B_PRED (per-4x4 luma subblock modes) and the loop filter are the
-  *    documented next slices; the decoder rejects B_PRED streams
-  *    explicitly rather than mis-decoding them.
+  *  - B_PRED is implemented in full: 16 per-subblock modes with
+  *    above/left mode-context conditioning, all ten 4x4 predictors
+  *    (DC/TM/VE/HE/LD/RD/VR/VL/HD/HU) with the reference decoder's
+  *    above-right edge rules, type-3 coefficient blocks with no Y2 and
+  *    the untouched-Y2-context rule.
+  *  - The in-loop deblocking filter is implemented for both types
+  *    (normal and simple — [[filterFrame]]): interior/edge limits with
+  *    the sharpness derivation, high-edge-variance selection, the wide
+  *    27/18/9-tap mb-edge kernel, per-MB inner-edge gating, applied as
+  *    a whole-frame pass after reconstruction (intra prediction reads
+  *    unfiltered pixels).
   *
   * The ENCODER exists to produce genuine fixture streams and, like the
   * quantizing encoder it is, carries its own reconstruction: Vp8Spec's
@@ -203,6 +211,30 @@ object Vp8 {
   /** Chroma-mode tree (DC/V/H/TM). */
   private val uvModeTree = Array(-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED)
   private val kfUvModeProbs = Array(142, 114, 183)
+
+  /** 4x4 subblock intra modes (B_PRED submodes). */
+  val B_DC = 0; val B_TM = 1; val B_VE = 2; val B_HE = 3; val B_LD = 4
+  val B_RD = 5; val B_VR = 6; val B_VL = 7; val B_HD = 8; val B_HU = 9
+
+  /** Subblock-mode tree (10 leaves, 9 internal nodes). */
+  private val bModeTree = Array(
+    -B_DC, 2,
+    -B_TM, 4,
+    -B_VE, 6,
+    8, 12,
+    -B_HE, 10,
+    -B_RD, -B_VR,
+    -B_LD, 14,
+    -B_VL, 16,
+    -B_HD, -B_HU)
+
+  /** Keyframe subblock-mode probabilities conditioned on (above, left)
+    * neighbor modes — PLACEHOLDER DATA (the spec's 10·10·9 table is
+    * data; see the object doc), varied across all three indices. */
+  private val kfBModeProbs: Array[Array[Array[Int]]] =
+    Array.tabulate(10, 10, 9) { (a, l, n) =>
+      1 + ((83 * a + 29 * l + 11 * n + 120) % 253)
+    }
 
   /** Coefficient token tree (RFC 6386 §13.2 shape): EOB / 0 / 1 / 2 /
     * 3 / 4 / cat1..cat6. Decoding after a ZERO token starts at node 2
@@ -430,6 +462,321 @@ object Vp8 {
     }
   }
 
+  /** The 4 above-right pixels shared by a macroblock's right-column
+    * subblocks: for inner rows the true above-right is not yet
+    * reconstructed, so (as the reference decoder does) every
+    * right-column subblock uses the pixels above-right of the MB —
+    * from the above MB row when present, the frame-edge 127s on the top
+    * row, and the last above pixel replicated at the right frame edge. */
+  private def mbAboveRight(plane: Array[Int], stride: Int, mbX: Int,
+                           mbY: Int, mbW: Int): Array[Int] =
+    if (mbY == 0) Array.fill(4)(127)
+    else {
+      val row = (mbY * 16 - 1) * stride
+      if (mbX + 1 < mbW)
+        Array.tabulate(4)(k => plane(row + (mbX + 1) * 16 + k))
+      else Array.fill(4)(plane(row + mbW * 16 - 1))
+    }
+
+  /** RFC 6386 §12.3 subblock intra prediction: 8 above pixels (A4..A7
+    * the above-right), 4 left, 1 corner, with the same frame-edge
+    * conventions as the block predictors. `arMb` supplies A4..A7 for
+    * right-column subblocks (see [[mbAboveRight]]). */
+  private[multimodal] def predict4x4(plane: Array[Int], stride: Int,
+                                     bx: Int, by: Int, mode: Int,
+                                     arMb: Array[Int],
+                                     rightCol: Boolean): Unit = {
+    val hasAbove = by > 0
+    val hasLeft = bx > 0
+    val a = new Array[Int](8)
+    var i = 0
+    while (i < 4) {
+      a(i) = if (hasAbove) plane((by - 1) * stride + bx + i) else 127
+      a(4 + i) =
+        if (!hasAbove) 127
+        else if (rightCol) arMb(i)
+        else plane((by - 1) * stride + bx + 4 + i)
+      i += 1
+    }
+    val l = Array.tabulate(4)(r =>
+      if (hasLeft) plane((by + r) * stride + bx - 1) else 129)
+    val p =
+      if (hasAbove && hasLeft) plane((by - 1) * stride + bx - 1)
+      else if (hasAbove) 127
+      else 129
+    // the RD/VR/HD family's 9-pixel edge walk, bottom-left to top-right
+    val pp = Array(l(3), l(2), l(1), l(0), p, a(0), a(1), a(2), a(3))
+    @inline def avg2(x: Int, y: Int): Int = (x + y + 1) >> 1
+    @inline def avg3(x: Int, y: Int, z: Int): Int = (x + 2 * y + z + 2) >> 2
+    val out = new Array[Int](16)
+    mode match {
+      case B_DC =>
+        val dc = (a(0) + a(1) + a(2) + a(3) + l(0) + l(1) + l(2) + l(3) +
+          4) >> 3
+        java.util.Arrays.fill(out, dc)
+      case B_TM =>
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) { out(r * 4 + c) = clamp255(l(r) + a(c) - p); c += 1 }
+          r += 1
+        }
+      case B_VE =>
+        val x = Array(avg3(p, a(0), a(1)), avg3(a(0), a(1), a(2)),
+          avg3(a(1), a(2), a(3)), avg3(a(2), a(3), a(4)))
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) { out(r * 4 + c) = x(c); c += 1 }
+          r += 1
+        }
+      case B_HE =>
+        val y = Array(avg3(p, l(0), l(1)), avg3(l(0), l(1), l(2)),
+          avg3(l(1), l(2), l(3)), avg3(l(2), l(3), l(3)))
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) { out(r * 4 + c) = y(r); c += 1 }
+          r += 1
+        }
+      case B_LD =>
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val d = r + c
+            out(r * 4 + c) =
+              if (d < 6) avg3(a(d), a(d + 1), a(d + 2))
+              else avg3(a(6), a(7), a(7))
+            c += 1
+          }
+          r += 1
+        }
+      case B_RD =>
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val k = 4 + c - r
+            out(r * 4 + c) = avg3(pp(k - 1), pp(k), pp(k + 1))
+            c += 1
+          }
+          r += 1
+        }
+      case B_VR =>
+        out(12) = avg3(pp(1), pp(2), pp(3))
+        out(8) = avg3(pp(2), pp(3), pp(4))
+        out(13) = avg3(pp(3), pp(4), pp(5)); out(4) = out(13)
+        out(9) = avg2(pp(4), pp(5)); out(0) = out(9)
+        out(14) = avg3(pp(4), pp(5), pp(6)); out(5) = out(14)
+        out(10) = avg2(pp(5), pp(6)); out(1) = out(10)
+        out(15) = avg3(pp(5), pp(6), pp(7)); out(6) = out(15)
+        out(11) = avg2(pp(6), pp(7)); out(2) = out(11)
+        out(7) = avg3(pp(6), pp(7), pp(8))
+        out(3) = avg2(pp(7), pp(8))
+      case B_VL =>
+        out(0) = avg2(a(0), a(1))
+        out(4) = avg3(a(0), a(1), a(2))
+        out(8) = avg2(a(1), a(2)); out(1) = out(8)
+        out(5) = avg3(a(1), a(2), a(3)); out(12) = out(5)
+        out(9) = avg2(a(2), a(3)); out(2) = out(9)
+        out(13) = avg3(a(2), a(3), a(4)); out(6) = out(13)
+        out(10) = avg2(a(3), a(4)); out(3) = out(10)
+        out(14) = avg3(a(3), a(4), a(5)); out(7) = out(14)
+        out(11) = avg3(a(4), a(5), a(6))
+        out(15) = avg3(a(5), a(6), a(7))
+      case B_HD =>
+        out(12) = avg2(pp(0), pp(1))
+        out(13) = avg3(pp(0), pp(1), pp(2))
+        out(8) = avg2(pp(1), pp(2)); out(14) = out(8)
+        out(9) = avg3(pp(1), pp(2), pp(3)); out(15) = out(9)
+        out(10) = avg2(pp(2), pp(3)); out(4) = out(10)
+        out(11) = avg3(pp(2), pp(3), pp(4)); out(5) = out(11)
+        out(6) = avg2(pp(3), pp(4)); out(0) = out(6)
+        out(7) = avg3(pp(3), pp(4), pp(5)); out(1) = out(7)
+        out(2) = avg3(pp(4), pp(5), pp(6))
+        out(3) = avg3(pp(5), pp(6), pp(7))
+      case B_HU =>
+        out(0) = avg2(l(0), l(1))
+        out(1) = avg3(l(0), l(1), l(2))
+        out(2) = avg2(l(1), l(2)); out(4) = out(2)
+        out(3) = avg3(l(1), l(2), l(3)); out(5) = out(3)
+        out(6) = avg2(l(2), l(3)); out(8) = out(6)
+        out(7) = avg3(l(2), l(3), l(3)); out(9) = out(7)
+        out(10) = l(3); out(11) = l(3); out(12) = l(3)
+        out(13) = l(3); out(14) = l(3); out(15) = l(3)
+      case m => sys.error(s"unsupported subblock mode $m")
+    }
+    var r = 0
+    while (r < 4) {
+      var c = 0
+      while (c < 4) {
+        plane((by + r) * stride + bx + c) = out(r * 4 + c); c += 1
+      }
+      r += 1
+    }
+  }
+
+  // -------------------------------------------------------- loop filter
+
+  /** RFC 6386 §15 in-loop deblocking, applied as a whole-frame pass
+    * after reconstruction (intra prediction reads UNFILTERED pixels;
+    * the filter conditions the frame for output/reference). Both
+    * filter types: NORMAL (interior-limit + high-edge-variance masks,
+    * wide 27/18/9-tap mb-edge kernel, 2-pixel subblock kernel) and
+    * SIMPLE (luma only, the common adjust under the edge mask).
+    * Per-MB inner (subblock) edges are filtered only when the MB has
+    * coded coefficients or is B_PRED — `innerOk`. All arithmetic is the
+    * reference decoder's signed-clamp form. */
+  private[multimodal] def filterFrame(yP: Array[Int], uP: Array[Int],
+      vP: Array[Int], yS: Int, cS: Int, mbW: Int, mbH: Int, level: Int,
+      sharpness: Int, simple: Boolean, innerOk: Array[Boolean]): Unit = {
+    if (level == 0) return
+    var interior = level
+    if (sharpness > 0) {
+      interior = level >> (if (sharpness > 4) 2 else 1)
+      if (interior > 9 - sharpness) interior = 9 - sharpness
+    }
+    if (interior < 1) interior = 1
+    val hevT = if (level >= 40) 2 else if (level >= 15) 1 else 0
+    val mbEdge = (level + 2) * 2 + interior
+    val subEdge = level * 2 + interior
+    @inline def sc(v: Int): Int =
+      if (v < -128) -128 else if (v > 127) 127 else v
+    // pixels around buf(i) along step: p(k) = i-(k+1)*step, q(k) = i+k*step
+    def commonAdjust(buf: Array[Int], i: Int, step: Int,
+                     outer: Boolean): Int = {
+      val p1 = buf(i - 2 * step) - 128; val p0 = buf(i - step) - 128
+      val q0 = buf(i) - 128; val q1 = buf(i + step) - 128
+      val a = sc((if (outer) sc(p1 - q1) else 0) + 3 * (q0 - p0))
+      val f1 = sc(a + 4) >> 3
+      buf(i) = sc(q0 - f1) + 128
+      buf(i - step) = sc(p0 + (sc(a + 3) >> 3)) + 128
+      f1
+    }
+    def simpleMask(buf: Array[Int], i: Int, step: Int, lim: Int): Boolean =
+      math.abs(buf(i - step) - buf(i)) * 2 +
+        math.abs(buf(i - 2 * step) - buf(i + step)) / 2 <= lim
+    def normalMask(buf: Array[Int], i: Int, step: Int, lim: Int): Boolean =
+      simpleMask(buf, i, step, lim) &&
+        math.abs(buf(i - 4 * step) - buf(i - 3 * step)) <= interior &&
+        math.abs(buf(i - 3 * step) - buf(i - 2 * step)) <= interior &&
+        math.abs(buf(i - 2 * step) - buf(i - step)) <= interior &&
+        math.abs(buf(i + step) - buf(i)) <= interior &&
+        math.abs(buf(i + 2 * step) - buf(i + step)) <= interior &&
+        math.abs(buf(i + 3 * step) - buf(i + 2 * step)) <= interior
+    def hev(buf: Array[Int], i: Int, step: Int): Boolean =
+      math.abs(buf(i - 2 * step) - buf(i - step)) > hevT ||
+        math.abs(buf(i + step) - buf(i)) > hevT
+    def subblockF(buf: Array[Int], i: Int, step: Int): Unit =
+      if (normalMask(buf, i, step, subEdge)) {
+        val h = hev(buf, i, step)
+        val f1 = commonAdjust(buf, i, step, h)
+        if (!h) {
+          val a = (f1 + 1) >> 1
+          buf(i + step) = sc(buf(i + step) - 128 - a) + 128
+          buf(i - 2 * step) = sc(buf(i - 2 * step) - 128 + a) + 128
+        }
+      }
+    def mbF(buf: Array[Int], i: Int, step: Int): Unit =
+      if (normalMask(buf, i, step, mbEdge)) {
+        if (hev(buf, i, step)) { commonAdjust(buf, i, step, outer = true); () }
+        else {
+          val p2 = buf(i - 3 * step) - 128; val p1 = buf(i - 2 * step) - 128
+          val p0 = buf(i - step) - 128
+          val q0 = buf(i) - 128; val q1 = buf(i + step) - 128
+          val q2 = buf(i + 2 * step) - 128
+          val w = sc(sc(p1 - q1) + 3 * (q0 - p0))
+          var a = sc((27 * w + 63) >> 7)
+          buf(i) = sc(q0 - a) + 128
+          buf(i - step) = sc(p0 + a) + 128
+          a = sc((18 * w + 63) >> 7)
+          buf(i + step) = sc(q1 - a) + 128
+          buf(i - 2 * step) = sc(p1 + a) + 128
+          a = sc((9 * w + 63) >> 7)
+          buf(i + 2 * step) = sc(q2 - a) + 128
+          buf(i - 3 * step) = sc(p2 + a) + 128
+        }
+      }
+    def simpleF(buf: Array[Int], i: Int, step: Int, lim: Int): Unit =
+      if (simpleMask(buf, i, step, lim)) { commonAdjust(buf, i, step, outer = true); () }
+    // one vertical edge (column x0, rows y0..y0+n-1) / horizontal edge
+    def vEdge(buf: Array[Int], s: Int, x0: Int, y0: Int, n: Int,
+              f: (Array[Int], Int, Int) => Unit): Unit = {
+      var r = 0
+      while (r < n) { f(buf, (y0 + r) * s + x0, 1); r += 1 }
+    }
+    def hEdge(buf: Array[Int], s: Int, x0: Int, y0: Int, n: Int,
+              f: (Array[Int], Int, Int) => Unit): Unit = {
+      var c = 0
+      while (c < n) { f(buf, y0 * s + x0 + c, s); c += 1 }
+    }
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val inner = innerOk(mbY * mbW + mbX)
+        val yx = mbX * 16; val yy = mbY * 16
+        val cx = mbX * 8; val cy = mbY * 8
+        if (simple) {
+          val mbL = mbEdge
+          val sbL = subEdge
+          if (mbX > 0)
+            vEdge(yP, yS, yx, yy, 16, simpleF(_, _, _, mbL))
+          if (inner) {
+            var k = 4
+            while (k < 16) {
+              vEdge(yP, yS, yx + k, yy, 16, simpleF(_, _, _, sbL)); k += 4
+            }
+          }
+          if (mbY > 0)
+            hEdge(yP, yS, yx, yy, 16, simpleF(_, _, _, mbL))
+          if (inner) {
+            var k = 4
+            while (k < 16) {
+              hEdge(yP, yS, yx, yy + k, 16, simpleF(_, _, _, sbL)); k += 4
+            }
+          }
+        } else {
+          if (mbX > 0) {
+            vEdge(yP, yS, yx, yy, 16, mbF)
+            vEdge(uP, cS, cx, cy, 8, mbF)
+            vEdge(vP, cS, cx, cy, 8, mbF)
+          }
+          if (inner) {
+            var k = 4
+            while (k < 16) { vEdge(yP, yS, yx + k, yy, 16, subblockF); k += 4 }
+            vEdge(uP, cS, cx + 4, cy, 8, subblockF)
+            vEdge(vP, cS, cx + 4, cy, 8, subblockF)
+          }
+          if (mbY > 0) {
+            hEdge(yP, yS, yx, yy, 16, mbF)
+            hEdge(uP, cS, cx, cy, 8, mbF)
+            hEdge(vP, cS, cx, cy, 8, mbF)
+          }
+          if (inner) {
+            var k = 4
+            while (k < 16) { hEdge(yP, yS, yx, yy + k, 16, subblockF); k += 4 }
+            hEdge(uP, cS, cx, cy + 4, 8, subblockF)
+            hEdge(vP, cS, cx, cy + 4, 8, subblockF)
+          }
+        }
+        mbX += 1
+      }
+      mbY += 1
+    }
+  }
+
+  /** 16x16-mode -> equivalent subblock mode for neighbor-mode context
+    * (the reference decoder's mapping). */
+  private def modeToB(ymode: Int): Int = ymode match {
+    case DC_PRED => B_DC
+    case V_PRED  => B_VE
+    case H_PRED  => B_HE
+    case TM_PRED => B_TM
+    case m       => sys.error(s"no B-mode equivalent for $m")
+  }
+
   // ------------------------------------------------------ token coding
 
   /** Coefficient token layer shared by encode/decode: per-plane
@@ -520,8 +867,8 @@ object Vp8 {
                          u: Array[Int], v: Array[Int])
 
   /** Decode one VP8 keyframe payload (the 'VP8 ' chunk body). Returns
-    * None on non-keyframe, bad start code, or B_PRED streams (the
-    * documented unimplemented slice). */
+    * None on non-keyframe, bad start code, or truncated/inconsistent
+    * headers. */
   def decode(bytes: Array[Byte]): Option[Frame] = {
     if (bytes.length < 10) return None
     val tag = (bytes(0) & 0xFF) | ((bytes(1) & 0xFF) << 8) |
@@ -541,9 +888,9 @@ object Vp8 {
     bd.literal(1) // color space
     bd.literal(1) // clamping type
     if (bd.bool(128) == 1) return None // segmentation: not emitted
-    bd.literal(1) // filter type
-    bd.literal(6) // filter level (loop filter is the documented next slice)
-    bd.literal(3) // sharpness
+    val simpleFilter = bd.literal(1) == 1
+    val filterLevel = bd.literal(6)
+    val sharpness = bd.literal(3)
     if (bd.bool(128) == 1) return None // lf delta: not emitted
     val nParts = 1 << bd.literal(2)
     val yacQi = bd.literal(7)
@@ -608,6 +955,10 @@ object Vp8 {
     val uAbove = new Array[Int](mbW * 2)
     val vAbove = new Array[Int](mbW * 2)
     val y2Above = new Array[Int](mbW)
+    // subblock-mode context rows (frame edges read as B_DC)
+    val bAbove = Array.fill(mbW * 4)(B_DC)
+    // per-MB flag: inner (subblock) loop-filter edges apply
+    val innerOk = new Array[Boolean](mbW * mbH)
     val q = yacQi
     val dq = Dequant(
       yDc = dcQ(q + ydcDelta), yAc = acQ(q),
@@ -620,66 +971,134 @@ object Vp8 {
       val uLeft = Array(0, 0)
       val vLeft = Array(0, 0)
       var y2Left = 0
+      val bLeft = Array.fill(4)(B_DC)
       var mbX = 0
       while (mbX < mbW) {
         val skip = if (skipEnabled) bd.bool(skipProb) == 1 else false
         val ymode = bd.tree(kfYmodeTree, kfYmodeProbs)
-        if (ymode == B_PRED) return None // documented next slice
-        val uvmode = bd.tree(uvModeTree, kfUvModeProbs)
-        // predict
-        predictBlock(yPlane, yStride, mbX * 16, mbY * 16, 16, ymode)
-        predictBlock(uPlane, cStride, mbX * 8, mbY * 8, 8, uvmode)
-        predictBlock(vPlane, cStride, mbX * 8, mbY * 8, 8, uvmode)
-        if (!skip) {
-          // Y2 block (16x16 modes always carry it)
-          val ctxY2 = y2Left + y2Above(mbX)
-          val (y2raw, y2nz) = decodeCoeffs(tb, probs, 1, 0, ctxY2)
-          y2Left = if (y2nz) 1 else 0
-          y2Above(mbX) = y2Left
-          val y2dq = new Array[Int](16)
-          var i = 0
-          while (i < 16) {
-            y2dq(i) = y2raw(i) * (if (i == 0) dq.y2Dc else dq.y2Ac)
-            i += 1
+        innerOk(mbY * mbW + mbX) = !skip || ymode == B_PRED
+        // B_PRED: 16 subblock modes, each conditioned on the above/left
+        // neighbor subblock modes
+        val bmodes: Array[Int] =
+          if (ymode != B_PRED) null
+          else {
+            val bm = new Array[Int](16)
+            var sb = 0
+            while (sb < 16) {
+              val sx = sb % 4; val sy = sb / 4
+              val am = if (sy > 0) bm(sb - 4) else bAbove(mbX * 4 + sx)
+              val lm = if (sx > 0) bm(sb - 1) else bLeft(sy)
+              bm(sb) = bd.tree(bModeTree, kfBModeProbs(am)(lm))
+              sb += 1
+            }
+            bm
           }
-          val subDc = iwht4x4(y2dq)
-          // 16 luma subblocks, type 0 (no DC), raster order
+        val uvmode = bd.tree(uvModeTree, kfUvModeProbs)
+        if (ymode == B_PRED) {
+          // per-subblock predict-then-reconstruct (later subblocks
+          // predict from earlier RECONSTRUCTED pixels); type-3 tokens
+          // carry the DC (no Y2 block)
+          val ar = mbAboveRight(yPlane, yStride, mbX, mbY, mbW)
           var sb = 0
           while (sb < 16) {
             val sx = sb % 4; val sy = sb / 4
-            val ctx = yLeft(sy) + yAbove(mbX * 4 + sx)
-            val (raw, nz) = decodeCoeffs(tb, probs, 0, 1, ctx)
-            yLeft(sy) = if (nz) 1 else 0
-            yAbove(mbX * 4 + sx) = yLeft(sy)
-            val dqc = new Array[Int](16)
-            var k = 0
-            while (k < 16) {
-              dqc(k) = raw(k) * (if (k == 0) dq.yDc else dq.yAc); k += 1
+            predict4x4(yPlane, yStride, mbX * 16 + sx * 4,
+              mbY * 16 + sy * 4, bmodes(sb), ar, sx == 3)
+            if (!skip) {
+              val ctx = yLeft(sy) + yAbove(mbX * 4 + sx)
+              val (raw, nz) = decodeCoeffs(tb, probs, 3, 0, ctx)
+              yLeft(sy) = if (nz) 1 else 0
+              yAbove(mbX * 4 + sx) = yLeft(sy)
+              val dqc = new Array[Int](16)
+              var k = 0
+              while (k < 16) {
+                dqc(k) = raw(k) * (if (k == 0) dq.yDc else dq.yAc); k += 1
+              }
+              addResidual(yPlane, yStride, mbX * 16 + sx * 4,
+                mbY * 16 + sy * 4, idct4x4(dqc))
             }
-            dqc(0) = subDc(sb)
-            addResidual(yPlane, yStride, mbX * 16 + sx * 4,
-              mbY * 16 + sy * 4, idct4x4(dqc))
             sb += 1
           }
-          // chroma subblocks, type 2
+          if (skip) {
+            var i = 0
+            while (i < 4) { yLeft(i) = 0; yAbove(mbX * 4 + i) = 0; i += 1 }
+          }
+          // B_PRED has no Y2 block: its nonzero context is left UNTOUCHED
+        } else {
+          predictBlock(yPlane, yStride, mbX * 16, mbY * 16, 16, ymode)
+          if (!skip) {
+            // Y2 block (16x16 modes always carry it)
+            val ctxY2 = y2Left + y2Above(mbX)
+            val (y2raw, y2nz) = decodeCoeffs(tb, probs, 1, 0, ctxY2)
+            y2Left = if (y2nz) 1 else 0
+            y2Above(mbX) = y2Left
+            val y2dq = new Array[Int](16)
+            var i = 0
+            while (i < 16) {
+              y2dq(i) = y2raw(i) * (if (i == 0) dq.y2Dc else dq.y2Ac)
+              i += 1
+            }
+            val subDc = iwht4x4(y2dq)
+            // 16 luma subblocks, type 0 (no DC), raster order
+            var sb = 0
+            while (sb < 16) {
+              val sx = sb % 4; val sy = sb / 4
+              val ctx = yLeft(sy) + yAbove(mbX * 4 + sx)
+              val (raw, nz) = decodeCoeffs(tb, probs, 0, 1, ctx)
+              yLeft(sy) = if (nz) 1 else 0
+              yAbove(mbX * 4 + sx) = yLeft(sy)
+              val dqc = new Array[Int](16)
+              var k = 0
+              while (k < 16) {
+                dqc(k) = raw(k) * (if (k == 0) dq.yDc else dq.yAc); k += 1
+              }
+              dqc(0) = subDc(sb)
+              addResidual(yPlane, yStride, mbX * 16 + sx * 4,
+                mbY * 16 + sy * 4, idct4x4(dqc))
+              sb += 1
+            }
+          } else {
+            var i = 0
+            while (i < 4) { yLeft(i) = 0; yAbove(mbX * 4 + i) = 0; i += 1 }
+            y2Left = 0; y2Above(mbX) = 0
+          }
+        }
+        // chroma (identical for both luma paths)
+        predictBlock(uPlane, cStride, mbX * 8, mbY * 8, 8, uvmode)
+        predictBlock(vPlane, cStride, mbX * 8, mbY * 8, 8, uvmode)
+        if (!skip) {
           decodeChroma(tb, probs, uPlane, cStride, mbX, mbY, uLeft, uAbove,
             dq)
           decodeChroma(tb, probs, vPlane, cStride, mbX, mbY, vLeft, vAbove,
             dq)
         } else {
-          // skipped MB: zero coefficients, contexts reset to zero
-          var i = 0
-          while (i < 4) { yLeft(i) = 0; yAbove(mbX * 4 + i) = 0; i += 1 }
           uLeft(0) = 0; uLeft(1) = 0; vLeft(0) = 0; vLeft(1) = 0
           uAbove(mbX * 2) = 0; uAbove(mbX * 2 + 1) = 0
           vAbove(mbX * 2) = 0; vAbove(mbX * 2 + 1) = 0
-          y2Left = 0; y2Above(mbX) = 0
+        }
+        // subblock-mode context for the next MBs
+        if (ymode == B_PRED) {
+          var i = 0
+          while (i < 4) {
+            bAbove(mbX * 4 + i) = bmodes(12 + i)
+            bLeft(i) = bmodes(i * 4 + 3)
+            i += 1
+          }
+        } else {
+          val eq = modeToB(ymode)
+          var i = 0
+          while (i < 4) {
+            bAbove(mbX * 4 + i) = eq; bLeft(i) = eq; i += 1
+          }
         }
         mbX += 1
       }
       mbY += 1
     }
-    // crop padded planes to the declared dimensions
+    // in-loop deblocking on the padded reconstruction (intra prediction
+    // above already read the unfiltered pixels), then crop
+    filterFrame(yPlane, uPlane, vPlane, yStride, cStride, mbW, mbH,
+      filterLevel, sharpness, simpleFilter, innerOk)
     Some(Frame(width, height,
       crop(yPlane, yStride, width, height),
       crop(uPlane, cStride, (width + 1) / 2, (height + 1) / 2),
@@ -741,21 +1160,27 @@ object Vp8 {
 
   /** Per-macroblock encoder input: intra modes plus RAW (pre-dequant)
     * coefficient blocks in raster order — y2 (16), y (16x16), u/v (4x16
-    * each). The encoder quantizes nothing: callers hand it integer
+    * each). For `ymode == B_PRED`, `bmodes` holds the 16 subblock modes
+    * and y2 is ignored (no second-order block; the y blocks carry their
+    * own DCs). The encoder quantizes nothing: callers hand it integer
     * coefficient LEVELS; reconstruction is exactly what the decoder
     * computes, returned alongside the bytes. */
   final case class MbSpec(ymode: Int, uvmode: Int,
                           y2: Array[Int] = new Array[Int](16),
                           y: Array[Array[Int]] = Array.fill(16)(new Array[Int](16)),
                           u: Array[Array[Int]] = Array.fill(4)(new Array[Int](16)),
-                          v: Array[Array[Int]] = Array.fill(4)(new Array[Int](16)))
+                          v: Array[Array[Int]] = Array.fill(4)(new Array[Int](16)),
+                          bmodes: Array[Int] = null)
 
   final case class EncodeOpts(qIndex: Int = 20, yDcDelta: Int = 0,
                               y2DcDelta: Int = 0, y2AcDelta: Int = 0,
                               uvDcDelta: Int = 0, uvAcDelta: Int = 0,
                               tokenPartitions: Int = 1,
                               skipEnabled: Boolean = true,
-                              skipProb: Int = 128)
+                              skipProb: Int = 128,
+                              filterLevel: Int = 0,
+                              sharpness: Int = 0,
+                              simpleFilter: Boolean = false)
 
   /** Encode a keyframe from per-MB specs (raster order, mbW*mbH of
     * them). Returns (payload bytes, decoder-exact reconstruction). */
@@ -767,18 +1192,20 @@ object Vp8 {
     val nParts = opts.tokenPartitions
     require(nParts == 1 || nParts == 2 || nParts == 4 || nParts == 8)
     val probs = defaultCoeffProbs // no updates emitted (flags all 0)
-    // precompute skip flags: a MB skips iff all its coefficients are 0
-    val allZero = mbs.map(m => m.y2.forall(_ == 0) &&
-      m.y.forall(_.forall(_ == 0)) && m.u.forall(_.forall(_ == 0)) &&
-      m.v.forall(_.forall(_ == 0)))
+    // precompute skip flags: a MB skips iff all its coded coefficients
+    // are 0 (B_PRED has no Y2 block, so its y2 spec is not coded)
+    val allZero = mbs.map(m =>
+      (m.ymode == B_PRED || m.y2.forall(_ == 0)) &&
+        m.y.forall(_.forall(_ == 0)) && m.u.forall(_.forall(_ == 0)) &&
+        m.v.forall(_.forall(_ == 0)))
     // ---- first partition: header + modes
     val be = new BoolEncoder
     be.literal(0, 1) // color space
     be.literal(0, 1) // clamping
     be.bool(128, 0) // segmentation off
-    be.literal(0, 1) // filter type
-    be.literal(0, 6) // filter level 0
-    be.literal(0, 3) // sharpness
+    be.literal(if (opts.simpleFilter) 1 else 0, 1)
+    be.literal(opts.filterLevel, 6)
+    be.literal(opts.sharpness, 3)
     be.bool(128, 0) // lf deltas off
     be.literal(Integer.numberOfTrailingZeros(nParts), 2)
     be.literal(opts.qIndex, 7)
@@ -794,12 +1221,45 @@ object Vp8 {
     }
     if (opts.skipEnabled) { be.bool(128, 1); be.literal(opts.skipProb, 8) }
     else be.bool(128, 0)
-    var mb = 0
-    while (mb < mbs.length) {
-      if (opts.skipEnabled) be.bool(opts.skipProb, if (allZero(mb)) 1 else 0)
-      be.tree(kfYmodeTree, kfYmodeProbs, mbs(mb).ymode)
-      be.tree(uvModeTree, kfUvModeProbs, mbs(mb).uvmode)
-      mb += 1
+    val bAboveE = Array.fill(mbW * 4)(B_DC)
+    var mbY0 = 0
+    while (mbY0 < mbH) {
+      val bLeftE = Array.fill(4)(B_DC)
+      var mbX0 = 0
+      while (mbX0 < mbW) {
+        val m = mbs(mbY0 * mbW + mbX0)
+        if (opts.skipEnabled)
+          be.bool(opts.skipProb, if (allZero(mbY0 * mbW + mbX0)) 1 else 0)
+        be.tree(kfYmodeTree, kfYmodeProbs, m.ymode)
+        if (m.ymode == B_PRED) {
+          require(m.bmodes != null && m.bmodes.length == 16,
+            "B_PRED MbSpec needs 16 subblock modes")
+          var sb = 0
+          while (sb < 16) {
+            val sx = sb % 4; val sy = sb / 4
+            val am =
+              if (sy > 0) m.bmodes(sb - 4) else bAboveE(mbX0 * 4 + sx)
+            val lm = if (sx > 0) m.bmodes(sb - 1) else bLeftE(sy)
+            be.tree(bModeTree, kfBModeProbs(am)(lm), m.bmodes(sb))
+            sb += 1
+          }
+        }
+        be.tree(uvModeTree, kfUvModeProbs, m.uvmode)
+        if (m.ymode == B_PRED) {
+          var i = 0
+          while (i < 4) {
+            bAboveE(mbX0 * 4 + i) = m.bmodes(12 + i)
+            bLeftE(i) = m.bmodes(i * 4 + 3)
+            i += 1
+          }
+        } else {
+          val eq = modeToB(m.ymode)
+          var i = 0
+          while (i < 4) { bAboveE(mbX0 * 4 + i) = eq; bLeftE(i) = eq; i += 1 }
+        }
+        mbX0 += 1
+      }
+      mbY0 += 1
     }
     val part0 = be.bytes()
     // ---- token partitions (MB row i -> partition i % nParts)
@@ -818,17 +1278,22 @@ object Vp8 {
       var mbX = 0
       while (mbX < mbW) {
         val m = mbs(mbY * mbW + mbX)
+        val bpred = m.ymode == B_PRED
         val skipped = opts.skipEnabled && allZero(mbY * mbW + mbX)
         if (!skipped) {
-          val ctxY2 = y2Left + y2Above(mbX)
-          val nzY2 = encodeCoeffs(tbE, probs, 1, 0, ctxY2, m.y2)
-          y2Left = if (nzY2) 1 else 0
-          y2Above(mbX) = y2Left
+          if (!bpred) {
+            val ctxY2 = y2Left + y2Above(mbX)
+            val nzY2 = encodeCoeffs(tbE, probs, 1, 0, ctxY2, m.y2)
+            y2Left = if (nzY2) 1 else 0
+            y2Above(mbX) = y2Left
+          }
+          // B_PRED: type 3 (Y with DC), no Y2; 16x16 modes: type 0
+          val (yType, yFirst) = if (bpred) (3, 0) else (0, 1)
           var sb = 0
           while (sb < 16) {
             val sx = sb % 4; val sy = sb / 4
             val ctx = yLeft(sy) + yAbove(mbX * 4 + sx)
-            val nz = encodeCoeffs(tbE, probs, 0, 1, ctx, m.y(sb))
+            val nz = encodeCoeffs(tbE, probs, yType, yFirst, ctx, m.y(sb))
             yLeft(sy) = if (nz) 1 else 0
             yAbove(mbX * 4 + sx) = yLeft(sy)
             sb += 1
@@ -857,7 +1322,8 @@ object Vp8 {
           uLeft(0) = 0; uLeft(1) = 0; vLeft(0) = 0; vLeft(1) = 0
           uAbove(mbX * 2) = 0; uAbove(mbX * 2 + 1) = 0
           vAbove(mbX * 2) = 0; vAbove(mbX * 2 + 1) = 0
-          y2Left = 0; y2Above(mbX) = 0
+          // a skipped B_PRED MB leaves the Y2 context untouched (no Y2)
+          if (!bpred) { y2Left = 0; y2Above(mbX) = 0 }
         }
         mbX += 1
       }

@@ -122,22 +122,50 @@ class Vp8Spec extends AnyFunSuite {
     val vP = new Array[Int](cS * mbH * 8)
     for (mbY <- 0 until mbH; mbX <- 0 until mbW) {
       val m = mbs(mbY * mbW + mbX)
-      predict(yP, yS, mbX * 16, mbY * 16, 16, m.ymode)
-      predict(uP, cS, mbX * 8, mbY * 8, 8, m.uvmode)
-      predict(vP, cS, mbX * 8, mbY * 8, 8, m.uvmode)
-      val y2dq = Array.tabulate(16)(i => m.y2(i) * (if (i == 0) y2Dc else y2Ac))
-      val subDc = Vp8.iwht4x4(y2dq)
-      for (sb <- 0 until 16) {
-        val dqc = Array.tabulate(16)(k =>
-          m.y(sb)(k) * (if (k == 0) yDc else yAc))
-        dqc(0) = subDc(sb)
-        val res = Vp8.idct4x4(dqc)
-        val x0 = mbX * 16 + (sb % 4) * 4; val y0 = mbY * 16 + (sb / 4) * 4
-        for (y <- 0 until 4; x <- 0 until 4) {
-          val p = (y0 + y) * yS + x0 + x
-          yP(p) = clamp(yP(p) + res(y * 4 + x))
+      if (m.ymode == Vp8.B_PRED) {
+        // independent WIRING of the B_PRED path (subblock order, type-3
+        // DC-carrying residuals, above-right selection); the ten pixel
+        // formulas themselves are shared with the decoder — duplicating
+        // them here would only re-assert the same derivation, while this
+        // path exists to catch mode-coding/context/entropy slips
+        val ar =
+          if (mbY == 0) Array.fill(4)(127)
+          else if (mbX + 1 < mbW)
+            Array.tabulate(4)(k =>
+              yP((mbY * 16 - 1) * yS + (mbX + 1) * 16 + k))
+          else Array.fill(4)(yP((mbY * 16 - 1) * yS + mbW * 16 - 1))
+        for (sb <- 0 until 16) {
+          val sx = sb % 4; val sy = sb / 4
+          val x0 = mbX * 16 + sx * 4; val y0 = mbY * 16 + sy * 4
+          Vp8.predict4x4(yP, yS, x0, y0, m.bmodes(sb), ar, sx == 3)
+          val dqc = Array.tabulate(16)(k =>
+            m.y(sb)(k) * (if (k == 0) yDc else yAc))
+          val res = Vp8.idct4x4(dqc)
+          for (y <- 0 until 4; x <- 0 until 4) {
+            val p = (y0 + y) * yS + x0 + x
+            yP(p) = clamp(yP(p) + res(y * 4 + x))
+          }
+        }
+      } else {
+        predict(yP, yS, mbX * 16, mbY * 16, 16, m.ymode)
+        val y2dq =
+          Array.tabulate(16)(i => m.y2(i) * (if (i == 0) y2Dc else y2Ac))
+        val subDc = Vp8.iwht4x4(y2dq)
+        for (sb <- 0 until 16) {
+          val dqc = Array.tabulate(16)(k =>
+            m.y(sb)(k) * (if (k == 0) yDc else yAc))
+          dqc(0) = subDc(sb)
+          val res = Vp8.idct4x4(dqc)
+          val x0 = mbX * 16 + (sb % 4) * 4
+          val y0 = mbY * 16 + (sb / 4) * 4
+          for (y <- 0 until 4; x <- 0 until 4) {
+            val p = (y0 + y) * yS + x0 + x
+            yP(p) = clamp(yP(p) + res(y * 4 + x))
+          }
         }
       }
+      predict(uP, cS, mbX * 8, mbY * 8, 8, m.uvmode)
+      predict(vP, cS, mbX * 8, mbY * 8, 8, m.uvmode)
       for ((plane, blocks) <- Seq((uP, m.u), (vP, m.v)); cb <- 0 until 4) {
         val dqc = Array.tabulate(16)(k =>
           blocks(cb)(k) * (if (k == 0) uvDc else uvAc))
@@ -149,6 +177,18 @@ class Vp8Spec extends AnyFunSuite {
         }
       }
     }
+    // the loop-filter pass (kernels shared with the decoder, like the
+    // 4x4 predictors — this reference independently derives the per-MB
+    // inner-edge flags and the filter's position in the pipeline)
+    val innerOk = Array.tabulate(mbW * mbH) { i =>
+      val m = mbs(i)
+      val allZero = (m.ymode == Vp8.B_PRED || m.y2.forall(_ == 0)) &&
+        m.y.forall(_.forall(_ == 0)) && m.u.forall(_.forall(_ == 0)) &&
+        m.v.forall(_.forall(_ == 0))
+      !(o.skipEnabled && allZero) || m.ymode == Vp8.B_PRED
+    }
+    Vp8.filterFrame(yP, uP, vP, yS, cS, mbW, mbH, o.filterLevel,
+      o.sharpness, o.simpleFilter, innerOk)
     def crop(p: Array[Int], s: Int, w: Int, h: Int) =
       Array.tabulate(w * h)(i => p((i / w) * s + i % w))
     Vp8.Frame(width, height, crop(yP, yS, width, height),
@@ -159,9 +199,11 @@ class Vp8Spec extends AnyFunSuite {
   private def randomMbs(rnd: scala.util.Random, mbW: Int, mbH: Int,
                         dense: Boolean): Array[Vp8.MbSpec] =
     Array.tabulate(mbW * mbH) { i =>
-      val ymode = rnd.nextInt(4) // DC/V/H/TM
+      val bpred = i % 3 == 1 // every 3rd MB: per-subblock modes
+      val ymode = if (bpred) Vp8.B_PRED else rnd.nextInt(4)
       val uvmode = rnd.nextInt(4)
-      val m = Vp8.MbSpec(ymode, uvmode)
+      val m = Vp8.MbSpec(ymode, uvmode,
+        bmodes = if (bpred) Array.fill(16)(rnd.nextInt(10)) else null)
       def fill(a: Array[Int], pNonzero: Int, amp: Int): Unit = {
         var k = 0
         while (k < 16) {
@@ -171,7 +213,7 @@ class Vp8Spec extends AnyFunSuite {
         }
       }
       if (i % 5 != 4) { // every 5th MB is all-zero -> exercises skip
-        fill(m.y2, if (dense) 60 else 25, if (dense) 80 else 3)
+        if (!bpred) fill(m.y2, if (dense) 60 else 25, if (dense) 80 else 3)
         m.y.foreach(fill(_, if (dense) 40 else 10, if (dense) 70 else 2))
         m.u.foreach(fill(_, 20, 2))
         m.v.foreach(fill(_, 20, 2))
@@ -191,7 +233,17 @@ class Vp8Spec extends AnyFunSuite {
       (40, 24, Vp8.EncodeOpts(qIndex = 17)), // cropped (not MB-aligned)
       (33, 17, Vp8.EncodeOpts(qIndex = 63, tokenPartitions = 2)),
       (64, 64, Vp8.EncodeOpts(qIndex = 10, skipEnabled = false)),
-      (48, 48, Vp8.EncodeOpts(qIndex = 28, skipProb = 30)))
+      (48, 48, Vp8.EncodeOpts(qIndex = 28, skipProb = 30)),
+      // in-loop deblocking: normal filter at low/high levels (hev
+      // thresholds 0/1/2), sharpness variants, and the simple filter
+      (48, 32, Vp8.EncodeOpts(qIndex = 35, filterLevel = 10)),
+      (48, 32, Vp8.EncodeOpts(qIndex = 80, filterLevel = 44,
+        sharpness = 3)),
+      (32, 48, Vp8.EncodeOpts(qIndex = 50, filterLevel = 20,
+        sharpness = 6, tokenPartitions = 2)),
+      (48, 32, Vp8.EncodeOpts(qIndex = 35, filterLevel = 25,
+        simpleFilter = true)),
+      (40, 24, Vp8.EncodeOpts(qIndex = 63, filterLevel = 63)))
     for (((w, h, opts), ci) <- cases.zipWithIndex) {
       val mbW = (w + 15) / 16; val mbH = (h + 15) / 16
       val mbs = randomMbs(rnd, mbW, mbH, dense = ci % 2 == 0)
@@ -223,6 +275,28 @@ class Vp8Spec extends AnyFunSuite {
     val (_, recon) = Vp8.encode(32, 32, mbs, Vp8.EncodeOpts(qIndex = 0))
     val ref = referenceRecon(32, 32, mbs, Vp8.EncodeOpts(qIndex = 0))
     assert(recon.y.toSeq == ref.y.toSeq)
+  }
+
+  test("every B_PRED subblock mode round-trips in every subblock " +
+    "position, including skipped B_PRED MBs and cross-MB mode context") {
+    val rnd = new scala.util.Random(4242L)
+    // 3x3 MBs, all B_PRED: each MB cycles all 10 modes across its 16
+    // subblocks with a different phase, so every (mode, position,
+    // above-ctx, left-ctx) combination gets coverage; MB 4 is all-zero
+    // (skipped) to pin the untouched-Y2-context + predict-only path
+    val mbs = Array.tabulate(9) { i =>
+      val m = Vp8.MbSpec(Vp8.B_PRED, rnd.nextInt(4),
+        bmodes = Array.tabulate(16)(sb => (sb + i) % 10))
+      if (i != 4)
+        m.y.foreach(b => (0 until 16).foreach(k =>
+          if (rnd.nextInt(3) == 0) b(k) = rnd.nextInt(9) - 4))
+      m
+    }
+    val opts = Vp8.EncodeOpts(qIndex = 12)
+    val (_, recon) = Vp8.encode(48, 48, mbs, opts)
+    val ref = referenceRecon(48, 48, mbs, opts)
+    assert(recon.y.toSeq == ref.y.toSeq)
+    assert(recon.u.toSeq == ref.u.toSeq)
   }
 
   test("decoder rejects non-keyframe, bad start code, and truncated " +

@@ -96,9 +96,10 @@ class PerfContractSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin") ||
         p.contains("BroadcastNestedLoopJoin"),
         s"$n: the piece-vocab join must broadcast (vocabulary-sized side)")),
-    // the VP8 keyframe codec entry: pure-CPU mapPartitions, the only
+    // the VP8 keyframe codec entries: pure-CPU mapPartitions, the only
     // exchange the core-splitting repartition of doc ids
     Contract("multimodal_vp8", 8, 12),
+    Contract("multimodal_vp8_filtered", 8, 12),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

@@ -1180,7 +1180,9 @@ object Vp8 {
                               skipProb: Int = 128,
                               filterLevel: Int = 0,
                               sharpness: Int = 0,
-                              simpleFilter: Boolean = false)
+                              simpleFilter: Boolean = false,
+                              probUpdates: Seq[((Int, Int, Int, Int), Int)] =
+                                Nil)
 
   /** Encode a keyframe from per-MB specs (raster order, mbW*mbH of
     * them). Returns (payload bytes, decoder-exact reconstruction). */
@@ -1191,7 +1193,18 @@ object Vp8 {
     require(mbs.length == mbW * mbH, "one MbSpec per macroblock")
     val nParts = opts.tokenPartitions
     require(nParts == 1 || nParts == 2 || nParts == 4 || nParts == 8)
-    val probs = defaultCoeffProbs // no updates emitted (flags all 0)
+    // coefficient-probability updates: the header emits flag+literal per
+    // listed position (gated by the update table, as the decoder reads
+    // them), and token coding then uses the UPDATED probabilities — the
+    // two sides must agree or every later bool desyncs
+    val updMap = opts.probUpdates.toMap
+    val probs =
+      if (updMap.isEmpty) defaultCoeffProbs
+      else {
+        val p = defaultCoeffProbs.map(_.map(_.map(_.clone())))
+        updMap.foreach { case ((t, b, c, n), v) => p(t)(b)(c)(n) = v }
+        p
+      }
     // precompute skip flags: a MB skips iff all its coded coefficients
     // are 0 (B_PRED has no Y2 block, so its y2 spec is not coded)
     val allZero = mbs.map(m =>
@@ -1216,7 +1229,12 @@ object Vp8 {
     be.flaggedDelta(opts.uvAcDelta, 4)
     var t = 0
     while (t < 4 * 8 * 3 * 11) {
-      be.bool(coeffUpdateProbs(t / 264)((t / 33) % 8)((t / 11) % 3)(t % 11), 0)
+      val key = (t / 264, (t / 33) % 8, (t / 11) % 3, t % 11)
+      val gate = coeffUpdateProbs(key._1)(key._2)(key._3)(key._4)
+      updMap.get(key) match {
+        case Some(v) => be.bool(gate, 1); be.literal(v, 8)
+        case None    => be.bool(gate, 0)
+      }
       t += 1
     }
     if (opts.skipEnabled) { be.bool(128, 1); be.literal(opts.skipProb, 8) }

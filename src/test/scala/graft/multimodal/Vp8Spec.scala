@@ -299,6 +299,21 @@ class Vp8Spec extends AnyFunSuite {
     assert(recon.u.toSeq == ref.u.toSeq)
   }
 
+  test("header coefficient-probability updates round-trip: token coding " +
+    "on both sides must switch to the updated table") {
+    val rnd = new scala.util.Random(31337L)
+    val updates = Seq.fill(40)(
+      ((rnd.nextInt(4), rnd.nextInt(8), rnd.nextInt(3), rnd.nextInt(11)),
+        1 + rnd.nextInt(254))).distinctBy(_._1)
+    val opts = Vp8.EncodeOpts(qIndex = 22, probUpdates = updates)
+    val mbs = randomMbs(rnd, 3, 3, dense = true)
+    val (_, recon) = Vp8.encode(48, 48, mbs, opts)
+    val ref = referenceRecon(48, 48, mbs, opts)
+    assert(recon.y.toSeq == ref.y.toSeq)
+    assert(recon.u.toSeq == ref.u.toSeq)
+    assert(recon.v.toSeq == ref.v.toSeq)
+  }
+
   test("decoder rejects non-keyframe, bad start code, and truncated " +
     "streams without throwing") {
     val mbs = Array.fill(1)(Vp8.MbSpec(Vp8.DC_PRED, Vp8.DC_PRED))

@@ -1,0 +1,236 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** H.264 baseline I-slice codec: entropy-layer exactness (exp-Golomb,
+  * emulation prevention, CAVLC block coding under every nC context),
+  * transform identities, and the whole-frame round-trip property —
+  * decoder output == the encoder's internal reconstruction across MB
+  * types, prediction modes, QPs, CAVLC level ranges, and cropped
+  * dimensions. */
+class H264Spec extends AnyFunSuite {
+
+  private def rnd(seed: Long) = new scala.util.Random(seed)
+
+  test("exp-Golomb ue/se round-trip, first values bit-exact") {
+    val bw = new H264.BitWriter
+    // spec examples: ue(0)=1, ue(1)=010, ue(2)=011, ue(3)=00100
+    bw.ue(0); bw.ue(1); bw.ue(2); bw.ue(3)
+    bw.trailing()
+    val br = new H264.BitReader(bw.bytes())
+    assert(br.bits(1) == 1)
+    assert(br.bits(3) == Integer.parseInt("010", 2))
+    assert(br.bits(3) == Integer.parseInt("011", 2))
+    assert(br.bits(5) == Integer.parseInt("00100", 2))
+    val r = rnd(1L)
+    val vs = Seq.fill(500)(r.nextInt(100000))
+    val ss = Seq.fill(500)(r.nextInt(20001) - 10000)
+    val bw2 = new H264.BitWriter
+    vs.foreach(bw2.ue)
+    ss.foreach(bw2.se)
+    bw2.trailing()
+    val br2 = new H264.BitReader(bw2.bytes())
+    vs.foreach(v => assert(br2.ue() == v))
+    ss.foreach(v => assert(br2.se() == v))
+  }
+
+  test("emulation prevention: 0x000003 inserted before 00/01/02/03 and " +
+    "round-trips, including adversarial zero runs") {
+    val cases = Seq(
+      Array[Byte](0, 0, 0),
+      Array[Byte](0, 0, 1),
+      Array[Byte](0, 0, 2),
+      Array[Byte](0, 0, 3),
+      Array[Byte](0, 0, 4), // no insertion needed
+      Array[Byte](0, 0, 0, 0, 0, 0),
+      Array[Byte](1, 0, 0, 3, 0, 0, 1, 0))
+    for (c <- cases) {
+      val e = H264.ebsp(c)
+      // no 00 00 0[0-2] pattern may survive in the EBSP (00 00 03 IS
+      // the escape and is legal)
+      (0 until e.length - 2).foreach { i =>
+        assert(!(e(i) == 0 && e(i + 1) == 0 && (e(i + 2) & 0xFF) <= 2),
+          s"raw start-code-prone pattern at $i in ${e.mkString(",")}")
+      }
+      assert(H264.unEbsp(e).toSeq == c.toSeq)
+    }
+    val r = rnd(2L)
+    for (_ <- 1 to 200) {
+      val c = Array.fill(r.nextInt(40))(r.nextInt(4).toByte)
+      assert(H264.unEbsp(H264.ebsp(c)).toSeq == c.toSeq)
+    }
+  }
+
+  test("CAVLC block coding round-trips exactly for every nC context, " +
+    "block kind, sparsity, and level range") {
+    val r = rnd(3L)
+    val nCs = Seq(-1, 0, 1, 2, 3, 4, 5, 6, 7, 8, 12, 16)
+    for (trial <- 1 to 3000) {
+      val maxCoeffs = Seq(16, 15, 4)(trial % 3)
+      val nC = if (maxCoeffs == 4) -1 else nCs(r.nextInt(nCs.length - 1) + 1)
+      val nNz = r.nextInt(maxCoeffs + 1)
+      val coeffs = new Array[Int](maxCoeffs)
+      val positions = r.shuffle((0 until maxCoeffs).toList).take(nNz)
+      positions.foreach { p =>
+        val mag = r.nextInt(3) match {
+          case 0 => 1
+          case 1 => 1 + r.nextInt(8)
+          case _ => 1 + r.nextInt(1800) // exercises the 12-bit escapes
+        }
+        coeffs(p) = if (r.nextBoolean()) mag else -mag
+      }
+      val bw = new H264.BitWriter
+      val tcW = H264.cavlcWrite(bw, nC, coeffs, maxCoeffs)
+      bw.trailing()
+      val (got, tcR) = H264.cavlcRead(new H264.BitReader(bw.bytes()),
+        nC, maxCoeffs)
+      assert(got.toSeq == coeffs.toSeq,
+        s"nC=$nC maxCoeffs=$maxCoeffs coeffs=${coeffs.mkString(",")}")
+      assert(tcW == tcR && tcW == coeffs.count(_ != 0))
+    }
+  }
+
+  test("a WRONG nC context mis-decodes (the context machinery is " +
+    "load-bearing, not decorative)") {
+    val coeffs = Array(3, 0, -1, 2, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val bw = new H264.BitWriter
+    H264.cavlcWrite(bw, 0, coeffs, 16)
+    bw.trailing()
+    val (wrong, _) = H264.cavlcRead(new H264.BitReader(bw.bytes()), 5, 16)
+    assert(wrong.toSeq != coeffs.toSeq)
+  }
+
+  test("inverse core transform: DC-only block reconstructs to the " +
+    "constant (dequantised DC + 32) >> 6") {
+    for (dc <- Seq(-400, -64, 0, 1, 17, 640)) {
+      val d = new Array[Int](16)
+      d(0) = dc
+      val out = H264.icore4x4(d).map(v => (v + 32) >> 6)
+      assert(out.forall(_ == ((dc + 32) >> 6)), s"dc=$dc → ${out.toSeq}")
+    }
+  }
+
+  test("inverse Hadamard of a DC-only second-order block spreads the " +
+    "value uniformly") {
+    val c = new Array[Int](16)
+    c(0) = 7
+    assert(H264.ihadamard4x4(c).forall(_ == 7))
+  }
+
+  test("whole-frame round-trip: decode(encode(specs)) == the encoder's " +
+    "internal reconstruction across MB types, modes, QPs, and crops") {
+    val r = rnd(4L)
+    for (trial <- 1 to 60) {
+      val mbW = 1 + r.nextInt(3)
+      val mbH = 1 + r.nextInt(3)
+      // even crops, including non-16-multiples
+      val width = mbW * 16 - 2 * r.nextInt(3)
+      val height = mbH * 16 - 2 * r.nextInt(3)
+      val qp = 8 + r.nextInt(44)
+      def sparse(n: Int, from: Int, density: Double, mag: Int): Array[Int] = {
+        val a = new Array[Int](n)
+        (from until n).foreach { i =>
+          if (r.nextDouble() < density)
+            a(i) = (1 + r.nextInt(mag)) * (if (r.nextBoolean()) 1 else -1)
+        }
+        a
+      }
+      val mbs = Array.tabulate(mbW * mbH) { k =>
+        val mbX = k % mbW; val mbY = k / mbW
+        val hasA = mbY > 0; val hasL = mbX > 0
+        def chroma = {
+          val cands = Seq(H264.CH_DC) ++
+            (if (hasL) Seq(H264.CH_H) else Nil) ++
+            (if (hasA) Seq(H264.CH_V) else Nil) ++
+            (if (hasA && hasL) Seq(H264.CH_PLANE) else Nil)
+          cands(r.nextInt(cands.length))
+        }
+        if (r.nextBoolean()) {
+          // I_16x16
+          val cands = Seq(H264.I16_DC) ++
+            (if (hasA) Seq(H264.I16_V) else Nil) ++
+            (if (hasL) Seq(H264.I16_H) else Nil) ++
+            (if (hasA && hasL) Seq(H264.I16_PLANE) else Nil)
+          H264.MbSpec(mbType = 1,
+            i16Mode = cands(r.nextInt(cands.length)),
+            chromaMode = chroma,
+            lumaDc = sparse(16, 0, 0.4, 40),
+            lumaAc = Array.fill(16)(sparse(16, 1, 0.15, 12)),
+            cbDc = sparse(4, 0, 0.5, 20), crDc = sparse(4, 0, 0.5, 20),
+            cbAc = Array.fill(4)(sparse(16, 1, 0.1, 8)),
+            crAc = Array.fill(4)(sparse(16, 1, 0.1, 8)))
+        } else {
+          // I_4x4: availability-aware per-block mode choice
+          val modes = Array.tabulate(16) { b =>
+            val (x4, y4) = (2 * ((b >> 2) & 1) + (b & 1),
+              2 * (b >> 3) + ((b >> 1) & 1))
+            val bA = hasA || y4 > 0
+            val bL = hasL || x4 > 0
+            val cands = Seq(H264.B_DC) ++
+              (if (bA) Seq(H264.B_V, H264.B_DDL, H264.B_VL) else Nil) ++
+              (if (bL) Seq(H264.B_H, H264.B_HU) else Nil) ++
+              (if (bA && bL) Seq(H264.B_DDR, H264.B_VR, H264.B_HD) else Nil)
+            cands(r.nextInt(cands.length))
+          }
+          H264.MbSpec(mbType = 0, b4Modes = modes, chromaMode = chroma,
+            lumaAc = Array.fill(16)(sparse(16, 0, 0.2, 25)),
+            cbDc = sparse(4, 0, 0.5, 20), crDc = sparse(4, 0, 0.5, 20),
+            cbAc = Array.fill(4)(sparse(16, 1, 0.1, 8)),
+            crAc = Array.fill(4)(sparse(16, 1, 0.1, 8)))
+        }
+      }
+      val (stream, recon) = H264.encode(width, height, mbs,
+        H264.EncodeOpts(qp = qp))
+      val dec = H264.decode(stream)
+      assert(dec.isDefined, s"trial $trial: decode failed " +
+        s"(${mbW}x$mbH qp=$qp ${width}x$height)")
+      val f = dec.get
+      assert(f.width == width && f.height == height)
+      assert(f.y.toSeq == recon.y.toSeq, s"trial $trial: luma mismatch")
+      assert(f.u.toSeq == recon.u.toSeq, s"trial $trial: Cb mismatch")
+      assert(f.v.toSeq == recon.v.toSeq, s"trial $trial: Cr mismatch")
+    }
+  }
+
+  test("DC-chain fixture reconstructs to hand-computed constants: a " +
+    "lone I_16x16 DC-pred MB with a pure-DC residual is uniformly " +
+    "128 + (scaleLumaDc(dc·16·heuristic…) …) — computed independently") {
+    // dcScan(0) = L → after inverse Hadamard every block DC f = L (the
+    // other 15 second-order coefficients are zero), scaled by the
+    // 8.5.10 branch; prediction with no neighbours is flat 128.
+    for (qp <- Seq(0, 10, 20, 26, 35, 36, 44, 51); lvl <- Seq(-3, 1, 4)) {
+      val m = H264.MbSpec(mbType = 1)
+      m.lumaDc(0) = lvl
+      val (stream, _) = H264.encode(16, 16, Array(m),
+        H264.EncodeOpts(qp = qp))
+      val f = H264.decode(stream).get
+      val v = H264.vTab(qp % 6, 0)
+      val dc =
+        if (qp >= 36) (lvl * v) << (qp / 6 - 6)
+        else (lvl * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+      val expect = math.max(0, math.min(255, 128 + ((dc + 32) >> 6)))
+      assert(f.y.forall(_ == expect), s"qp=$qp lvl=$lvl: expected " +
+        s"$expect, got ${f.y.take(4).toSeq}")
+      assert(f.u.forall(_ == 128) && f.v.forall(_ == 128))
+    }
+  }
+
+  test("hostile input degrades to None, never throws: truncations, bit " +
+    "flips, and garbage never crash the task") {
+    val m = H264.MbSpec(mbType = 1)
+    m.lumaDc(0) = 5
+    val (stream, _) = H264.encode(32, 32,
+      Array(m, H264.MbSpec(mbType = 1), H264.MbSpec(mbType = 0),
+        H264.MbSpec(mbType = 1)), H264.EncodeOpts(qp = 26))
+    val r = rnd(5L)
+    for (len <- 0 until stream.length by 3)
+      H264.decode(stream.take(len)) // must not throw
+    for (_ <- 1 to 300) {
+      val mut = stream.clone()
+      val i = r.nextInt(mut.length)
+      mut(i) = (mut(i) ^ (1 << r.nextInt(8))).toByte
+      H264.decode(mut) // may decode differently or None, never throw
+    }
+    H264.decode(Array.fill(64)(r.nextInt(256).toByte))
+  }
+}

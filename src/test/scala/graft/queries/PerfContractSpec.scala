@@ -100,6 +100,18 @@ class PerfContractSpec extends SparkSpec {
     // exchange the core-splitting repartition of doc ids
     Contract("multimodal_vp8", 8, 12),
     Contract("multimodal_vp8_filtered", 8, 12),
+    // Unigram-LM family (round-10 evidence: 0.0/0.2/0.0 MB, 14/6/3
+    // stages at sf0.1): training's corpus pass + vocabulary-bounded
+    // seeding/EM aggregates; segmentation is a narrow map; the corpus
+    // application may only exchange the per-doc aggregate and must
+    // broadcast the vocabulary-sized segmentation side
+    Contract("text_unigram", 3, 28),
+    // cold-cache headroom: a solo run pays the shared training first
+    Contract("text_unigram_encode", 2, 24),
+    Contract("text_unigram_corpus", 3, 40, (p, n) =>
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$n: the segmentation join must broadcast (vocabulary-sized side)")),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

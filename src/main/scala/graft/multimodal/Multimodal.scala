@@ -315,6 +315,62 @@ object Multimodal extends Serializable {
     finally iis.close()
   }
 
+  final case class H264Row(media_id: Long, width: Int, height: Int,
+                           y_sum: Long, u_sum: Long, v_sum: Long)
+
+  /** Real H.264 baseline I-SLICE decode: one genuine Annex-B stream
+    * (SPS + PPS + IDR) per document, built by [[H264.encode]] and
+    * decoded by [[H264.decode]] through the full intra pipeline —
+    * exp-Golomb headers, CAVLC coefficients under nC neighbour
+    * contexts, the luma-DC Hadamard + 8.5.10 scaling (both QP
+    * branches, qp = id % 52), chroma-DC Hadamards, and the intra
+    * predictors. Fixtures are constant-per-macroblock YUV wired as a
+    * DC/H/V prediction CHAIN (first MB DC with no neighbours = 128,
+    * first row H, later rows V) with per-MB DC-only levels, so the
+    * lossy reconstruction is EXACT and the oracle replays it in closed
+    * form as two window prefix sums over the MB grid, weighted by the
+    * SPS frame-cropping pixel counts (width/height cycle off the MB
+    * grid by id). AC paths, I_4x4, large CAVLC levels, and hostile
+    * input are pinned by H264Spec's round-trip and fuzz properties. */
+  def h264sFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[H264Row] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val mbW = 3 + (id % 4).toInt
+          val mbH = 1 + (id % 2).toInt
+          val qp = (id % 52).toInt
+          val width = mbW * 16 - 2 * (id % 3).toInt
+          val height = mbH * 16 - 2 * (id % 2).toInt
+          val mbs = Array.tabulate(mbW * mbH) { k =>
+            val i = k / mbW; val j = k % mbW
+            val m = H264.MbSpec(mbType = 1,
+              i16Mode =
+                if (i == 0 && j == 0) H264.I16_DC
+                else if (i == 0) H264.I16_H
+                else H264.I16_V,
+              chromaMode =
+                if (i == 0 && j == 0) H264.CH_DC
+                else if (i == 0) H264.CH_H
+                else H264.CH_V)
+            m.lumaDc(0) = ((id + 3 * i + 5 * j) % 5).toInt - 2
+            m.cbDc(0) = ((id + i + 2 * j) % 5).toInt - 2
+            m.crDc(0) = ((2 * id + 3 * i + j) % 5).toInt - 2
+            m
+          }
+          val (stream, _) = H264.encode(width, height, mbs,
+            H264.EncodeOpts(qp = qp))
+          H264.decode(stream).iterator.map { f =>
+            H264Row(id, f.width, f.height,
+              f.y.foldLeft(0L)(_ + _), f.u.foldLeft(0L)(_ + _),
+              f.v.foldLeft(0L)(_ + _))
+          }
+        }
+      }
+  }
+
   final case class Vp8Row(media_id: Long, width: Int, height: Int,
                           y_sum: Long, u_sum: Long, v_sum: Long)
 

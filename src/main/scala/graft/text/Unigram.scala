@@ -174,6 +174,40 @@ object Unigram {
     (model, wf)
   }
 
+  /** Vocabulary PRUNING — the step that makes this the actual
+    * SentencePiece training loop (seed large → EM → prune to the
+    * target size → EM again): keep ALL single characters (so every
+    * word stays segmentable) plus the top `keep` multi-character
+    * pieces by (E-count DESC, piece ASC), then re-estimate. Driver-side
+    * on the seed-bounded count list. */
+  private[graft] def prune(model: Model, keep: Int): Model = {
+    val singles = model.counts.filter(_._1.length == 1)
+    val multi = model.counts.filter(_._1.length > 1)
+      .sortBy { case (pc, n) => (-n, pc) }.take(keep)
+    val counts = (singles ++ multi).sortBy(_._1)
+    Model(counts, counts.map(_._2).sum)
+  }
+
+  /** Prune a trained model to `keep` multi-char pieces and run one
+    * more EM round under the pruned vocabulary (sharing an
+    * already-trained (model, wf) pair — the cache-friendly form). */
+  private[graft] def pruneAndRefit(s: SparkSession, wf: DataFrame,
+                                   model: Model, maxPieceLen: Int = 6,
+                                   keep: Int = 32): Model = {
+    val p = prune(model, keep)
+    if (p.total > 0) emRound(s, wf, p, maxPieceLen) else p
+  }
+
+  /** Train, prune to `keep` multi-char pieces, and run one more EM
+    * round under the pruned vocabulary. */
+  private[graft] def trainPruned(s: SparkSession, tokens: DataFrame,
+                                 seedMax: Int = 128, maxPieceLen: Int = 6,
+                                 maxWordLen: Int = 16, rounds: Int = 2,
+                                 keep: Int = 32): (Model, DataFrame) = {
+    val (m, wf) = train(s, tokens, seedMax, maxPieceLen, maxWordLen, rounds)
+    (pruneAndRefit(s, wf, m, maxPieceLen, keep), wf)
+  }
+
   /** The learned piece table — every seed piece with its final E-step
     * count (zero-count pieces retained; integers only, so the oracle
     * hash compares exact values). */
@@ -200,21 +234,22 @@ object Unigram {
 
   // ---------------------------------------------------------------- oracle
 
-  /** One Viterbi DP chain under model pt$t: cells d{t}_0..d{t}_maxWordLen
-    * (each the (prod DESC, k ASC, path ASC)-best prefix segmentation —
-    * the exact comparator [[viterbi]] applies) and the winning
-    * full-word paths sg$t. */
-  private def dpChain(t: Int, maxPieceLen: Int, maxWordLen: Int): String = {
+  /** One Viterbi DP chain under the model CTE `model`: cells
+    * d{tag}_0..d{tag}_maxWordLen (each the (prod DESC, k ASC, path
+    * ASC)-best prefix segmentation — the exact comparator [[viterbi]]
+    * applies) and the winning full-word paths sg$tag. */
+  private def dpChainG(tag: String, model: String, maxPieceLen: Int,
+                       maxWordLen: Int): String = {
     val cells = (1 to maxWordLen).map { i =>
       val branches = (1 to math.min(maxPieceLen, i)).map { l =>
         s"""SELECT d.word, d.cnt, d.prod * v.p AS prod, d.k + 1 AS k,
            |  CASE WHEN d.path = '' THEN v.piece
            |       ELSE d.path || ' ' || v.piece END AS path
-           |FROM d${t}_${i - l} d JOIN pt$t v
+           |FROM d${tag}_${i - l} d JOIN $model v
            |  ON v.piece = substr(d.word, ${i - l + 1}, $l)
            |WHERE length(d.word) >= $i""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""d${t}_$i AS MATERIALIZED (
+      s"""d${tag}_$i AS MATERIALIZED (
          |  SELECT word, cnt, prod, k, path FROM (
          |    SELECT u.*, row_number() OVER (PARTITION BY word
          |      ORDER BY prod DESC, k ASC, path ASC) AS rn
@@ -223,17 +258,20 @@ object Unigram {
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val fin = (1 to maxWordLen)
-      .map(i => s"SELECT word, cnt, k, path FROM d${t}_$i " +
+      .map(i => s"SELECT word, cnt, k, path FROM d${tag}_$i " +
         s"WHERE length(word) = $i")
       .mkString("\nUNION ALL\n")
-    s"""d${t}_0 AS (
+    s"""d${tag}_0 AS (
        |  SELECT word, cnt, CAST(1.0 AS DOUBLE) AS prod, 0 AS k,
        |    '' AS path
        |  FROM wf),
        |$cells,
-       |sg$t AS MATERIALIZED (
+       |sg$tag AS MATERIALIZED (
        |$fin)""".stripMargin
   }
+
+  private def dpChain(t: Int, maxPieceLen: Int, maxWordLen: Int): String =
+    dpChainG(t.toString, s"pt$t", maxPieceLen, maxWordLen)
 
   /** The shared DuckDB training chain: wf (word frequencies), sub/seed
     * (substring seeding, pt0 the seed model), then per EM round t the
@@ -309,6 +347,37 @@ object Unigram {
     s"""${encodeChain(toksSql, seedMax, maxPieceLen, maxWordLen, rounds)}
        |SELECT word, cnt, path AS pieces, CAST(k AS INT) AS n_pieces
        |FROM sg$rounds ORDER BY word""".stripMargin
+
+  /** DuckDB replay of [[trainPruned]]: prune pt$rounds to all singles +
+    * top-`keep` multi-char pieces by (cnt DESC, piece ASC), renormalize
+    * (ptP), one more Viterbi pass (sgP), and the re-estimated counts
+    * over the PRUNED piece set. */
+  def pruneOracleSql(toksSql: String, seedMax: Int = 128,
+                     maxPieceLen: Int = 6, maxWordLen: Int = 16,
+                     rounds: Int = 2, keep: Int = 32): String =
+    s"""${chain(toksSql, seedMax, maxPieceLen, maxWordLen, rounds)},
+       |pp AS MATERIALIZED (
+       |  SELECT piece, cnt FROM pt$rounds WHERE length(piece) = 1
+       |  UNION
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM pt$rounds WHERE length(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT $keep)),
+       |np AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS tot FROM pp),
+       |ptP AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CASE WHEN (SELECT tot FROM np) = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(cnt AS DOUBLE) /
+       |              CAST((SELECT tot FROM np) AS DOUBLE) END AS p
+       |  FROM pp),
+       |${dpChainG("P", "ptP", maxPieceLen, maxWordLen)},
+       |eP AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(path, ' ')) AS piece, cnt
+       |    FROM sgP)
+       |  GROUP BY piece)
+       |SELECT s.piece, CAST(coalesce(e.cnt, 0) AS BIGINT) AS cnt
+       |FROM pp s LEFT JOIN eP e ON e.piece = s.piece
+       |ORDER BY s.piece""".stripMargin
 
   /** DuckDB replay of corpus-width application: the doc token stream
     * joined to the per-word segmentation, per-doc word/piece counts.

@@ -109,6 +109,7 @@ class PerfContractSpec extends SparkSpec {
     Contract("text_unigram", 3, 28),
     // cold-cache headroom: a solo run pays the shared training first
     Contract("text_unigram_encode", 2, 24),
+    Contract("text_unigram_prune", 3, 34),
     Contract("text_unigram_corpus", 3, 40, (p, n) =>
       assert(p.contains("BroadcastHashJoin") ||
         p.contains("BroadcastNestedLoopJoin"),

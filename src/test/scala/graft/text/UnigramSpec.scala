@@ -134,6 +134,43 @@ class UnigramSpec extends SparkSpec {
     assert(model.counts == want)
   }
 
+  test("prune + refit == independent reference: all singles kept, top-k " +
+    "multi-char by (cnt DESC, piece ASC), one more EM round") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val base = Seq("river", "rivers", "driver", "sliver", "ab", "abab",
+      "ababab", "ba", "aa", "zzz", "z", "riverbed")
+    val words = Seq.fill(500)(base(rnd.nextInt(base.length)))
+    val keep = 6
+    val (model, wf) = Unigram.train(spark, toksDf(words),
+      seedMax = 32, maxPieceLen = 4, maxWordLen = 8, rounds = 2)
+    val got = Unigram.pruneAndRefit(spark, wf, model,
+      maxPieceLen = 4, keep = keep)
+    // independent replay: reference-train, prune the same way, refit
+    val trained = referenceTrain(words, 32, 4, 8, 2)
+    val singles = trained.filter(_._1.length == 1)
+    val multi = trained.filter(_._1.length > 1)
+      .sortBy { case (pc, n) => (-n, pc) }.take(keep)
+    var counts = (singles ++ multi).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val probs = counts.map { case (pc, n) =>
+      pc -> (if (total == 0L) 0.0 else n.toDouble / total.toDouble)
+    }.toMap
+    val wfm = words.filter(w => w.nonEmpty && w.length <= 8)
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+    val e = scala.collection.mutable.HashMap.empty[String, Long]
+    wfm.foreach { case (w, c) =>
+      Unigram.viterbi(w, probs, 4)._1.split(" ")
+        .foreach(pc => e.update(pc, e.getOrElse(pc, 0L) + c))
+    }
+    counts = counts.map { case (pc, _) => pc -> e.getOrElse(pc, 0L) }
+    assert(got.counts == counts)
+    assert(got.counts.count(_._1.length > 1) <= keep)
+    assert(got.counts.filter(_._1.length == 1).map(_._1) ==
+      model.counts.filter(_._1.length == 1).map(_._1),
+      "pruning must never drop a single character")
+  }
+
   test("segmentation COVERS: every word's pieces concatenate back to the " +
     "word, counts are internally consistent, totals conserve") {
     import spark.implicits._

@@ -848,6 +848,8 @@ object H264 {
     val tcCr = Array.fill(mbH * 2, mbW * 2)(-1)
     // intra 4x4 pred mode per block (2 = DC for non-I4x4 MBs)
     val modeY = Array.fill(mbH * 4, mbW * 4)(-1)
+    // per-MB QP after mb_qp_delta — drives the deblocking thresholds
+    val mbQp = new Array[Int](mbW * mbH)
 
     def nc(tc: Array[Array[Int]], bx: Int, by: Int): Int = {
       val nA = if (bx > 0) tc(by)(bx - 1) else -1
@@ -1086,6 +1088,7 @@ object H264 {
         b += 1
       }
       decodeChroma(br, st, mbX, mbY, chromaMode, cbpC, qp)
+      st.mbQp(mbY * st.mbW + mbX) = qp
       Some(qp)
     } else {
       // ---- I_16x16: mb_type packs (pm, cbpChroma, cbpLuma)
@@ -1123,6 +1126,7 @@ object H264 {
         b += 1
       }
       decodeChroma(br, st, mbX, mbY, chromaMode, cbpC, qp)
+      st.mbQp(mbY * st.mbW + mbX) = qp
       Some(qp)
     }
   }
@@ -1155,7 +1159,9 @@ object H264 {
     br.bit(); br.bit() // dec_ref_pic_marking (IDR)
     var qp = initQp + br.se()
     if (qp < 0 || qp > 51) return None
-    br.ue() // disable_deblocking_filter_idc (we emit 1: filter off)
+    val idc = br.ue() // disable_deblocking_filter_idc
+    var offA = 0; var offB = 0
+    if (idc != 1) { offA = 2 * br.se(); offB = 2 * br.se() }
     val st = new FrameState(sps.mbW, sps.mbH)
     var mbY = 0
     while (mbY < sps.mbH) {
@@ -1169,6 +1175,7 @@ object H264 {
       }
       mbY += 1
     }
+    if (idc != 1) deblockFrame(st, st.mbQp, offA, offB)
     Some(cropFrame(st, sps.width, sps.height))
   }
 
@@ -1186,9 +1193,162 @@ object H264 {
       cropPlane(st.uPlane, w / 2, h / 2), cropPlane(st.vPlane, w / 2, h / 2))
   }
 
+  // ----------------------------------------- in-loop deblocking (8.7)
+
+  /** α / β / tc0 threshold lookups — PINNED PLACEHOLDER DATA (the
+    * spec's three indexed tables; same policy as the object doc):
+    * zero below index 16 and monotone above, like the published
+    * curves, values pinned to documented formulas. Encoder and oracle
+    * replay the same lookups. */
+  private[multimodal] def alphaT(i0: Int): Int = {
+    val i = math.max(0, math.min(51, i0))
+    if (i < 16) 0 else math.min(255, (i - 15) * (i - 15))
+  }
+  private[multimodal] def betaT(i0: Int): Int = {
+    val i = math.max(0, math.min(51, i0))
+    if (i < 16) 0 else math.min(18, 2 + (i - 16) / 2)
+  }
+  private[multimodal] def tc0T(i0: Int): Int = {
+    val i = math.max(0, math.min(51, i0))
+    if (i < 16) 0 else math.min(13, 1 + (i - 16) / 3)
+  }
+
+  private def clip3(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+
+  /** Filter one line of an edge: q0 sits at `qpos`, samples step by
+    * `step` (1 for vertical edges, stride for horizontal). REAL spec
+    * algorithm: the filterSamplesFlag gate, bS=4 strong/weak split on
+    * (α>>2)+2 with per-side ap/aq < β, and the bS<4 normal filter with
+    * the tc0-clipped Δ and the luma p1/q1 refinements. */
+  private def filterLine(buf: Array[Int], qpos: Int, step: Int, bS: Int,
+                         alpha: Int, beta: Int, tc0: Int,
+                         isLuma: Boolean): Unit = {
+    @inline def p(k: Int) = buf(qpos - (k + 1) * step)
+    @inline def q(k: Int) = buf(qpos + k * step)
+    val p0 = p(0); val q0 = q(0); val p1 = p(1); val q1 = q(1)
+    if (math.abs(p0 - q0) >= alpha || math.abs(p1 - p0) >= beta ||
+        math.abs(q1 - q0) >= beta) return
+    if (bS == 4) {
+      if (isLuma) {
+        val p2 = p(2); val q2 = q(2)
+        val strongOk = math.abs(p0 - q0) < (alpha >> 2) + 2
+        if (strongOk && math.abs(p2 - p0) < beta) {
+          val p3 = p(3)
+          buf(qpos - step) = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+          buf(qpos - 2 * step) = (p2 + p1 + p0 + q0 + 2) >> 2
+          buf(qpos - 3 * step) = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+        } else buf(qpos - step) = (2 * p1 + p0 + q1 + 2) >> 2
+        if (strongOk && math.abs(q2 - q0) < beta) {
+          val q3 = q(3)
+          buf(qpos) = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+          buf(qpos + step) = (q2 + q1 + q0 + p0 + 2) >> 2
+          buf(qpos + 2 * step) = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+        } else buf(qpos) = (2 * q1 + q0 + p1 + 2) >> 2
+      } else {
+        buf(qpos - step) = (2 * p1 + p0 + q1 + 2) >> 2
+        buf(qpos) = (2 * q1 + q0 + p1 + 2) >> 2
+      }
+    } else if (bS > 0) {
+      val tc =
+        if (isLuma)
+          tc0 + (if (math.abs(p(2) - p0) < beta) 1 else 0) +
+            (if (math.abs(q(2) - q0) < beta) 1 else 0)
+        else tc0 + 1
+      val delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+      buf(qpos - step) = clamp255(p0 + delta)
+      buf(qpos) = clamp255(q0 - delta)
+      if (isLuma) {
+        val p2 = p(2); val q2 = q(2)
+        if (math.abs(p2 - p0) < beta)
+          buf(qpos - 2 * step) = p1 +
+            clip3(-tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1)
+        if (math.abs(q2 - q0) < beta)
+          buf(qpos + step) = q1 +
+            clip3(-tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1)
+      }
+    }
+  }
+
+  /** Whole-frame deblocking pass, MB raster order, vertical edges then
+    * horizontal per MB (the spec's order). I-slice bS: 4 on MB
+    * boundaries, 3 on internal 4x4 edges. Edge QP averages the two
+    * MBs' QPs; chroma uses the chroma-QP map. `offA`/`offB` are the
+    * slice-header alpha/beta offsets (already ×2). */
+  private def deblockFrame(st: FrameState, mbQp: Array[Int],
+                           offA: Int, offB: Int): Unit = {
+    def idx(i: Int, j: Int) = math.max(0, math.min(51, i + j))
+    var mbY = 0
+    while (mbY < st.mbH) {
+      var mbX = 0
+      while (mbX < st.mbW) {
+        val qp = mbQp(mbY * st.mbW + mbX)
+        def edgeQps(boundary: Boolean, leftOrUp: Boolean): Int =
+          if (!boundary) qp
+          else {
+            val nQp = mbQp(
+              if (leftOrUp) mbY * st.mbW + mbX - 1
+              else (mbY - 1) * st.mbW + mbX)
+            (nQp + qp + 1) >> 1
+          }
+        // luma vertical edges e=0..3 (e0 = MB boundary), then horizontal
+        var dir = 0
+        while (dir < 2) { // 0 = vertical, 1 = horizontal
+          var e = 0
+          while (e < 4) {
+            val boundary = e == 0
+            val skipEdge = boundary &&
+              (if (dir == 0) mbX == 0 else mbY == 0)
+            if (!skipEdge) {
+              val eqp = edgeQps(boundary, dir == 0)
+              val a = alphaT(idx(eqp, offA))
+              val b = betaT(idx(eqp, offB))
+              val t = tc0T(idx(eqp, offA))
+              val bS = if (boundary) 4 else 3
+              var k = 0
+              while (k < 16) {
+                val (qx, qy) =
+                  if (dir == 0) (mbX * 16 + 4 * e, mbY * 16 + k)
+                  else (mbX * 16 + k, mbY * 16 + 4 * e)
+                filterLine(st.yPlane.buf, qy * st.yPlane.stride + qx,
+                  if (dir == 0) 1 else st.yPlane.stride, bS, a, b, t,
+                  isLuma = true)
+                k += 1
+              }
+              // chroma: edges at 0 and 4 only (e even)
+              if (e % 2 == 0) {
+                val cqp = chromaQp(eqp)
+                val ca = alphaT(idx(cqp, offA))
+                val cb = betaT(idx(cqp, offB))
+                val ct = tc0T(idx(cqp, offA))
+                var c = 0
+                while (c < 8) {
+                  val (qx, qy) =
+                    if (dir == 0) (mbX * 8 + 2 * e, mbY * 8 + c)
+                    else (mbX * 8 + c, mbY * 8 + 2 * e)
+                  filterLine(st.uPlane.buf, qy * st.uPlane.stride + qx,
+                    if (dir == 0) 1 else st.uPlane.stride, bS, ca, cb, ct,
+                    isLuma = false)
+                  filterLine(st.vPlane.buf, qy * st.vPlane.stride + qx,
+                    if (dir == 0) 1 else st.vPlane.stride, bS, ca, cb, ct,
+                    isLuma = false)
+                  c += 1
+                }
+              }
+            }
+            e += 1
+          }
+          dir += 1
+        }
+        mbX += 1
+      }
+      mbY += 1
+    }
+  }
+
   // -------------------------------------------------------- encoding
 
-  final case class EncodeOpts(qp: Int = 26)
+  final case class EncodeOpts(qp: Int = 26, deblock: Boolean = false)
 
   private def anyNz(a: Array[Int], from: Int = 0): Boolean = {
     var i = from
@@ -1216,7 +1376,10 @@ object H264 {
     bw.ue(0) // idr_pic_id
     bw.bit(0); bw.bit(0) // dec_ref_pic_marking
     bw.se(0) // slice_qp_delta
-    bw.ue(1) // disable_deblocking_filter_idc: off
+    if (opts.deblock) {
+      bw.ue(0) // disable_deblocking_filter_idc: filter on
+      bw.se(0); bw.se(0) // slice_alpha_c0/beta offsets ÷2
+    } else bw.ue(1) // filter off
     var qp = opts.qp
     var mbY = 0
     while (mbY < mbH) {
@@ -1227,6 +1390,7 @@ object H264 {
       }
       mbY += 1
     }
+    if (opts.deblock) deblockFrame(st, st.mbQp, 0, 0)
     bw.trailing()
     val stream = nal(3, 7, writeSps(mbW, mbH, width, height)) ++
       nal(3, 8, writePps(opts.qp)) ++ nal(3, 5, bw.bytes())
@@ -1320,6 +1484,7 @@ object H264 {
       }
       encodeChroma(bw, st, mbX, mbY, m, cbpC, qp)
     }
+    st.mbQp(mbY * st.mbW + mbX) = qp
     qp
   }
 

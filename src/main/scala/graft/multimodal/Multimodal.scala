@@ -371,6 +371,55 @@ object Multimodal extends Serializable {
       }
   }
 
+  final case class H264FilteredRow(media_id: Long, width: Int, height: Int,
+                                   y_sum: Long, y_ssq: Long, u_ssq: Long,
+                                   v_ssq: Long)
+
+  /** H.264 I-slice decode with the IN-LOOP DEBLOCKING FILTER active —
+    * the filter itself behind the oracle gate, the
+    * [[vp8FilteredFromDocuments]] construction: COLUMN-BAND constant
+    * images on a SINGLE MB row (DC + H-pred chain, per-step deltas kept
+    * in [0,2] so every internal edge and every second-order interaction
+    * provably no-ops — see H264.scala's filter analysis), so only the
+    * vertical MB-boundary edges fire: bS=4 with the strong 3-tap /
+    * weak 1-tap split decided by the (α>>2)+2 rule per boundary, and
+    * the chroma 2-tap. qp cycles 0..51 so threshold-masked edges
+    * (α/β = 0 below 16), strong, and weak paths all land in the
+    * oracle, which replays the per-column filter arithmetic in closed
+    * form; sums of SQUARES gate the smoothing (plain sums barely move).
+    * Normal-filter (bS<4) arithmetic is pinned by H264Spec's filtered
+    * round-trip instead — constant bands cannot trigger it. */
+  def h264FilteredFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[H264FilteredRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val mbW = 3 + (id % 4).toInt
+          val qp = (id % 52).toInt
+          val mbs = Array.tabulate(mbW) { j =>
+            val m = H264.MbSpec(mbType = 1,
+              i16Mode = if (j == 0) H264.I16_DC else H264.I16_H,
+              chromaMode = if (j == 0) H264.CH_DC else H264.CH_H)
+            m.lumaDc(0) = ((id + 5 * j) % 3).toInt
+            m.cbDc(0) = ((id + j) % 2).toInt
+            m.crDc(0) = ((id + 3 * j) % 2).toInt
+            m
+          }
+          val (stream, _) = H264.encode(mbW * 16, 16, mbs,
+            H264.EncodeOpts(qp = qp, deblock = true))
+          H264.decode(stream).iterator.map { f =>
+            H264FilteredRow(id, f.width, f.height,
+              f.y.foldLeft(0L)(_ + _),
+              f.y.foldLeft(0L)((a, v) => a + v.toLong * v),
+              f.u.foldLeft(0L)((a, v) => a + v.toLong * v),
+              f.v.foldLeft(0L)((a, v) => a + v.toLong * v))
+          }
+        }
+      }
+  }
+
   final case class Vp8Row(media_id: Long, width: Int, height: Int,
                           y_sum: Long, u_sum: Long, v_sum: Long)
 

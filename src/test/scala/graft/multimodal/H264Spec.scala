@@ -215,6 +215,72 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("deblocking round-trip: decode(encode(deblock=true)) == the " +
+    "encoder's filtered reconstruction, and the filter actually fires") {
+    val r = rnd(6L)
+    var everDiffered = false
+    for (trial <- 1 to 40) {
+      val mbW = 2 + r.nextInt(3)
+      val mbH = 1 + r.nextInt(2)
+      val qp = 18 + r.nextInt(34) // thresholds nonzero from ~16
+      val mbs = Array.tabulate(mbW * mbH) { k =>
+        val m = H264.MbSpec(mbType = 1)
+        m.lumaDc(0) = r.nextInt(9) - 4
+        m.lumaDc(1) = r.nextInt(5) - 2
+        m.cbDc(0) = r.nextInt(5) - 2
+        m.crDc(0) = r.nextInt(5) - 2
+        m
+      }
+      val (onS, onR) = H264.encode(mbW * 16, mbH * 16, mbs,
+        H264.EncodeOpts(qp = qp, deblock = true))
+      val (offS, offR) = H264.encode(mbW * 16, mbH * 16, mbs,
+        H264.EncodeOpts(qp = qp, deblock = false))
+      val dOn = H264.decode(onS).get
+      val dOff = H264.decode(offS).get
+      assert(dOn.y.toSeq == onR.y.toSeq && dOn.u.toSeq == onR.u.toSeq &&
+        dOn.v.toSeq == onR.v.toSeq, s"trial $trial: filtered mismatch")
+      assert(dOff.y.toSeq == offR.y.toSeq, s"trial $trial: unfiltered")
+      if (dOn.y.toSeq != dOff.y.toSeq) everDiffered = true
+    }
+    assert(everDiffered, "the deblocking filter never changed a pixel — " +
+      "it cannot be exercised by these fixtures")
+  }
+
+  test("strong-filter hand check: two flat MBs differing by one step " +
+    "get the published 3-tap boundary smoothing, column for column") {
+    // two I_16x16 DC MBs: left reconstructs to a = 128, right to b via
+    // an H-pred + DC delta; qp high enough that alpha/beta/strongOk all
+    // pass, |a-b| small enough that second-order edges stay no-ops
+    val qp = 40
+    val m0 = H264.MbSpec(mbType = 1)
+    val m1 = H264.MbSpec(mbType = 1, i16Mode = H264.I16_H,
+      chromaMode = H264.CH_H)
+    m1.lumaDc(0) = 2
+    val (s, _) = H264.encode(32, 16, Array(m0, m1),
+      H264.EncodeOpts(qp = qp, deblock = true))
+    val f = H264.decode(s).get
+    val a = 128
+    val dc = {
+      val v = H264.vTab(qp % 6, 0)
+      (2 * v) << (qp / 6 - 6)
+    }
+    val b = 128 + ((dc + 32) >> 6)
+    assert(b > a, "fixture needs a real step")
+    // row 0 columns: 13,14,15 are p2',p1',p0'; 16,17,18 are q0',q1',q2'
+    val y = f.y
+    def col(c: Int) = y(0 * 32 + c)
+    assert(col(12) == a && col(19) == b, "untouched columns moved")
+    assert(col(15) == (a + 2 * a + 2 * a + 2 * b + b + 4) >> 3) // p0'
+    assert(col(14) == (a + a + a + b + 2) >> 2) // p1'
+    assert(col(13) == (2 * a + 3 * a + a + a + b + 4) >> 3) // p2'
+    assert(col(16) == (b + 2 * b + 2 * b + 2 * a + a + 4) >> 3) // q0'
+    assert(col(17) == (b + b + b + a + 2) >> 2) // q1'
+    assert(col(18) == (2 * b + 3 * b + b + b + a + 4) >> 3) // q2'
+    // every row identical (column bands)
+    for (row <- 1 until 16; c <- 0 until 32)
+      assert(y(row * 32 + c) == y(c), s"row $row col $c")
+  }
+
   test("hostile input degrades to None, never throws: truncations, bit " +
     "flips, and garbage never crash the task") {
     val m = H264.MbSpec(mbType = 1)

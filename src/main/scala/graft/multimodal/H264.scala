@@ -90,6 +90,8 @@ object H264 {
     }
     def bitPos: Int = pos
     def exhausted(len: Int): Boolean = pos >= len * 8
+    /** Skip pcm_alignment_zero_bit padding to the next byte boundary. */
+    def byteAlign(): Unit = while ((pos & 7) != 0) pos += 1
   }
 
   /** MSB-first bit writer producing an RBSP. */
@@ -118,6 +120,8 @@ object H264 {
       bit(1)
       while (nBits != 0) bit(0)
     }
+    /** pcm_alignment_zero_bit padding to the next byte boundary. */
+    def byteAlign(): Unit = while (nBits != 0) bit(0)
     def byteAlignedBits: Int = nBits
     def bytes(): Array[Byte] = {
       require(nBits == 0, "unterminated RBSP")
@@ -787,7 +791,10 @@ object H264 {
     * `lumaAc` index 0 of each block is ignored (AC blocks code scan
     * positions 1..15). */
   final case class MbSpec(
-      mbType: Int, // 0 = I_4x4, 1 = I_16x16
+      mbType: Int, // 0 = I_4x4, 1 = I_16x16, 2 = I_PCM
+      pcmY: Array[Int] = null, // 256 raw luma samples (I_PCM)
+      pcmCb: Array[Int] = null, // 64 raw Cb samples (I_PCM)
+      pcmCr: Array[Int] = null, // 64 raw Cr samples (I_PCM)
       i16Mode: Int = I16_DC,
       b4Modes: Array[Int] = Array.fill(16)(B_DC),
       chromaMode: Int = CH_DC,
@@ -801,6 +808,7 @@ object H264 {
 
   private val MB_I4x4 = 0
   private val MB_I16x16 = 1
+  val MB_PCM = 2
 
   /** Scan-order coeffs → raster 4x4 via [[zigzag4x4]], with position 0
     * replaced by a pre-scaled DC; dequant applies to scan 1..15 only. */
@@ -1047,9 +1055,33 @@ object H264 {
   private def decodeMb(br: BitReader, st: FrameState, mbX: Int,
                        mbY: Int, qpIn: Int): Option[Int] = {
     val mbType = br.ue()
-    if (mbType > 24) return None // I_PCM / out of I-slice range
+    if (mbType > 25) return None // out of I-slice range
     var qp = qpIn
     val x0 = mbX * 16; val y0 = mbY * 16
+    if (mbType == 25) {
+      // ---- I_PCM: byte-aligned raw samples, the lossless escape
+      br.byteAlign()
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) { st.yPlane(x0 + x, y0 + y) = br.bits(8); x += 1 }
+        y += 1
+      }
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      var c = 0
+      while (c < 2) {
+        val plane = if (c == 0) st.uPlane else st.vPlane
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) { plane(cx0 + cx, cy0 + cy) = br.bits(8); cx += 1 }
+          cy += 1
+        }
+        c += 1
+      }
+      pcmBookkeep(st, mbX, mbY)
+      return Some(qp)
+    }
     if (mbType == 0) {
       // ---- I_4x4
       val modes = new Array[Int](16)
@@ -1129,6 +1161,30 @@ object H264 {
       st.mbQp(mbY * st.mbW + mbX) = qp
       Some(qp)
     }
+  }
+
+  /** I_PCM neighbour bookkeeping — REAL spec rules: a PCM MB counts as
+    * TotalCoeff 16 for every nC derivation, as DC for 4x4
+    * prediction-mode inference, and as QP 0 for deblocking (raw
+    * samples carry no quantization error to smooth). */
+  private def pcmBookkeep(st: FrameState, mbX: Int, mbY: Int): Unit = {
+    var y4 = 0
+    while (y4 < 4) {
+      var x4 = 0
+      while (x4 < 4) {
+        st.tcY(mbY * 4 + y4)(mbX * 4 + x4) = 16
+        st.modeY(mbY * 4 + y4)(mbX * 4 + x4) = B_DC
+        x4 += 1
+      }
+      y4 += 1
+    }
+    var b = 0
+    while (b < 4) {
+      st.tcCb(mbY * 2 + (b >> 1))(mbX * 2 + (b & 1)) = 16
+      st.tcCr(mbY * 2 + (b >> 1))(mbX * 2 + (b & 1)) = 16
+      b += 1
+    }
+    st.mbQp(mbY * st.mbW + mbX) = 0
   }
 
   /** Decode an Annex-B byte stream (SPS + PPS + one IDR slice) to a
@@ -1403,6 +1459,43 @@ object H264 {
                        qpIn: Int, m: MbSpec): Int = {
     var qp = qpIn
     val x0 = mbX * 16; val y0 = mbY * 16
+    if (m.mbType == MB_PCM) {
+      bw.ue(25)
+      bw.byteAlign()
+      val py = if (m.pcmY != null) m.pcmY else Array.fill(256)(128)
+      val pcb = if (m.pcmCb != null) m.pcmCb else Array.fill(64)(128)
+      val pcr = if (m.pcmCr != null) m.pcmCr else Array.fill(64)(128)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val v = py(16 * y + x) & 0xFF
+          bw.bits(v, 8)
+          st.yPlane(x0 + x, y0 + y) = v
+          x += 1
+        }
+        y += 1
+      }
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      var c = 0
+      while (c < 2) {
+        val (plane, src) = if (c == 0) (st.uPlane, pcb) else (st.vPlane, pcr)
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            val v = src(8 * cy + cx) & 0xFF
+            bw.bits(v, 8)
+            plane(cx0 + cx, cy0 + cy) = v
+            cx += 1
+          }
+          cy += 1
+        }
+        c += 1
+      }
+      pcmBookkeep(st, mbX, mbY)
+      return qp
+    }
     if (m.mbType == MB_I4x4) {
       // derived CBP: quadrant bit iff any of its blocks carries coeffs
       var cbpL = 0

@@ -145,7 +145,14 @@ class H264Spec extends AnyFunSuite {
             (if (hasA && hasL) Seq(H264.CH_PLANE) else Nil)
           cands(r.nextInt(cands.length))
         }
-        if (r.nextBoolean()) {
+        if (r.nextInt(5) == 0) {
+          // I_PCM: raw byte-aligned samples, lossless — and its
+          // neighbours must still predict/nC correctly off it
+          H264.MbSpec(mbType = H264.MB_PCM,
+            pcmY = Array.fill(256)(r.nextInt(256)),
+            pcmCb = Array.fill(64)(r.nextInt(256)),
+            pcmCr = Array.fill(64)(r.nextInt(256)))
+        } else if (r.nextBoolean()) {
           // I_16x16
           val cands = Seq(H264.I16_DC) ++
             (if (hasA) Seq(H264.I16_V) else Nil) ++
@@ -212,6 +219,22 @@ class H264Spec extends AnyFunSuite {
       assert(f.y.forall(_ == expect), s"qp=$qp lvl=$lvl: expected " +
         s"$expect, got ${f.y.take(4).toSeq}")
       assert(f.u.forall(_ == 128) && f.v.forall(_ == 128))
+    }
+  }
+
+  test("I_PCM is bit-exact lossless: a PCM frame decodes to exactly the " +
+    "raw samples, at any qp") {
+    val r = rnd(7L)
+    val py = Array.fill(256)(r.nextInt(256))
+    val pcb = Array.fill(64)(r.nextInt(256))
+    val pcr = Array.fill(64)(r.nextInt(256))
+    for (qp <- Seq(0, 26, 51)) {
+      val (s, _) = H264.encode(16, 16,
+        Array(H264.MbSpec(mbType = H264.MB_PCM, pcmY = py, pcmCb = pcb,
+          pcmCr = pcr)), H264.EncodeOpts(qp = qp))
+      val f = H264.decode(s).get
+      assert(f.y.toSeq == py.toSeq, "PCM luma must be lossless")
+      assert(f.u.toSeq == pcb.toSeq && f.v.toSeq == pcr.toSeq)
     }
   }
 

@@ -1182,6 +1182,112 @@ object Multimodal extends Serializable {
 
   // ---------------------------------------------------------------- video
 
+  /** ADTS sampling-frequency table (index 0..12) — pinned per the
+    * codec-table policy; the universally published 13-entry list. */
+  private val adtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** Encode one GENUINE ADTS (AAC transport) stream: per frame the
+    * 56-bit header — 0xFFF syncword, MPEG-4 ID, layer 00,
+    * protection_absent, 2-bit profile, 4-bit sampling_frequency_index,
+    * 3-bit channel_configuration, the 13-bit aac_frame_length COUNTING
+    * THE HEADER, 0x7FF buffer fullness (the VBR marker), 0 extra raw
+    * data blocks — followed by the payload bytes. The essence is
+    * opaque (AAC spectral decode stays out of scope — see README); the
+    * TRANSPORT layer here is real and parsed back by [[parseAdts]]. */
+  def buildAdts(profile: Int, sfi: Int, channels: Int,
+                payloads: Seq[Array[Byte]]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    for (p <- payloads) {
+      val frameLen = 7 + p.length
+      require(frameLen < (1 << 13))
+      out += 0xFF.toByte
+      out += 0xF1.toByte // 1111 0 00 1: MPEG-4, layer 00, no CRC
+      out += (((profile & 3) << 6) | ((sfi & 15) << 2) |
+        ((channels >> 2) & 1)).toByte
+      out += (((channels & 3) << 6) | ((frameLen >> 11) & 3)).toByte
+      out += ((frameLen >> 3) & 0xFF).toByte
+      out += (((frameLen & 7) << 5) | 0x1F).toByte // fullness hi = 11111
+      out += 0xFC.toByte // fullness lo ×6 = 111111, 0 extra blocks
+      out ++= p
+    }
+    out.toArray
+  }
+
+  final case class AdtsMeta(nFrames: Int, profile: Int, sampleRate: Int,
+                            channels: Int, payloadBytes: Long)
+
+  /** Walk a genuine ADTS stream frame by frame: syncword + header
+    * validation (layer 00, sampling index in range, frame length ≥
+    * header), None on any structural break — truncation, bad sync, a
+    * frame overrunning the buffer. */
+  def parseAdts(bytes: Array[Byte]): Option[AdtsMeta] = {
+    var pos = 0
+    var n = 0
+    var payload = 0L
+    var profile = -1; var sfi = -1; var chan = -1
+    while (pos < bytes.length) {
+      if (pos + 7 > bytes.length) return None // truncated header
+      val b0 = bytes(pos) & 0xFF; val b1 = bytes(pos + 1) & 0xFF
+      if (b0 != 0xFF || (b1 & 0xF0) != 0xF0) return None // bad sync
+      if (((b1 >> 1) & 3) != 0) return None // layer must be 00
+      val protAbsent = b1 & 1
+      val b2 = bytes(pos + 2) & 0xFF
+      val fProfile = (b2 >> 6) & 3
+      val fSfi = (b2 >> 2) & 15
+      if (fSfi >= adtsRates.length) return None
+      val b3 = bytes(pos + 3) & 0xFF
+      val fChan = (((b2 & 1) << 2) | (b3 >> 6)) & 7
+      val frameLen = ((b3 & 3) << 11) | ((bytes(pos + 4) & 0xFF) << 3) |
+        ((bytes(pos + 5) & 0xFF) >> 5)
+      val hdrLen = if (protAbsent == 1) 7 else 9
+      if (frameLen < hdrLen || pos + frameLen > bytes.length) return None
+      if (n == 0) { profile = fProfile; sfi = fSfi; chan = fChan }
+      else if (fProfile != profile || fSfi != sfi || fChan != chan)
+        return None // mid-stream parameter change: treat as corrupt
+      payload += frameLen - hdrLen
+      pos += frameLen
+      n += 1
+    }
+    if (n == 0) None
+    else Some(AdtsMeta(n, profile, adtsRates(sfi), chan, payload))
+  }
+
+  final case class AdtsRow(media_id: Long, n_frames: Int, profile: Int,
+                           sample_rate: Int, channels: Int,
+                           payload_bytes: Long, duration_ms: Long)
+
+  /** Genuine ADTS streams per document — frame counts, profile,
+    * sampling index, channels, and per-frame payload sizes all pure
+    * doc_id arithmetic — walked back by [[parseAdts]]; duration is the
+    * AAC frame clock (1024 samples/frame). The oracle predicts every
+    * field in closed form, so a parser slipping a header bit or
+    * miscounting a frame boundary mismatches. */
+  def adtssFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[AdtsRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val nFrames = 1 + (id % 7).toInt
+          val profile = (id % 3).toInt
+          val sfi = (id % 12).toInt
+          val channels = 1 + (id % 2).toInt
+          val payloads = (0 until nFrames).map { f =>
+            Array.fill(20 + ((id + 13 * f) % 50).toInt)(
+              ((id + f) & 0xFF).toByte)
+          }
+          val bytes = buildAdts(profile, sfi, channels, payloads)
+          parseAdts(bytes).iterator.map { m =>
+            AdtsRow(id, m.nFrames, m.profile, m.sampleRate, m.channels,
+              m.payloadBytes,
+              m.nFrames.toLong * 1024L * 1000L / m.sampleRate)
+          }
+        }
+      }
+  }
+
   /** Encode one GENUINE ISO BMFF (MP4) header: ftyp + moov{mvhd} + free
     * boxes with correct sizes — the container-metadata twin of
     * [[tinyPng]]/[[tinyWav]]. `v1` selects the 64-bit mvhd variant

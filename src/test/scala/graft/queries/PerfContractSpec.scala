@@ -87,6 +87,9 @@ class PerfContractSpec extends SparkSpec {
     Contract("sample_cluster_balanced", 5, 36),
     // one key-grouped shuffle of (digest, weight) pairs — 32-byte keys
     Contract("dedup_soft_weights", 4, 14),
+    // version diff: both sides project to (key, digest) BEFORE the
+    // full-outer join — the exchange ships 40-byte rows, never text
+    Contract("corpus_diff", 6, 14),
     // stateless stream gate probing a broadcast band index: ZERO
     // shuffle is the contract (r9 evidence: 0.0 MB)
     Contract("u_stream_neardup", 2, 22),

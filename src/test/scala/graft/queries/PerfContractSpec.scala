@@ -90,6 +90,13 @@ class PerfContractSpec extends SparkSpec {
     // version diff: both sides project to (key, digest) BEFORE the
     // full-outer join — the exchange ships 40-byte rows, never text
     Contract("corpus_diff", 6, 14),
+    // filtered search: label predicate applies BEFORE scoring; the
+    // corpus shuffles its own bytes once (the spread repartition), the
+    // query side broadcasts
+    Contract("ann_filtered", 24, 10, (p, n) =>
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$n: the query join must broadcast")),
     // stateless stream gate probing a broadcast band index: ZERO
     // shuffle is the contract (r9 evidence: 0.0 MB)
     Contract("u_stream_neardup", 2, 22),

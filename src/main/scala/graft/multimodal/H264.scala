@@ -164,9 +164,14 @@ object H264 {
     out.toArray
   }
 
+  /** One NAL unit (header byte + EBSP payload), no start code — the
+    * form avcC and AVCC-in-MP4 samples carry. */
+  def nalBytes(refIdc: Int, nalType: Int, rbsp: Array[Byte]): Array[Byte] =
+    Array(((refIdc << 5) | nalType).toByte) ++ ebsp(rbsp)
+
   /** One Annex-B NAL: 4-byte start code, header byte, EBSP payload. */
   def nal(refIdc: Int, nalType: Int, rbsp: Array[Byte]): Array[Byte] =
-    Array[Byte](0, 0, 0, 1, ((refIdc << 5) | nalType).toByte) ++ ebsp(rbsp)
+    Array[Byte](0, 0, 0, 1) ++ nalBytes(refIdc, nalType, rbsp)
 
   /** Split an Annex-B stream into (nal_type, RBSP) units. */
   def splitNals(stream: Array[Byte]): Seq[(Int, Array[Byte])] = {
@@ -1451,6 +1456,21 @@ object H264 {
     val stream = nal(3, 7, writeSps(mbW, mbH, width, height)) ++
       nal(3, 8, writePps(opts.qp)) ++ nal(3, 5, bw.bytes())
     (stream, cropFrame(st, width, height))
+  }
+
+  /** Encode to separate NAL units (header + EBSP, no start codes) —
+    * the parts an MP4 muxer stores: SPS/PPS inside avcC, the IDR slice
+    * as a length-prefixed sample. Same pipeline as [[encode]]. */
+  def encodeNals(width: Int, height: Int, mbs: Array[MbSpec],
+                 opts: EncodeOpts = EncodeOpts())
+      : (Array[Byte], Array[Byte], Array[Byte], Frame) = {
+    val (stream, recon) = encode(width, height, mbs, opts)
+    val parts = splitNals(stream)
+    def find(t: Int): Array[Byte] = {
+      val rbsp = parts.collectFirst { case (`t`, r) => r }.get
+      nalBytes(3, t, rbsp)
+    }
+    (find(7), find(8), find(5), recon)
   }
 
   /** Mirror of [[decodeMb]]: emit syntax from the spec and run the

@@ -1591,8 +1591,16 @@ object Multimodal extends Serializable {
     * parser that assumes one chunk or uniform sizes desyncs. */
   def tinyMjpeg(w: Int, h: Int, grays: Array[Int],
                 codec: JpegCodec = new JpegCodec(),
-                chunkSize: Int = 2): Array[Byte] = {
-    val frames = grays.map(g => codec.encodeGray(w, h, g))
+                chunkSize: Int = 2): Array[Byte] =
+    muxMp4Video(w, h, grays.map(g => codec.encodeGray(w, h, g)),
+      "jpeg", Array.emptyByteArray, chunkSize)
+
+  /** Generic single-video-track MP4 muxer (the [[tinyMjpeg]] layout,
+    * sample-entry fourcc and extension boxes parameterized — 'avc1'
+    * appends an avcC configuration record via `entryExt`). */
+  def muxMp4Video(w: Int, h: Int, frames: Array[Array[Byte]],
+                  fourcc: String, entryExt: Array[Byte],
+                  chunkSize: Int = 2): Array[Byte] = {
     val n = frames.length
     def u32(vs: Int*): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
@@ -1627,10 +1635,11 @@ object Multimodal extends Serializable {
     val vmhd = bmffBox("vmhd", u32(1), Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
     val dinf = bmffBox("dinf",
       bmffBox("dref", u32(0, 1), bmffBox("url ", u32(1))))
-    // VideoSampleEntry 'jpeg': 78-byte body after the 8-byte entry header
+    // VideoSampleEntry: 78-byte body after the 8-byte entry header,
+    // then codec-specific extension boxes (avcC for 'avc1')
     val entry = {
-      val bb = java.nio.ByteBuffer.allocate(86)
-      bb.putInt(86); bb.put("jpeg".getBytes("US-ASCII"))
+      val bb = java.nio.ByteBuffer.allocate(86 + entryExt.length)
+      bb.putInt(86 + entryExt.length); bb.put(fourcc.getBytes("US-ASCII"))
       bb.put(new Array[Byte](6)); bb.putShort(1) // reserved + dref index
       bb.put(new Array[Byte](16)) // pre_defined / reserved
       bb.putShort(w.toShort); bb.putShort(h.toShort)
@@ -1638,6 +1647,7 @@ object Multimodal extends Serializable {
       bb.putInt(0); bb.putShort(1) // reserved, frame_count
       bb.put(new Array[Byte](32)) // compressorname
       bb.putShort(24); bb.putShort(-1) // depth, pre_defined
+      bb.put(entryExt)
       bb.array()
     }
     val stsd = bmffBox("stsd", u32(0, 1), entry)
@@ -1657,8 +1667,151 @@ object Multimodal extends Serializable {
     ftyp ++ mdat ++ moov
   }
 
+  /** AVCDecoderConfigurationRecord in an 'avcC' box — what an 'avc1'
+    * sample entry carries: version, profile/compat/level echoed from
+    * the SPS, lengthSizeMinusOne=3 (4-byte sample NAL lengths), and the
+    * parameter-set NAL units themselves. */
+  def buildAvcc(spsNal: Array[Byte], ppsNal: Array[Byte]): Array[Byte] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    b += 1 // configurationVersion
+    b += spsNal(1); b += spsNal(2); b += spsNal(3) // profile/compat/level
+    b += 0xFF.toByte // reserved ++ lengthSizeMinusOne = 3
+    b += 0xE1.toByte // reserved ++ numOfSequenceParameterSets = 1
+    b += ((spsNal.length >> 8) & 0xFF).toByte
+    b += (spsNal.length & 0xFF).toByte
+    b ++= spsNal
+    b += 1 // numOfPictureParameterSets
+    b += ((ppsNal.length >> 8) & 0xFF).toByte
+    b += (ppsNal.length & 0xFF).toByte
+    b ++= ppsNal
+    bmffBox("avcC", b.toArray)
+  }
+
+  /** Locate and parse the avcC box inside a sample-entry extension:
+    * (SPS NAL, PPS NAL). None on structural breaks or a length size
+    * other than 4. */
+  def parseAvcc(ext: Array[Byte]): Option[(Array[Byte], Array[Byte])] = {
+    var p = 0
+    while (p + 8 <= ext.length) {
+      val sz = ((ext(p) & 0xFF) << 24) | ((ext(p + 1) & 0xFF) << 16) |
+        ((ext(p + 2) & 0xFF) << 8) | (ext(p + 3) & 0xFF)
+      if (sz < 8 || p + sz > ext.length) return None
+      val tpe = new String(ext, p + 4, 4, "US-ASCII")
+      if (tpe == "avcC") {
+        val b = p + 8
+        if (b + 8 > p + sz) return None
+        if ((ext(b + 4) & 3) != 3) return None // need 4-byte lengths
+        if ((ext(b + 5) & 0x1F) != 1) return None // exactly one SPS
+        val l1 = ((ext(b + 6) & 0xFF) << 8) | (ext(b + 7) & 0xFF)
+        val spsEnd = b + 8 + l1
+        if (spsEnd + 3 > p + sz) return None
+        val sps = java.util.Arrays.copyOfRange(ext, b + 8, spsEnd)
+        if ((ext(spsEnd) & 0xFF) != 1) return None // exactly one PPS
+        val l2 = ((ext(spsEnd + 1) & 0xFF) << 8) | (ext(spsEnd + 2) & 0xFF)
+        if (spsEnd + 3 + l2 > p + sz) return None
+        val pps = java.util.Arrays.copyOfRange(ext, spsEnd + 3,
+          spsEnd + 3 + l2)
+        return Some((sps, pps))
+      }
+      p += sz
+    }
+    None
+  }
+
+  /** AVCC sample (4-byte length-prefixed NALs) + parameter sets →
+    * Annex-B for [[H264.decode]] — the conversion every MP4 video
+    * ingest performs. None if a NAL overruns its sample. */
+  def avccSampleToAnnexB(sps: Array[Byte], pps: Array[Byte],
+                         sample: Array[Byte]): Option[Array[Byte]] = {
+    val sc = Array[Byte](0, 0, 0, 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= sc; out ++= sps
+    out ++= sc; out ++= pps
+    var p = 0
+    while (p < sample.length) {
+      if (p + 4 > sample.length) return None
+      val len = ((sample(p) & 0xFF) << 24) | ((sample(p + 1) & 0xFF) << 16) |
+        ((sample(p + 2) & 0xFF) << 8) | (sample(p + 3) & 0xFF)
+      if (len <= 0 || p + 4 + len > sample.length) return None
+      out ++= sc
+      out ++= java.util.Arrays.copyOfRange(sample, p + 4, p + 4 + len)
+      p += 4 + len
+    }
+    Some(out.toArray)
+  }
+
+  final case class H264Mp4Row(media_id: Long, n_frames: Int, width: Int,
+                              height: Int, y_sum: Long, u_sum: Long,
+                              v_sum: Long)
+
+  /** H.264-in-MP4 end to end — the layout a crawl actually stores
+    * video in: genuine IDR NALs muxed as 'avc1' samples (4-byte
+    * length-prefixed, SPS/PPS in the avcC configuration record, the
+    * real chunked sample table), then DEMUXED back through the generic
+    * sample-table walk, avcC parsed, each sample converted
+    * AVCC→Annex-B, and every frame pixel-decoded by [[H264.decode]].
+    * Frames are the multimodal_h264 DC/H/V chain construction varied
+    * per frame index, so per-frame reconstruction stays exact and the
+    * oracle sums closed-form prefix sums over (frame, MB). */
+  def h264Mp4FromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[H264Mp4Row] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val nFrames = 1 + (id % 3).toInt
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 2).toInt
+          val qp = (id % 52).toInt
+          var spsNal: Array[Byte] = null
+          var ppsNal: Array[Byte] = null
+          val samples = Array.tabulate(nFrames) { f =>
+            val mbs = Array.tabulate(mbW * mbH) { k =>
+              val i = k / mbW; val j = k % mbW
+              val m = H264.MbSpec(mbType = 1,
+                i16Mode =
+                  if (i == 0 && j == 0) H264.I16_DC
+                  else if (i == 0) H264.I16_H
+                  else H264.I16_V,
+                chromaMode =
+                  if (i == 0 && j == 0) H264.CH_DC
+                  else if (i == 0) H264.CH_H
+                  else H264.CH_V)
+              m.lumaDc(0) = ((id + 7 * f + 3 * i + 5 * j) % 5).toInt - 2
+              m.cbDc(0) = ((id + 11 * f + i + 2 * j) % 5).toInt - 2
+              m.crDc(0) = ((2 * id + 5 * f + 3 * i + j) % 5).toInt - 2
+              m
+            }
+            val (sps, pps, idr, _) = H264.encodeNals(mbW * 16, mbH * 16,
+              mbs, H264.EncodeOpts(qp = qp))
+            spsNal = sps; ppsNal = pps
+            // one 4-byte length-prefixed NAL per sample
+            val len = idr.length
+            Array[Byte]((len >> 24).toByte, (len >> 16).toByte,
+              (len >> 8).toByte, len.toByte) ++ idr
+          }
+          val file = muxMp4Video(mbW * 16, mbH * 16, samples, "avc1",
+            buildAvcc(spsNal, ppsNal))
+          for {
+            info <- parseMjpeg(file).iterator
+            if info.codec == "avc1"
+            (sps, pps) <- parseAvcc(info.entryExt).iterator
+            frames = info.frames.flatMap(sm =>
+              avccSampleToAnnexB(sps, pps, sm).flatMap(H264.decode))
+            if frames.length == nFrames
+          } yield H264Mp4Row(id, frames.length,
+            frames.head.width, frames.head.height,
+            frames.foldLeft(0L)((a, fr) => a + fr.y.foldLeft(0L)(_ + _)),
+            frames.foldLeft(0L)((a, fr) => a + fr.u.foldLeft(0L)(_ + _)),
+            frames.foldLeft(0L)((a, fr) => a + fr.v.foldLeft(0L)(_ + _)))
+        }
+      }
+  }
+
   final case class MjpegInfo(codec: String, width: Int, height: Int,
-                             frames: Array[Array[Byte]])
+                             frames: Array[Array[Byte]],
+                             entryExt: Array[Byte] = Array.emptyByteArray)
 
   /** REAL MP4 sample-table walk — the part of a demuxer that locates
     * each video frame's bytes: descend moov→trak→mdia→minf→stbl, read
@@ -1694,6 +1847,13 @@ object Multimodal extends Serializable {
       val codec = cc(se + 4)
       val width = bb.getShort(se + 32).toInt & 0xFFFF
       val height = bb.getShort(se + 34).toInt & 0xFFFF
+      // codec-specific extension boxes after the 86-byte fixed entry
+      // (avcC for 'avc1'); bounded by the declared entry size
+      val entrySz = bb.getInt(se)
+      val entryExt =
+        if (entrySz > 86 && se + entrySz <= content.length)
+          java.util.Arrays.copyOfRange(content, se + 86, se + entrySz)
+        else Array.emptyByteArray
       val uniform = bb.getInt(stszS + 4)
       val n = bb.getInt(stszS + 8)
       // corrupt tables must fail the walk, not the JVM: counts bounded
@@ -1738,7 +1898,7 @@ object Multimodal extends Serializable {
         chunk += 1
       }
       if (sample != n) None
-      else Some(MjpegInfo(codec, width, height, frames.result()))
+      else Some(MjpegInfo(codec, width, height, frames.result(), entryExt))
     }
     try {
       val boxes = for {

@@ -863,6 +863,15 @@ object H264 {
     val modeY = Array.fill(mbH * 4, mbW * 4)(-1)
     // per-MB QP after mb_qp_delta — drives the deblocking thresholds
     val mbQp = new Array[Int](mbW * mbH)
+    // CABAC neighbour-context grids: MB type / chroma mode / cbp halves
+    // / per-MB DC coded-block flags (-1 = not yet decoded)
+    val mbTypeArr = Array.fill(mbW * mbH)(-1)
+    val chromaModeArr = Array.fill(mbW * mbH)(-1)
+    val mbCbpLuma = Array.fill(mbW * mbH)(-1)
+    val mbCbpChroma = Array.fill(mbW * mbH)(-1)
+    val dcFlagY = Array.fill(mbW * mbH)(-1)
+    val dcFlagCb = Array.fill(mbW * mbH)(-1)
+    val dcFlagCr = Array.fill(mbW * mbH)(-1)
 
     def nc(tc: Array[Array[Int]], bx: Int, by: Int): Int = {
       val nA = if (bx > 0) tc(by)(bx - 1) else -1
@@ -948,11 +957,11 @@ object H264 {
     else Some(Sps(mbW, mbH, width, height))
   }
 
-  private def writePps(initQp: Int): Array[Byte] = {
+  private def writePps(initQp: Int, cabac: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.ue(0)       // pps_id
     bw.ue(0)       // sps_id
-    bw.bit(0)      // entropy_coding_mode: CAVLC
+    bw.bit(if (cabac) 1 else 0) // entropy_coding_mode
     bw.bit(0)      // bottom_field_pic_order_in_frame_present
     bw.ue(0)       // num_slice_groups_minus1
     bw.ue(0)       // num_ref_idx_l0_default_active_minus1
@@ -969,11 +978,10 @@ object H264 {
     bw.bytes()
   }
 
-  private def readPps(rbsp: Array[Byte]): Option[Int] = {
+  private def readPps(rbsp: Array[Byte]): Option[(Int, Boolean)] = {
     val br = new BitReader(rbsp)
     if (br.ue() != 0 || br.ue() != 0) return None
-    val cabac = br.bit()
-    if (cabac == 1) return None // CABAC not implemented
+    val cabac = br.bit() == 1
     br.bit()
     if (br.ue() != 0) return None // slice groups unsupported
     br.ue(); br.ue(); br.bit(); br.bits(2)
@@ -981,7 +989,7 @@ object H264 {
     br.se(); br.se()
     br.bit() // deblocking control present (we always emit 1)
     br.bit(); br.bit()
-    Some(initQp)
+    Some((initQp, cabac))
   }
 
   // -------------------------------------------------------- decoding
@@ -1168,6 +1176,179 @@ object H264 {
     }
   }
 
+  // ------------------------------------------------ CABAC slice layer
+
+  import H264Cabac.{CAT_LUMA_DC, CAT_LUMA_AC, CAT_LUMA_4x4, CAT_CHROMA_DC,
+    CAT_CHROMA_AC}
+
+  private def mbi(st: FrameState, mbX: Int, mbY: Int): Int =
+    mbY * st.mbW + mbX
+
+  /** mb_type bin-0 context: neighbours that are NOT I_4x4. */
+  private def mbTypeInc(st: FrameState, mbX: Int, mbY: Int): Int = {
+    val a = if (mbX > 0) st.mbTypeArr(mbi(st, mbX - 1, mbY)) else -1
+    val b = if (mbY > 0) st.mbTypeArr(mbi(st, mbX, mbY - 1)) else -1
+    (if (a > 0) 1 else 0) + (if (b > 0) 1 else 0)
+  }
+
+  private def chromaModeInc(st: FrameState, mbX: Int, mbY: Int): Int = {
+    val a = if (mbX > 0) st.chromaModeArr(mbi(st, mbX - 1, mbY)) else -1
+    val b = if (mbY > 0) st.chromaModeArr(mbi(st, mbX, mbY - 1)) else -1
+    (if (a > 0) 1 else 0) + (if (b > 0) 1 else 0)
+  }
+
+  /** cbp luma-bin context: condA + 2·condB over the ZERO-ness of the
+    * left/above 8x8 quadrant's bit (own already-decoded bits inside
+    * the MB, the neighbour MB's stored cbp across its edge). */
+  private def cbpLumaInc(st: FrameState, mbX: Int, mbY: Int,
+                         cbpSoFar: Int, q: Int): Int = {
+    val condA =
+      if ((q & 1) == 1) { if (((cbpSoFar >> (q - 1)) & 1) == 0) 1 else 0 }
+      else if (mbX > 0) {
+        val c = st.mbCbpLuma(mbi(st, mbX - 1, mbY))
+        if (c >= 0 && ((c >> (q + 1)) & 1) == 0) 1 else 0
+      } else 0
+    val condB =
+      if (q >= 2) { if (((cbpSoFar >> (q - 2)) & 1) == 0) 1 else 0 }
+      else if (mbY > 0) {
+        val c = st.mbCbpLuma(mbi(st, mbX, mbY - 1))
+        if (c >= 0 && ((c >> (q + 2)) & 1) == 0) 1 else 0
+      } else 0
+    condA + 2 * condB
+  }
+
+  private def cbpChromaInc(st: FrameState, mbX: Int, mbY: Int,
+                           two: Boolean): Int = {
+    def cond(i: Int): Int = {
+      val c = if (i >= 0) st.mbCbpChroma(i) else -1
+      if (c < 0) 0
+      else if (two) { if (c == 2) 1 else 0 }
+      else { if (c > 0) 1 else 0 }
+    }
+    cond(if (mbX > 0) mbi(st, mbX - 1, mbY) else -1) +
+      2 * cond(if (mbY > 0) mbi(st, mbX, mbY - 1) else -1)
+  }
+
+  /** coded_block_flag context: left + 2·above flags from the
+    * coefficient grids (unavailable → 0). */
+  private def cbfIncGrid(tc: Array[Array[Int]], bx: Int, by: Int): Int = {
+    val a = if (bx > 0) tc(by)(bx - 1) else -1
+    val b = if (by > 0) tc(by - 1)(bx) else -1
+    (if (a > 0) 1 else 0) + 2 * (if (b > 0) 1 else 0)
+  }
+
+  private def cbfIncMb(flags: Array[Int], st: FrameState, mbX: Int,
+                       mbY: Int): Int = {
+    val a = if (mbX > 0) flags(mbi(st, mbX - 1, mbY)) else -1
+    val b = if (mbY > 0) flags(mbi(st, mbX, mbY - 1)) else -1
+    (if (a > 0) 1 else 0) + 2 * (if (b > 0) 1 else 0)
+  }
+
+  /** mb_qp_delta, CABAC: unary-coded signed map (d>0 → 2d−1, else
+    * −2d), bin 0 keyed by the previous MB's delta. */
+  private def qpdRead(rd: H264Cabac.Reader, prevNz: Boolean): Int = {
+    var k = 0
+    while (rd.decision(if (k == 0) H264Cabac.ctxQpd0(prevNz)
+                       else H264Cabac.ctxQpdRest) == 1 && k < 120) k += 1
+    if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+  }
+
+  private def qpdWrite(wr: H264Cabac.Writer, prevNz: Boolean,
+                       d: Int): Unit = {
+    val k = if (d > 0) 2 * d - 1 else -2 * d
+    var i = 0
+    while (i < k) {
+      wr.decision(if (i == 0) H264Cabac.ctxQpd0(prevNz)
+                  else H264Cabac.ctxQpdRest, 1)
+      i += 1
+    }
+    wr.decision(if (k == 0) H264Cabac.ctxQpd0(prevNz)
+                else H264Cabac.ctxQpdRest, 0)
+  }
+
+  /** One residual block, CABAC: coded_block_flag, the significance +
+    * last maps in scan order, levels (UEG0 with the c1/c2 context
+    * scheme) in reverse scan order, bypass signs. Returns (coeffs in
+    * block-scan space 0..numCoeff−1, totalCoeff). */
+  private def cabacBlockRead(rd: H264Cabac.Reader, cat: Int, cbfInc: Int,
+                             numCoeff: Int): (Array[Int], Int) = {
+    val out = new Array[Int](numCoeff)
+    if (rd.decision(H264Cabac.ctxCbf(cat, cbfInc)) == 0) return (out, 0)
+    val sig = new Array[Boolean](numCoeff)
+    var lastPos = numCoeff - 1
+    var i = 0
+    var stop = false
+    while (i < numCoeff - 1 && !stop) {
+      if (rd.decision(H264Cabac.ctxSig(cat, i)) == 1) {
+        sig(i) = true
+        if (rd.decision(H264Cabac.ctxLast(cat, i)) == 1) {
+          lastPos = i; stop = true
+        }
+      }
+      i += 1
+    }
+    if (!stop) sig(numCoeff - 1) = true
+    var numEq1 = 0; var numGt1 = 0; var tc = 0
+    var p = lastPos
+    while (p >= 0) {
+      if (sig(p)) {
+        val prefix = rd.tu(H264Cabac.ctxLvlBin0(cat, numEq1, numGt1),
+          H264Cabac.ctxLvlRest(cat, numGt1), 14)
+        val minus1 = if (prefix == 14) 14 + rd.eg0Bypass() else prefix
+        val level = minus1 + 1
+        out(p) = if (rd.bypass() == 1) -level else level
+        if (level == 1) numEq1 += 1 else numGt1 += 1
+        tc += 1
+      }
+      p -= 1
+    }
+    (out, tc)
+  }
+
+  private def cabacBlockWrite(wr: H264Cabac.Writer, cat: Int, cbfInc: Int,
+                              coeffs: Array[Int], numCoeff: Int): Int = {
+    val nz = (0 until numCoeff).filter(coeffs(_) != 0)
+    if (nz.isEmpty) {
+      wr.decision(H264Cabac.ctxCbf(cat, cbfInc), 0)
+      return 0
+    }
+    wr.decision(H264Cabac.ctxCbf(cat, cbfInc), 1)
+    val lastNz = nz.last
+    var i = 0
+    var stop = false
+    while (i < numCoeff - 1 && !stop) {
+      val s = coeffs(i) != 0
+      wr.decision(H264Cabac.ctxSig(cat, i), if (s) 1 else 0)
+      if (s) {
+        val isLast = i == lastNz
+        wr.decision(H264Cabac.ctxLast(cat, i), if (isLast) 1 else 0)
+        if (isLast) stop = true
+      }
+      i += 1
+    }
+    var numEq1 = 0; var numGt1 = 0
+    var p = lastNz
+    while (p >= 0) {
+      val v = coeffs(p)
+      if (v != 0) {
+        val level = math.abs(v)
+        val minus1 = level - 1
+        if (minus1 < 14)
+          wr.tu(H264Cabac.ctxLvlBin0(cat, numEq1, numGt1),
+            H264Cabac.ctxLvlRest(cat, numGt1), 14, minus1)
+        else {
+          wr.tu(H264Cabac.ctxLvlBin0(cat, numEq1, numGt1),
+            H264Cabac.ctxLvlRest(cat, numGt1), 14, 14)
+          wr.eg0Bypass(minus1 - 14)
+        }
+        wr.bypass(if (v < 0) 1 else 0)
+        if (level == 1) numEq1 += 1 else numGt1 += 1
+      }
+      p -= 1
+    }
+    nz.length
+  }
+
   /** I_PCM neighbour bookkeeping — REAL spec rules: a PCM MB counts as
     * TotalCoeff 16 for every nC derivation, as DC for 4x4
     * prediction-mode inference, and as QP 0 for deblocking (raw
@@ -1192,6 +1373,191 @@ object H264 {
     st.mbQp(mbY * st.mbW + mbX) = 0
   }
 
+  /** Chroma residual + reconstruction, CABAC twin of [[decodeChroma]]:
+    * same element order (Cb DC, Cr DC, Cb AC ×4, Cr AC ×4), entropy via
+    * coded_block_flag + significance maps. */
+  private def decodeChromaCabac(rd: H264Cabac.Reader, st: FrameState,
+                                mbX: Int, mbY: Int, chromaMode: Int,
+                                cbpC: Int, qpY: Int): Unit = {
+    val qpc = chromaQp(qpY)
+    val cx0 = mbX * 8; val cy0 = mbY * 8
+    val idx = mbi(st, mbX, mbY)
+    def predOf(p: Plane): Array[Int] =
+      if (chromaMode == CH_DC) predictChromaDc(p, cx0, cy0)
+      else predictNxN(p, cx0, cy0, 8, chromaMode, lumaNumbering = false)
+    val predU = predOf(st.uPlane)
+    val predV = predOf(st.vPlane)
+    def readDc(flags: Array[Int]): Array[Int] =
+      if (cbpC > 0) {
+        val (scan, tc) = cabacBlockRead(rd, CAT_CHROMA_DC,
+          cbfIncMb(flags, st, mbX, mbY), 4)
+        flags(idx) = if (tc > 0) 1 else 0
+        scan
+      } else { flags(idx) = 0; new Array[Int](4) }
+    val uDcScan = readDc(st.dcFlagCb)
+    val vDcScan = readDc(st.dcFlagCr)
+    val uDc = chromaDc(uDcScan, qpc)
+    val vDc = chromaDc(vDcScan, qpc)
+    var comp = 0
+    while (comp < 2) {
+      val (plane, pred, dcs, tcGrid) =
+        if (comp == 0) (st.uPlane, predU, uDc, st.tcCb)
+        else (st.vPlane, predV, vDc, st.tcCr)
+      var b = 0
+      while (b < 4) {
+        val bx = mbX * 2 + (b & 1)
+        val by = mbY * 2 + (b >> 1)
+        val (acScan, tc) =
+          if (cbpC == 2) {
+            val (a15, t) = cabacBlockRead(rd, CAT_CHROMA_AC,
+              cbfIncGrid(tcGrid, bx, by), 15)
+            val scan = new Array[Int](16)
+            System.arraycopy(a15, 0, scan, 1, 15)
+            (scan, t)
+          } else (new Array[Int](16), 0)
+        tcGrid(by)(bx) = tc
+        addBlock4(plane, cx0 + (b & 1) * 4, cy0 + (b >> 1) * 4,
+          pred, 8, (b & 1) * 4, (b >> 1) * 4,
+          acResidual(acScan, dcs(b), qpc))
+        b += 1
+      }
+      comp += 1
+    }
+  }
+
+  /** CABAC twin of [[decodeMb]]. Returns (new slice QP, this MB's
+    * qp-delta ≠ 0 — the next MB's bin-0 context). I_PCM inside CABAC
+    * (its engine-reinit dance) is out of scope: the terminate-coded
+    * PCM bin decoding 1 returns None. */
+  private def decodeMbCabac(rd: H264Cabac.Reader, st: FrameState,
+                            mbX: Int, mbY: Int, qpIn: Int,
+                            prevDeltaNz: Boolean)
+      : Option[(Int, Boolean)] = {
+    var qp = qpIn
+    val x0 = mbX * 16; val y0 = mbY * 16
+    val idx = mbi(st, mbX, mbY)
+    val isI16 = rd.decision(H264Cabac.ctxMbType(mbTypeInc(st, mbX, mbY)))
+    if (isI16 == 0) {
+      // ---- I_4x4
+      st.mbTypeArr(idx) = 0
+      val modes = new Array[Int](16)
+      var b = 0
+      while (b < 16) {
+        val (x4, y4) = blkXY(b)
+        val bx = mbX * 4 + x4; val by = mbY * 4 + y4
+        val pred = st.predMode(bx, by)
+        val mode =
+          if (rd.decision(H264Cabac.ctxPrev4x4) == 1) pred
+          else {
+            val rem = rd.decision(H264Cabac.ctxRem4x4) |
+              (rd.decision(H264Cabac.ctxRem4x4) << 1) |
+              (rd.decision(H264Cabac.ctxRem4x4) << 2)
+            if (rem < pred) rem else rem + 1
+          }
+        modes(b) = mode
+        st.modeY(by)(bx) = mode
+        b += 1
+      }
+      val chromaMode = rd.tu(
+        H264Cabac.ctxChroma(chromaModeInc(st, mbX, mbY)),
+        H264Cabac.ctxChromaRest, 3)
+      st.chromaModeArr(idx) = chromaMode
+      var cbpL = 0
+      var q = 0
+      while (q < 4) {
+        if (rd.decision(H264Cabac.ctxCbpL(
+            cbpLumaInc(st, mbX, mbY, cbpL, q))) == 1) cbpL |= 1 << q
+        q += 1
+      }
+      val cbpC =
+        if (rd.decision(H264Cabac.ctxCbpC0(
+            cbpChromaInc(st, mbX, mbY, two = false))) == 0) 0
+        else 1 + rd.decision(H264Cabac.ctxCbpC1(
+          cbpChromaInc(st, mbX, mbY, two = true)))
+      st.mbCbpLuma(idx) = cbpL
+      st.mbCbpChroma(idx) = cbpC
+      var myNz = false
+      if (cbpL != 0 || cbpC != 0) {
+        val d = qpdRead(rd, prevDeltaNz)
+        qp += d
+        myNz = d != 0
+      }
+      if (qp < 0 || qp > 51) return None
+      st.dcFlagY(idx) = 0
+      b = 0
+      while (b < 16) {
+        val (x4, y4) = blkXY(b)
+        val bx = mbX * 4 + x4; val by = mbY * 4 + y4
+        val (coeffs, tc) =
+          if ((cbpL & (1 << (b >> 2))) != 0)
+            cabacBlockRead(rd, CAT_LUMA_4x4, cbfIncGrid(st.tcY, bx, by), 16)
+          else (new Array[Int](16), 0)
+        st.tcY(by)(bx) = tc
+        val pred = predict4x4(st.yPlane, bx * 4, by * 4, modes(b),
+          st.hasAboveRight(bx, by))
+        addBlock4(st.yPlane, bx * 4, by * 4, pred, 4, 0, 0,
+          fullResidual(coeffs, qp))
+        b += 1
+      }
+      decodeChromaCabac(rd, st, mbX, mbY, chromaMode, cbpC, qp)
+      st.mbQp(idx) = qp
+      Some((qp, myNz))
+    } else {
+      // ---- not I_4x4: the terminate-coded bin distinguishes I_PCM
+      if (rd.terminate() == 1) return None // PCM unsupported under CABAC
+      st.mbTypeArr(idx) = 1
+      val cbpL = if (rd.decision(H264Cabac.ctxMbTypeSuf(0)) == 1) 15 else 0
+      val cbpC =
+        if (rd.decision(H264Cabac.ctxMbTypeSuf(1)) == 0) 0
+        else 1 + rd.decision(H264Cabac.ctxMbTypeSuf(2))
+      val pm = (rd.decision(H264Cabac.ctxMbTypeSuf(3)) << 1) |
+        rd.decision(H264Cabac.ctxMbTypeSuf(4))
+      val chromaMode = rd.tu(
+        H264Cabac.ctxChroma(chromaModeInc(st, mbX, mbY)),
+        H264Cabac.ctxChromaRest, 3)
+      st.chromaModeArr(idx) = chromaMode
+      st.mbCbpLuma(idx) = cbpL
+      st.mbCbpChroma(idx) = cbpC
+      val d = qpdRead(rd, prevDeltaNz)
+      qp += d
+      if (qp < 0 || qp > 51) return None
+      var y4 = 0
+      while (y4 < 4) {
+        var x4 = 0
+        while (x4 < 4) { st.modeY(mbY * 4 + y4)(mbX * 4 + x4) = B_DC; x4 += 1 }
+        y4 += 1
+      }
+      val (dcScan, dcTc) = cabacBlockRead(rd, CAT_LUMA_DC,
+        cbfIncMb(st.dcFlagY, st, mbX, mbY), 16)
+      st.dcFlagY(idx) = if (dcTc > 0) 1 else 0
+      val dcRaster = new Array[Int](16)
+      var i = 0
+      while (i < 16) { dcRaster(zigzag4x4(i)) = dcScan(i); i += 1 }
+      val dcs = ihadamard4x4(dcRaster).map(f => scaleLumaDc(f, qp))
+      val pred16 = predictNxN(st.yPlane, x0, y0, 16, pm, lumaNumbering = true)
+      var b = 0
+      while (b < 16) {
+        val (x4, y4b) = blkXY(b)
+        val bx = mbX * 4 + x4; val by = mbY * 4 + y4b
+        val (acScan, tc) =
+          if (cbpL != 0) {
+            val (a15, t) = cabacBlockRead(rd, CAT_LUMA_AC,
+              cbfIncGrid(st.tcY, bx, by), 15)
+            val scan = new Array[Int](16)
+            System.arraycopy(a15, 0, scan, 1, 15)
+            (scan, t)
+          } else (new Array[Int](16), 0)
+        st.tcY(by)(bx) = tc
+        addBlock4(st.yPlane, x0 + x4 * 4, y0 + y4b * 4, pred16, 16,
+          x4 * 4, y4b * 4, acResidual(acScan, dcs(y4b * 4 + x4), qp))
+        b += 1
+      }
+      decodeChromaCabac(rd, st, mbX, mbY, chromaMode, cbpC, qp)
+      st.mbQp(idx) = qp
+      Some((qp, d != 0))
+    }
+  }
+
   /** Decode an Annex-B byte stream (SPS + PPS + one IDR slice) to a
     * cropped 4:2:0 frame. None on any structural inconsistency. */
   def decode(stream: Array[Byte]): Option[Frame] =
@@ -1202,13 +1568,13 @@ object H264 {
       val nals = splitNals(stream)
       for {
         sps <- nals.collectFirst { case (7, r) => r }.flatMap(readSps)
-        initQp <- nals.collectFirst { case (8, r) => r }.flatMap(readPps)
+        pps <- nals.collectFirst { case (8, r) => r }.flatMap(readPps)
         slice <- nals.collectFirst { case (5, r) => r }
-        frame <- decodeSlice(sps, initQp, slice)
+        frame <- decodeSlice(sps, pps._1, pps._2, slice)
       } yield frame
     }.toOption.flatten
 
-  private def decodeSlice(sps: Sps, initQp: Int,
+  private def decodeSlice(sps: Sps, initQp: Int, cabac: Boolean,
                           rbsp: Array[Byte]): Option[Frame] = {
     val br = new BitReader(rbsp)
     if (br.ue() != 0) return None // first_mb_in_slice
@@ -1224,17 +1590,35 @@ object H264 {
     var offA = 0; var offB = 0
     if (idc != 1) { offA = 2 * br.se(); offB = 2 * br.se() }
     val st = new FrameState(sps.mbW, sps.mbH)
-    var mbY = 0
-    while (mbY < sps.mbH) {
-      var mbX = 0
-      while (mbX < sps.mbW) {
-        decodeMb(br, st, mbX, mbY, qp) match {
-          case Some(q) => qp = q
+    if (cabac) {
+      br.byteAlign() // cabac_alignment_one_bit padding
+      val rd = new H264Cabac.Reader(() => br.bit())
+      var prevNz = false
+      var k = 0
+      val n = sps.mbW * sps.mbH
+      while (k < n) {
+        decodeMbCabac(rd, st, k % sps.mbW, k / sps.mbW, qp, prevNz) match {
+          case Some((q, nz)) => qp = q; prevNz = nz
           case None => return None
         }
-        mbX += 1
+        val eos = rd.terminate() // end_of_slice_flag after every MB
+        if (eos == 1 && k != n - 1) return None
+        if (eos == 0 && k == n - 1) return None
+        k += 1
       }
-      mbY += 1
+    } else {
+      var mbY = 0
+      while (mbY < sps.mbH) {
+        var mbX = 0
+        while (mbX < sps.mbW) {
+          decodeMb(br, st, mbX, mbY, qp) match {
+            case Some(q) => qp = q
+            case None => return None
+          }
+          mbX += 1
+        }
+        mbY += 1
+      }
     }
     if (idc != 1) deblockFrame(st, st.mbQp, offA, offB)
     Some(cropFrame(st, sps.width, sps.height))
@@ -1409,7 +1793,8 @@ object H264 {
 
   // -------------------------------------------------------- encoding
 
-  final case class EncodeOpts(qp: Int = 26, deblock: Boolean = false)
+  final case class EncodeOpts(qp: Int = 26, deblock: Boolean = false,
+                              cabac: Boolean = false)
 
   private def anyNz(a: Array[Int], from: Int = 0): Boolean = {
     var i = from
@@ -1442,20 +1827,225 @@ object H264 {
       bw.se(0); bw.se(0) // slice_alpha_c0/beta offsets ÷2
     } else bw.ue(1) // filter off
     var qp = opts.qp
-    var mbY = 0
-    while (mbY < mbH) {
-      var mbX = 0
-      while (mbX < mbW) {
-        qp = encodeMb(bw, st, mbX, mbY, qp, mbs(mbY * mbW + mbX))
-        mbX += 1
+    if (opts.cabac) {
+      while (bw.byteAlignedBits != 0) bw.bit(1) // cabac_alignment_one_bit
+      val wr = new H264Cabac.Writer(b => bw.bit(b))
+      var prevNz = false
+      var k = 0
+      val n = mbW * mbH
+      while (k < n) {
+        val (q, nz) = encodeMbCabac(wr, st, k % mbW, k / mbW, qp,
+          prevNz, mbs(k))
+        qp = q; prevNz = nz
+        wr.terminate(if (k == n - 1) 1 else 0) // end_of_slice_flag
+        k += 1
       }
-      mbY += 1
+      // the terminate(1) flush carried the stop bit; zero-pad to a byte
+      while (bw.byteAlignedBits != 0) bw.bit(0)
+    } else {
+      var mbY = 0
+      while (mbY < mbH) {
+        var mbX = 0
+        while (mbX < mbW) {
+          qp = encodeMb(bw, st, mbX, mbY, qp, mbs(mbY * mbW + mbX))
+          mbX += 1
+        }
+        mbY += 1
+      }
+      bw.trailing()
     }
     if (opts.deblock) deblockFrame(st, st.mbQp, 0, 0)
-    bw.trailing()
     val stream = nal(3, 7, writeSps(mbW, mbH, width, height)) ++
-      nal(3, 8, writePps(opts.qp)) ++ nal(3, 5, bw.bytes())
+      nal(3, 8, writePps(opts.qp, opts.cabac)) ++ nal(3, 5, bw.bytes())
     (stream, cropFrame(st, width, height))
+  }
+
+  private def encodeChromaCabac(wr: H264Cabac.Writer, st: FrameState,
+                                mbX: Int, mbY: Int, m: MbSpec, cbpC: Int,
+                                qpY: Int): Unit = {
+    val qpc = chromaQp(qpY)
+    val cx0 = mbX * 8; val cy0 = mbY * 8
+    val idx = mbi(st, mbX, mbY)
+    def predOf(p: Plane): Array[Int] =
+      if (m.chromaMode == CH_DC) predictChromaDc(p, cx0, cy0)
+      else predictNxN(p, cx0, cy0, 8, m.chromaMode, lumaNumbering = false)
+    val predU = predOf(st.uPlane)
+    val predV = predOf(st.vPlane)
+    def writeDc(flags: Array[Int], scan: Array[Int]): Unit =
+      if (cbpC > 0) {
+        val tc = cabacBlockWrite(wr, CAT_CHROMA_DC,
+          cbfIncMb(flags, st, mbX, mbY), scan, 4)
+        flags(idx) = if (tc > 0) 1 else 0
+      } else flags(idx) = 0
+    writeDc(st.dcFlagCb, m.cbDc)
+    writeDc(st.dcFlagCr, m.crDc)
+    val uDc = chromaDc(if (cbpC > 0) m.cbDc else new Array[Int](4), qpc)
+    val vDc = chromaDc(if (cbpC > 0) m.crDc else new Array[Int](4), qpc)
+    var comp = 0
+    while (comp < 2) {
+      val (plane, pred, dcs, tcGrid, acs) =
+        if (comp == 0) (st.uPlane, predU, uDc, st.tcCb, m.cbAc)
+        else (st.vPlane, predV, vDc, st.tcCr, m.crAc)
+      var b = 0
+      while (b < 4) {
+        val bx = mbX * 2 + (b & 1)
+        val by = mbY * 2 + (b >> 1)
+        val tc =
+          if (cbpC == 2) {
+            val a15 = new Array[Int](15)
+            System.arraycopy(acs(b), 1, a15, 0, 15)
+            cabacBlockWrite(wr, CAT_CHROMA_AC,
+              cbfIncGrid(tcGrid, bx, by), a15, 15)
+          } else 0
+        tcGrid(by)(bx) = tc
+        val scan = if (cbpC == 2) acs(b) else new Array[Int](16)
+        addBlock4(plane, cx0 + (b & 1) * 4, cy0 + (b >> 1) * 4,
+          pred, 8, (b & 1) * 4, (b >> 1) * 4,
+          acResidual(scan, dcs(b), qpc))
+        b += 1
+      }
+      comp += 1
+    }
+  }
+
+  /** CABAC twin of [[encodeMb]]; I_PCM specs are rejected (see
+    * [[decodeMbCabac]]). Returns (new slice QP, qp-delta ≠ 0). */
+  private def encodeMbCabac(wr: H264Cabac.Writer, st: FrameState,
+                            mbX: Int, mbY: Int, qpIn: Int,
+                            prevDeltaNz: Boolean,
+                            m: MbSpec): (Int, Boolean) = {
+    require(m.mbType != MB_PCM, "I_PCM under CABAC is out of scope")
+    var qp = qpIn
+    val x0 = mbX * 16; val y0 = mbY * 16
+    val idx = mbi(st, mbX, mbY)
+    val inc = mbTypeInc(st, mbX, mbY)
+    if (m.mbType == MB_I4x4) {
+      wr.decision(H264Cabac.ctxMbType(inc), 0)
+      st.mbTypeArr(idx) = 0
+      var cbpL = 0
+      for (b <- 0 until 16 if anyNz(m.lumaAc(b))) cbpL |= 1 << (b >> 2)
+      val cbpC =
+        if (m.cbAc.exists(anyNz(_, 1)) || m.crAc.exists(anyNz(_, 1))) 2
+        else if (anyNz(m.cbDc) || anyNz(m.crDc)) 1
+        else 0
+      var b = 0
+      while (b < 16) {
+        val (x4, y4) = blkXY(b)
+        val bx = mbX * 4 + x4; val by = mbY * 4 + y4
+        val pred = st.predMode(bx, by)
+        val mode = m.b4Modes(b)
+        if (mode == pred) wr.decision(H264Cabac.ctxPrev4x4, 1)
+        else {
+          wr.decision(H264Cabac.ctxPrev4x4, 0)
+          val rem = if (mode < pred) mode else mode - 1
+          wr.decision(H264Cabac.ctxRem4x4, rem & 1)
+          wr.decision(H264Cabac.ctxRem4x4, (rem >> 1) & 1)
+          wr.decision(H264Cabac.ctxRem4x4, (rem >> 2) & 1)
+        }
+        st.modeY(by)(bx) = mode
+        b += 1
+      }
+      wr.tu(H264Cabac.ctxChroma(chromaModeInc(st, mbX, mbY)),
+        H264Cabac.ctxChromaRest, 3, m.chromaMode)
+      st.chromaModeArr(idx) = m.chromaMode
+      var q = 0
+      while (q < 4) {
+        wr.decision(H264Cabac.ctxCbpL(cbpLumaInc(st, mbX, mbY, cbpL, q)),
+          (cbpL >> q) & 1)
+        q += 1
+      }
+      wr.decision(H264Cabac.ctxCbpC0(cbpChromaInc(st, mbX, mbY,
+        two = false)), if (cbpC > 0) 1 else 0)
+      if (cbpC > 0)
+        wr.decision(H264Cabac.ctxCbpC1(cbpChromaInc(st, mbX, mbY,
+          two = true)), if (cbpC == 2) 1 else 0)
+      st.mbCbpLuma(idx) = cbpL
+      st.mbCbpChroma(idx) = cbpC
+      var myNz = false
+      if (cbpL != 0 || cbpC != 0) {
+        qpdWrite(wr, prevDeltaNz, m.qpDelta)
+        qp += m.qpDelta
+        myNz = m.qpDelta != 0
+      }
+      require(qp >= 0 && qp <= 51, s"qp $qp out of range")
+      st.dcFlagY(idx) = 0
+      b = 0
+      while (b < 16) {
+        val (x4, y4) = blkXY(b)
+        val bx = mbX * 4 + x4; val by = mbY * 4 + y4
+        val tc =
+          if ((cbpL & (1 << (b >> 2))) != 0)
+            cabacBlockWrite(wr, CAT_LUMA_4x4,
+              cbfIncGrid(st.tcY, bx, by), m.lumaAc(b), 16)
+          else 0
+        st.tcY(by)(bx) = tc
+        val pred = predict4x4(st.yPlane, bx * 4, by * 4, m.b4Modes(b),
+          st.hasAboveRight(bx, by))
+        addBlock4(st.yPlane, bx * 4, by * 4, pred, 4, 0, 0,
+          fullResidual(m.lumaAc(b), qp))
+        b += 1
+      }
+      encodeChromaCabac(wr, st, mbX, mbY, m, cbpC, qp)
+      st.mbQp(idx) = qp
+      (qp, myNz)
+    } else {
+      wr.decision(H264Cabac.ctxMbType(inc), 1)
+      wr.terminate(0) // not I_PCM
+      st.mbTypeArr(idx) = 1
+      val cbpL = if ((0 until 16).exists(b => anyNz(m.lumaAc(b), 1))) 15 else 0
+      val cbpC =
+        if (m.cbAc.exists(anyNz(_, 1)) || m.crAc.exists(anyNz(_, 1))) 2
+        else if (anyNz(m.cbDc) || anyNz(m.crDc)) 1
+        else 0
+      wr.decision(H264Cabac.ctxMbTypeSuf(0), if (cbpL == 15) 1 else 0)
+      wr.decision(H264Cabac.ctxMbTypeSuf(1), if (cbpC > 0) 1 else 0)
+      if (cbpC > 0)
+        wr.decision(H264Cabac.ctxMbTypeSuf(2), if (cbpC == 2) 1 else 0)
+      wr.decision(H264Cabac.ctxMbTypeSuf(3), (m.i16Mode >> 1) & 1)
+      wr.decision(H264Cabac.ctxMbTypeSuf(4), m.i16Mode & 1)
+      wr.tu(H264Cabac.ctxChroma(chromaModeInc(st, mbX, mbY)),
+        H264Cabac.ctxChromaRest, 3, m.chromaMode)
+      st.chromaModeArr(idx) = m.chromaMode
+      st.mbCbpLuma(idx) = cbpL
+      st.mbCbpChroma(idx) = cbpC
+      qpdWrite(wr, prevDeltaNz, m.qpDelta)
+      qp += m.qpDelta
+      require(qp >= 0 && qp <= 51, s"qp $qp out of range")
+      var y4 = 0
+      while (y4 < 4) {
+        var x4 = 0
+        while (x4 < 4) { st.modeY(mbY * 4 + y4)(mbX * 4 + x4) = B_DC; x4 += 1 }
+        y4 += 1
+      }
+      val dcTc = cabacBlockWrite(wr, CAT_LUMA_DC,
+        cbfIncMb(st.dcFlagY, st, mbX, mbY), m.lumaDc, 16)
+      st.dcFlagY(idx) = if (dcTc > 0) 1 else 0
+      val dcRaster = new Array[Int](16)
+      var i = 0
+      while (i < 16) { dcRaster(zigzag4x4(i)) = m.lumaDc(i); i += 1 }
+      val dcs = ihadamard4x4(dcRaster).map(f => scaleLumaDc(f, qp))
+      val pred16 = predictNxN(st.yPlane, x0, y0, 16, m.i16Mode,
+        lumaNumbering = true)
+      var b = 0
+      while (b < 16) {
+        val (x4, y4b) = blkXY(b)
+        val bx = mbX * 4 + x4; val by = mbY * 4 + y4b
+        val tc =
+          if (cbpL != 0) {
+            val a15 = new Array[Int](15)
+            System.arraycopy(m.lumaAc(b), 1, a15, 0, 15)
+            cabacBlockWrite(wr, CAT_LUMA_AC,
+              cbfIncGrid(st.tcY, bx, by), a15, 15)
+          } else 0
+        st.tcY(by)(bx) = tc
+        addBlock4(st.yPlane, x0 + x4 * 4, y0 + y4b * 4, pred16, 16,
+          x4 * 4, y4b * 4, acResidual(m.lumaAc(b), dcs(y4b * 4 + x4), qp))
+        b += 1
+      }
+      encodeChromaCabac(wr, st, mbX, mbY, m, cbpC, qp)
+      st.mbQp(idx) = qp
+      (qp, m.qpDelta != 0)
+    }
   }
 
   /** Encode to separate NAL units (header + EBSP, no start codes) —

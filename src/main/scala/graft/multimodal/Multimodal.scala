@@ -420,6 +420,48 @@ object Multimodal extends Serializable {
       }
   }
 
+  /** CABAC twin of [[h264sFromDocuments]] — the same exact-chain
+    * construction pushed through the OTHER entropy mode (arithmetic
+    * decision/bypass/terminate engine, significance maps, UEG0 levels)
+    * with phase-shifted parameters so the two entries' outputs differ;
+    * no crop (the CAVLC entry covers that path). */
+  def h264CabacFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[H264Row] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val mbW = 2 + ((id + 1) % 4).toInt
+          val mbH = 1 + ((id + 1) % 2).toInt
+          val qp = ((id + 17) % 52).toInt
+          val mbs = Array.tabulate(mbW * mbH) { k =>
+            val i = k / mbW; val j = k % mbW
+            val m = H264.MbSpec(mbType = 1,
+              i16Mode =
+                if (i == 0 && j == 0) H264.I16_DC
+                else if (i == 0) H264.I16_H
+                else H264.I16_V,
+              chromaMode =
+                if (i == 0 && j == 0) H264.CH_DC
+                else if (i == 0) H264.CH_H
+                else H264.CH_V)
+            m.lumaDc(0) = ((id + 3 * i + 5 * j + 1) % 5).toInt - 2
+            m.cbDc(0) = ((id + i + 2 * j + 2) % 5).toInt - 2
+            m.crDc(0) = ((2 * id + 3 * i + j + 3) % 5).toInt - 2
+            m
+          }
+          val (stream, _) = H264.encode(mbW * 16, mbH * 16, mbs,
+            H264.EncodeOpts(qp = qp, cabac = true))
+          H264.decode(stream).iterator.map { f =>
+            H264Row(id, f.width, f.height,
+              f.y.foldLeft(0L)(_ + _), f.u.foldLeft(0L)(_ + _),
+              f.v.foldLeft(0L)(_ + _))
+          }
+        }
+      }
+  }
+
   final case class Vp8Row(media_id: Long, width: Int, height: Int,
                           y_sum: Long, u_sum: Long, v_sum: Long)
 

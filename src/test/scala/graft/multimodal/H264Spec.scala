@@ -304,6 +304,107 @@ class H264Spec extends AnyFunSuite {
       assert(y(row * 32 + c) == y(c), s"row $row col $c")
   }
 
+  test("CABAC engine: decision/bypass/terminate round-trip through the " +
+    "arithmetic coder for random bin sequences") {
+    val r = rnd(8L)
+    for (trial <- 1 to 200) {
+      // a random schedule of (kind, ctx, bin): 0=decision, 1=bypass
+      val schedule = Seq.fill(30 + r.nextInt(200))(
+        (r.nextInt(2), r.nextInt(H264Cabac.N_CTX), r.nextInt(2)))
+      val bw = new H264.BitWriter
+      val wr = new H264Cabac.Writer(b => bw.bit(b))
+      schedule.foreach {
+        case (0, c, b) => wr.decision(c, b)
+        case (_, _, b) => wr.bypass(b)
+      }
+      wr.terminate(1) // flush
+      while (bw.byteAlignedBits != 0) bw.bit(0)
+      val br = new H264.BitReader(bw.bytes())
+      val rd = new H264Cabac.Reader(() => br.bit())
+      schedule.foreach {
+        case (0, c, b) => assert(rd.decision(c) == b, s"trial $trial")
+        case (_, _, b) => assert(rd.bypass() == b, s"trial $trial")
+      }
+      assert(rd.terminate() == 1, s"trial $trial: terminate")
+    }
+  }
+
+  test("CABAC whole-frame round-trip AND cross-entropy equivalence: the " +
+    "same MB specs through CABAC and CAVLC reconstruct identically") {
+    val r = rnd(9L)
+    for (trial <- 1 to 40) {
+      val mbW = 1 + r.nextInt(3)
+      val mbH = 1 + r.nextInt(3)
+      val width = mbW * 16 - 2 * r.nextInt(3)
+      val height = mbH * 16 - 2 * r.nextInt(3)
+      val qp = 8 + r.nextInt(44)
+      def sparse(n: Int, from: Int, density: Double, mag: Int): Array[Int] = {
+        val a = new Array[Int](n)
+        (from until n).foreach { i =>
+          if (r.nextDouble() < density)
+            a(i) = (1 + r.nextInt(mag)) * (if (r.nextBoolean()) 1 else -1)
+        }
+        a
+      }
+      val mbs = Array.tabulate(mbW * mbH) { k =>
+        val mbX = k % mbW; val mbY = k / mbW
+        val hasA = mbY > 0; val hasL = mbX > 0
+        val chromaCands = Seq(H264.CH_DC) ++
+          (if (hasL) Seq(H264.CH_H) else Nil) ++
+          (if (hasA) Seq(H264.CH_V) else Nil) ++
+          (if (hasA && hasL) Seq(H264.CH_PLANE) else Nil)
+        if (r.nextBoolean()) {
+          val cands = Seq(H264.I16_DC) ++
+            (if (hasA) Seq(H264.I16_V) else Nil) ++
+            (if (hasL) Seq(H264.I16_H) else Nil) ++
+            (if (hasA && hasL) Seq(H264.I16_PLANE) else Nil)
+          H264.MbSpec(mbType = 1,
+            i16Mode = cands(r.nextInt(cands.length)),
+            chromaMode = chromaCands(r.nextInt(chromaCands.length)),
+            lumaDc = sparse(16, 0, 0.4, 40),
+            lumaAc = Array.fill(16)(sparse(16, 1, 0.15, 900)),
+            cbDc = sparse(4, 0, 0.5, 20), crDc = sparse(4, 0, 0.5, 20),
+            cbAc = Array.fill(4)(sparse(16, 1, 0.1, 8)),
+            crAc = Array.fill(4)(sparse(16, 1, 0.1, 8)))
+        } else {
+          val modes = Array.tabulate(16) { b =>
+            val (x4, y4) = (2 * ((b >> 2) & 1) + (b & 1),
+              2 * (b >> 3) + ((b >> 1) & 1))
+            val bA = hasA || y4 > 0
+            val bL = hasL || x4 > 0
+            val cands = Seq(H264.B_DC) ++
+              (if (bA) Seq(H264.B_V, H264.B_DDL, H264.B_VL) else Nil) ++
+              (if (bL) Seq(H264.B_H, H264.B_HU) else Nil) ++
+              (if (bA && bL) Seq(H264.B_DDR, H264.B_VR, H264.B_HD) else Nil)
+            cands(r.nextInt(cands.length))
+          }
+          H264.MbSpec(mbType = 0, b4Modes = modes,
+            chromaMode = chromaCands(r.nextInt(chromaCands.length)),
+            lumaAc = Array.fill(16)(sparse(16, 0, 0.2, 25)),
+            cbDc = sparse(4, 0, 0.5, 20), crDc = sparse(4, 0, 0.5, 20),
+            cbAc = Array.fill(4)(sparse(16, 1, 0.1, 8)),
+            crAc = Array.fill(4)(sparse(16, 1, 0.1, 8)))
+        }
+      }
+      val (sCab, rCab) = H264.encode(width, height, mbs,
+        H264.EncodeOpts(qp = qp, cabac = true))
+      val (sCav, rCav) = H264.encode(width, height, mbs,
+        H264.EncodeOpts(qp = qp, cabac = false))
+      val dCab = H264.decode(sCab)
+      assert(dCab.isDefined, s"trial $trial: CABAC decode failed")
+      assert(dCab.get.y.toSeq == rCab.y.toSeq &&
+        dCab.get.u.toSeq == rCab.u.toSeq &&
+        dCab.get.v.toSeq == rCab.v.toSeq,
+        s"trial $trial: CABAC round-trip mismatch")
+      // the two entropy modes carry the SAME quantised coefficients, so
+      // their reconstructions must be pixel-identical
+      assert(rCab.y.toSeq == rCav.y.toSeq &&
+        rCab.u.toSeq == rCav.u.toSeq && rCab.v.toSeq == rCav.v.toSeq,
+        s"trial $trial: CABAC vs CAVLC reconstruction diverged")
+      assert(H264.decode(sCav).get.y.toSeq == rCav.y.toSeq)
+    }
+  }
+
   test("hostile input degrades to None, never throws: truncations, bit " +
     "flips, and garbage never crash the task") {
     val m = H264.MbSpec(mbType = 1)

@@ -379,6 +379,21 @@ object Unigram {
        |FROM pp s LEFT JOIN eP e ON e.piece = s.piece
        |ORDER BY s.piece""".stripMargin
 
+  /** DuckDB replay of per-language fertility: doc tokens (keyed by
+    * lang) joined to the trained segmentation, micro-unit integer
+    * pieces-per-word. `docToksSql` must yield (lang, tok). */
+  def fertilityOracleSql(toksSql: String, docToksSql: String,
+                         seedMax: Int = 128, maxPieceLen: Int = 6,
+                         maxWordLen: Int = 16, rounds: Int = 2): String =
+    s"""${encodeChain(toksSql, seedMax, maxPieceLen, maxWordLen, rounds)},
+       |dt AS ($docToksSql)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(sg.k) AS BIGINT) AS n_subtokens,
+       |  CAST(CAST(sum(sg.k) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+       |    AS fertility_micro
+       |FROM dt JOIN sg$rounds sg ON sg.word = dt.tok
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** DuckDB replay of corpus-width application: the doc token stream
     * joined to the per-word segmentation, per-doc word/piece counts.
     * `docToksSql` must yield (doc_id, tok). */

@@ -124,6 +124,10 @@ class PerfContractSpec extends SparkSpec {
     // cold-cache headroom: a solo run pays the shared training first
     Contract("text_unigram_encode", 2, 24),
     Contract("text_unigram_prune", 3, 34),
+    Contract("text_unigram_fertility", 3, 30, (p, n) =>
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$n: the segmentation join must broadcast")),
     Contract("text_unigram_corpus", 3, 40, (p, n) =>
       assert(p.contains("BroadcastHashJoin") ||
         p.contains("BroadcastNestedLoopJoin"),

@@ -405,6 +405,28 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("CABAC composes with the deblocking filter: " +
+    "decode(encode(cabac=true, deblock=true)) == filtered recon") {
+    val r = rnd(10L)
+    for (trial <- 1 to 10) {
+      val mbW = 2 + r.nextInt(2)
+      val qp = 20 + r.nextInt(30)
+      val mbs = Array.tabulate(mbW) { _ =>
+        val m = H264.MbSpec(mbType = 1)
+        m.lumaDc(0) = r.nextInt(7) - 3
+        m.cbDc(0) = r.nextInt(5) - 2
+        m
+      }
+      val (s, recon) = H264.encode(mbW * 16, 16, mbs,
+        H264.EncodeOpts(qp = qp, deblock = true, cabac = true))
+      val f = H264.decode(s)
+      assert(f.isDefined, s"trial $trial")
+      assert(f.get.y.toSeq == recon.y.toSeq &&
+        f.get.u.toSeq == recon.u.toSeq && f.get.v.toSeq == recon.v.toSeq,
+        s"trial $trial: cabac+deblock mismatch")
+    }
+  }
+
   test("hostile input degrades to None, never throws: truncations, bit " +
     "flips, and garbage never crash the task") {
     val m = H264.MbSpec(mbType = 1)

@@ -1262,12 +1262,15 @@ object Multimodal extends Serializable {
   /** Walk a genuine ADTS stream frame by frame: syncword + header
     * validation (layer 00, sampling index in range, frame length ≥
     * header), None on any structural break — truncation, bad sync, a
-    * frame overrunning the buffer. */
-  def parseAdts(bytes: Array[Byte]): Option[AdtsMeta] = {
+    * frame overrunning the buffer. Returns meta plus each frame's
+    * payload bytes (the raw_data_block an AAC decoder consumes). */
+  def parseAdtsFrames(bytes: Array[Byte])
+      : Option[(AdtsMeta, Array[Array[Byte]])] = {
     var pos = 0
     var n = 0
     var payload = 0L
     var profile = -1; var sfi = -1; var chan = -1
+    val frames = Array.newBuilder[Array[Byte]]
     while (pos < bytes.length) {
       if (pos + 7 > bytes.length) return None // truncated header
       val b0 = bytes(pos) & 0xFF; val b1 = bytes(pos + 1) & 0xFF
@@ -1287,12 +1290,101 @@ object Multimodal extends Serializable {
       if (n == 0) { profile = fProfile; sfi = fSfi; chan = fChan }
       else if (fProfile != profile || fSfi != sfi || fChan != chan)
         return None // mid-stream parameter change: treat as corrupt
+      frames += java.util.Arrays.copyOfRange(bytes, pos + hdrLen,
+        pos + frameLen)
       payload += frameLen - hdrLen
       pos += frameLen
       n += 1
     }
     if (n == 0) None
-    else Some(AdtsMeta(n, profile, adtsRates(sfi), chan, payload))
+    else Some((AdtsMeta(n, profile, adtsRates(sfi), chan, payload),
+      frames.result()))
+  }
+
+  def parseAdts(bytes: Array[Byte]): Option[AdtsMeta] =
+    parseAdtsFrames(bytes).map(_._1)
+
+  final case class AacRow(media_id: Long, n_frames: Int, n_bands: Long,
+                          sf_sum: Long, coeff_abs_sum: Long,
+                          n_nonzero: Long)
+
+  /** AAC-LC spectral-layer decode inside genuine ADTS transport: each
+    * document gets 1–2 raw_data_blocks whose per-band codebooks cycle
+    * all twelve (zero bands, the four quad books, the six pair books,
+    * and codebook 11 WITH escape-range magnitudes), values pure doc_id
+    * arithmetic inside each book's LAV — encoded by [[Aac.encodeFrame]],
+    * shipped via [[buildAdts]], demuxed by [[parseAdtsFrames]], and
+    * decoded back to exact integer coefficients by [[Aac.decodeFrame]].
+    * The layer is lossless over integers, so the oracle replays every
+    * coefficient in closed form; a mis-walked section, a dropped sign
+    * bit, or a bungled escape mismatches the sums. */
+  def aacsFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[AacRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val nFrames = 1 + (id % 2).toInt
+          val maxSfb = 6 + (id % 6).toInt
+          val payloads = (0 until nFrames).map { f =>
+            val cbs = Array.tabulate(maxSfb)(k => ((id + 3 * f + k) % 12).toInt)
+            val sfs = Array.tabulate(maxSfb) { k =>
+              if (cbs(k) == 0) 0
+              else 100 + ((id + 5 * f + 7 * k) % 21).toInt - 10
+            }
+            val total = Aac.bandOffset(maxSfb)
+            val coeffs = new Array[Int](total)
+            var k = 0
+            while (k < maxSfb) {
+              val cb = cbs(k)
+              if (cb != 0) {
+                val lavs = Array(0, 1, 1, 2, 2, 4, 4, 7, 7, 12, 12, 16)
+                val base = Aac.bandOffset(k)
+                val w = Aac.swbWidth(k)
+                var p = 0
+                while (p < w) {
+                  coeffs(base + p) =
+                    if (cb == 11) ((id + f + k + p) % 41).toInt - 20
+                    else {
+                      val l = lavs(cb)
+                      ((id + f + k + p) % (2 * l + 1)).toInt - l
+                    }
+                  p += 1
+                }
+              }
+              k += 1
+            }
+            val bw = new H264.BitWriter
+            Aac.encodeFrame(bw, 100 + (id % 50).toInt, maxSfb, cbs, sfs,
+              coeffs)
+            bw.bytes()
+          }
+          val file = buildAdts(1, (id % 12).toInt, 1, payloads)
+          for {
+            (_, frames) <- parseAdtsFrames(file).iterator
+            decoded = frames.flatMap(Aac.decodeFrame)
+            if decoded.length == nFrames
+          } yield {
+            var bands = 0L; var sfSum = 0L; var absSum = 0L; var nz = 0L
+            decoded.foreach { fr =>
+              var k = 0
+              while (k < fr.maxSfb) {
+                if (fr.codebooks(k) != 0) {
+                  bands += 1
+                  sfSum += fr.scaleFactors(k)
+                }
+                k += 1
+              }
+              fr.coeffs.foreach { v =>
+                absSum += math.abs(v)
+                if (v != 0) nz += 1
+              }
+            }
+            AacRow(id, decoded.length, bands, sfSum, absSum, nz)
+          }
+        }
+      }
   }
 
   final case class AdtsRow(media_id: Long, n_frames: Int, profile: Int,

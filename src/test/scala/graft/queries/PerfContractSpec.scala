@@ -115,6 +115,7 @@ class PerfContractSpec extends SparkSpec {
     Contract("multimodal_adts", 8, 12),
     Contract("multimodal_h264_mp4", 8, 12),
     Contract("multimodal_h264_cabac", 8, 12),
+    Contract("multimodal_aac_spectral", 8, 12),
     // Unigram-LM family (round-10 evidence: 0.0/0.2/0.0 MB, 14/6/3
     // stages at sf0.1): training's corpus pass + vocabulary-bounded
     // seeding/EM aggregates; segmentation is a narrow map; the corpus

@@ -133,6 +133,12 @@ class PerfContractSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin") ||
         p.contains("BroadcastNestedLoopJoin"),
         s"$n: the segmentation join must broadcast (vocabulary-sized side)")),
+    // HTML extraction (round 11): a NARROW ONE-PASS map over the
+    // documents partitions — markup and block text never shuffle; the
+    // only exchanges are the final orderBy of integer stat rows. A
+    // shuffle beyond single-digit MB means raw HTML started moving.
+    Contract("text_html_blocks", 8, 10),
+    Contract("text_html_extract", 4, 10),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

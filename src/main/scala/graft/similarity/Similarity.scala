@@ -369,6 +369,100 @@ object Similarity extends Serializable {
       .orderBy("a", "b")
   }
 
+  /** FILTERED IVF retrieval — the composition ann_filtered's doc
+    * promises: each query carries a metadata predicate
+    * (label % mod == want) and is ROUTED by measured selectivity:
+    *
+    *  - SELECTIVE predicate (matching rows × selectivityDen ≤ corpus
+    *    count): exact scoring over the predicate-filtered slice — at
+    *    100 TB a selective filter prunes the scan (partition/zone
+    *    pruning on the label column) and exact in-slice top-k is both
+    *    cheaper AND recall-1.0, so probing an index would only LOSE
+    *    recall;
+    *  - UNSELECTIVE predicate: filter-aware IVF probing — the corpus
+    *    coarse-quantizes to nCells inverted lists ONCE, each query
+    *    probes its nProbe best cells, and the predicate applies IN the
+    *    posting-list join condition, so non-matching rows are pruned
+    *    cell-locally before any distance math (the Filtered-DiskANN /
+    *    FAISS IDSelector shape).
+    *
+    * Everything is deterministic and exact-integer routed, so a SQL
+    * oracle replays the per-query counts, the routing decision, and
+    * both branches bit-for-bit. The output carries the `path` taken so
+    * the oracle also gates the router.
+    *
+    * Scale shape: the per-query match counts are one narrow aggregate
+    * (a lakehouse would answer them from column stats); the wide work
+    * is one corpus cell-assignment pass + broadcast probe joins; no
+    * candidate-sized exchange exists on either branch.
+    *
+    * queries: (q_id, q_emb, mod, want); corpus: (vec_id, embedding,
+    * label). */
+  def ivfFilteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, dim: Int = 64,
+      selectivityDen: Int = 8, knownCount: Option[Long] = None)
+      : DataFrame = {
+    val n = knownCount.getOrElse(corpus.count())
+    val base = corpus.select(col("vec_id"), col("label").cast("long"),
+        toDoubleArr(col("embedding")).as("e"))
+      .repartition(col("vec_id"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = queries.select(col("q_id"), col("mod").cast("long"),
+        col("want").cast("long"), toDoubleArr(col("q_emb")).as("qe"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+    def pred = col("label") % col("mod") === col("want")
+    // per-query predicate match count: one narrow corpus pass against
+    // the broadcast query-predicate table (stats-answerable at scale)
+    val cnt = base.join(broadcast(q.select("q_id", "mod", "want")), pred)
+      .groupBy("q_id").agg(count(lit(1)).as("cnt"))
+    val routed = q.join(cnt, Seq("q_id"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("path",
+        when(col("cnt") * selectivityDen <= n, "exact").otherwise("ivf"))
+    // exact branch: score the filtered slice directly (recall 1.0)
+    val exact = base.join(
+        broadcast(routed.where(col("path") === "exact")),
+        pred && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+    // ivf branch: one cell-assignment pass, predicate folded into the
+    // posting-list join
+    val cents = Array.tabulate(nCells, dim)((c, d) => cellComponent(c, d + 1))
+    val cnorm = cents.map(cv =>
+      math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+    def cellSims(e: Column): Column = array((0 until nCells).map { c =>
+      dot(e, array(cents(c).map(lit).toSeq: _*)) / lit(cnorm(c))
+    }: _*)
+    val assigned = base
+      .withColumn("sims", cellSims(col("e")))
+      .withColumn("cell",
+        array_position(col("sims"), array_max(col("sims"))) - 1)
+      .drop("sims")
+    // selectivity-scaled probe width (the FAISS "increase nprobe when
+    // filtering" rule, in exact integers): a predicate keeping 1/s of
+    // the corpus thins every posting list by ~s, so the probe width
+    // grows by ceil(s/2) — nProbe·⌈n/(2·cnt)⌉ cells, capped at nCells.
+    // Unfiltered (cnt = n) degenerates to plain nProbe.
+    val probeWidth = expr(s"least(CAST($nCells AS BIGINT), " +
+      s"$nProbe * ((CAST($n AS BIGINT) + 2*cnt - 1) div (2*cnt)))")
+    val probes = routed.where(col("path") === "ivf")
+      .select(col("q_id"), col("qe"), col("qn"), col("mod"), col("want"),
+        col("cnt"), posexplode(cellSims(col("qe"))).as(Seq("cell", "csim")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("csim").desc, col("cell"))))
+      .where(col("prank") <= probeWidth)
+      .select("q_id", "qe", "qn", "mod", "want", "cell")
+    val ivf = assigned.join(broadcast(probes), Seq("cell"))
+      .where(pred && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+    topKPerQuery(exact.unionByName(ivf), k)
+      .join(broadcast(routed.select("q_id", "path")), Seq("q_id"))
+  }
+
   /** Unordered LSH candidate pairs (a < b) with exact cosine, scored
     * inside a SINGLE shuffle-hash bucket join — the shared engine of
     * [[lshNearDupPairs]] and [[lshKnnGraph]]. The pair set is exactly

@@ -579,6 +579,39 @@ class LlmPipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall")
   }
 
+  test("filtered IVF: selectivity router exercises both branches; the " +
+    "exact branch IS the filtered truth and the probe branch clears the " +
+    "IVF recall bar against it") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        when(col("vec_id") < 3, lit(3)).otherwise(lit(16)).as("mod"),
+        col("vec_id").as("want"), col("embedding").as("q_emb"))
+    val routed = graft.similarity.Similarity
+      .ivfFilteredTopK(emb, queries, 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[String]("path")))
+    // selectivityDen = 0 forces every query down the exact branch with
+    // the IDENTICAL predicates — the recall-1.0 reference
+    val truth = graft.similarity.Similarity
+      .ivfFilteredTopK(emb, queries, 10, selectivityDen = 0).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val paths = routed.groupBy(_._1).view.mapValues(_.head._3).toMap
+    // the label%3 predicates (~1/3 of the corpus) must route to the
+    // index; the label%16 predicates (~1/10) to the exact fallback
+    assert((0L to 2L).forall(paths(_) == "ivf"), paths.toString)
+    assert((3L to 4L).forall(paths(_) == "exact"), paths.toString)
+    val exactPairs = routed.filter(_._3 == "exact")
+      .map(t => (t._1, t._2)).toSet
+    assert(exactPairs == truth.filter(p => p._1 >= 3L),
+      "exact branch must equal the filtered brute-force answer")
+    val ivfPairs = routed.filter(_._3 == "ivf").map(t => (t._1, t._2)).toSet
+    val ivfTruth = truth.filter(p => p._1 <= 2L)
+    val recall = ivfPairs.intersect(ivfTruth).size.toDouble / ivfTruth.size
+    assert(recall >= 0.4, s"filtered-IVF recall $recall")
+  }
+
   test("SQ8 quantized ANN nearly reproduces the exact top-k") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet

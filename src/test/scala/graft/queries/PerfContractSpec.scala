@@ -97,6 +97,14 @@ class PerfContractSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin") ||
         p.contains("BroadcastNestedLoopJoin"),
         s"$n: the query join must broadcast")),
+    // filtered IVF: one corpus cell-assignment pass + broadcast probe
+    // joins; no candidate-sized exchange on either branch (round 11)
+    Contract("ann_ivf_filtered", 48, 24, (p, n) => {
+      noSmj(p, n)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$n: probe/query sides must broadcast")
+    }),
     // stateless stream gate probing a broadcast band index: ZERO
     // shuffle is the contract (r9 evidence: 0.0 MB)
     Contract("u_stream_neardup", 2, 22),

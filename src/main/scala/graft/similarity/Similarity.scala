@@ -163,9 +163,10 @@ object Similarity extends Serializable {
     * guard delta of 1.0 — dequantizing exactly back to the constant — so
     * constant dimensions cannot produce NaN (identically in both engines
     * via the same CASE). */
-  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val t = corpus.select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
-      .repartition(col("vec_id"))
+  /** The SQ8 per-dimension (min, max) codebook alone — the index-build
+    * surface (None for an empty corpus). 0-based dimension order. */
+  def sq8Stats(corpus: DataFrame): Option[(Array[Double], Array[Double])] = {
+    val t = corpus.select(toDoubleArr(col("embedding")).as("e"))
     val stats = t
       .select(posexplode(col("e")).as(Seq("i", "x")))
       .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
@@ -174,6 +175,27 @@ object Similarity extends Serializable {
           .as("amn"),
         expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)")
           .as("amx"))
+    stats.collect().headOption.map(st =>
+      (st.getSeq[Double](0).toArray, st.getSeq[Double](1).toArray))
+  }
+
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    sq8Stats(corpus) match {
+      case Some((amn, amx)) => sq8TopKWithStats(corpus, queries, k, amn, amx)
+      // headOption semantics preserved: an empty corpus short-circuits
+      // to an empty result instead of throwing
+      case None => topKPerQuery(
+        queries.select(col("q_id"), col("q_id").as("vec_id"),
+          lit(0.0).as("sim")).limit(0), k)
+    }
+
+  /** sq8TopK with an EXTERNALLY-SUPPLIED codebook (the load-and-serve
+    * surface): identical encode + asymmetric-scoring chain, no stats
+    * pass. */
+  def sq8TopKWithStats(corpus: DataFrame, queries: DataFrame, k: Int,
+      amn: Array[Double], amx: Array[Double]): DataFrame = {
+    val t = corpus.select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+      .repartition(col("vec_id"))
     // Broadcast-codebook encode loop (the pqReconstruct pattern): the
     // twin transform expressions re-resolve amn/amx per element per row;
     // the loop applies the IDENTICAL op sequence — (x−amn)·255/spread,
@@ -184,14 +206,6 @@ object Similarity extends Serializable {
     // 52.9 → ~13s.
     val sess = corpus.sparkSession
     import sess.implicits._
-    // headOption: an empty corpus has no stats row — short-circuit to an
-    // empty result instead of throwing on head()
-    val st = stats.collect().headOption.getOrElse(
-      return topKPerQuery(
-        queries.select(col("q_id"), col("q_id").as("vec_id"),
-          lit(0.0).as("sim")).limit(0), k))
-    val amn = st.getSeq[Double](0).toArray
-    val amx = st.getSeq[Double](1).toArray
     val bcStats = sess.sparkContext.broadcast((amn, amx))
     val encoded = t
       .select(col("vec_id").cast("long").as("_1"), col("e").as("_2"))
@@ -630,7 +644,26 @@ object Similarity extends Serializable {
       : DataFrame = {
     val q = microQuantized(corpus)
     val books = trainedPqBooks(corpus, q, m, k, updates, dim)
-    val joined = pqReconstruct(q, books, m, dim, withQd = false)
+    pqServe(q, queries, topK, books, dim)
+  }
+
+  /** The trained PQ codebooks alone — the index-build surface:
+    * m × k × (dim/m) micro-unit centroid components, exactly what
+    * pqTopK trains internally (and what a committed artifact stores). */
+  def pqBooks(corpus: DataFrame, m: Int = 16, k: Int = 16,
+      updates: Int = 2, dim: Int = 64): Array[Array[Array[Double]]] =
+    trainedPqBooks(corpus, microQuantized(corpus), m, k, updates, dim)
+
+  /** pqTopK with EXTERNALLY-SUPPLIED codebooks (the load-and-serve
+    * surface): the identical encode + asymmetric-scoring chain, no
+    * training jobs. */
+  def pqTopKWithBooks(corpus: DataFrame, queries: DataFrame, topK: Int,
+      books: Array[Array[Array[Double]]], dim: Int = 64): DataFrame =
+    pqServe(microQuantized(corpus), queries, topK, books, dim)
+
+  private def pqServe(q: DataFrame, queries: DataFrame, topK: Int,
+      books: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val joined = pqReconstruct(q, books, books.length, dim, withQd = false)
       .crossJoin(broadcast(queries
         .select(col("q_id"), toDoubleArr(col("q_emb")).as("qv"))
         .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))))
@@ -1011,6 +1044,52 @@ object Similarity extends Serializable {
     * MLlib assignment shape, exact to the last bit. */
   private[graft] val litCentroidCap = 64
 
+  /** One Lloyd's assignment of (vec_id, qe) micro-quantized rows against
+    * a given centroid set: literal-array codegen path under
+    * litCentroidCap, broadcast-matrix path above — bit-identical
+    * arithmetic either way (see litCentroidCap doc). Shared by
+    * kmeansTrained's rounds and the artifact serve path. */
+  private[graft] def assignOver(s: SparkSession, df: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    if (cents.length <= litCentroidCap) {
+      // codegen'd SqDistExpr — identical left-fold to the HOF idiom the
+      // oracle replays, minus the per-(row, centroid) interpreter
+      // overhead. Centroid literals ride the plan: only viable while
+      // k×dim literals fit a codegen'd projection.
+      val dists = array(cents.map { c =>
+        graft.plans.DotProduct.sqDist(col("qd"),
+          array(c.map(lit).toSeq: _*))
+      }.toSeq: _*)
+      df.withColumn("qd", expr("transform(qe, x -> CAST(x AS DOUBLE))"))
+        .withColumn("dists", dists)
+        .withColumn("dist", array_min(col("dists")))
+        .withColumn("cid",
+          (array_position(col("dists"), col("dist")) - 1).cast("int"))
+        .select("vec_id", "qe", "cid", "dist")
+    } else assignViaBroadcast(s, df, cents)
+
+  /** The trained coarse-quantizer centroids alone — the index-build
+    * surface for the IVF/k-means family (k × dim micro-unit doubles). */
+  def kmeansCentroids(s: SparkSession, corpus: DataFrame, k: Int = 8,
+      updates: Int = 2, dim: Int = 64, knownCount: Option[Long] = None)
+      : Array[Array[Double]] =
+    kmeansTrained(s, corpus, k, updates, dim, knownCount)._2
+
+  /** kmeansAssignments with EXTERNALLY-SUPPLIED centroids (the
+    * load-and-serve surface): one assignment pass, no training rounds —
+    * output shape and arithmetic identical to kmeansAssignments when
+    * the centroids are the trained set. */
+  def assignWithCentroids(s: SparkSession, corpus: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val q = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qe"))
+      .repartition(col("vec_id"))
+    assignOver(s, q, cents)
+      .select(col("vec_id"), col("cid"), round(col("dist"), 6).as("dist"))
+      .orderBy("vec_id")
+  }
+
   /** Broadcast-centroid Lloyd's assignment for large k: (vec_id, qe) →
     * (vec_id, qe, cid, dist), bit-identical to the literal-array path. */
   private[graft] def assignViaBroadcast(s: SparkSession, df: DataFrame,
@@ -1090,23 +1169,7 @@ object Similarity extends Serializable {
     // array, and argmin = array_position of the minimum (first hit =
     // lowest cid, the same tie-break as ORDER BY dist, cid). No shuffle,
     // no k-times row blowup — the per-iteration cost is one corpus scan.
-    def assignedOver(df: DataFrame): DataFrame =
-      if (cents.length <= litCentroidCap) {
-        // codegen'd SqDistExpr — identical left-fold to the HOF idiom the
-        // oracle replays, minus the per-(row, centroid) interpreter
-        // overhead. Centroid literals ride the plan: only viable while
-        // k×dim literals fit a codegen'd projection.
-        val dists = array(cents.map { c =>
-          graft.plans.DotProduct.sqDist(col("qd"),
-            array(c.map(lit).toSeq: _*))
-        }.toSeq: _*)
-        df.withColumn("qd", expr("transform(qe, x -> CAST(x AS DOUBLE))"))
-          .withColumn("dists", dists)
-          .withColumn("dist", array_min(col("dists")))
-          .withColumn("cid",
-            (array_position(col("dists"), col("dist")) - 1).cast("int"))
-          .select("vec_id", "qe", "cid", "dist")
-      } else assignViaBroadcast(s, df, cents)
+    def assignedOver(df: DataFrame): DataFrame = assignOver(s, df, cents)
     def assigned: DataFrame = assignedOver(q)
     for (_ <- 1 to updates) {
       val sums = assignedOver(qt)

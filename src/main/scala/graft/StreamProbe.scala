@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   * and EVICT as the watermark passes: end-state rows far below peak is
   * the eviction evidence.
   *
+  * SPARK_GRAFT_STREAM_MODE selects the state profile (round-11 ask):
+  *  - "session" (default): u_stream_session's session windows — state is
+  *    the open sessions of the watermark horizon (many rows per user,
+  *    closed by gap + watermark);
+  *  - "dedup": u_stream_dedup's dropDuplicatesWithinWatermark on
+  *    (user_id, event_type) — ONE state row per distinct key, eviction
+  *    purely watermark-driven, emission only on first occurrence: the
+  *    other canonical streaming state shape.
+  *
   * Prints one JSON line per micro-batch and one summary line. Knobs:
   * SPARK_GRAFT_STREAM_REPS (default 100), SPARK_GRAFT_STATE_PARTITIONS
   * (default 32), SPARK_GRAFT_CPUS. */
@@ -31,6 +40,7 @@ object StreamProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val statePartitions =
       sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "32").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "session")
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
@@ -68,15 +78,28 @@ object StreamProbe {
       sliced.unpersist()
     }
 
-    // ---- the u_stream_session dataflow at tier scale
+    // ---- the selected u_stream_* dataflow at tier scale
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val schema = spark.read.parquet(s"$tierDir/slice_00").schema
-    val stream = spark.readStream.schema(schema)
+    val source = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "8")
       .parquet(s"$tierDir/slice_*")
       .withWatermark("ts", "10 minutes")
-      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    val stream = mode match {
+      case "session" =>
+        source
+          .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      case "dedup" =>
+        // the tier has no event_type column; derive a deterministic
+        // 4-way type from value so the key shape matches u_stream_dedup
+        source
+          .withColumn("event_type", pmod(col("value"), lit(4)).cast("int"))
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select("user_id", "event_type")
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STREAM_MODE=$other (want session|dedup)")
+    }
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_stream_probe_ckpt").toString
     val t0 = System.nanoTime()
@@ -116,7 +139,7 @@ object StreamProbe {
         f"${mem / 1e6}%.1f" +
         s""","sst_mb":${f"${sst / 1e6}%.1f"},"wm_lag_ms":$wmLagMs}""")
     }
-    println(f"""{"metric":"stream_probe_100x","wall_sec":$wall%.1f,""" +
+    println(f"""{"metric":"stream_probe_100x_$mode%s","wall_sec":$wall%.1f,""" +
       s""""batches":${progress.size},"input_rows":$inputRows,""" +
       s""""peak_state_rows":$peakRows,""" +
       f""""peak_state_mem_mb":${peakMem / 1e6}%.1f,""" +

@@ -134,6 +134,27 @@ class UnigramSpec extends SparkSpec {
     assert(model.counts == want)
   }
 
+  test("driver state stays seed-bounded at production seed widths: the " +
+    "model never exceeds seedMax + alphabet, EM preserves the piece " +
+    "set, and prune is keep-bounded (round-11 depth assertion)") {
+    import spark.implicits._
+    // generated wide-vocabulary corpus (base-26 5-char words)
+    val toks = spark.range(40000).selectExpr(
+      "concat_ws('', transform(sequence(0, 4), j -> " +
+        "chr(97 + CAST((id * 2654435761) % 4096 AS BIGINT) " +
+        "div CAST(pow(26, j) AS BIGINT) % 26)))")
+      .toDF("tok")
+    val (model, wf) = Unigram.train(spark, toks,
+      seedMax = 2048, maxPieceLen = 6, maxWordLen = 16, rounds = 2)
+    val alphabet = model.counts.count(_._1.length == 1)
+    assert(model.counts.size <= 2048 + alphabet,
+      s"driver model ${model.counts.size} exceeds seed bound")
+    val refit = Unigram.pruneAndRefit(spark, wf, model, 6, keep = 256)
+    assert(refit.counts.size <= 256 + alphabet,
+      s"pruned driver model ${refit.counts.size} exceeds keep bound")
+    assert(refit.counts.map(_._1).distinct.size == refit.counts.size)
+  }
+
   test("prune + refit == independent reference: all singles kept, top-k " +
     "multi-char by (cnt DESC, piece ASC), one more EM round") {
     import spark.implicits._

@@ -124,6 +124,36 @@ class WordPieceBatchSpec extends SparkSpec {
     assert(wall < 30.0)
   }
 
+  test("trainInMemory at production depth: 4096 merges complete on a " +
+    "generated wide-vocabulary corpus at flat per-merge cost " +
+    "(round-11 ask: proven at 256, exercised at the 30k-piece regime)") {
+    import spark.implicits._
+    // deterministic base-26 6-char words, ~12k distinct — substring-rich
+    // enough that 4096 merge types exist (no fixture reuse)
+    val v = 12288
+    val toks = spark.range(120000).selectExpr(
+      "concat_ws('', transform(sequence(0, 5), j -> " +
+        s"chr(97 + CAST((id * 2654435761) % $v AS BIGINT) " +
+        "div CAST(pow(26, j) AS BIGINT) % 26)))")
+      .toDF("tok")
+    def run(merges: Int): (Long, Int) = {
+      val t0 = System.nanoTime()
+      val (learned, _, _) = WordPiece.trainInMemory(spark, toks, merges)
+      ((System.nanoTime() - t0) / 1000000, learned.size)
+    }
+    val (t512, n512) = run(512)
+    val (t4096, n4096) = run(4096)
+    assert(n512 == 512 && n4096 == 4096,
+      s"early exhaustion: $n512/$n4096 — corpus must support 4096 merges")
+    info(f"wall/merge: 512 -> ${t512 / 512.0}%.2f ms, " +
+      f"4096 -> ${t4096 / 4096.0}%.2f ms (totals ${t512}ms/${t4096}ms)")
+    // flat per-merge pin: exact linear scaling is 8x; a per-merge cost
+    // that GROWS with depth (the quadratic failure) would be >= 64x.
+    // 16x + fixed grace absorbs the shared corpus-pass overhead.
+    assert(t4096 <= 16L * t512 + 2000,
+      s"per-merge cost grew with depth: ${t512}ms -> ${t4096}ms")
+  }
+
   test("chain structure bounds exact disjoint batching: the likelihood " +
     "score makes consecutive sequential picks share symbols") {
     // WHY rounds ~ merges is structural for WordPiece (unlike BPE): a

@@ -11,6 +11,13 @@ final case class HtmlBlockRow(doc_id: Long, block_id: Int, tag: String,
     words: Int, link_words: Int, stop_words: Int, chars: Int,
     ld_millis: Int, cls: String, keep: Boolean)
 
+/** Per-document ingest stats over the EXTRACTED content (the
+  * stage-zero → stage-one composition of a crawl pipeline): token
+  * count, total word length, stopword count — the exact-integer inputs
+  * of the quality formula. */
+final case class HtmlIngestRow(doc_id: Long, n_tokens: Long,
+    sum_len: Long, n_stop: Long)
+
 /** Per-document record emitted by text_html_extract: block counts plus
   * the sha256 of the extracted main content (kept blocks' canonical
   * texts joined by '\n') — the strongest oracle gate: DuckDB rebuilds
@@ -365,6 +372,23 @@ object HtmlExtract {
             c.block.linkWords, c.block.stopWords, c.block.chars,
             c.block.ldMillis, c.cls, c.keep)
         }
+      }
+    }
+  }
+
+  /** text_html_pipeline's map side: extraction composed with the
+    * downstream ingest statistics IN the same pass — the real pipeline
+    * shape (extract → score) pays one scan, not two. */
+  def ingestStatsFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[HtmlIngestRow] = {
+    import s.implicits._
+    docPairs(s, docs).mapPartitions { it =>
+      it.map { case (id, text) =>
+        val words = classify(parse(fixtureHtml(id, text)))
+          .filter(_.keep).flatMap(_.block.words)
+        HtmlIngestRow(id, words.length.toLong,
+          words.map(_.length.toLong).sum,
+          words.count(stopWords.contains).toLong)
       }
     }
   }

@@ -147,6 +147,7 @@ class PerfContractSpec extends SparkSpec {
     // shuffle beyond single-digit MB means raw HTML started moving.
     Contract("text_html_blocks", 8, 10),
     Contract("text_html_extract", 4, 10),
+    Contract("text_html_pipeline", 4, 10),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

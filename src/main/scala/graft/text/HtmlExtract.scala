@@ -11,6 +11,11 @@ final case class HtmlBlockRow(doc_id: Long, block_id: Int, tag: String,
     words: Int, link_words: Int, stop_words: Int, chars: Int,
     ld_millis: Int, cls: String, keep: Boolean)
 
+/** One harvested outlink of text_html_links: document order, the
+  * entity-decoded href, and the anchor word count. */
+final case class HtmlLinkRow(doc_id: Long, link_ord: Int, href: String,
+    anchor_words: Int)
+
 /** Per-document ingest stats over the EXTRACTED content (the
   * stage-zero → stage-one composition of a crawl pipeline): token
   * count, total word length, stopword count — the exact-integer inputs
@@ -76,6 +81,12 @@ final case class HtmlExtractRow(doc_id: Long, n_blocks: Int, n_kept: Int,
   */
 object HtmlExtract {
 
+  /** One extracted outlink: the (entity-decoded) href value and the
+    * number of anchor words inside the link — the crawl-graph record
+    * (outlink harvesting feeds frontier scheduling and link-authority
+    * signals like PageRank). */
+  final case class Link(href: String, anchorWords: Int)
+
   /** One text block with integer stats. `ldMillis` = 1000·link/words
     * (integer division — exact in both engines). */
   final case class Block(tag: String, words: Vector[String],
@@ -133,16 +144,82 @@ object HtmlExtract {
     }
   }
 
+  /** Decode entities in an attribute value (the HTML rule: attribute
+    * values are entity-encoded like text). */
+  private def decodeValue(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') {
+        val (t, n) = decodeEntity(s, i); sb ++= t; i = n
+      } else { sb += s.charAt(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse a tag's attributes from just after the tag name: returns
+    * (attributes, index after '>'). Quoted values may contain '>' and
+    * '='; unquoted values end at whitespace or '>'; bare names map to
+    * "". Lenient on truncation. */
+  private def parseAttrs(html: String, from: Int)
+      : (Map[String, String], Int) = {
+    val n = html.length
+    var j = from
+    var attrs = Map.empty[String, String]
+    while (j < n && html.charAt(j) != '>') {
+      while (j < n && (html.charAt(j).isWhitespace || html.charAt(j) == '/'))
+        j += 1
+      if (j >= n || html.charAt(j) == '>') return (attrs, math.min(j + 1, n))
+      val nameStart = j
+      while (j < n && !html.charAt(j).isWhitespace &&
+             html.charAt(j) != '=' && html.charAt(j) != '>' &&
+             html.charAt(j) != '/') j += 1
+      val name = html.substring(nameStart, j).toLowerCase
+      while (j < n && html.charAt(j).isWhitespace) j += 1
+      if (j < n && html.charAt(j) == '=') {
+        j += 1
+        while (j < n && html.charAt(j).isWhitespace) j += 1
+        if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+          val q = html.charAt(j); j += 1
+          val vs = j
+          while (j < n && html.charAt(j) != q) j += 1
+          if (name.nonEmpty)
+            attrs += name -> decodeValue(html.substring(vs, math.min(j, n)))
+          j += 1
+        } else {
+          val vs = j
+          while (j < n && !html.charAt(j).isWhitespace &&
+                 html.charAt(j) != '>') j += 1
+          if (name.nonEmpty)
+            attrs += name -> decodeValue(html.substring(vs, j))
+        }
+      } else if (name.nonEmpty) attrs += name -> ""
+    }
+    (attrs, math.min(j + 1, n))
+  }
+
   /** Single-pass parse of `html` into nonempty text blocks. Never
     * throws on malformed input: unclosed tags, stray '<'/'&', and
     * truncated markup all degrade to text or are skipped. */
-  def parse(html: String): Vector[Block] = {
+  def parse(html: String): Vector[Block] = parseWithLinks(html)._1
+
+  /** Parse into (blocks, outlinks): blocks as [[parse]]; outlinks are
+    * href-bearing `<a>` elements in DOCUMENT ORDER with their
+    * entity-decoded href and anchor word count (a word is attributed
+    * to the innermost link open when the word ends — exact whenever
+    * markup doesn't split words across link boundaries). */
+  def parseWithLinks(html: String): (Vector[Block], Vector[Link]) = {
     val out = ArrayBuffer.empty[Block]
     val words = ArrayBuffer.empty[String]
     val word = new StringBuilder
     var wordInLink = false      // link depth > 0 at the word's first char
     var linkWords = 0
     var linkDepth = 0
+    // outlink records in document (open) order + the open-link stack
+    final class LinkB(val href: Option[String]) { var words = 0 }
+    val linkRecs = ArrayBuffer.empty[LinkB]
+    val linkStack = scala.collection.mutable.Stack.empty[LinkB]
     var curTag = "body"         // innermost open block-level element
     var blockTag = "body"       // tag recorded when current block began
     val n = html.length
@@ -151,7 +228,10 @@ object HtmlExtract {
     def endWord(): Unit = if (word.nonEmpty) {
       if (words.isEmpty) blockTag = curTag
       words += word.toString
-      if (wordInLink) linkWords += 1
+      if (wordInLink) {
+        linkWords += 1
+        if (linkStack.nonEmpty) linkStack.top.words += 1
+      }
       word.clear()
     }
     def flush(): Unit = {
@@ -205,7 +285,14 @@ object HtmlExtract {
           if (name.isEmpty || !Character.isLetter(html.charAt(nameStart))) {
             appendChar(c); i += 1
           } else {
-            i = skipAttrs(j)
+            // an opening <a> parses its attributes (href harvesting);
+            // every other tag skips them
+            var href = Option.empty[String]
+            if (!closing && name == "a") {
+              val (attrs, next) = parseAttrs(html, j)
+              href = attrs.get("href")
+              i = next
+            } else i = skipAttrs(j)
             if (!closing && rawTextTags.contains(name)) {
               // raw-text mode: drop everything to the matching close tag
               val close = s"</$name"
@@ -221,8 +308,15 @@ object HtmlExtract {
               else curTag = "body"   // lenient: no open-stack reconstruction
             } else if (name == "a") {
               endWord()              // a tag boundary ends the word run
-              if (closing) linkDepth = math.max(0, linkDepth - 1)
-              else linkDepth += 1
+              if (closing) {
+                linkDepth = math.max(0, linkDepth - 1)
+                if (linkStack.nonEmpty) linkStack.pop()
+              } else {
+                linkDepth += 1
+                val b = new LinkB(href)
+                linkRecs += b
+                linkStack.push(b)
+              }
             } else {
               endWord()              // inline tag: word boundary only
             }
@@ -241,7 +335,8 @@ object HtmlExtract {
       }
     }
     flush()
-    out.toVector
+    (out.toVector, linkRecs.iterator.filter(_.href.isDefined)
+      .map(b => Link(b.href.get, b.words)).toVector)
   }
 
   /** Context-free class: bad / short / good (exact integer rules — see
@@ -332,9 +427,13 @@ object HtmlExtract {
     for (i <- 0 until nb) {
       val para = toks.slice(i * n / nb, (i + 1) * n / nb)
       val body = escape(para.mkString(" "))
-      if (i == 0)
-        sb ++= s"""<p id="p$i">$body see <a href="/ref" title="a > b">""" +
+      if (i == 0) {
+        // deterministic cross-document link — the linkgraph fixture edge
+        val target = (docId * 7 + 1) % 1000
+        sb ++= s"""<p id="p$i">$body see """ +
+          s"""<a href="/doc/$target" title="a > b">""" +
           "the reference</a> for more</p>\n"
+      }
       else sb ++= s"""<p id="p$i">$body</p>\n"""
     }
     sb ++= "<p class=\"qa\">Q&amp;A &quot;quoted&quot; &#8212; " +
@@ -371,6 +470,22 @@ object HtmlExtract {
           case (c, k) => HtmlBlockRow(id, k, c.block.tag, c.block.nWords,
             c.block.linkWords, c.block.stopWords, c.block.chars,
             c.block.ldMillis, c.cls, c.keep)
+        }
+      }
+    }
+  }
+
+  /** text_html_links: outlink harvesting — the crawl-graph operator
+    * (frontier scheduling, link-authority signals). Same narrow
+    * one-pass shape: hrefs and anchor counts leave the stage, markup
+    * never does. */
+  def linksFromDocuments(s: SparkSession, docs: DataFrame)
+      : Dataset[HtmlLinkRow] = {
+    import s.implicits._
+    docPairs(s, docs).mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        parseWithLinks(fixtureHtml(id, text))._2.zipWithIndex.map {
+          case (l, k) => HtmlLinkRow(id, k, l.href, l.anchorWords)
         }
       }
     }

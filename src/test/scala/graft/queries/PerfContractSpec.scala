@@ -148,6 +148,8 @@ class PerfContractSpec extends SparkSpec {
     Contract("text_html_blocks", 8, 10),
     Contract("text_html_extract", 4, 10),
     Contract("text_html_pipeline", 4, 10),
+    Contract("text_html_links", 6, 10),
+    Contract("text_html_linkgraph", 4, 10),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

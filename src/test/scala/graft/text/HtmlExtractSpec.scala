@@ -119,6 +119,36 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extractText(cs).nonEmpty)
   }
 
+  test("link harvesting: hrefs in document order, entity-decoded " +
+    "values, quoted '>' and '=', unquoted and bare attributes, " +
+    "href-less anchors skipped, unclosed links finalize") {
+    val (_, links) = parseWithLinks(
+      """<p><a href="/a?x=1&amp;y=2">one two</a>
+        |<a class=c href='/b'>three</a>
+        |<a name="x">no href</a>
+        |<a href="/c" title="a > b = c">four</a>
+        |<a href=/d>tail words""".stripMargin)
+    assert(links == Vector(
+      Link("/a?x=1&y=2", 2), Link("/b", 1),
+      Link("/c", 1), Link("/d", 2)))
+    // nested links: words attribute to the innermost open link
+    val (_, nested) = parseWithLinks(
+      "<p><a href='/outer'>x <a href='/inner'>y</a></a></p>")
+    assert(nested == Vector(Link("/outer", 1), Link("/inner", 1)))
+    // truncated attribute at EOF must not throw
+    assert(parseWithLinks("<p><a href=\"/unterminated")._2
+      .forall(_.href.startsWith("/")))
+  }
+
+  test("fixture links: nav + cross-doc + footer in document order with " +
+    "the deterministic /doc/ edge") {
+    val (_, links) = parseWithLinks(fixtureHtml(7L, "the quick brown fox"))
+    // id 7: nli = 3 nav links, then /doc/(7*7+1)%1000 = /doc/50
+    assert(links.map(_.href) == Vector("/home?x=1&y=2", "/about",
+      "/contact", "/doc/50", "/terms", "/privacy"))
+    assert(links.map(_.anchorWords) == Vector(1, 2, 1, 2, 1, 1))
+  }
+
   test("mutation fuzz: 300 byte flips + truncations of a fixture page " +
     "parse without throwing and classification stays total") {
     val base = fixtureHtml(11L,
@@ -129,7 +159,9 @@ class HtmlExtractSpec extends SparkSpec {
       val i = rnd.nextInt(arr.length)
       arr(i) = (rnd.nextInt(94) + 33).toChar
       val mutated = new String(arr)
-      val cs = classify(parse(mutated))          // must not throw
+      val (bs, ls) = parseWithLinks(mutated)     // must not throw
+      val cs = classify(bs)
+      ls.foreach(l => assert(l.anchorWords >= 0))
       cs.foreach(c => assert(Set("good", "bad", "short").contains(c.cls)))
       val cut = base.substring(0, rnd.nextInt(base.length))
       classify(parse(cut)).foreach(c =>

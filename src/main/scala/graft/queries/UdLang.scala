@@ -597,6 +597,24 @@ object UdLang extends Serializable {
     * batches the watermark evicts keys older than the delay and a
     * recurring key would re-emit. runStream asserts the single-batch
     * assumption so a source change can't silently break oracle parity. */
+  /** STREAMING HTML extraction — stage zero in the ingest path: the
+    * fixture pages parse + classify as a STATELESS per-row map inside
+    * the stream (graft.text.HtmlExtract, the same pass the batch
+    * entries run), so the result is batching-invariant and the batch
+    * oracle (text_html_extract's chain replay) is exact regardless of
+    * how the source slices micro-batches — no watermark, no state
+    * store, per-record cost identical to batch. This is how a crawl
+    * actually lands: extraction runs as pages ARRIVE, not as a later
+    * batch pass. */
+  def uStreamHtml(s: SparkSession, d: String): DataFrame = {
+    val fileSchema = parquetSchema(s, s"$d/documents.parquet")
+    val stream = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val out = graft.text.HtmlExtract.extractFromDocuments(s, stream).toDF()
+    runStream(s, out, "u_stream_html_sink").orderBy("doc_id")
+  }
+
   def uStreamDedup(s: SparkSession, d: String): DataFrame = {
     val fileSchema = parquetSchema(s, s"$d/events.parquet")
     val stream = s.readStream.schema(fileSchema)
@@ -950,6 +968,7 @@ object UdLang extends Serializable {
     "u_stream_enrich" -> (uStreamEnrich _),
     "u_stream_state" -> (uStreamState _),
     "u_stream_dedup" -> (uStreamDedup _),
+    "u_stream_html" -> (uStreamHtml _),
     "u_stream_neardup" -> (uStreamNeardup _),
     "u_stream_contamination" -> (uStreamContamination _),
     "u_stream_shards" -> (uStreamShards _),
@@ -975,6 +994,7 @@ object UdLang extends Serializable {
     "u_stream_enrich" -> uStreamEnrichSql,
     "u_stream_state" -> uStreamStateSql,
     "u_stream_dedup" -> uStreamDedupSql,
+    "u_stream_html" -> graft.queries.LlmPipeline.textHtmlExtractSql,
     "u_stream_neardup" -> uStreamNeardupSql,
     "u_stream_contamination" -> uStreamContaminationSql,
     "u_stream_shards" -> uStreamShardsSql,

@@ -150,6 +150,13 @@ class PerfContractSpec extends SparkSpec {
     Contract("text_html_pipeline", 4, 10),
     Contract("text_html_links", 6, 10),
     Contract("text_html_linkgraph", 4, 10),
+    // links -> PageRank chain: the wide exchanges are the edge-list
+    // shuffle + two per round (the q_pagerank shape) on a corpus-sized
+    // edge list (one edge per doc)
+    Contract("text_html_pagerank", 24, 48),
+    // stateless streaming extraction: no state store, no watermark; the
+    // only exchange is the memory-sink collect of summary rows
+    Contract("u_stream_html", 4, 14),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

@@ -439,7 +439,11 @@ object HtmlExtract {
     sb ++= "<p class=\"qa\">Q&amp;A &quot;quoted&quot; &#8212; " +
       "the answer is in the text</p>\n"
     sb ++= "<div class=\"footer\">copyright 2026 " +
-      "<a href=\"/terms\">terms</a> <a href=\"/privacy\">privacy</a></div>\n"
+      "<a href=\"/terms\">terms</a> <a href=\"/privacy\">privacy</a>" +
+      // anchor-less icon link with relative path, dot segments, and a
+      // fragment — exercises URL resolution in the oracle without
+      // touching any block's word stats
+      "<a href=\"../legal/./terms#top\"></a></div>\n"
     sb ++= "</body>\n</html>\n"
     sb.toString
   }

@@ -143,10 +143,12 @@ class HtmlExtractSpec extends SparkSpec {
   test("fixture links: nav + cross-doc + footer in document order with " +
     "the deterministic /doc/ edge") {
     val (_, links) = parseWithLinks(fixtureHtml(7L, "the quick brown fox"))
-    // id 7: nli = 3 nav links, then /doc/(7*7+1)%1000 = /doc/50
+    // id 7: nli = 3 nav links, then /doc/(7*7+1)%1000 = /doc/50, the
+    // footer pair, and the anchor-less normalization-fixture link
     assert(links.map(_.href) == Vector("/home?x=1&y=2", "/about",
-      "/contact", "/doc/50", "/terms", "/privacy"))
-    assert(links.map(_.anchorWords) == Vector(1, 2, 1, 2, 1, 1))
+      "/contact", "/doc/50", "/terms", "/privacy",
+      "../legal/./terms#top"))
+    assert(links.map(_.anchorWords) == Vector(1, 2, 1, 2, 1, 1, 0))
   }
 
   test("mutation fuzz: 300 byte flips + truncations of a fixture page " +

@@ -452,7 +452,7 @@ object HtmlExtract {
   // Spark plumbing — narrow one-pass over the documents partitions.
   // -------------------------------------------------------------------
 
-  private def sha256Hex(s: String): String =
+  private[graft] def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 

@@ -150,6 +150,9 @@ class PerfContractSpec extends SparkSpec {
     Contract("text_html_pipeline", 4, 10),
     Contract("text_html_links", 6, 10),
     Contract("text_html_urlnorm", 8, 10),
+    // WARC ingest chain: assemble/gzip/parse/extract all inside the
+    // input partitions — container bytes never shuffle
+    Contract("source_warc", 4, 10),
     Contract("text_html_linkgraph", 4, 10),
     // links -> PageRank chain: the wide exchanges are the edge-list
     // shuffle + two per round (the q_pagerank shape) on a corpus-sized

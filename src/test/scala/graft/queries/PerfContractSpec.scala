@@ -153,6 +153,7 @@ class PerfContractSpec extends SparkSpec {
     // WARC ingest chain: assemble/gzip/parse/extract all inside the
     // input partitions — container bytes never shuffle
     Contract("source_warc", 4, 10),
+    Contract("text_html_robots", 8, 10),
     Contract("text_html_linkgraph", 4, 10),
     // links -> PageRank chain: the wide exchanges are the edge-list
     // shuffle + two per round (the q_pagerank shape) on a corpus-sized

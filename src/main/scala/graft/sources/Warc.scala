@@ -176,7 +176,10 @@ object Warc {
       : org.apache.spark.sql.Dataset[WarcIngestRow] = {
     import org.apache.spark.sql.functions.col
     import s.implicits._
+    // input-sized spread before the CPU-bound assemble/gzip/parse chain
+    // (see HtmlExtract.docPairs) — a single-split scan would serialize it
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val recs = parse(fixtureWarc(id, text))

@@ -294,9 +294,18 @@ object HtmlExtract {
               i = next
             } else i = skipAttrs(j)
             if (!closing && rawTextTags.contains(name)) {
-              // raw-text mode: drop everything to the matching close tag
+              // raw-text mode: drop everything to the matching close tag.
+              // Case-insensitive scan via regionMatches — lowercasing the
+              // whole document per script tag would be O(n^2) on
+              // script-heavy pages.
               val close = s"</$name"
-              var e = html.toLowerCase.indexOf(close, i)
+              var e = -1
+              var k = i
+              while (e < 0 && k <= n - close.length) {
+                if (html.regionMatches(true, k, close, 0, close.length))
+                  e = k
+                k += 1
+              }
               if (e < 0) i = n
               else {
                 val after = html.indexOf('>', e)

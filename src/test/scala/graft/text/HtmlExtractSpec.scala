@@ -30,6 +30,9 @@ class HtmlExtractSpec extends SparkSpec {
         |<script>var s = "</div> <p>"; if (1 < 2) { s = "x"; }</script>
         |<p>real</p>""".stripMargin)
     assert(bs.map(_.words) == Vector(Vector("real")))
+    // close-tag scan is case-insensitive in BOTH directions
+    assert(words("<SCRIPT>var x = 1;</script><p>a</p>" +
+      "<script>y</SCRIPT><p>b</p>") == Vector(Vector("a"), Vector("b")))
   }
 
   test("attributes: '>' inside quoted values does not close the tag; " +

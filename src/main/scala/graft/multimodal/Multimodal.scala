@@ -335,8 +335,7 @@ object Multimodal extends Serializable {
   def h264sFromDocuments(s: SparkSession, docs: DataFrame)
       : Dataset[H264Row] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.flatMap { id =>
           val mbW = 3 + (id % 4).toInt
@@ -392,8 +391,7 @@ object Multimodal extends Serializable {
   def h264FilteredFromDocuments(s: SparkSession, docs: DataFrame)
       : Dataset[H264FilteredRow] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.flatMap { id =>
           val mbW = 3 + (id % 4).toInt
@@ -428,8 +426,7 @@ object Multimodal extends Serializable {
   def h264CabacFromDocuments(s: SparkSession, docs: DataFrame)
       : Dataset[H264Row] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.flatMap { id =>
           val mbW = 2 + ((id + 1) % 4).toInt
@@ -480,8 +477,7 @@ object Multimodal extends Serializable {
   def vp8sFromDocuments(s: SparkSession, docs: DataFrame)
       : Dataset[Vp8Row] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.flatMap { id =>
           val mbW = 2 + (id % 3).toInt
@@ -537,8 +533,7 @@ object Multimodal extends Serializable {
   def vp8FilteredFromDocuments(s: SparkSession, docs: DataFrame)
       : Dataset[Vp8FilteredRow] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.flatMap { id =>
           // ONE MB row: the per-MB raster filter order interleaves
@@ -599,8 +594,7 @@ object Multimodal extends Serializable {
     import s.implicits._
     // codec work is pure CPU: split for cores, not file blocks (the
     // sf-dir documents file is a handful of splits)
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
       it.flatMap { id =>
         val w = 8 + (id % 9).toInt
@@ -670,8 +664,7 @@ object Multimodal extends Serializable {
     * grouping is too strict. */
   def imageDedup(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val hashes = docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    val hashes = graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.flatMap { id =>
           val seed = if (id % 3 == 0) (id / 21) * 21 else id
@@ -702,8 +695,7 @@ object Multimodal extends Serializable {
     * replays). */
   def imageNearDup(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val hashes = docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    val hashes = graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.flatMap { id =>
           val bytes = nearDupPng(id)
@@ -827,8 +819,7 @@ object Multimodal extends Serializable {
       : Dataset[GifFrame] = {
     import s.implicits._
     // ImageIO encode+decode is pure CPU: split for cores
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
       it.flatMap { id =>
         val w = 16 + (id % 5).toInt
@@ -1046,8 +1037,7 @@ object Multimodal extends Serializable {
     * mapPartitions; the dedup shuffles (nf, k1, k2, id) only. */
   def audioDedup(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.flatMap { id =>
           val base = if (id % 3 == 0) (id / 21) * 21 else id
@@ -1199,8 +1189,7 @@ object Multimodal extends Serializable {
     * shuffle. */
   def g711FromDocuments(s: SparkSession, docs: DataFrame): Dataset[G711Row] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
       it.flatMap { id =>
         val nf = 800 + (id % 800).toInt
@@ -1321,8 +1310,7 @@ object Multimodal extends Serializable {
   def aacsFromDocuments(s: SparkSession, docs: DataFrame)
       : Dataset[AacRow] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.flatMap { id =>
           val nFrames = 1 + (id % 2).toInt
@@ -1400,8 +1388,7 @@ object Multimodal extends Serializable {
   def adtssFromDocuments(s: SparkSession, docs: DataFrame)
       : Dataset[AdtsRow] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.flatMap { id =>
           val nFrames = 1 + (id % 7).toInt
@@ -1573,8 +1560,7 @@ object Multimodal extends Serializable {
     * shifting a sum. Narrow mapPartitions, no shuffle. */
   def flacsFromDocuments(s: SparkSession, docs: DataFrame): Dataset[FlacRow] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.flatMap { id =>
           val nf = 600 + (id % 900).toInt
@@ -1890,8 +1876,7 @@ object Multimodal extends Serializable {
   def h264Mp4FromDocuments(s: SparkSession, docs: DataFrame)
       : Dataset[H264Mp4Row] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.flatMap { id =>
           val nFrames = 1 + (id % 3).toInt
@@ -2066,8 +2051,7 @@ object Multimodal extends Serializable {
   def mjpegFromDocuments(s: SparkSession, docs: DataFrame)
       : Dataset[MjpegFrameRow] = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         val codec = new JpegCodec() // amortized per partition
         it.flatMap { id =>
@@ -2104,8 +2088,7 @@ object Multimodal extends Serializable {
     * dedup shuffles (nf, k1, k2, id) only — the audio-dedup shape. */
   def videoDedup(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.forCpu(docs.select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         val codec = new JpegCodec()
         it.flatMap { id =>

@@ -40,7 +40,12 @@ object ArtifactStore {
 
   /** Write `df` as artifact `name` via temp-dir + single rename. A
     * concurrent committer of the same (immutable) key wins harmlessly:
-    * the loser's rename fails and its temp dir is dropped. */
+    * the loser detects the existing destination and drops its temp dir.
+    * NB: Hadoop FileSystem.rename with an EXISTING destination directory
+    * does not fail — it moves the source INSIDE it (posix mv semantics)
+    * and returns true — so the loser must never issue the rename, and a
+    * racer that loses between the exists check and the rename must sweep
+    * its nested temp dir back out of the winner's artifact. */
   def commit(df: DataFrame, name: String): Unit = {
     val s = df.sparkSession
     val f = fs(s)
@@ -48,7 +53,11 @@ object ArtifactStore {
       s".tmp_${name}_${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(tmp.toString)
     val dst = path(name)
-    if (!f.rename(tmp, dst)) f.delete(tmp, true)
+    if (f.exists(dst) || !f.rename(tmp, dst)) f.delete(tmp, true)
+    else {
+      val nested = new Path(dst, tmp.getName)
+      if (f.exists(nested)) f.delete(nested, true) // lost the race mid-flight
+    }
   }
 
   def load(s: SparkSession, name: String): DataFrame =

@@ -176,10 +176,11 @@ object Warc {
       : org.apache.spark.sql.Dataset[WarcIngestRow] = {
     import org.apache.spark.sql.functions.col
     import s.implicits._
-    // input-sized spread before the CPU-bound assemble/gzip/parse chain
-    // (see HtmlExtract.docPairs) — a single-split scan would serialize it
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .repartition(s.sparkContext.defaultParallelism)
+    // conditional spread before the CPU-bound assemble/gzip/parse chain
+    // (see Spread.forCpu) — a single-split scan would serialize it; a
+    // well-split crawl archive passes through exchange-free
+    graft.operators.Spread.forCpu(
+      docs.select(col("doc_id"), col("text")).as[(Long, String)])
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val recs = parse(fixtureWarc(id, text))

@@ -468,14 +468,14 @@ object HtmlExtract {
   private def docPairs(s: SparkSession, docs: DataFrame)
       : Dataset[(Long, String)] = {
     import s.implicits._
-    // Spread the input across cores BEFORE the CPU-bound parse (the
-    // microQuantized idiom): a compact parquet corpus can arrive as ONE
-    // split, which would single-thread the whole extraction (measured:
-    // source_warc 4.1s -> ~1s at sf0.1). The exchange is input-sized by
-    // construction; a crawl-scale corpus already arrives in more splits
-    // than cores and the repartition is a no-op cost-wise.
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .repartition(s.sparkContext.defaultParallelism)
+    // Spread the input across cores BEFORE the CPU-bound parse — but
+    // ONLY when the scan under-splits (Spread.forCpu): a compact
+    // parquet corpus can arrive as ONE split, which would single-thread
+    // the whole extraction (measured: source_warc 4.1s -> ~1s at
+    // sf0.1), while a crawl-scale corpus already arrives in more splits
+    // than cores and must NOT pay a full-corpus exchange of raw text.
+    graft.operators.Spread.forCpu(
+      docs.select(col("doc_id"), col("text")).as[(Long, String)])
   }
 
   /** text_html_blocks: assemble → parse → classify, one pass inside the

@@ -65,25 +65,29 @@ object RobotsTxt {
     val (pat, anchored) =
       if (pattern.endsWith("$")) (pattern.dropRight(1), true)
       else (pattern, false)
-    // greedy wildcard walk: segments between '*' must appear in order
     val segs = pat.split("\\*", -1)
-    var pos = 0
     // first segment must match at the start (prefix rule)
     if (!path.startsWith(segs.head)) return false
-    pos = segs.head.length
-    for (seg <- segs.tail) {
-      if (seg.isEmpty) { /* trailing '*' or '**' — matches anything */ }
-      else {
+    var pos = segs.head.length
+    if (segs.length == 1) return !anchored || pos == path.length
+    // middle segments: greedy leftmost walk (taking the leftmost
+    // occurrence never loses a match — the rest of the pattern can
+    // always match further right)
+    for (seg <- segs.slice(1, segs.length - 1)) {
+      if (seg.nonEmpty) {
         val at = path.indexOf(seg, pos)
         if (at < 0) return false
         pos = at + seg.length
       }
     }
-    if (anchored)
-      // the match must reach the path's end: with a trailing wildcard
-      // anything qualifies; otherwise the last literal must end there
-      segs.last.isEmpty || pos == path.length
-    else true
+    // the LAST segment is the only one whose placement the anchor
+    // constrains: anchored means it must sit at the path's END (not at
+    // its leftmost occurrence — '/*.php$' must match '/a.php.php')
+    val last = segs.last
+    if (last.isEmpty) true // trailing '*' absorbs anything (even under $)
+    else if (anchored)
+      path.endsWith(last) && path.length - last.length >= pos
+    else path.indexOf(last, pos) >= 0
   }
 
   /** Decide (allowed, winning pattern) for a path under `rules`:

@@ -40,6 +40,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(!matches("/doc/", "/x/doc/"))
   }
 
+  test("wildcard + $ combined: the last literal matches end-anchored, " +
+    "not at its leftmost occurrence") {
+    // the leftmost '.php' ends mid-path; the anchor must re-match at
+    // the END (a greedy-leftmost walk would bypass this Disallow)
+    assert(matches("/*.php$", "/a.php.php"))
+    assert(matches("/*.php$", "/a.php"))
+    assert(!matches("/*.php$", "/a.php?x=1"))
+    assert(!matches("/*.php$", "/a.phpx"))
+    // the end-anchored match may not overlap segments already consumed
+    assert(!matches("/ab*b$", "/ab"))
+    assert(matches("/ab*b$", "/abb"))
+    assert(matches("/a*b*c$", "/aXbYbZc"))
+  }
+
   test("precedence: longest pattern wins; allow beats disallow on " +
     "ties; no match defaults to allow") {
     val rules = Seq(Rule(false, "/doc/"), Rule(true, "/doc/1"))

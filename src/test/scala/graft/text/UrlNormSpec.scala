@@ -49,6 +49,17 @@ class UrlNormSpec extends AnyFunSuite {
       .contains("http://base.com/x/z"))
   }
 
+  test("§6.2.2.1 userinfo is case-sensitive: only the host part of " +
+    "the authority lowercases") {
+    assert(UrlNorm.resolve("http://b/", "http://User:Pw@Ex.COM:80/p")
+      .contains("http://User:Pw@ex.com/p"))
+    // '@' inside userinfo: the HOST starts after the LAST '@'
+    assert(UrlNorm.resolve("http://b/", "http://A@B@Host.COM/p")
+      .contains("http://A@B@host.com/p"))
+    assert(UrlNorm.resolve("http://b/", "https://U@Ex.COM:443")
+      .contains("https://U@ex.com/"))
+  }
+
   test("crawl-frontier policy: fragments never survive, non-http(s) " +
     "absolute refs drop, bad bases give None") {
     assert(r("g#frag") == "http://a.example.com/b/c/g")

@@ -105,6 +105,63 @@ object Dedup extends Serializable {
     }.toDF("doc_id", "band", "key")
   }
 
+  /** md5-derived 60-bit hash: the first 15 hex chars of md5(s), read
+    * straight off the digest bytes — the engine-independent hashing
+    * convention (embedProject's planes, the SimHash chunks), so a
+    * DuckDB oracle replays it verbatim as
+    * `('0x'||substr(md5(s),1,15))::BIGINT`. Always non-negative. */
+  def md5Hash60(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val b = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xFFL); i += 1 }
+    (v << 4) | ((b(7) & 0xF0L) >>> 4)
+  }
+
+  /** Banded MinHash keys with ORACLE-EXPRESSIBLE derivation — the
+    * stored-index twin of bandedKeys (whose splitmix keys no SQL engine
+    * replays): per-shingle 60-bit md5 hash; the k min-hash permutations
+    * are xor with md5-derived constants c_j = md5_60("mh_" + j) (xor
+    * with a constant permutes the key space, the standard cheap
+    * min-wise family — one md5 per shingle, not per (shingle, j));
+    * band key = md5_60 of the band's mins joined by '_'. Same narrow
+    * one-pass shape as bandedKeys: only (doc_id, band, key) triples
+    * leave the stage. */
+  def bandedKeysMd5(docs: Dataset[(Long, String)], w: Int, k: Int,
+      bands: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val r = k / bands
+    docs.mapPartitions { it =>
+      val cs = Array.tabulate(k)(j => md5Hash60(s"mh_$j"))
+      it.flatMap { case (id, text) =>
+        val toks = text.split("\\s+")
+        val grams =
+          if (toks.length < w) Array(toks.mkString(" "))
+          else Array.tabulate(toks.length - w + 1)(i =>
+            toks.slice(i, i + w).mkString(" "))
+        val hs = grams.map(md5Hash60) // min is duplicate-invariant
+        val mh = Array.tabulate(k) { j =>
+          val c = cs(j)
+          var m = Long.MaxValue
+          var i = 0
+          while (i < hs.length) {
+            val x = hs(i) ^ c
+            if (x < m) m = x
+            i += 1
+          }
+          m
+        }
+        (0 until bands).iterator.map { b =>
+          val key =
+            md5Hash60((b * r until (b + 1) * r).map(mh).mkString("_"))
+          (id, b, key)
+        }
+      }
+    }.toDF("doc_id", "band", "key")
+  }
+
   /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
     * self-join on (band, bandKey). Returns distinct (a,b), a<b. */
   def lshCandidates(sigs: Dataset[DocSig], bands: Int, rowsPerBand: Int)

@@ -60,7 +60,7 @@ class IndexArtifactSpec extends SparkSpec {
     assert(diffEmpty(ArtifactStore.load(spark, sq8Name), sq8Built))
 
     val lshBuilt = LlmPipeline.idxLshBuild(spark, sf)
-    val lshName = LlmPipeline.docKey(spark, sf, "lsh_bands", "w3_k64_b32")
+    val lshName = LlmPipeline.docKey(spark, sf, "lsh_bands", "w3_k64_b32_md5")
     assert(diffEmpty(ArtifactStore.load(spark, lshName), lshBuilt))
 
     LlmPipeline.idxBloomBuild(spark, sf)

@@ -274,6 +274,18 @@ object Bpe {
       : DataFrame =
     encodedFrom(trainRounds(s, tokens, merges)._2)
 
+  /** Apply an ORDERED merge list to one word: char-split, then each
+    * merge folded left-to-right — the runtime that re-creates the
+    * trained segmentation from a LOADED merge-table artifact (the
+    * restart path: the merge table is what a BPE trainer ships). On the
+    * training corpus this reproduces the trained vocab's segmentation
+    * exactly, because training applies the same fold per round. */
+  private[graft] def applyMergeList(word: String,
+      merges: Seq[(String, String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) {
+      case (toks, (l, r, m)) => mergeOnce(toks, l, r, m)
+    }
+
   /** The encodeVocab projection over an already-trained final vocab. */
   private[graft] def encodedFrom(vocab: DataFrame): DataFrame =
     vocab.select(col("word"), col("cnt"),

@@ -438,6 +438,29 @@ object WordPiece {
       .orderBy("word")
   }
 
+  /** The runtime piece VOCABULARY as a DataFrame — the artifact a
+    * WordPiece trainer ships (the vocab file): the corpus' ##-tagged
+    * base alphabet ∪ the learned merged symbols. Together with
+    * [[longestMatch]] this is everything the runtime needs, so it is
+    * the restart-critical thing to persist. */
+  private[graft] def pieceVocabFrom(s: SparkSession,
+      learned: Seq[(Int, String, String, String, Long, Long, Long)],
+      vocab: DataFrame): DataFrame = {
+    import s.implicits._
+    vocab.select(explode(expr(
+      "transform(sequence(1, length(word)), i -> " +
+        "CASE WHEN i = 1 THEN substring(word, i, 1) " +
+        "ELSE '##' || substring(word, i, 1) END)")).as("piece"))
+      .union(learned.map(_._4).toDF("piece"))
+      .distinct()
+  }
+
+  /** DuckDB replay of the piece vocabulary (the applyChain `pieces`
+    * CTE projected to its symbols). */
+  def piecesOracleSql(merges: Int, toksSql: String): String =
+    s"""${applyChain(merges, toksSql)}
+       |SELECT sym AS piece FROM pieces ORDER BY piece""".stripMargin
+
   /** The apply-side WITH chain shared by [[applyOracleSql]] and
     * [[applyDocsOracleSql]]: the training chain, the piece vocabulary
     * (v0 symbols ∪ t1..t$merges merged symbols), and `seg` — per word an

@@ -74,6 +74,39 @@ class IndexArtifactSpec extends SparkSpec {
     assert(persisted.getAs[Array[Byte]]("bf").nonEmpty)
   }
 
+  test("tokenizer artifacts reload content-identical to an independent " +
+    "rebuild (BPE merge table, WordPiece piece vocab, Unigram model)") {
+    def diffEmpty(a: org.apache.spark.sql.DataFrame,
+                  b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+    val bpeBuilt = LlmPipeline.tokBpeBuild(spark, sf)
+    val bpeName = LlmPipeline.docKey(spark, sf, "bpe_merges", "m8")
+    assert(diffEmpty(ArtifactStore.load(spark, bpeName), bpeBuilt))
+
+    val wpBuilt = LlmPipeline.tokWpBuild(spark, sf)
+    val wpName = LlmPipeline.docKey(spark, sf, "wp_pieces", "m8")
+    assert(diffEmpty(ArtifactStore.load(spark, wpName), wpBuilt))
+
+    val uniBuilt = LlmPipeline.tokUniBuild(spark, sf)
+    val uniName =
+      LlmPipeline.docKey(spark, sf, "uni_pieces", "s128_p6_w16_r2")
+    assert(diffEmpty(ArtifactStore.load(spark, uniName), uniBuilt))
+  }
+
+  test("tokenizer serve entries answer from the loaded artifact and " +
+    "match the corpus-width family query") {
+    val a = LlmPipeline.tokBpeServe(spark, sf).collect().toSeq
+    val b = LlmPipeline.textBpeEncode(spark, sf).collect().toSeq
+    assert(a == b)
+    val c = LlmPipeline.tokWpServe(spark, sf).collect().toSeq
+    val d = LlmPipeline.textWordpieceCorpus(spark, sf).collect().toSeq
+    assert(c == d)
+    val e = LlmPipeline.tokUniServe(spark, sf).collect().toSeq
+    val f = LlmPipeline.textUnigramCorpus(spark, sf).collect().toSeq
+    assert(e == f)
+  }
+
   test("serve entries answer from the loaded artifact: serving after a " +
     "simulated restart (artifact present, caches irrelevant) matches " +
     "the family query") {

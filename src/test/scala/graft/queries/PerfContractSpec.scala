@@ -162,6 +162,28 @@ class PerfContractSpec extends SparkSpec {
     // stateless streaming extraction: no state store, no watermark; the
     // only exchange is the memory-sink collect of summary rows
     Contract("u_stream_html", 4, 14),
+    // tokenizer artifact pairs (round 12): build = the family trainer
+    // plus a vocabulary-sized artifact write; serve = corpus-width
+    // application FROM the loaded artifact — the serve side may only
+    // exchange the per-doc aggregate (and the AQE-adjudicated
+    // word→pieces join), never retrain
+    Contract("tok_bpe_build", 3, 48),
+    Contract("tok_bpe_serve", 2, 30),
+    Contract("tok_wp_build", 3, 110),
+    Contract("tok_wp_serve", 2, 26, (p, n) =>
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$n: the segmentation join must broadcast (vocabulary-sized side)")),
+    Contract("tok_uni_build", 3, 44),
+    Contract("tok_uni_serve", 2, 30, (p, n) =>
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$n: the segmentation join must broadcast (vocabulary-sized side)")),
+    // the md5-banded LSH index: band keys (24-byte rows) are the only
+    // wide exchange on build; serve probes bucket-join candidates and
+    // attaches texts shuffle-hash (the dedup_minhash_lsh shape)
+    Contract("idx_lsh_build", 16, 16),
+    Contract("idx_lsh_serve", 14, 26, (p, n) => noSmj(p, n)),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

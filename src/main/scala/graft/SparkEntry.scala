@@ -18,6 +18,7 @@ object SparkEntry {
       graft.queries.Dataflow.queries ++
       graft.queries.Scalars.queries ++
       graft.queries.LlmPipeline.queries ++
+      graft.queries.CorpusBuild.queries ++
       graft.queries.UdLang.queries
 
   /** Queries that exist as EXACTNESS BASELINES (deliberately quadratic
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Dataflow.oracle ++
       graft.queries.Scalars.oracle ++
       graft.queries.LlmPipeline.oracle ++
+      graft.queries.CorpusBuild.oracle ++
       graft.queries.UdLang.oracle
 }

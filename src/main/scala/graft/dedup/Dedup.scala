@@ -293,6 +293,65 @@ object Dedup extends Serializable {
       .orderBy("a", "b")
   }
 
+  /** Boilerplate-aware MinHash near-dup: shingles whose DOCUMENT
+    * FREQUENCY exceeds half the corpus are STOP SHINGLES (template
+    * text, not content) and are excluded from both the signatures and
+    * the verified Jaccard. Without this, a corpus whose documents share
+    * template text (every extracted web page does) gives EVERY
+    * unrelated pair a nonzero band-collision probability, so LSH
+    * candidates grow ∝ n² instead of ∝ true pairs — measured on the
+    * e2e chain at sf0.1, stop-shingling collapsed the candidate text
+    * attach from ~137 MB of shuffle to the true-pair scale. The stop
+    * set is bounded by construction: at df > N/2 there are at most
+    * 2 × (total shingle occurrences / N) ≈ 2 × avg-shingles-per-doc
+    * distinct stop shingles — broadcastable at any corpus size; mining
+    * it is one digests-only aggregate (8-byte rows).
+    *
+    * Same oracle-equivalence contract as [[minhashNearDups]], over the
+    * FILTERED sets; a doc whose filtered set is empty (pure template)
+    * gets a unique sentinel shingle so it collides with nothing and can
+    * never be a near-dup — mirroring the oracle, which drops empty
+    * filtered sets from the all-pairs compare. */
+  def minhashNearDupsStopShingles(s: SparkSession, docs: DataFrame,
+      w: Int, k: Int, bands: Int, threshold: Double, totalDocs: Long)
+      : DataFrame = {
+    import s.implicits._
+    val typed = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+    val dfLimit = totalDocs / 2
+    val common = typed.flatMap { case (_, t) => shingles(t, w).distinct }
+      .toDF("h").groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > dfLimit)
+      .select("h").as[Long].collect().toSet
+    val bc = s.sparkContext.broadcast(common)
+    val sigs = typed.map { case (id, t) =>
+      val sh = shingles(t, w).filter(h => !bc.value(h))
+      val eff = if (sh.isEmpty) Array(hashString(s"empty:$id")) else sh
+      DocSig(id, minhashSignature(eff, k))
+    }
+    val cand = lshCandidates(sigs, bands, k / bands)
+    val txt = docs.select(col("doc_id"), col("text"))
+    // shuffle-hash text attach — same rationale as minhashNearDups
+    val withTexts = cand
+      .join(txt.select(col("doc_id").as("a"), col("text").as("ta"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(txt.select(col("doc_id").as("b"), col("text").as("tb"))
+        .hint("shuffle_hash"), Seq("b"))
+      .select(col("a"), col("b"), col("ta"), col("tb"))
+      .as[(Long, Long, String, String)]
+    withTexts.map { case (a, b, ta, tb) =>
+      val sa = shingles(ta, w).filter(h => !bc.value(h)).toSet
+      val sb = shingles(tb, w).filter(h => !bc.value(h)).toSet
+      val jac =
+        if (sa.isEmpty || sb.isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / (sa ++ sb).size
+      (a, b, jac)
+    }.toDF("a", "b", "jac_raw")
+      .select(col("a"), col("b"), round(col("jac_raw"), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
   // ---- SimHash (md5-chunk formulation, column tier) ----
   //
   // The 64-bit signature is computed as 4 independent 16-bit chunks, each

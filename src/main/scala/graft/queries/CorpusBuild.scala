@@ -1,0 +1,330 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two whole-pipeline compositions (round 12):
+  *
+  *  - `crawl_frontier` — the crawl-stack stage between link harvest and
+  *    fetch: harvested hrefs → canonical URLs (UrlNorm) → robots gate
+  *    (RobotsTxt) → per-host politeness queue. Only hrefs ever
+  *    shuffle (host/url-keyed), never documents.
+  *  - `corpus_build_e2e` — the full C4-style corpus build in ONE
+  *    oracle-gated chain: WARC ingest → HTML extraction → normalize →
+  *    quality filter → exact dedup → near dedup → pack → shard
+  *    manifest. Every stage exists as its own gated entry; this entry
+  *    pins the COMPOSITION (where stage-boundary bugs hide), reporting
+  *    per-stage survivor counts plus the final shard manifest.
+  */
+object CorpusBuild {
+
+  private val ws = "\\s+"
+
+  // ------------------------------------------------------------------
+  // crawl_frontier
+  // ------------------------------------------------------------------
+
+  /** Frontier scheduling: every harvested link resolves to a canonical
+    * URL, passes the site's robots gate, and joins a PER-HOST politeness
+    * queue ordered popularity-first ((n_refs DESC, url) — deterministic,
+    * so the oracle replays the order). Scale shape: the link harvest is
+    * the narrow one-pass extraction; the only exchanges are the
+    * (host, url) frontier aggregate and the host-keyed window — 16-byte
+    * counts and short URL strings, never documents (the 100× row in
+    * README pins this). */
+  def crawlFrontier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // 7 sites' rule sets, parsed once and shipped in the closure —
+    // the textHtmlRobots convention
+    val rulesByK = (0L until 7L).map(k => k -> graft.text.RobotsTxt.parse(
+      graft.text.RobotsTxt.fixtureRobots(k), "graftbot")).toMap
+    val allowed = graft.text.HtmlExtract
+      .linksFromDocuments(s, Tables.documents(s, d))
+      .flatMap { r =>
+        val k = r.doc_id % 7
+        val base = s"HTTP://Site$k.Example.COM:80/pages/index.html"
+        graft.text.UrlNorm.resolve(base, r.href).flatMap { url =>
+          val slash = url.indexOf('/', "http://".length)
+          val (host, path) =
+            if (slash < 0) (url.substring("http://".length), "/")
+            else (url.substring("http://".length, slash),
+              url.substring(slash))
+          if (graft.text.RobotsTxt.decide(rulesByK(k), path)._1)
+            Some((host, url))
+          else None
+        }
+      }.toDF("host", "url")
+    val w = Window.partitionBy("host")
+      .orderBy(col("n_refs").desc, col("url"))
+    allowed.groupBy("host", "url").agg(count(lit(1)).as("n_refs"))
+      .withColumn("fetch_order", row_number().over(w).cast("int"))
+      .select("host", "fetch_order", "url", "n_refs")
+      .orderBy("host", "fetch_order")
+  }
+
+  /** Closed-form replay: the fixture link set per doc (the
+    * textHtmlUrlnorm/textHtmlRobots tables), allowed decisions as
+    * literals, then the same frontier aggregate + per-host window. */
+  val crawlFrontierSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(2 + doc_id % 2 AS BIGINT) AS nli,
+      |    doc_id % 7 AS k, (doc_id * 7 + 1) % 1000 AS n,
+      |    'site' || (doc_id % 7) || '.example.com' AS host
+      |  FROM documents),
+      |al AS (
+      |  SELECT host, '/about' AS path FROM d
+      |  UNION ALL SELECT host, '/contact' FROM d WHERE nli = 3
+      |  UNION ALL SELECT host, '/doc/' || n FROM d
+      |    WHERE starts_with(CAST(n AS VARCHAR), CAST(k AS VARCHAR))
+      |  UNION ALL SELECT host, '/terms' FROM d
+      |  UNION ALL SELECT host, '/legal/terms' FROM d),
+      |fr AS (
+      |  SELECT host, 'http://' || host || path AS url,
+      |    CAST(count(*) AS BIGINT) AS n_refs
+      |  FROM al GROUP BY 1, 2)
+      |SELECT host,
+      |  CAST(row_number() OVER (PARTITION BY host
+      |    ORDER BY n_refs DESC, url) AS INT) AS fetch_order,
+      |  url, n_refs
+      |FROM fr ORDER BY host, fetch_order""".stripMargin
+
+  // ------------------------------------------------------------------
+  // corpus_build_e2e
+  // ------------------------------------------------------------------
+
+  private val QualityMin = 0.2
+  private val Shards = 8
+  private val SeqCap = 2048L
+
+  /** One row of the composed report. */
+  private def stageRow(df: DataFrame, id: Int, label: String,
+                       nTok: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
+        sum(nTok).cast("long").as("n_tokens"))
+      .select(lit("stage").as("kind"), lit(id).cast("int").as("id"),
+        lit(label).as("label"), col("n_docs"), col("n_tokens"))
+
+  /** The full corpus build, one chain. Stage boundaries materialize via
+    * localCheckpoint — the lakehouse pattern (each stage's output is a
+    * table the next stage scans), which also keeps the report's
+    * fan-out from re-executing upstream stages. Stage semantics:
+    *
+    *  - ingest:      docs with a parsed 200 response; raw extracted tokens
+    *  - normalize:   lowercase, drop {a, the}, empties, pure-digit tokens
+    *                 (digits carry page identity in this fixture corpus —
+    *                 the step that lets content dedup see through ids)
+    *  - quality:     the textQuality formula over the NORMALIZED content,
+    *                 keep quality ≥ 0.2
+    *  - dedup_exact: digest of sorted distinct normalized tokens, keep
+    *                 the min doc_id per digest (dedup_exact convention)
+    *  - dedup_near:  STOP-SHINGLE MinHash-LSH (template shingles with
+    *                 df > N/2 excluded — see
+    *                 Dedup.minhashNearDupsStopShingles) + exact filtered
+    *                 shingle-Jaccard ≥ 0.8, drop any doc with a
+    *                 smaller-id verified partner
+    *  - pack:        token-count prefix sums → 2048-token sequences
+    *                 (n_docs column carries the SEQUENCE count)
+    *  - shard rows:  the sample_shards manifest over the survivors
+    */
+  def corpusBuildE2e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Set("the", "a", "and", "of", "to", "is", "in")
+    // stages 0-1: WARC → extract → normalize, ONE narrow pass
+    val norm = graft.sources.Warc
+      .extractedFromDocuments(s, Tables.documents(s, d))
+      .map { case (id, etext) =>
+        val raw = etext.split(ws)
+        val kept = raw.iterator.map(_.toLowerCase)
+          .filter(t => t.nonEmpty && t != "a" && t != "the" &&
+            !t.forall(c => c >= '0' && c <= '9'))
+          .toArray
+        (id, kept.mkString(" "), raw.length.toLong, kept.length.toLong,
+          kept.iterator.map(_.length.toLong).sum,
+          kept.count(stop).toLong)
+      }.toDF("doc_id", "norm_text", "n_raw", "n_norm", "sum_len",
+        "n_stop")
+      .localCheckpoint(true)
+    // stage 2: quality gate (engine-identical double expression)
+    val q = norm.where(col("n_norm") > 0)
+      .withColumn("quality", expr(
+        "round(least(CAST(sum_len AS DOUBLE) / n_norm, 10.0) / 10.0 " +
+          "* 0.2 + CAST(n_stop AS DOUBLE) / n_norm * 0.5 + " +
+          "least(CAST(n_norm AS DOUBLE), 100.0) / 100.0 * 0.3, 6)"))
+      .where(col("quality") >= lit(QualityMin))
+    // stage 3: exact dedup on the normalized content digest
+    val exact = q
+      .withColumn("key", sha2(concat_ws(" ", array_sort(array_distinct(
+        split(col("norm_text"), ws)))), 256))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy("key")))
+      .where(col("doc_id") === col("keep_id"))
+      .drop("key", "keep_id")
+      .localCheckpoint(true)
+    // stage 4: near dedup among the exact survivors — the STOP-SHINGLE
+    // variant: extracted pages share template shingles, and plain
+    // banding would give every unrelated pair a collision probability
+    // (candidates ∝ n²; measured 137 MB of candidate attach at sf0.1)
+    val bad = Dedup.minhashNearDupsStopShingles(s,
+        exact.select(col("doc_id"), col("norm_text").as("text")),
+        w = 3, k = 64, bands = 32, threshold = 0.8,
+        totalDocs = exact.count())
+      .select(col("b").as("doc_id")).distinct()
+    val near = exact.join(bad, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // stages 5-6: pack + shard manifest over the survivors
+    val asg = LlmPipeline.shardAssignments(
+        near.select(col("doc_id"), col("norm_text").as("text")), Shards)
+      .localCheckpoint(true)
+    val packRow = asg
+      .agg(sum(col("n_tokens")).cast("long").as("total"))
+      .select(lit("stage").as("kind"), lit(5).cast("int").as("id"),
+        lit("pack").as("label"),
+        expr(s"CAST((total + ${SeqCap - 1}) DIV $SeqCap AS BIGINT)")
+          .as("n_docs"),
+        col("total").as("n_tokens"))
+    val shardRows = asg.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .select(lit("shard").as("kind"), col("shard").cast("int").as("id"),
+        lit("shard").as("label"), col("n_docs"), col("n_tokens"))
+    stageRow(norm, 0, "ingest", col("n_raw"))
+      .union(stageRow(norm, 1, "normalize", col("n_norm")))
+      .union(stageRow(q, 2, "quality", col("n_norm")))
+      .union(stageRow(exact, 3, "dedup_exact", col("n_norm")))
+      .union(stageRow(near, 4, "dedup_near", col("n_norm")))
+      .union(packRow)
+      .union(shardRows)
+      .orderBy("kind", "id")
+  }
+
+  /** Full DuckDB replay of the chain: the htmlBlockChain extraction,
+    * normalization, the quality formula, digest-group exact dedup, exact
+    * all-pairs shingle-Jaccard near dedup (the minhashNearDups
+    * equivalence contract), and the sample_shards prefix-sum machinery. */
+  val corpusBuildE2eSql: String =
+    s"""${LlmPipeline.htmlBlockChainSqlShared},
+       |ex AS (
+       |  SELECT doc_id,
+       |    coalesce(string_agg(btext, chr(10) ORDER BY ord)
+       |      FILTER (WHERE keep), '') AS etext
+       |  FROM fin GROUP BY doc_id),
+       |n2 AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(etext, '\\s+')) AS BIGINT)
+       |      AS n_raw,
+       |    list_filter(string_split_regex(lower(etext), '\\s+'),
+       |      t -> t NOT IN ('a', 'the') AND t <> ''
+       |        AND NOT regexp_matches(t, '^[0-9]+$$')) AS nl
+       |  FROM ex),
+       |n3 AS (
+       |  SELECT doc_id, n_raw, array_to_string(nl, ' ') AS norm_text,
+       |    CAST(len(nl) AS BIGINT) AS n_norm,
+       |    CAST(coalesce(list_aggregate(list_transform(nl,
+       |      t -> length(t)), 'sum'), 0) AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(nl, t -> t IN
+       |      ('the','a','and','of','to','is','in'))) AS BIGINT) AS n_stop
+       |  FROM n2),
+       |qs AS (
+       |  SELECT * FROM (
+       |    SELECT *, round(least(CAST(sum_len AS DOUBLE) / n_norm, 10.0)
+       |      / 10.0 * 0.2 + CAST(n_stop AS DOUBLE) / n_norm * 0.5 +
+       |      least(CAST(n_norm AS DOUBLE), 100.0) / 100.0 * 0.3, 6)
+       |      AS quality
+       |    FROM n3 WHERE n_norm > 0)
+       |  WHERE quality >= 0.2),
+       |exd AS (
+       |  SELECT * FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY
+       |      array_to_string(list_sort(list_distinct(
+       |        string_split_regex(norm_text, '\\s+'))), ' ')) AS keep_id
+       |    FROM qs)
+       |  WHERE doc_id = keep_id),
+       |shn AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |      ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+       |             i -> array_to_string(t[i:i+2], ' '))) END AS s0
+       |  FROM (SELECT doc_id, string_split_regex(norm_text, '\\s+') AS t
+       |        FROM exd)),
+       |sdf AS (
+       |  SELECT g FROM (SELECT unnest(s0) AS g FROM shn)
+       |  GROUP BY g HAVING count(*) > (SELECT count(*) FROM exd) // 2),
+       |shf AS (
+       |  SELECT doc_id, list(g) AS sset
+       |  FROM (SELECT doc_id, unnest(s0) AS g FROM shn)
+       |  WHERE g NOT IN (SELECT g FROM sdf)
+       |  GROUP BY doc_id),
+       |bad AS (
+       |  SELECT DISTINCT b.doc_id AS doc_id
+       |  FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+       |  WHERE round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(a.sset, b.sset)))
+       |      AS DOUBLE), 6) >= 0.8),
+       |nr AS (
+       |  SELECT * FROM exd
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |p2 AS (SELECT GREATEST(8, (count(*) + 4095) // 4096) AS nb FROM nr),
+       |t2 AS (
+       |  SELECT doc_id, CAST(n_norm AS INTEGER) AS n_tokens,
+       |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % (SELECT nb FROM p2) AS INTEGER) AS bucket,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM nr),
+       |c2 AS (
+       |  SELECT doc_id, bucket, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_in_b
+       |  FROM t2),
+       |bb2 AS (
+       |  SELECT bucket,
+       |    CAST(coalesce(sum(btot) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS boff
+       |  FROM (SELECT bucket, sum(n_tokens) AS btot FROM t2
+       |        GROUP BY bucket)),
+       |tot2 AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+       |         AS total FROM t2),
+       |a2 AS (
+       |  SELECT c2.doc_id, c2.n_tokens,
+       |    CAST(least(7, ((bb2.boff + c2.end_in_b - c2.n_tokens) * 8)
+       |      // (SELECT total FROM tot2)) AS INTEGER) AS shard
+       |  FROM c2 JOIN bb2 USING (bucket))
+       |SELECT kind, id, label, n_docs, n_tokens FROM (
+       |  SELECT 'stage' AS kind, CAST(0 AS INT) AS id, 'ingest' AS label,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_raw) AS BIGINT) AS n_tokens FROM n3
+       |  UNION ALL
+       |  SELECT 'stage', 1, 'normalize', count(*),
+       |    CAST(sum(n_norm) AS BIGINT) FROM n3
+       |  UNION ALL
+       |  SELECT 'stage', 2, 'quality', count(*),
+       |    CAST(sum(n_norm) AS BIGINT) FROM qs
+       |  UNION ALL
+       |  SELECT 'stage', 3, 'dedup_exact', count(*),
+       |    CAST(sum(n_norm) AS BIGINT) FROM exd
+       |  UNION ALL
+       |  SELECT 'stage', 4, 'dedup_near', count(*),
+       |    CAST(sum(n_norm) AS BIGINT) FROM nr
+       |  UNION ALL
+       |  SELECT 'stage', 5, 'pack',
+       |    CAST(((SELECT total FROM tot2) + 2047) // 2048 AS BIGINT),
+       |    (SELECT total FROM tot2)
+       |  UNION ALL
+       |  SELECT 'shard', shard, 'shard', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT)
+       |  FROM a2 GROUP BY shard)
+       |ORDER BY kind, id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "crawl_frontier" -> (crawlFrontier _),
+    "corpus_build_e2e" -> (corpusBuildE2e _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "crawl_frontier" -> crawlFrontierSql,
+    "corpus_build_e2e" -> corpusBuildE2eSql
+  )
+}

@@ -201,6 +201,31 @@ object Warc {
       }
   }
 
+  /** The corpus-build ingest: the same container → HTTP → HTML →
+    * extract chain as [[ingestFromDocuments]], but yielding the
+    * extracted main-content TEXT itself — the stage-zero output the
+    * corpus_build_e2e pipeline consumes in the SAME narrow pass (no
+    * shuffle between ingest and the downstream normalize). */
+  def extractedFromDocuments(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    graft.operators.Spread.forCpu(
+      docs.select(col("doc_id"), col("text")).as[(Long, String)])
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val recs = parse(fixtureWarc(id, text))
+          for {
+            resp <- recs.find(_.warcType == "response").iterator
+            (_, _, body) <- parseHttp(resp.payload).iterator
+          } yield (id, graft.text.HtmlExtract.extractText(
+            graft.text.HtmlExtract.classify(
+              graft.text.HtmlExtract.parse(new String(body, "UTF-8")))))
+        }
+      }
+  }
+
   /** Split an HTTP/1.1 message payload into (status code, headers,
     * body); None when no status line / header terminator exists. */
   def parseHttp(payload: Array[Byte])

@@ -40,6 +40,31 @@ class LlmPipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), "identical docs must collide in every band")
   }
 
+  test("stop-shingle minhash: template-only overlap is NOT a near-dup, " +
+    "true content dups still are, pure-template docs never pair") {
+    import spark.implicits._
+    val tpl = "copyright acme corp all rights reserved contact us today"
+    val docs = Seq(
+      // same template + same content → true near-dup
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta $tpl"),
+      (2L, s"alpha beta gamma delta epsilon zeta eta theta $tpl"),
+      // same template, unrelated content → must NOT pair (the n²
+      // candidate-explosion shape stop-shingling exists to kill)
+      (3L, s"one two three four five six seven eight nine $tpl"),
+      (4L, s"red orange yellow green blue indigo violet pink $tpl"),
+      (5L, s"cat dog bird fish horse sheep goat cow duck $tpl"),
+      // pure template (filtered set empty) — collides with nothing
+      (6L, tpl),
+      (7L, tpl)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsStopShingles(spark, docs,
+        w = 3, k = 64, bands = 32, threshold = 0.8, totalDocs = 7L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected only the content dup, got $pairs")
+  }
+
   test("simhash hamming<=3 pairs found by chunk banding are exhaustive") {
     import spark.implicits._
     val base = "spark table query join filter agg window sort merge batch"

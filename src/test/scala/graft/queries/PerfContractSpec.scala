@@ -183,6 +183,18 @@ class PerfContractSpec extends SparkSpec {
     // wide exchange on build; serve probes bucket-join candidates and
     // attaches texts shuffle-hash (the dedup_minhash_lsh shape)
     Contract("idx_lsh_build", 16, 16),
+    // crawl_frontier: narrow link harvest; only (host, url) counts and
+    // the host-keyed window exchange — hrefs, never documents
+    Contract("crawl_frontier", 6, 14),
+    // corpus_build_e2e: the full composed chain — budget ≈ the SUM of
+    // its stages' own exchanges (extract is narrow; quality a filter;
+    // exact dedup one digest-keyed window; near dedup the STOP-SHINGLE
+    // LSH band join + true-pair-scale text attach; pack/shard the
+    // prefix-sum machinery; measured 11.1 MB at sf0.1). A blow-up here
+    // means a stage boundary started re-materializing upstream work —
+    // or the boilerplate candidate explosion returned (the plain
+    // banding this chain replaced measured 137 MB on the same data).
+    Contract("corpus_build_e2e", 33, 74),
     Contract("idx_lsh_serve", 14, 26, (p, n) => noSmj(p, n)),
   )
 

@@ -293,6 +293,29 @@ object Dedup extends Serializable {
       .orderBy("a", "b")
   }
 
+  /** EXACT majority-shingle mining (document frequency > totalDocs/2):
+    * one digests-only aggregate — every doc-distinct shingle ships as
+    * an 8-byte hash, the dedup-family exchange convention (same volume
+    * class as the banded-key exchange: ~shingles-per-doc longs per
+    * document, corpus-own-bytes, linear at any scale). The winners are
+    * a driver-bounded collect: at df > N/2 there can be at most
+    * 2 × avg-shingles-per-doc distinct majority shingles.
+    *
+    * (A per-partition Misra-Gries candidate pass was measured here and
+    * REJECTED: it saved ~7% of the e2e chain's shuffle but doubled its
+    * wall at the 100× tier — the decrement scans and their allocation
+    * churn cost more than the digest exchange they avoided.) */
+  private[graft] def stopShingles(typed: Dataset[(Long, String)], w: Int,
+      totalDocs: Long): Set[Long] = {
+    import typed.sparkSession.implicits._
+    if (totalDocs == 0L) return Set.empty
+    val dfLimit = totalDocs / 2
+    typed.flatMap { case (_, t) => shingles(t, w).distinct }
+      .toDF("h").groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > dfLimit)
+      .select("h").as[Long].collect().toSet
+  }
+
   /** Boilerplate-aware MinHash near-dup: shingles whose DOCUMENT
     * FREQUENCY exceeds half the corpus are STOP SHINGLES (template
     * text, not content) and are excluded from both the signatures and
@@ -305,7 +328,8 @@ object Dedup extends Serializable {
     * set is bounded by construction: at df > N/2 there are at most
     * 2 × (total shingle occurrences / N) ≈ 2 × avg-shingles-per-doc
     * distinct stop shingles — broadcastable at any corpus size; mining
-    * it is one digests-only aggregate (8-byte rows).
+    * it ([[stopShingles]]) is one digests-only aggregate (8-byte rows,
+    * the dedup-family exchange convention).
     *
     * Same oracle-equivalence contract as [[minhashNearDups]], over the
     * FILTERED sets; a doc whose filtered set is empty (pure template)
@@ -318,11 +342,7 @@ object Dedup extends Serializable {
     import s.implicits._
     val typed = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-    val dfLimit = totalDocs / 2
-    val common = typed.flatMap { case (_, t) => shingles(t, w).distinct }
-      .toDF("h").groupBy("h").agg(count(lit(1)).as("df"))
-      .where(col("df") > dfLimit)
-      .select("h").as[Long].collect().toSet
+    val common = stopShingles(typed, w, totalDocs)
     val bc = s.sparkContext.broadcast(common)
     val sigs = typed.map { case (id, t) =>
       val sh = shingles(t, w).filter(h => !bc.value(h))

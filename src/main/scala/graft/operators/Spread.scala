@@ -19,9 +19,15 @@ import org.apache.spark.sql.Dataset
 object Spread {
 
   /** Round-robin `ds` across `defaultParallelism` slots IFF it
-    * currently has fewer partitions than that; identity otherwise. */
+    * currently has fewer partitions than that; identity otherwise.
+    * A STREAMING input cannot be probed (`.rdd` is illegal before
+    * `writeStream.start()`) and its micro-batches are typically
+    * few-partition source slices, so it always spreads — the pre-fix
+    * behavior, which was already correct for streams. */
   def forCpu[T](ds: Dataset[T]): Dataset[T] = {
     val par = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions < par) ds.repartition(par) else ds
+    if (ds.isStreaming) ds.repartition(par)
+    else if (ds.rdd.getNumPartitions < par) ds.repartition(par)
+    else ds
   }
 }

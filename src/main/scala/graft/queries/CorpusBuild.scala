@@ -174,9 +174,30 @@ object CorpusBuild {
       .select(col("b").as("doc_id")).distinct()
     val near = exact.join(bad, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    // stages 5-6: pack + shard manifest over the survivors
-    val asg = LlmPipeline.shardAssignments(
-        near.select(col("doc_id"), col("norm_text").as("text")), Shards)
+    // stages 5-6: pack + shard manifest over the survivors — the
+    // sample_shards machinery inlined over (doc_id, n_tokens) ONLY:
+    // the manifest needs token counts, so the prefix-sum exchanges
+    // ship 16-byte rows, not the normalized text (measured: one full
+    // corpus-text exchange saved at the 100× tier vs reusing
+    // shardAssignments, which keeps every input column for the writer)
+    val docsT = near.select(col("doc_id"),
+      col("n_norm").cast("int").as("n_tokens"))
+    val nBuckets = graft.operators.PrefixSum.bucketCount(near.count())
+    val bucketed = docsT
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket",
+        (expr("CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT)") % nBuckets)
+          .cast("int"))
+    val total = docsT.agg(sum(col("n_tokens")).cast("long").as("total"))
+    val asg = graft.operators.PrefixSum
+      .twoLevel(bucketed, Nil, Seq("bucket"), col("n_tokens"),
+        Seq(col("h"), col("doc_id")))
+      .withColumn("start_tok",
+        col("boff") + col("end_in_b") - col("n_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("shard",
+        least(lit(Shards - 1).cast("long"),
+          expr(s"(start_tok * $Shards) div total")).cast("int"))
       .localCheckpoint(true)
     val packRow = asg
       .agg(sum(col("n_tokens")).cast("long").as("total"))

@@ -46,4 +46,15 @@ class SpreadSpec extends SparkSpec {
     val exact = spark.range(100).map(_.toString).repartition(par)
     assert(Spread.forCpu(exact) eq exact)
   }
+
+  test("streaming input spreads without probing (.rdd is illegal on an " +
+    "unstarted stream) — the u_stream_html ingest path") {
+    import spark.implicits._
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .selectExpr("CAST(value AS STRING)").as[String]
+    val out = Spread.forCpu(stream) // must not throw
+    assert(out.isStreaming)
+    assert(out.queryExecution.logical.toString.contains("Repartition"))
+  }
 }

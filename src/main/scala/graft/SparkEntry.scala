@@ -19,6 +19,8 @@ object SparkEntry {
       graft.queries.Scalars.queries ++
       graft.queries.LlmPipeline.queries ++
       graft.queries.CorpusBuild.queries ++
+      graft.queries.Sketches.queries ++
+      graft.queries.Layout.queries ++
       graft.queries.UdLang.queries
 
   /** Queries that exist as EXACTNESS BASELINES (deliberately quadratic
@@ -37,5 +39,7 @@ object SparkEntry {
       graft.queries.Scalars.oracle ++
       graft.queries.LlmPipeline.oracle ++
       graft.queries.CorpusBuild.oracle ++
+      graft.queries.Sketches.oracle ++
+      graft.queries.Layout.oracle ++
       graft.queries.UdLang.oracle
 }

@@ -39,6 +39,25 @@ package object plans {
       org.apache.spark.sql.graft.SortedIntersect.sizeLong(a, b)
   }
 
+  object Sketch {
+    /** HLL register-array aggregate over 52-bit md5-derived hashes. */
+    def hll(hash: Column, p: Int): Column =
+      org.apache.spark.sql.graft.SketchExprs.hll(hash, p)
+    /** Count–min counter-array aggregate over d per-row hashes. */
+    def cms(hashes: Column, d: Int, w: Int): Column =
+      org.apache.spark.sql.graft.SketchExprs.cms(hashes, d, w)
+    /** k-minimum-values (bottom-k theta) aggregate. */
+    def kmv(hash: Column, k: Int): Column =
+      org.apache.spark.sql.graft.SketchExprs.kmv(hash, k)
+  }
+
+  object ZOrder {
+    /** Morton/Z-order bit-interleave of two non-negative long columns
+      * (codegen'd; x → even bits, y → odd bits). */
+    def interleave(x: Column, y: Column): Column =
+      org.apache.spark.sql.graft.ZOrderExprs.interleave(x, y)
+  }
+
   object Materialized {
     /** Pin an expensive column as a once-per-row materialization point:
       * the optimizer will neither inline it into consumers nor substitute

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.plans.ZOrder
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-layout entries (round 12): write-time ordering decides what a
+  * 100-TB scan can SKIP. `layout_zorder` measures it: the events table
+  * laid out three ways — Z-order (Morton interleave of the user and
+  * time grid cells, `plans/ZOrder.scala`), time-sorted, user-sorted —
+  * each split into 32 equal row-range "files" (ntile over the layout
+  * order: the deterministic test-scale stand-in for
+  * `repartitionByRange(zval).sortWithinPartitions(zval)`, the SAME
+  * shuffle shape a production writer uses). Per layout the entry
+  * reports how many of the 32 files a selective user-box / time-box
+  * predicate has to touch given the files' min/max footer stats — the
+  * quantity parquet row-group pruning actually skips on. Z-order is the
+  * only layout that prunes BOTH dimensions; the single-dimension
+  * layouts pin the baselines (all-32 on their blind axis).
+  *
+  * Determinism: grid cells are integer math (user_id mod 1024; minutes
+  * since the corpus's min minute, 64-minute cells), ntile is the SQL
+  * standard's, and the interleave equals the 20-term bit formula the
+  * DuckDB oracle replays (ZOrderSpec pins expression == formula). */
+object Layout {
+
+  /** The 20-term SQL bit-interleave formula — the oracle-side (and
+    * spec-side) twin of plans.ZOrder.interleave for 10-bit grids. */
+  private[graft] def zFormulaSql(x: String, y: String): String =
+    (0 until 10).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  def layoutZorder(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 60000000").as("minute"))
+    // Range-normalize each dimension onto a 0..1023 grid (what a real
+    // z-order writer does) — layout jobs legitimately compute bounds
+    // first; keep it distributed (1-row broadcast, no driver collect).
+    val bounds = ev.agg(
+      min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+      min(col("minute")).as("mn"), max(col("minute")).as("mx"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("x", expr("((user_id - umin) * 1024) div (umax - umin + 1)"))
+      .withColumn("y", expr("((minute - mn) * 1024) div (mx - mn + 1)"))
+      .withColumn("zval", ZOrder.interleave(col("x"), col("y")))
+    val layouts = Seq(
+      ("zorder", Window.orderBy(col("zval"), col("event_id"))),
+      ("time_sorted", Window.orderBy(col("y"), col("event_id"))),
+      ("user_sorted", Window.orderBy(col("x"), col("event_id"))))
+    layouts.map { case (name, w) =>
+      cells.withColumn("bucket", ntile(32).over(w))
+        .groupBy(col("bucket"))
+        .agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+          min(col("y")).as("ymin"), max(col("y")).as("ymax"),
+          count(lit(1)).as("cnt"))
+        .agg(
+          count(lit(1)).as("files"),
+          sum(when(col("xmin") <= 199 && col("xmax") >= 100, 1L)
+            .otherwise(0L)).as("hits_user_box"),
+          sum(when(col("ymin") <= 399 && col("ymax") >= 300, 1L)
+            .otherwise(0L)).as("hits_time_box"),
+          min(col("cnt")).as("min_file_rows"),
+          max(col("cnt")).as("max_file_rows"))
+        .withColumn("layout", lit(name))
+    }.reduce(_.union(_))
+      .select("layout", "files", "hits_user_box", "hits_time_box",
+        "min_file_rows", "max_file_rows")
+      .orderBy("layout")
+  }
+
+  val layoutZorderSql: String = {
+    val z = zFormulaSql("x", "y")
+    def one(name: String, ord: String): String =
+      s"""SELECT '$name' AS layout, count(*) AS files,
+         |  CAST(sum(CASE WHEN xmin <= 199 AND xmax >= 100 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits_user_box,
+         |  CAST(sum(CASE WHEN ymin <= 399 AND ymax >= 300 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits_time_box,
+         |  min(cnt) AS min_file_rows, max(cnt) AS max_file_rows
+         |FROM (
+         |  SELECT bucket, min(x) AS xmin, max(x) AS xmax,
+         |    min(y) AS ymin, max(y) AS ymax, count(*) AS cnt
+         |  FROM (SELECT ntile(32) OVER (ORDER BY $ord, event_id) AS bucket,
+         |          x, y, event_id FROM cells)
+         |  GROUP BY bucket)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) // 60000000 AS minute
+       |  FROM events),
+       |b AS (
+       |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+       |    min(minute) AS mn, max(minute) AS mx FROM ev),
+       |cells AS (
+       |  SELECT event_id,
+       |    ((user_id - umin) * 1024) // (umax - umin + 1) AS x,
+       |    ((minute - mn) * 1024) // (mx - mn + 1) AS y
+       |  FROM ev, b),
+       |z AS (SELECT event_id, x, y, $z AS zval FROM cells)
+       |${one("zorder", "zval").replace("FROM cells", "FROM z")}
+       |UNION ALL
+       |${one("time_sorted", "y")}
+       |UNION ALL
+       |${one("user_sorted", "x")}
+       |ORDER BY layout""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> (layoutZorder _))
+
+  val oracle: Map[String, String] = Map(
+    "layout_zorder" -> layoutZorderSql)
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.Tables
+import graft.plans.Sketch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch entries (round 12) — the approximate
+  * cardinality/frequency primitives a 100-TB corpus run leans on when
+  * the exact answer would shuffle the key universe:
+  *
+  *  - `sketch_hll_shingles` — HLL(p=10) distinct-shingle count per
+  *    language next to its exact twin. One pass, 1 KB of state per
+  *    group on the exchange; the exact twin ships every distinct
+  *    shingle.
+  *  - `sketch_cms_topk` — count–min (4×512) token-frequency sketch,
+  *    probed at the exact top-15 tokens; pins the overestimate-only
+  *    invariant row by row.
+  *  - `sketch_kmv_intersect` — bottom-k theta sketch (k=256) per corpus
+  *    half, with distinct-count and set-intersection estimates from the
+  *    merged theta cut.
+  *
+  * Determinism: every hash is the repo's md5-derived 52-bit integer
+  * (`conv(substr(md5(x),1,13),16,10)`), so the DuckDB oracle recomputes
+  * registers/counters/minima EXACTLY; estimates are emitted micro-
+  * fixed-point (×1e6, rounded) — the PageRank fixed-point convention —
+  * so the only cross-engine float ops are IEEE-exact multiplies/divides
+  * plus one `ln` whose 1-ulp wobble cannot move a 1e-6-grain rounding.
+  * Sketch internals live in `plans/SketchAggs.scala`
+  * (TypedImperativeAggregate — map-side partials, reduce-side register
+  * merges). No reference analog (builder-brief extension).
+  */
+object Sketches {
+
+  private val ws = "\\s+"
+
+  /** 52-bit md5-derived hash of a string column (the dedup_minhash_lsh
+    * key convention — DuckDB: ('0x'||substr(md5(x),1,13))::BIGINT). */
+  private def h52(c: String): String =
+    s"CAST(conv(substr(md5($c), 1, 13), 16, 10) AS BIGINT)"
+
+  /** Distinct word trigrams per doc: (doc_id, lang, shingle). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), ws).as("t"))
+      .select(col("doc_id"), col("lang"),
+        explode(when(size(col("t")) >= 3, expr(
+          "transform(sequence(1, size(t) - 2)," +
+            " i -> array_join(slice(t, i, 3), ' '))"))
+          .otherwise(expr("array()"))).as("s"))
+
+  // ------------------------------------------------------------------
+  // sketch_hll_shingles
+  // ------------------------------------------------------------------
+
+  /** HLL(p=10, m=1024) over the 52-bit shingle hashes, per language.
+    * j = low 10 bits, rho = leading-zero run (+1) of the 42-bit rest;
+    * raw estimate = alpha·m²·2^43 / Σ 2^(43−rho) (the scaled sum is an
+    * exact BIGINT ≤ 2^53), linear counting below 2.5m. The register
+    * array itself is the aggregate's output, so the summary is plain
+    * column math the oracle replays bit-for-bit. */
+  def hllShingles(s: SparkSession, d: String): DataFrame = {
+    val regs = shingles(s, d)
+      .withColumn("h", expr(h52("s")))
+      .groupBy("lang")
+      .agg(Sketch.hll(col("h"), 10).as("regs"),
+        countDistinct(col("s")).as("exact_distinct"))
+    regs
+      .withColumn("v_zero", expr(
+        "aggregate(regs, 0L, (a, r) -> a + IF(r = 0, 1L, 0L))"))
+      .withColumn("s_scaled", expr(
+        "aggregate(regs, 0L, (a, r) -> a + shiftleft(1L, 43 - r))"))
+      .withColumn("raw_est", expr(
+        "0.7213e0 / (1e0 + 1.079e0 / 1024e0) * 1024e0 * 1024e0" +
+          " * 8796093022208e0 / CAST(s_scaled AS DOUBLE)"))
+      .withColumn("est_micro", expr(
+        "CAST(round(CASE WHEN raw_est <= 2560e0 AND v_zero > 0" +
+          " THEN 1024e0 * ln(1024e0 / CAST(v_zero AS DOUBLE))" +
+          " ELSE raw_est END * 1000000e0) AS BIGINT)"))
+      .select("lang", "exact_distinct", "v_zero", "s_scaled", "est_micro")
+      .orderBy("lang")
+  }
+
+  val hllShinglesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+      |  WHERE len(t) >= 3),
+      |hh AS (
+      |  SELECT lang, s, ('0x' || substr(md5(s), 1, 13))::BIGINT AS h FROM sh),
+      |reg AS (
+      |  SELECT lang, h % 1024 AS j,
+      |    max(CASE WHEN h // 1024 = 0 THEN 43
+      |        ELSE 43 - length(format('{:b}', h // 1024)) END) AS rho
+      |  FROM hh GROUP BY 1, 2),
+      |summ AS (
+      |  SELECT lang,
+      |    1024 - count(*) AS v_zero,
+      |    CAST(sum(1::BIGINT << (43 - rho))
+      |      + (1024 - count(*)) * (1::BIGINT << 43) AS BIGINT) AS s_scaled
+      |  FROM reg GROUP BY 1),
+      |ex AS (SELECT lang, count(DISTINCT s) AS exact_distinct FROM sh GROUP BY 1),
+      |est AS (
+      |  SELECT lang, v_zero, s_scaled,
+      |    0.7213e0 / (1e0 + 1.079e0 / 1024e0) * 1024e0 * 1024e0
+      |      * 8796093022208e0 / CAST(s_scaled AS DOUBLE) AS raw_est
+      |  FROM summ)
+      |SELECT e.lang, ex.exact_distinct, e.v_zero, e.s_scaled,
+      |  CAST(round(CASE WHEN e.raw_est <= 2560e0 AND e.v_zero > 0
+      |    THEN 1024e0 * ln(1024e0 / CAST(e.v_zero AS DOUBLE))
+      |    ELSE e.raw_est END * 1000000e0) AS BIGINT) AS est_micro
+      |FROM est e JOIN ex ON ex.lang = e.lang
+      |ORDER BY e.lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // sketch_cms_topk
+  // ------------------------------------------------------------------
+
+  /** Count–min (d=4, w=512) over token instances; probe at the exact
+    * top-15 tokens (count DESC, token ASC — deterministic). The sketch
+    * is ONE 16 KB row built in one pass (map-side partials); the probe
+    * side is 15 rows, so the join is a broadcast of constants. ge_ok
+    * pins the overestimate-only invariant. */
+  def cmsTopk(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(explode(split(col("text"), ws)).as("tok"))
+    val hs = (0 until 4).map(r =>
+      expr(s"${h52(s"concat('cms${r}_', tok)")} % 512")).toArray
+    val sketch = tk
+      .withColumn("hs", array(hs.toIndexedSeq: _*))
+      .agg(Sketch.cms(col("hs"), 4, 512).as("counters"))
+    val top = tk.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(15)
+    // 15 rows × 1 sketch row: constant-size broadcast cross join
+    top.crossJoin(broadcast(sketch))
+      .withColumn("est_cnt", expr((0 until 4).map(r =>
+        s"element_at(counters, ${r * 512} +" +
+          s" CAST(${h52(s"concat('cms${r}_', tok)")} % 512 AS INT) + 1)")
+        .mkString("least(", ", ", ")")))
+      .withColumn("ge_ok", col("est_cnt") >= col("exact_cnt"))
+      .select("tok", "exact_cnt", "est_cnt", "ge_ok")
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  val cmsTopkSql: String =
+    """WITH tk AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |hs AS (
+      |  SELECT tok, r,
+      |    ('0x' || substr(md5('cms' || r || '_' || tok), 1, 13))::BIGINT % 512 AS c
+      |  FROM (SELECT DISTINCT tok FROM tk) t,
+      |    LATERAL (SELECT unnest([0, 1, 2, 3]) AS r) g),
+      |cnt AS (
+      |  SELECT h.r, h.c, count(*) AS n
+      |  FROM tk JOIN hs h ON h.tok = tk.tok GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT tok, count(*) AS exact_cnt FROM tk GROUP BY 1
+      |  ORDER BY exact_cnt DESC, tok LIMIT 15)
+      |SELECT e.tok, e.exact_cnt, min(cnt.n) AS est_cnt,
+      |  min(cnt.n) >= e.exact_cnt AS ge_ok
+      |FROM ex e
+      |JOIN hs ON hs.tok = e.tok
+      |JOIN cnt ON cnt.r = hs.r AND cnt.c = hs.c
+      |GROUP BY 1, 2
+      |ORDER BY e.exact_cnt DESC, e.tok""".stripMargin
+
+  // ------------------------------------------------------------------
+  // sketch_kmv_intersect
+  // ------------------------------------------------------------------
+
+  /** KMV/theta (k=256) over the distinct-shingle hashes of the two
+    * corpus halves (doc_id parity). Distinct estimate per side =
+    * (k−1)·2^52 / kth-min (exact size when the side holds < k distinct
+    * values); intersection from the merged theta cut: U = k smallest of
+    * a ∪ b, tau = max(U), est = |U ∩ a ∩ b| · 2^52 / tau (exact when
+    * |a ∪ b| < k — theta = 1). Both sketches come out of ONE global
+    * aggregate row (conditional inputs), so the whole entry is one
+    * pass + constant-size column math. */
+  def kmvIntersect(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+      .withColumn("side", col("doc_id") % 2)
+      .withColumn("h", expr(h52("s")))
+    val row = sh.agg(
+      Sketch.kmv(when(col("side") === 0, col("h")), 256).as("a"),
+      Sketch.kmv(when(col("side") === 1, col("h")), 256).as("b"),
+      countDistinct(when(col("side") === 0, col("s"))).as("na_exact"),
+      countDistinct(when(col("side") === 1, col("s"))).as("nb_exact"))
+    row
+      .withColumn("u", expr("slice(array_sort(array_union(a, b)), 1, 256)"))
+      .withColumn("ku", expr("size(u)"))
+      .withColumn("tau", expr("element_at(u, size(u))"))
+      .withColumn("inter_in_u", expr(
+        "size(array_intersect(array_intersect(u, a), b))"))
+      .withColumn("est_a_micro", expr(
+        "CAST(round(CASE WHEN size(a) < 256 THEN CAST(size(a) AS DOUBLE)" +
+          " ELSE 255e0 * 4503599627370496e0 / CAST(element_at(a, 256) AS DOUBLE)" +
+          " END * 1000000e0) AS BIGINT)"))
+      .withColumn("est_b_micro", expr(
+        "CAST(round(CASE WHEN size(b) < 256 THEN CAST(size(b) AS DOUBLE)" +
+          " ELSE 255e0 * 4503599627370496e0 / CAST(element_at(b, 256) AS DOUBLE)" +
+          " END * 1000000e0) AS BIGINT)"))
+      .withColumn("inter_est_micro", expr(
+        "CAST(round(CASE WHEN ku < 256 THEN CAST(inter_in_u AS DOUBLE)" +
+          " ELSE CAST(inter_in_u AS DOUBLE) * 4503599627370496e0" +
+          " / CAST(tau AS DOUBLE) END * 1000000e0) AS BIGINT)"))
+      .select("na_exact", "nb_exact", "est_a_micro", "est_b_micro",
+        "ku", "tau", "inter_in_u", "inter_est_micro")
+  }
+
+  val kmvIntersectSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id % 2 AS side,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+      |  WHERE len(t) >= 3),
+      |hh AS (
+      |  SELECT DISTINCT side, s, ('0x' || substr(md5(s), 1, 13))::BIGINT AS h
+      |  FROM sh),
+      |ka AS (SELECT list(h ORDER BY h) AS a FROM (
+      |  SELECT DISTINCT h FROM hh WHERE side = 0 ORDER BY h LIMIT 256)),
+      |kb AS (SELECT list(h ORDER BY h) AS b FROM (
+      |  SELECT DISTINCT h FROM hh WHERE side = 1 ORDER BY h LIMIT 256)),
+      |ex AS (
+      |  SELECT count(DISTINCT CASE WHEN side = 0 THEN s END) AS na_exact,
+      |         count(DISTINCT CASE WHEN side = 1 THEN s END) AS nb_exact
+      |  FROM sh),
+      |m AS (
+      |  SELECT na_exact, nb_exact, a, b,
+      |    list_sort(list_distinct(a || b))[1:256] AS u
+      |  FROM ex, ka, kb),
+      |c AS (
+      |  SELECT na_exact, nb_exact, a, b, u,
+      |    len(u) AS ku, u[len(u)] AS tau,
+      |    len(list_filter(u, x -> list_contains(a, x)
+      |      AND list_contains(b, x))) AS inter_in_u
+      |  FROM m)
+      |SELECT na_exact, nb_exact,
+      |  CAST(round(CASE WHEN len(a) < 256 THEN CAST(len(a) AS DOUBLE)
+      |    ELSE 255e0 * 4503599627370496e0 / CAST(a[256] AS DOUBLE)
+      |    END * 1000000e0) AS BIGINT) AS est_a_micro,
+      |  CAST(round(CASE WHEN len(b) < 256 THEN CAST(len(b) AS DOUBLE)
+      |    ELSE 255e0 * 4503599627370496e0 / CAST(b[256] AS DOUBLE)
+      |    END * 1000000e0) AS BIGINT) AS est_b_micro,
+      |  ku, tau, inter_in_u,
+      |  CAST(round(CASE WHEN ku < 256 THEN CAST(inter_in_u AS DOUBLE)
+      |    ELSE CAST(inter_in_u AS DOUBLE) * 4503599627370496e0
+      |    / CAST(tau AS DOUBLE) END * 1000000e0) AS BIGINT) AS inter_est_micro
+      |FROM c""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_shingles" -> (hllShingles _),
+    "sketch_cms_topk" -> (cmsTopk _),
+    "sketch_kmv_intersect" -> (kmvIntersect _))
+
+  val oracle: Map[String, String] = Map(
+    "sketch_hll_shingles" -> hllShinglesSql,
+    "sketch_cms_topk" -> cmsTopkSql,
+    "sketch_kmv_intersect" -> kmvIntersectSql)
+}

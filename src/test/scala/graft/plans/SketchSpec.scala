@@ -1,0 +1,129 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates (plans/SketchAggs.scala): register/counter/minima
+  * equality against independent in-memory folds, merge semantics across
+  * partitions, and the query-pack invariants the oracles rely on. */
+class SketchSpec extends SparkSpec {
+
+  import graft.Tables
+
+  private def h52(x: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 13), 16)
+
+  private lazy val keys: Seq[String] = (0 until 5000).map(i => s"key_$i")
+
+  test("HLL registers equal the sequential fold, independent of " +
+    "partitioning") {
+    import spark.implicits._
+    val p = 10
+    val m = 1 << p
+    // reference fold
+    val ref = new Array[Int](m)
+    keys.foreach { k =>
+      val h = h52(k)
+      val j = (h & (m - 1)).toInt
+      val w = h >>> p
+      val rho = if (w == 0L) 43
+        else 42 - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > ref(j)) ref(j) = rho
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = keys.toDF("k").repartition(parts)
+        .select(expr("CAST(conv(substr(md5(k),1,13),16,10) AS BIGINT)").as("h"))
+        .agg(Sketch.hll(col("h"), p).as("regs"))
+        .head().getSeq[Int](0)
+      assert(got == ref.toSeq, s"parts=$parts")
+    }
+  }
+
+  test("HLL estimate lands within the published error bound (~3.3% at " +
+    "m=1024, generous 5x margin)") {
+    import spark.implicits._
+    val est = keys.toDF("k")
+      .select(expr("CAST(conv(substr(md5(k),1,13),16,10) AS BIGINT)").as("h"))
+      .agg(Sketch.hll(col("h"), 10).as("regs"))
+      .select(expr(
+        "0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * 8796093022208.0" +
+          " / CAST(aggregate(regs, 0L, (a, r) -> a + shiftleft(1L, 43 - r))" +
+          " AS DOUBLE)"))
+      .head().getDouble(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.165, s"est=$est")
+  }
+
+  test("CMS counters equal the sequential fold and never underestimate") {
+    import spark.implicits._
+    val d = 4
+    val w = 512
+    val items = (0 until 2000).map(i => s"tok_${i % 97}") // skewed freqs
+    val ref = new Array[Long](d * w)
+    items.foreach { t =>
+      (0 until d).foreach { r =>
+        ref(r * w + (h52(s"cms${r}_$t") % w).toInt) += 1L
+      }
+    }
+    val hs = (0 until d).map(r => expr(
+      s"CAST(conv(substr(md5(concat('cms${r}_', t)),1,13),16,10) AS BIGINT)" +
+        s" % $w"))
+    val got = items.toDF("t").repartition(5)
+      .withColumn("hs", array(hs: _*))
+      .agg(Sketch.cms(col("hs"), d, w).as("c"))
+      .head().getSeq[Long](0)
+    assert(got == ref.toSeq)
+    // point estimates >= true counts
+    val trueCnt = items.groupBy(identity).view.mapValues(_.size.toLong)
+    trueCnt.foreach { case (t, n) =>
+      val est = (0 until d)
+        .map(r => got(r * w + (h52(s"cms${r}_$t") % w).toInt)).min
+      assert(est >= n, s"$t: est=$est < $n")
+    }
+  }
+
+  test("KMV keeps the k smallest DISTINCT hashes, merge == global fold") {
+    import spark.implicits._
+    val k = 64
+    val withDups = keys.take(1000) ++ keys.take(300) // duplicates
+    val ref = withDups.map(h52).distinct.sorted.take(k)
+    for (parts <- Seq(1, 9)) {
+      val got = withDups.toDF("t").repartition(parts)
+        .select(expr("CAST(conv(substr(md5(t),1,13),16,10) AS BIGINT)").as("h"))
+        .agg(Sketch.kmv(col("h"), k).as("mins"))
+        .head().getSeq[Long](0)
+      assert(got == ref, s"parts=$parts")
+    }
+  }
+
+  test("KMV below k is the exact distinct set") {
+    import spark.implicits._
+    val got = keys.take(20).toDF("t")
+      .select(expr("CAST(conv(substr(md5(t),1,13),16,10) AS BIGINT)").as("h"))
+      .agg(Sketch.kmv(col("h"), 256).as("mins"))
+      .head().getSeq[Long](0)
+    assert(got == keys.take(20).map(h52).sorted)
+  }
+
+  test("sketch entries run green at sf0.001 with internally consistent " +
+    "summaries") {
+    val hll = graft.queries.Sketches.hllShingles(spark, sf).collect()
+    assert(hll.nonEmpty)
+    hll.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct")
+      val est = r.getAs[Long]("est_micro").toDouble / 1e6
+      assert(est > 0 && math.abs(est - exact) / math.max(exact, 1L) < 0.5,
+        s"lang=${r.getString(0)} exact=$exact est=$est")
+    }
+    val cms = graft.queries.Sketches.cmsTopk(spark, sf).collect()
+    assert(cms.length == 15)
+    assert(cms.forall(_.getAs[Boolean]("ge_ok")))
+    val kmv = graft.queries.Sketches.kmvIntersect(spark, sf).collect()
+    assert(kmv.length == 1)
+    val row = kmv.head
+    assert(row.getAs[Long]("na_exact") > 0 && row.getAs[Long]("nb_exact") > 0)
+    assert(row.getAs[Long]("inter_est_micro") >= 0)
+  }
+}

@@ -10,10 +10,10 @@ class RegistrySpec extends AnyFunSuite {
   /** Entries DELIBERATELY without a DuckDB oracle (the driver records a
     * weaker rows-only check). Every such exception carries its reason
     * here; anything else missing an oracle fails the suite. */
-  private val rowsOnlyAllowed: Map[String, String] = Map(
-    "idx_lsh_build" -> ("band keys are JVM-hash (splitmix) derived; " +
-      "IndexArtifactSpec pins load==rebuild and idx_lsh_serve's " +
-      "exact-Jaccard oracle gates the index end to end"))
+  private val rowsOnlyAllowed: Map[String, String] = Map.empty
+  // (round 12: idx_lsh_build gained a real oracle via md5-derived band
+  // keys — the last exception is gone; keep the mechanism for future
+  // genuinely non-SQL-expressible entries.)
 
   test("every query either carries an oracle or is a documented " +
     "rows-only exception") {

@@ -296,6 +296,36 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ExactSubstr cut removes exactly the reported spans (all " +
+    "occurrences), keeps the rest in order") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"one two three $shared"),
+      (3L, "entirely unique words that repeat nowhere in this corpus x y z"),
+      (4L, "too short"),
+      (9L, ("w " * 20).trim)).toDF("doc_id", "text")
+    val cut = LlmPipeline.cutDupSpans(docs, K = 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // both occurrences of the shared passage are cut; the rest survives
+    assert(cut(1L).getString(3) ==
+      "alpha beta gamma delta epsilon zeta eta theta")
+    assert(cut(2L).getString(3) == "one two three")
+    // untouched and sub-window docs pass through verbatim
+    assert(cut(3L).getString(3).startsWith("entirely unique"))
+    assert(cut(4L).getString(3) == "too short")
+    // a fully-duplicated doc cuts to empty
+    assert(cut(9L).getString(3) == "" && cut(9L).getLong(2) == 0L)
+    // cut is consistent with the stats entry: kept = n - covered
+    val stats = LlmPipeline.substringDedup(docs, K = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    cut.foreach { case (id, r) =>
+      assert(r.getLong(2) == r.getLong(1) - stats(id),
+        s"doc $id: kept != n - covered")
+    }
+  }
+
   test("grouped split keeps every source on one side of the boundary") {
     val rows = LlmPipeline.sampleSplitGrouped(spark, sf).collect()
       .map(r => (r.getString(1), r.getString(3)))

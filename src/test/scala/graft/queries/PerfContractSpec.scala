@@ -196,6 +196,25 @@ class PerfContractSpec extends SparkSpec {
     // banding this chain replaced measured 137 MB on the same data).
     Contract("corpus_build_e2e", 33, 74),
     Contract("idx_lsh_serve", 14, 26, (p, n) => noSmj(p, n)),
+    // sketch aggregates (round 12, sf0.1 evidence 3.3/0.0/0.8 MB):
+    // fixed-size state rides the exchange — the HLL budget is the
+    // EXACT TWIN's distinct-shingle shuffle (the sketch itself ships
+    // 1 KB per group); CMS is one pass, zero exchange beyond its own
+    // 16 KB row; KMV one global aggregate
+    Contract("sketch_hll_shingles", 12, 12),
+    Contract("sketch_cms_topk", 2, 10),
+    Contract("sketch_kmv_intersect", 4, 8),
+    // z-order layout: three ntile window sorts over (zval|y|x, id) pairs
+    // plus integer extent aggregates — the exchange is layout keys, not
+    // events rows' payloads
+    Contract("layout_zorder", 12, 12),
+    // ExactSubstr cut (round 12, 3.6 MB at sf0.1): mining shuffles gram
+    // digests + interval endpoints; islands broadcast back onto the
+    // corpus scan; the single text-bearing exchange is the final
+    // ordered output
+    Contract("text_cut_dup_spans", 12, 16, (p, n) =>
+      assert(p.contains("xxhash64"),
+        s"$n: gram digests missing — the mining join would ship text")),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.plans.Sketch
+import graft.sinks.ArtifactStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,11 +40,12 @@ object Sketches {
   private def h52(c: String): String =
     s"CAST(conv(substr(md5($c), 1, 13), 16, 10) AS BIGINT)"
 
-  /** Distinct word trigrams per doc: (doc_id, lang, shingle). */
+  /** Word trigrams per doc: (doc_id, lang, source, shingle). */
   private def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), split(col("text"), ws).as("t"))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), ws).as("t"))
+      .select(col("doc_id"), col("lang"), col("source"),
         explode(when(size(col("t")) >= 3, expr(
           "transform(sequence(1, size(t) - 2)," +
             " i -> array_join(slice(t, i, 3), ' '))"))
@@ -59,24 +61,29 @@ object Sketches {
     * exact BIGINT ≤ 2^53), linear counting below 2.5m. The register
     * array itself is the aggregate's output, so the summary is plain
     * column math the oracle replays bit-for-bit. */
+  /** Summary/estimate columns over a `regs` register-array column —
+    * shared by the direct entry and the cube serve (must stay
+    * identical: the serve's oracle IS the direct formula). */
+  private def hllSummary(df: DataFrame): DataFrame = df
+    .withColumn("v_zero", expr(
+      "aggregate(regs, 0L, (a, r) -> a + IF(r = 0, 1L, 0L))"))
+    .withColumn("s_scaled", expr(
+      "aggregate(regs, 0L, (a, r) -> a + shiftleft(1L, 43 - r))"))
+    .withColumn("raw_est", expr(
+      "0.7213e0 / (1e0 + 1.079e0 / 1024e0) * 1024e0 * 1024e0" +
+        " * 8796093022208e0 / CAST(s_scaled AS DOUBLE)"))
+    .withColumn("est_micro", expr(
+      "CAST(round(CASE WHEN raw_est <= 2560e0 AND v_zero > 0" +
+        " THEN 1024e0 * ln(1024e0 / CAST(v_zero AS DOUBLE))" +
+        " ELSE raw_est END * 1000000e0) AS BIGINT)"))
+
   def hllShingles(s: SparkSession, d: String): DataFrame = {
     val regs = shingles(s, d)
       .withColumn("h", expr(h52("s")))
       .groupBy("lang")
       .agg(Sketch.hll(col("h"), 10).as("regs"),
         countDistinct(col("s")).as("exact_distinct"))
-    regs
-      .withColumn("v_zero", expr(
-        "aggregate(regs, 0L, (a, r) -> a + IF(r = 0, 1L, 0L))"))
-      .withColumn("s_scaled", expr(
-        "aggregate(regs, 0L, (a, r) -> a + shiftleft(1L, 43 - r))"))
-      .withColumn("raw_est", expr(
-        "0.7213e0 / (1e0 + 1.079e0 / 1024e0) * 1024e0 * 1024e0" +
-          " * 8796093022208e0 / CAST(s_scaled AS DOUBLE)"))
-      .withColumn("est_micro", expr(
-        "CAST(round(CASE WHEN raw_est <= 2560e0 AND v_zero > 0" +
-          " THEN 1024e0 * ln(1024e0 / CAST(v_zero AS DOUBLE))" +
-          " ELSE raw_est END * 1000000e0) AS BIGINT)"))
+    hllSummary(regs)
       .select("lang", "exact_distinct", "v_zero", "s_scaled", "est_micro")
       .orderBy("lang")
   }
@@ -113,6 +120,107 @@ object Sketches {
       |    ELSE e.raw_est END * 1000000e0) AS BIGINT) AS est_micro
       |FROM est e JOIN ex ON ex.lang = e.lang
       |ORDER BY e.lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // sketch_hll_cube_build / sketch_hll_cube_serve
+  // ------------------------------------------------------------------
+
+  /** The stored sketch-rollup pattern: per-(lang, source) register
+    * shards committed once (ONE corpus pass), after which ANY rollup of
+    * those cells — per language, per source, whole corpus — is answered
+    * by register-wise max over 1 KB rows, never by rescanning the
+    * corpus. Build commits the cell grid through ArtifactStore (the
+    * idx_* and tok_* restart convention), reporting per-cell
+    * summaries. */
+  private[graft] def cubeKey(s: SparkSession, d: String): String =
+    LlmPipeline.docKey(s, d, "hll_cube", "p10w3")
+
+  def hllCubeBuild(s: SparkSession, d: String): DataFrame = {
+    val regs = shingles(s, d)
+      .withColumn("h", expr(h52("s")))
+      .groupBy("lang", "source")
+      .agg(Sketch.hll(col("h"), 10).as("regs"))
+    ArtifactStore.commit(regs, cubeKey(s, d))
+    hllSummary(regs)
+      .select("lang", "source", "v_zero", "s_scaled")
+      .orderBy("lang", "source")
+  }
+
+  val hllCubeBuildSql: String =
+    """WITH toks AS (
+      |  SELECT lang, source, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT lang, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+      |  WHERE len(t) >= 3),
+      |hh AS (
+      |  SELECT lang, source, s,
+      |    ('0x' || substr(md5(s), 1, 13))::BIGINT AS h FROM sh),
+      |reg AS (
+      |  SELECT lang, source, h % 1024 AS j,
+      |    max(CASE WHEN h // 1024 = 0 THEN 43
+      |        ELSE 43 - length(format('{:b}', h // 1024)) END) AS rho
+      |  FROM hh GROUP BY 1, 2, 3)
+      |SELECT lang, source,
+      |  1024 - count(*) AS v_zero,
+      |  CAST(sum(1::BIGINT << (43 - rho))
+      |    + (1024 - count(*)) * (1::BIGINT << 43) AS BIGINT) AS s_scaled
+      |FROM reg GROUP BY 1, 2
+      |ORDER BY lang, source""".stripMargin
+
+  /** Serve: answer the per-language distinct question FROM the loaded
+    * cell artifact by register-wise max across each language's source
+    * cells — no corpus access. The oracle is the DIRECT per-language
+    * formula (hllShinglesSql minus the exact twin): matching it proves
+    * merged-rollup == whole-partition sketch end to end. */
+  def hllCubeServe(s: SparkSession, d: String): DataFrame = {
+    val art = ArtifactStore.getOrBuild(s, cubeKey(s, d)) {
+      shingles(s, d)
+        .withColumn("h", expr(h52("s")))
+        .groupBy("lang", "source")
+        .agg(Sketch.hll(col("h"), 10).as("regs"))
+    }
+    val merged = art.groupBy("lang")
+      .agg(collect_list(col("regs")).as("rl"))
+      .withColumn("regs", expr(
+        "aggregate(rl, array_repeat(0, 1024)," +
+          " (acc, r) -> zip_with(acc, r, (a, b) -> greatest(a, b)))"))
+    hllSummary(merged)
+      .select("lang", "v_zero", "s_scaled", "est_micro")
+      .orderBy("lang")
+  }
+
+  val hllCubeServeSql: String =
+    """WITH toks AS (
+      |  SELECT lang, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+      |  WHERE len(t) >= 3),
+      |hh AS (
+      |  SELECT lang, s, ('0x' || substr(md5(s), 1, 13))::BIGINT AS h FROM sh),
+      |reg AS (
+      |  SELECT lang, h % 1024 AS j,
+      |    max(CASE WHEN h // 1024 = 0 THEN 43
+      |        ELSE 43 - length(format('{:b}', h // 1024)) END) AS rho
+      |  FROM hh GROUP BY 1, 2),
+      |summ AS (
+      |  SELECT lang,
+      |    1024 - count(*) AS v_zero,
+      |    CAST(sum(1::BIGINT << (43 - rho))
+      |      + (1024 - count(*)) * (1::BIGINT << 43) AS BIGINT) AS s_scaled
+      |  FROM reg GROUP BY 1),
+      |est AS (
+      |  SELECT lang, v_zero, s_scaled,
+      |    0.7213e0 / (1e0 + 1.079e0 / 1024e0) * 1024e0 * 1024e0
+      |      * 8796093022208e0 / CAST(s_scaled AS DOUBLE) AS raw_est
+      |  FROM summ)
+      |SELECT lang, v_zero, s_scaled,
+      |  CAST(round(CASE WHEN raw_est <= 2560e0 AND v_zero > 0
+      |    THEN 1024e0 * ln(1024e0 / CAST(v_zero AS DOUBLE))
+      |    ELSE raw_est END * 1000000e0) AS BIGINT) AS est_micro
+      |FROM est
+      |ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------------
   // sketch_cms_topk
@@ -255,11 +363,15 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_shingles" -> (hllShingles _),
+    "sketch_hll_cube_build" -> (hllCubeBuild _),
+    "sketch_hll_cube_serve" -> (hllCubeServe _),
     "sketch_cms_topk" -> (cmsTopk _),
     "sketch_kmv_intersect" -> (kmvIntersect _))
 
   val oracle: Map[String, String] = Map(
     "sketch_hll_shingles" -> hllShinglesSql,
+    "sketch_hll_cube_build" -> hllCubeBuildSql,
+    "sketch_hll_cube_serve" -> hllCubeServeSql,
     "sketch_cms_topk" -> cmsTopkSql,
     "sketch_kmv_intersect" -> kmvIntersectSql)
 }

@@ -107,6 +107,26 @@ class SketchSpec extends SparkSpec {
     assert(got == keys.take(20).map(h52).sorted)
   }
 
+  test("HLL cube: serving from the merged cell artifact equals the " +
+    "direct per-language sketch, and reload equals rebuild") {
+    import graft.queries.Sketches
+    val key = Sketches.cubeKey(spark, sf)
+    graft.sinks.ArtifactStore.remove(spark, key)
+    val cold = Sketches.hllCubeServe(spark, sf).collect() // builds+commits
+    val warm = Sketches.hllCubeServe(spark, sf).collect() // pure load
+    assert(cold.toSeq == warm.toSeq)
+    // merged rollup == direct whole-partition sketch (register max is
+    // associative over any grouping)
+    val direct = Sketches.hllShingles(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("v_zero"),
+        r.getAs[Long]("s_scaled"), r.getAs[Long]("est_micro")))).toMap
+    warm.foreach { r =>
+      assert(direct(r.getString(0)) == ((r.getAs[Long]("v_zero"),
+        r.getAs[Long]("s_scaled"), r.getAs[Long]("est_micro"))),
+        s"lang=${r.getString(0)}")
+    }
+  }
+
   test("sketch entries run green at sf0.001 with internally consistent " +
     "summaries") {
     val hll = graft.queries.Sketches.hllShingles(spark, sf).collect()

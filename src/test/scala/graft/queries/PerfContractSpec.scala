@@ -202,6 +202,12 @@ class PerfContractSpec extends SparkSpec {
     // 1 KB per group); CMS is one pass, zero exchange beyond its own
     // 16 KB row; KMV one global aggregate
     Contract("sketch_hll_shingles", 12, 12),
+    // the sketch-rollup artifact pair: build shuffles REGISTERS only
+    // (~1 KB per (lang, source) cell — 0.3 MB measured at sf0.1);
+    // serve answers from the loaded artifact and never rescans the
+    // corpus, so its exchange is cell rows + the tiny merge
+    Contract("sketch_hll_cube_build", 2, 20),
+    Contract("sketch_hll_cube_serve", 2, 16),
     Contract("sketch_cms_topk", 2, 10),
     Contract("sketch_kmv_intersect", 4, 8),
     // z-order layout: three ntile window sorts over (zval|y|x, id) pairs

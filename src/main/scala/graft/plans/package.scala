@@ -43,9 +43,10 @@ package object plans {
     /** HLL register-array aggregate over 52-bit md5-derived hashes. */
     def hll(hash: Column, p: Int): Column =
       org.apache.spark.sql.graft.SketchExprs.hll(hash, p)
-    /** Count–min counter-array aggregate over d per-row hashes. */
-    def cms(hashes: Column, d: Int, w: Int): Column =
-      org.apache.spark.sql.graft.SketchExprs.cms(hashes, d, w)
+    /** Count–min counter-array aggregate over d per-item hashes with a
+      * per-row weight (combine-then-sketch: feed (item, count) rows). */
+    def cms(hashes: Column, weight: Column, d: Int, w: Int): Column =
+      org.apache.spark.sql.graft.SketchExprs.cms(hashes, weight, d, w)
     /** k-minimum-values (bottom-k theta) aggregate. */
     def kmv(hash: Column, k: Int): Column =
       org.apache.spark.sql.graft.SketchExprs.kmv(hash, k)

@@ -129,7 +129,16 @@ object CorpusBuild {
     *                 (n_docs column carries the SEQUENCE count)
     *  - shard rows:  the sample_shards manifest over the survivors
     */
-  def corpusBuildE2e(s: SparkSession, d: String): DataFrame = {
+  /** The chain's intermediate frames, shared by the manifest entry
+    * (corpusBuildE2e) and the lineage entry (corpusLineage) — must stay
+    * one implementation: lineage is DEFINED as "which stage of THIS
+    * chain dropped the doc". */
+  private[graft] final case class ChainFrames(
+      norm: DataFrame, qAll: DataFrame, q: DataFrame,
+      exactAll: DataFrame, exact: DataFrame, bad: DataFrame,
+      near: DataFrame, asg: DataFrame)
+
+  private def chainFrames(s: SparkSession, d: String): ChainFrames = {
     import s.implicits._
     val stop = Set("the", "a", "and", "of", "to", "is", "in")
     // stages 0-1: WARC → extract → normalize, ONE narrow pass
@@ -148,18 +157,19 @@ object CorpusBuild {
         "n_stop")
       .localCheckpoint(true)
     // stage 2: quality gate (engine-identical double expression)
-    val q = norm.where(col("n_norm") > 0)
+    val qAll = norm.where(col("n_norm") > 0)
       .withColumn("quality", expr(
         "round(least(CAST(sum_len AS DOUBLE) / n_norm, 10.0) / 10.0 " +
           "* 0.2 + CAST(n_stop AS DOUBLE) / n_norm * 0.5 + " +
           "least(CAST(n_norm AS DOUBLE), 100.0) / 100.0 * 0.3, 6)"))
-      .where(col("quality") >= lit(QualityMin))
+    val q = qAll.where(col("quality") >= lit(QualityMin))
     // stage 3: exact dedup on the normalized content digest
-    val exact = q
+    val exactAll = q
       .withColumn("key", sha2(concat_ws(" ", array_sort(array_distinct(
         split(col("norm_text"), ws)))), 256))
       .withColumn("keep_id",
         min(col("doc_id")).over(Window.partitionBy("key")))
+    val exact = exactAll
       .where(col("doc_id") === col("keep_id"))
       .drop("key", "keep_id")
       .localCheckpoint(true)
@@ -174,12 +184,17 @@ object CorpusBuild {
       .select(col("b").as("doc_id")).distinct()
     val near = exact.join(bad, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    // stages 5-6: pack + shard manifest over the survivors — the
-    // sample_shards machinery inlined over (doc_id, n_tokens) ONLY:
-    // the manifest needs token counts, so the prefix-sum exchanges
-    // ship 16-byte rows, not the normalized text (measured: one full
-    // corpus-text exchange saved at the 100× tier vs reusing
-    // shardAssignments, which keeps every input column for the writer)
+    ChainFrames(norm, qAll, q, exactAll, exact, bad, near,
+      shardAsg(s, near))
+  }
+
+  /** Stages 5-6: pack + shard manifest over the survivors — the
+    * sample_shards machinery inlined over (doc_id, n_tokens) ONLY:
+    * the manifest needs token counts, so the prefix-sum exchanges
+    * ship 16-byte rows, not the normalized text (measured: one full
+    * corpus-text exchange saved at the 100× tier vs reusing
+    * shardAssignments, which keeps every input column for the writer) */
+  private def shardAsg(s: SparkSession, near: DataFrame): DataFrame = {
     val docsT = near.select(col("doc_id"),
       col("n_norm").cast("int").as("n_tokens"))
     val nBuckets = graft.operators.PrefixSum.bucketCount(near.count())
@@ -189,7 +204,7 @@ object CorpusBuild {
         (expr("CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT)") % nBuckets)
           .cast("int"))
     val total = docsT.agg(sum(col("n_tokens")).cast("long").as("total"))
-    val asg = graft.operators.PrefixSum
+    graft.operators.PrefixSum
       .twoLevel(bucketed, Nil, Seq("bucket"), col("n_tokens"),
         Seq(col("h"), col("doc_id")))
       .withColumn("start_tok",
@@ -199,6 +214,10 @@ object CorpusBuild {
         least(lit(Shards - 1).cast("long"),
           expr(s"(start_tok * $Shards) div total")).cast("int"))
       .localCheckpoint(true)
+  }
+
+  def corpusBuildE2e(s: SparkSession, d: String): DataFrame = {
+    val ChainFrames(norm, _, q, _, exact, _, near, asg) = chainFrames(s, d)
     val packRow = asg
       .agg(sum(col("n_tokens")).cast("long").as("total"))
       .select(lit("stage").as("kind"), lit(5).cast("int").as("id"),
@@ -221,11 +240,44 @@ object CorpusBuild {
       .orderBy("kind", "id")
   }
 
-  /** Full DuckDB replay of the chain: the htmlBlockChain extraction,
-    * normalization, the quality formula, digest-group exact dedup, exact
-    * all-pairs shingle-Jaccard near dedup (the minhashNearDups
-    * equivalence contract), and the sample_shards prefix-sum machinery. */
-  val corpusBuildE2eSql: String =
+  /** Per-document lineage through the SAME chain — the "why did my doc
+    * disappear" debugging surface a corpus run needs: every input doc
+    * gets its fate (dropped_empty / dropped_quality / dropped_exact_dup
+    * with the surviving twin / dropped_near_dup / kept with its shard).
+    * Built from chainFrames, so lineage can never drift from what the
+    * manifest entry actually did. Scale shape: four doc-keyed joins of
+    * (id, small-int) columns onto the normalize pass — no text beyond
+    * the chain's own exchanges. */
+  def corpusLineage(s: SparkSession, d: String): DataFrame = {
+    val f = chainFrames(s, d)
+    f.norm.select(col("doc_id"), col("n_norm"))
+      .join(f.qAll.select(col("doc_id"), col("quality")),
+        Seq("doc_id"), "left")
+      .join(f.exactAll.select(col("doc_id"), col("keep_id")),
+        Seq("doc_id"), "left")
+      .join(f.bad.withColumn("near_dropped", lit(true)),
+        Seq("doc_id"), "left")
+      .join(f.asg.select(col("doc_id"), col("shard")),
+        Seq("doc_id"), "left")
+      .withColumn("fate",
+        when(col("n_norm") === 0, "dropped_empty")
+          .when(col("quality") < lit(QualityMin), "dropped_quality")
+          .when(col("keep_id") =!= col("doc_id"), "dropped_exact_dup")
+          .when(col("near_dropped"), "dropped_near_dup")
+          .otherwise("kept"))
+      .withColumn("detail",
+        when(col("fate") === "dropped_exact_dup", col("keep_id"))
+          .when(col("fate") === "kept", col("shard").cast("long")))
+      .select("doc_id", "n_norm", "fate", "detail")
+      .orderBy("doc_id")
+  }
+
+  /** Full DuckDB replay of the chain's CTEs (shared by the manifest and
+    * lineage oracles): the htmlBlockChain extraction, normalization, the
+    * quality formula, digest-group exact dedup, exact all-pairs
+    * shingle-Jaccard near dedup (the minhashNearDups equivalence
+    * contract), and the sample_shards prefix-sum machinery. */
+  private val corpusChainSql: String =
     s"""${LlmPipeline.htmlBlockChainSqlShared},
        |ex AS (
        |  SELECT doc_id,
@@ -248,21 +300,19 @@ object CorpusBuild {
        |    CAST(len(list_filter(nl, t -> t IN
        |      ('the','a','and','of','to','is','in'))) AS BIGINT) AS n_stop
        |  FROM n2),
-       |qs AS (
-       |  SELECT * FROM (
-       |    SELECT *, round(least(CAST(sum_len AS DOUBLE) / n_norm, 10.0)
-       |      / 10.0 * 0.2 + CAST(n_stop AS DOUBLE) / n_norm * 0.5 +
-       |      least(CAST(n_norm AS DOUBLE), 100.0) / 100.0 * 0.3, 6)
-       |      AS quality
-       |    FROM n3 WHERE n_norm > 0)
-       |  WHERE quality >= 0.2),
-       |exd AS (
-       |  SELECT * FROM (
-       |    SELECT *, min(doc_id) OVER (PARTITION BY
-       |      array_to_string(list_sort(list_distinct(
-       |        string_split_regex(norm_text, '\\s+'))), ' ')) AS keep_id
-       |    FROM qs)
-       |  WHERE doc_id = keep_id),
+       |q_all AS (
+       |  SELECT *, round(least(CAST(sum_len AS DOUBLE) / n_norm, 10.0)
+       |    / 10.0 * 0.2 + CAST(n_stop AS DOUBLE) / n_norm * 0.5 +
+       |    least(CAST(n_norm AS DOUBLE), 100.0) / 100.0 * 0.3, 6)
+       |    AS quality
+       |  FROM n3 WHERE n_norm > 0),
+       |qs AS (SELECT * FROM q_all WHERE quality >= 0.2),
+       |exd_all AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY
+       |    array_to_string(list_sort(list_distinct(
+       |      string_split_regex(norm_text, '\\s+'))), ' ')) AS keep_id
+       |  FROM qs),
+       |exd AS (SELECT * FROM exd_all WHERE doc_id = keep_id),
        |shn AS (
        |  SELECT doc_id,
        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -312,7 +362,10 @@ object CorpusBuild {
        |  SELECT c2.doc_id, c2.n_tokens,
        |    CAST(least(7, ((bb2.boff + c2.end_in_b - c2.n_tokens) * 8)
        |      // (SELECT total FROM tot2)) AS INTEGER) AS shard
-       |  FROM c2 JOIN bb2 USING (bucket))
+       |  FROM c2 JOIN bb2 USING (bucket))""".stripMargin
+
+  val corpusBuildE2eSql: String =
+    s"""$corpusChainSql
        |SELECT kind, id, label, n_docs, n_tokens FROM (
        |  SELECT 'stage' AS kind, CAST(0 AS INT) AS id, 'ingest' AS label,
        |    CAST(count(*) AS BIGINT) AS n_docs,
@@ -339,13 +392,34 @@ object CorpusBuild {
        |  FROM a2 GROUP BY shard)
        |ORDER BY kind, id""".stripMargin
 
+  val corpusLineageSql: String =
+    s"""$corpusChainSql
+       |SELECT doc_id, n_norm, fate,
+       |  CASE WHEN fate = 'dropped_exact_dup' THEN keep_id
+       |       WHEN fate = 'kept' THEN CAST(shard AS BIGINT) END AS detail
+       |FROM (
+       |  SELECT n3.doc_id, n3.n_norm, e.keep_id, a2.shard,
+       |    CASE WHEN n3.n_norm = 0 THEN 'dropped_empty'
+       |         WHEN q.quality < 0.2 THEN 'dropped_quality'
+       |         WHEN e.keep_id <> n3.doc_id THEN 'dropped_exact_dup'
+       |         WHEN b.doc_id IS NOT NULL THEN 'dropped_near_dup'
+       |         ELSE 'kept' END AS fate
+       |  FROM n3
+       |  LEFT JOIN q_all q USING (doc_id)
+       |  LEFT JOIN exd_all e USING (doc_id)
+       |  LEFT JOIN bad b USING (doc_id)
+       |  LEFT JOIN a2 USING (doc_id))
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "crawl_frontier" -> (crawlFrontier _),
-    "corpus_build_e2e" -> (corpusBuildE2e _)
+    "corpus_build_e2e" -> (corpusBuildE2e _),
+    "corpus_lineage" -> (corpusLineage _)
   )
 
   val oracle: Map[String, String] = Map(
     "crawl_frontier" -> crawlFrontierSql,
-    "corpus_build_e2e" -> corpusBuildE2eSql
+    "corpus_build_e2e" -> corpusBuildE2eSql,
+    "corpus_lineage" -> corpusLineageSql
   )
 }

@@ -3,27 +3,27 @@ package graft.queries
 import graft.Tables
 import graft.plans.ZOrder
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout entries (round 12): write-time ordering decides what a
   * 100-TB scan can SKIP. `layout_zorder` measures it: the events table
   * laid out three ways — Z-order (Morton interleave of the user and
   * time grid cells, `plans/ZOrder.scala`), time-sorted, user-sorted —
-  * each split into 32 equal row-range "files" (ntile over the layout
-  * order: the deterministic test-scale stand-in for
-  * `repartitionByRange(zval).sortWithinPartitions(zval)`, the SAME
-  * shuffle shape a production writer uses). Per layout the entry
-  * reports how many of the 32 files a selective user-box / time-box
-  * predicate has to touch given the files' min/max footer stats — the
-  * quantity parquet row-group pruning actually skips on. Z-order is the
-  * only layout that prunes BOTH dimensions; the single-dimension
-  * layouts pin the baselines (all-32 on their blind axis).
+  * each split into 32 equal row-range "files" (global rank over the
+  * layout key via the two-level prefix composition — no global sort
+  * window; a production writer's `repartitionByRange(zval)
+  * .sortWithinPartitions(zval)` is the same shuffle shape). Per layout
+  * the entry reports how many of the 32 files a selective user-box /
+  * time-box predicate has to touch given the files' min/max footer
+  * stats — the quantity parquet row-group pruning actually skips on.
+  * Z-order is the only layout that prunes BOTH dimensions; the
+  * single-dimension layouts pin the baselines (all-32 on their blind
+  * axis).
   *
-  * Determinism: grid cells are integer math (user_id mod 1024; minutes
-  * since the corpus's min minute, 64-minute cells), ntile is the SQL
-  * standard's, and the interleave equals the 20-term bit formula the
-  * DuckDB oracle replays (ZOrderSpec pins expression == formula). */
+  * Determinism: grid cells are range-normalized integer math, file
+  * assignment is floor((rank−1)·32/n) over a unique total order
+  * ((key, event_id)), and the interleave equals the 20-term bit formula
+  * the DuckDB oracle replays (ZOrderSpec pins expression == formula). */
 object Layout {
 
   /** The 20-term SQL bit-interleave formula — the oracle-side (and
@@ -42,17 +42,30 @@ object Layout {
     // first; keep it distributed (1-row broadcast, no driver collect).
     val bounds = ev.agg(
       min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
-      min(col("minute")).as("mn"), max(col("minute")).as("mx"))
+      min(col("minute")).as("mn"), max(col("minute")).as("mx"),
+      count(lit(1)).as("n_rows"))
     val cells = ev.crossJoin(broadcast(bounds))
       .withColumn("x", expr("((user_id - umin) * 1024) div (umax - umin + 1)"))
       .withColumn("y", expr("((minute - mn) * 1024) div (mx - mn + 1)"))
       .withColumn("zval", ZOrder.interleave(col("x"), col("y")))
+    // File assignment by GLOBAL RANK over the layout key — computed with
+    // the two-level prefix composition (coarse key-range cells → per-cell
+    // parallel windows → one tiny offsets table), NOT a single global
+    // sort window: the same deterministic order, parallelism that scales
+    // with the corpus. file = floor((rank-1)·32 / n) — equal-size files
+    // (±1 row), replayed by the oracle's row_number form.
     val layouts = Seq(
-      ("zorder", Window.orderBy(col("zval"), col("event_id"))),
-      ("time_sorted", Window.orderBy(col("y"), col("event_id"))),
-      ("user_sorted", Window.orderBy(col("x"), col("event_id"))))
-    layouts.map { case (name, w) =>
-      cells.withColumn("bucket", ntile(32).over(w))
+      ("zorder", "zval", 20), ("time_sorted", "y", 10),
+      ("user_sorted", "x", 10))
+    layouts.map { case (name, k, bits) =>
+      val shift = 1L << math.max(0, bits - 8) // ~256 coarse cells
+      val ranked = graft.operators.PrefixSum.twoLevel(
+        cells.withColumn("pcell", expr(s"$k div $shift")),
+        Nil, Seq("pcell"), lit(1L), Seq(col(k), col("event_id")))
+        .withColumn("rank", col("boff") + col("end_in_b"))
+        .withColumn("bucket", expr("((rank - 1) * 32) div n_rows")
+          .cast("int"))
+      ranked
         .groupBy(col("bucket"))
         .agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
           min(col("y")).as("ymin"), max(col("y")).as("ymax"),
@@ -84,7 +97,8 @@ object Layout {
          |FROM (
          |  SELECT bucket, min(x) AS xmin, max(x) AS xmax,
          |    min(y) AS ymin, max(y) AS ymax, count(*) AS cnt
-         |  FROM (SELECT ntile(32) OVER (ORDER BY $ord, event_id) AS bucket,
+         |  FROM (SELECT ((row_number() OVER (ORDER BY $ord, event_id) - 1)
+         |            * 32) // (SELECT count(*) FROM ev) AS bucket,
          |          x, y, event_id FROM cells)
          |  GROUP BY bucket)""".stripMargin
     s"""WITH ev AS (

@@ -11,15 +11,25 @@ import org.apache.spark.sql.functions._
   * the exact answer would shuffle the key universe:
   *
   *  - `sketch_hll_shingles` — HLL(p=10) distinct-shingle count per
-  *    language next to its exact twin. One pass, 1 KB of state per
-  *    group on the exchange; the exact twin ships every distinct
-  *    shingle.
+  *    language. One pass, 1 KB of state per group on the exchange; no
+  *    exact twin in the entry (accuracy pinned in SketchSpec — the
+  *    100×-tier lesson below).
+  *  - `sketch_hll_cube_build/serve` — the stored sketch-rollup pair:
+  *    per-(lang, source) register cells committed once, rollups served
+  *    by register-wise max with no corpus rescan.
   *  - `sketch_cms_topk` — count–min (4×512) token-frequency sketch,
   *    probed at the exact top-15 tokens; pins the overestimate-only
   *    invariant row by row.
   *  - `sketch_kmv_intersect` — bottom-k theta sketch (k=256) per corpus
   *    half, with distinct-count and set-intersection estimates from the
   *    merged theta cut.
+  *
+  * 100×-tier lesson (round 12): the first cut shipped exact
+  * count(DISTINCT) twins inside the HLL/KMV entries — at 50M shingles
+  * that twin shuffled 817 MB where the sketch ships kilobytes, i.e. the
+  * entry paid exactly the cost the sketch exists to avoid. The twins
+  * now live in SketchSpec (small-SF accuracy pins); the entries are
+  * pure sketch passes.
   *
   * Determinism: every hash is the repo's md5-derived 52-bit integer
   * (`conv(substr(md5(x),1,13),16,10)`), so the DuckDB oracle recomputes
@@ -41,7 +51,7 @@ object Sketches {
     s"CAST(conv(substr(md5($c), 1, 13), 16, 10) AS BIGINT)"
 
   /** Word trigrams per doc: (doc_id, lang, source, shingle). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         split(col("text"), ws).as("t"))
@@ -55,15 +65,14 @@ object Sketches {
   // sketch_hll_shingles
   // ------------------------------------------------------------------
 
-  /** HLL(p=10, m=1024) over the 52-bit shingle hashes, per language.
+  /** Summary/estimate columns over a `regs` register-array column —
+    * shared by the direct entry and the cube serve (must stay
+    * identical: the serve's oracle IS the direct formula).
     * j = low 10 bits, rho = leading-zero run (+1) of the 42-bit rest;
     * raw estimate = alpha·m²·2^43 / Σ 2^(43−rho) (the scaled sum is an
     * exact BIGINT ≤ 2^53), linear counting below 2.5m. The register
     * array itself is the aggregate's output, so the summary is plain
     * column math the oracle replays bit-for-bit. */
-  /** Summary/estimate columns over a `regs` register-array column —
-    * shared by the direct entry and the cube serve (must stay
-    * identical: the serve's oracle IS the direct formula). */
   private def hllSummary(df: DataFrame): DataFrame = df
     .withColumn("v_zero", expr(
       "aggregate(regs, 0L, (a, r) -> a + IF(r = 0, 1L, 0L))"))
@@ -78,13 +87,17 @@ object Sketches {
         " ELSE raw_est END * 1000000e0) AS BIGINT)"))
 
   def hllShingles(s: SparkSession, d: String): DataFrame = {
+    // No exact twin IN the entry: a count(DISTINCT) here would shuffle
+    // the key universe (measured 817 MB / 338s at the 100× tier vs the
+    // pure sketch's 3 MB / 23s — the exact cost the sketch exists to
+    // avoid). Accuracy is pinned in SketchSpec against a separately
+    // computed exact count; the oracle replays the registers exactly.
     val regs = shingles(s, d)
       .withColumn("h", expr(h52("s")))
       .groupBy("lang")
-      .agg(Sketch.hll(col("h"), 10).as("regs"),
-        countDistinct(col("s")).as("exact_distinct"))
+      .agg(Sketch.hll(col("h"), 10).as("regs"))
     hllSummary(regs)
-      .select("lang", "exact_distinct", "v_zero", "s_scaled", "est_micro")
+      .select("lang", "v_zero", "s_scaled", "est_micro")
       .orderBy("lang")
   }
 
@@ -108,18 +121,17 @@ object Sketches {
       |    CAST(sum(1::BIGINT << (43 - rho))
       |      + (1024 - count(*)) * (1::BIGINT << 43) AS BIGINT) AS s_scaled
       |  FROM reg GROUP BY 1),
-      |ex AS (SELECT lang, count(DISTINCT s) AS exact_distinct FROM sh GROUP BY 1),
       |est AS (
       |  SELECT lang, v_zero, s_scaled,
       |    0.7213e0 / (1e0 + 1.079e0 / 1024e0) * 1024e0 * 1024e0
       |      * 8796093022208e0 / CAST(s_scaled AS DOUBLE) AS raw_est
       |  FROM summ)
-      |SELECT e.lang, ex.exact_distinct, e.v_zero, e.s_scaled,
-      |  CAST(round(CASE WHEN e.raw_est <= 2560e0 AND e.v_zero > 0
-      |    THEN 1024e0 * ln(1024e0 / CAST(e.v_zero AS DOUBLE))
-      |    ELSE e.raw_est END * 1000000e0) AS BIGINT) AS est_micro
-      |FROM est e JOIN ex ON ex.lang = e.lang
-      |ORDER BY e.lang""".stripMargin
+      |SELECT lang, v_zero, s_scaled,
+      |  CAST(round(CASE WHEN raw_est <= 2560e0 AND v_zero > 0
+      |    THEN 1024e0 * ln(1024e0 / CAST(v_zero AS DOUBLE))
+      |    ELSE raw_est END * 1000000e0) AS BIGINT) AS est_micro
+      |FROM est
+      |ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------------
   // sketch_hll_cube_build / sketch_hll_cube_serve
@@ -231,21 +243,34 @@ object Sketches {
     * is ONE 16 KB row built in one pass (map-side partials); the probe
     * side is 15 rows, so the join is a broadcast of constants. ge_ok
     * pins the overestimate-only invariant. */
+  /** The d row-hashes carved from ONE md5 (8 hex chars each): hashing
+    * was the 100×-tier hot spot — four per-seed md5s per token instance
+    * allocated 4× the digest strings and spent 163s of the 208s wall in
+    * task GC; one digest carved four ways is the same independence
+    * (md5's bits are pairwise independent across the digest) at a
+    * quarter of the allocation. */
+  private def cmsRowHash(r: Int): String =
+    s"CAST(conv(substr(md5(tok), ${r * 8 + 1}, 8), 16, 10) AS BIGINT) % 512"
+
   def cmsTopk(s: SparkSession, d: String): DataFrame = {
-    val tk = Tables.documents(s, d)
+    // combine-then-sketch: instances pre-aggregate to (tok, count) rows
+    // map-side (vocabulary-sized), so hashing runs once per DISTINCT
+    // token and the CMS updates are weighted — the 100×-tier fix
+    // (hash-per-instance spent 63s of a 94s wall in allocation GC)
+    val counts = Tables.documents(s, d)
       .select(explode(split(col("text"), ws)).as("tok"))
-    val hs = (0 until 4).map(r =>
-      expr(s"${h52(s"concat('cms${r}_', tok)")} % 512")).toArray
-    val sketch = tk
+      .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val hs = (0 until 4).map(r => expr(cmsRowHash(r))).toArray
+    val sketch = counts
       .withColumn("hs", array(hs.toIndexedSeq: _*))
-      .agg(Sketch.cms(col("hs"), 4, 512).as("counters"))
-    val top = tk.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .agg(Sketch.cms(col("hs"), col("exact_cnt"), 4, 512).as("counters"))
+    val top = counts
       .orderBy(col("exact_cnt").desc, col("tok")).limit(15)
     // 15 rows × 1 sketch row: constant-size broadcast cross join
     top.crossJoin(broadcast(sketch))
       .withColumn("est_cnt", expr((0 until 4).map(r =>
         s"element_at(counters, ${r * 512} +" +
-          s" CAST(${h52(s"concat('cms${r}_', tok)")} % 512 AS INT) + 1)")
+          s" CAST(${cmsRowHash(r)} AS INT) + 1)")
         .mkString("least(", ", ", ")")))
       .withColumn("ge_ok", col("est_cnt") >= col("exact_cnt"))
       .select("tok", "exact_cnt", "est_cnt", "ge_ok")
@@ -257,7 +282,7 @@ object Sketches {
       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
       |hs AS (
       |  SELECT tok, r,
-      |    ('0x' || substr(md5('cms' || r || '_' || tok), 1, 13))::BIGINT % 512 AS c
+      |    ('0x' || substr(md5(tok), r * 8 + 1, 8))::BIGINT % 512 AS c
       |  FROM (SELECT DISTINCT tok FROM tk) t,
       |    LATERAL (SELECT unnest([0, 1, 2, 3]) AS r) g),
       |cnt AS (
@@ -290,11 +315,12 @@ object Sketches {
     val sh = shingles(s, d)
       .withColumn("side", col("doc_id") % 2)
       .withColumn("h", expr(h52("s")))
+    // No exact twins IN the entry (the 100×-tier lesson: the
+    // count(DISTINCT) pair shuffled 354 MB of shingles where the two
+    // sketches ship ≤4 KB). Accuracy pinned in SketchSpec.
     val row = sh.agg(
       Sketch.kmv(when(col("side") === 0, col("h")), 256).as("a"),
-      Sketch.kmv(when(col("side") === 1, col("h")), 256).as("b"),
-      countDistinct(when(col("side") === 0, col("s"))).as("na_exact"),
-      countDistinct(when(col("side") === 1, col("s"))).as("nb_exact"))
+      Sketch.kmv(when(col("side") === 1, col("h")), 256).as("b"))
     row
       .withColumn("u", expr("slice(array_sort(array_union(a, b)), 1, 256)"))
       .withColumn("ku", expr("size(u)"))
@@ -313,7 +339,7 @@ object Sketches {
         "CAST(round(CASE WHEN ku < 256 THEN CAST(inter_in_u AS DOUBLE)" +
           " ELSE CAST(inter_in_u AS DOUBLE) * 4503599627370496e0" +
           " / CAST(tau AS DOUBLE) END * 1000000e0) AS BIGINT)"))
-      .select("na_exact", "nb_exact", "est_a_micro", "est_b_micro",
+      .select("est_a_micro", "est_b_micro",
         "ku", "tau", "inter_in_u", "inter_est_micro")
   }
 
@@ -332,21 +358,17 @@ object Sketches {
       |  SELECT DISTINCT h FROM hh WHERE side = 0 ORDER BY h LIMIT 256)),
       |kb AS (SELECT list(h ORDER BY h) AS b FROM (
       |  SELECT DISTINCT h FROM hh WHERE side = 1 ORDER BY h LIMIT 256)),
-      |ex AS (
-      |  SELECT count(DISTINCT CASE WHEN side = 0 THEN s END) AS na_exact,
-      |         count(DISTINCT CASE WHEN side = 1 THEN s END) AS nb_exact
-      |  FROM sh),
       |m AS (
-      |  SELECT na_exact, nb_exact, a, b,
+      |  SELECT a, b,
       |    list_sort(list_distinct(a || b))[1:256] AS u
-      |  FROM ex, ka, kb),
+      |  FROM ka, kb),
       |c AS (
-      |  SELECT na_exact, nb_exact, a, b, u,
+      |  SELECT a, b, u,
       |    len(u) AS ku, u[len(u)] AS tau,
       |    len(list_filter(u, x -> list_contains(a, x)
       |      AND list_contains(b, x))) AS inter_in_u
       |  FROM m)
-      |SELECT na_exact, nb_exact,
+      |SELECT
       |  CAST(round(CASE WHEN len(a) < 256 THEN CAST(len(a) AS DOUBLE)
       |    ELSE 255e0 * 4503599627370496e0 / CAST(a[256] AS DOUBLE)
       |    END * 1000000e0) AS BIGINT) AS est_a_micro,

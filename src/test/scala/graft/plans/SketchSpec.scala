@@ -70,9 +70,11 @@ class SketchSpec extends SparkSpec {
     val hs = (0 until d).map(r => expr(
       s"CAST(conv(substr(md5(concat('cms${r}_', t)),1,13),16,10) AS BIGINT)" +
         s" % $w"))
+    // weighted (combine-then-sketch) path == unweighted instance fold
     val got = items.toDF("t").repartition(5)
+      .groupBy("t").agg(count(lit(1)).as("n"))
       .withColumn("hs", array(hs: _*))
-      .agg(Sketch.cms(col("hs"), d, w).as("c"))
+      .agg(Sketch.cms(col("hs"), col("n"), d, w).as("c"))
       .head().getSeq[Long](0)
     assert(got == ref.toSeq)
     // point estimates >= true counts
@@ -127,23 +129,47 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("sketch entries run green at sf0.001 with internally consistent " +
-    "summaries") {
-    val hll = graft.queries.Sketches.hllShingles(spark, sf).collect()
+  test("sketch entries run green at sf0.001 and land near the exact " +
+    "counts computed OUTSIDE the entries (the twins the 100x tier " +
+    "evicted from the plans)") {
+    import graft.queries.Sketches
+    // exact per-language distinct shingles, computed here — NOT in the
+    // entry, where a count(DISTINCT) would shuffle the key universe
+    val exactByLang = Sketches.shingles(spark, sf)
+      .groupBy("lang").agg(countDistinct(col("s")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hll = Sketches.hllShingles(spark, sf).collect()
     assert(hll.nonEmpty)
     hll.foreach { r =>
-      val exact = r.getAs[Long]("exact_distinct")
+      val exact = exactByLang(r.getString(0))
       val est = r.getAs[Long]("est_micro").toDouble / 1e6
       assert(est > 0 && math.abs(est - exact) / math.max(exact, 1L) < 0.5,
         s"lang=${r.getString(0)} exact=$exact est=$est")
     }
-    val cms = graft.queries.Sketches.cmsTopk(spark, sf).collect()
+    val cms = Sketches.cmsTopk(spark, sf).collect()
     assert(cms.length == 15)
     assert(cms.forall(_.getAs[Boolean]("ge_ok")))
-    val kmv = graft.queries.Sketches.kmvIntersect(spark, sf).collect()
+    // exact per-side distincts and intersection for the KMV pins
+    val sides = Sketches.shingles(spark, sf)
+      .withColumn("side", col("doc_id") % 2)
+      .select("side", "s").distinct().collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.map(_.getString(1)).toSet
+      }
+    val (sa, sb) = (sides(0L), sides(1L))
+    val kmv = Sketches.kmvIntersect(spark, sf).collect()
     assert(kmv.length == 1)
     val row = kmv.head
-    assert(row.getAs[Long]("na_exact") > 0 && row.getAs[Long]("nb_exact") > 0)
-    assert(row.getAs[Long]("inter_est_micro") >= 0)
+    def rel(estMicro: Long, exact: Int): Double =
+      math.abs(estMicro / 1e6 - exact) / math.max(exact, 1)
+    assert(rel(row.getAs[Long]("est_a_micro"), sa.size) < 0.35,
+      s"a: est=${row.getAs[Long]("est_a_micro") / 1e6} exact=${sa.size}")
+    assert(rel(row.getAs[Long]("est_b_micro"), sb.size) < 0.35,
+      s"b: est=${row.getAs[Long]("est_b_micro") / 1e6} exact=${sb.size}")
+    val exactInter = sa.intersect(sb).size
+    assert(math.abs(row.getAs[Long]("inter_est_micro") / 1e6 - exactInter)
+      <= math.max(0.5 * exactInter, 64.0),
+      s"inter: est=${row.getAs[Long]("inter_est_micro") / 1e6} " +
+        s"exact=$exactInter")
   }
 }

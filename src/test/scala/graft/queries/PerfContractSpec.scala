@@ -196,12 +196,12 @@ class PerfContractSpec extends SparkSpec {
     // banding this chain replaced measured 137 MB on the same data).
     Contract("corpus_build_e2e", 33, 74),
     Contract("idx_lsh_serve", 14, 26, (p, n) => noSmj(p, n)),
-    // sketch aggregates (round 12, sf0.1 evidence 3.3/0.0/0.8 MB):
-    // fixed-size state rides the exchange — the HLL budget is the
-    // EXACT TWIN's distinct-shingle shuffle (the sketch itself ships
-    // 1 KB per group); CMS is one pass, zero exchange beyond its own
-    // 16 KB row; KMV one global aggregate
-    Contract("sketch_hll_shingles", 12, 12),
+    // sketch aggregates (round 12, sf0.1 evidence 0.0/0.0/0.0 MB after
+    // the exact twins were evicted to SketchSpec — the in-plan
+    // count(DISTINCT) pair shuffled 817/354 MB at the 100× tier):
+    // fixed-size state rides the exchange, NOTHING key-sized may —
+    // these budgets are the sketches' whole point
+    Contract("sketch_hll_shingles", 2, 10),
     // the sketch-rollup artifact pair: build shuffles REGISTERS only
     // (~1 KB per (lang, source) cell — 0.3 MB measured at sf0.1);
     // serve answers from the loaded artifact and never rescans the
@@ -209,11 +209,15 @@ class PerfContractSpec extends SparkSpec {
     Contract("sketch_hll_cube_build", 2, 20),
     Contract("sketch_hll_cube_serve", 2, 16),
     Contract("sketch_cms_topk", 2, 10),
-    Contract("sketch_kmv_intersect", 4, 8),
-    // z-order layout: three ntile window sorts over (zval|y|x, id) pairs
-    // plus integer extent aggregates — the exchange is layout keys, not
-    // events rows' payloads
-    Contract("layout_zorder", 12, 12),
+    Contract("sketch_kmv_intersect", 2, 8),
+    // z-order layout: per-layout global rank via the two-level prefix
+    // composition (parallel windows per coarse key cell + the tiny
+    // offsets join) — the exchange is (key, id) pairs and per-cell
+    // totals, never events rows' payloads
+    Contract("layout_zorder", 12, 52),
+    // per-doc lineage: the e2e chain's own exchanges plus four
+    // doc-keyed (id, small-int) joins — budget mirrors corpus_build_e2e
+    Contract("corpus_lineage", 36, 84),
     // ExactSubstr cut (round 12, 3.6 MB at sf0.1): mining shuffles gram
     // digests + interval endpoints; islands broadcast back onto the
     // corpus scan; the single text-bearing exchange is the final

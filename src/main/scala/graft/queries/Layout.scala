@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.plans.ZOrder
+import graft.sinks.ArtifactStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,39 +34,46 @@ object Layout {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
 
-  def layoutZorder(s: SparkSession, d: String): DataFrame = {
+  /** Range-normalize each dimension onto a 0..1023 grid (what a real
+    * z-order writer does) — layout jobs legitimately compute bounds
+    * first; keep it distributed (1-row broadcast, no driver collect). */
+  private def evCells(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
         expr("unix_micros(ts) div 60000000").as("minute"))
-    // Range-normalize each dimension onto a 0..1023 grid (what a real
-    // z-order writer does) — layout jobs legitimately compute bounds
-    // first; keep it distributed (1-row broadcast, no driver collect).
     val bounds = ev.agg(
       min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
       min(col("minute")).as("mn"), max(col("minute")).as("mx"),
       count(lit(1)).as("n_rows"))
-    val cells = ev.crossJoin(broadcast(bounds))
+    ev.crossJoin(broadcast(bounds))
       .withColumn("x", expr("((user_id - umin) * 1024) div (umax - umin + 1)"))
       .withColumn("y", expr("((minute - mn) * 1024) div (mx - mn + 1)"))
       .withColumn("zval", ZOrder.interleave(col("x"), col("y")))
-    // File assignment by GLOBAL RANK over the layout key — computed with
-    // the two-level prefix composition (coarse key-range cells → per-cell
-    // parallel windows → one tiny offsets table), NOT a single global
-    // sort window: the same deterministic order, parallelism that scales
-    // with the corpus. file = floor((rank-1)·32 / n) — equal-size files
-    // (±1 row), replayed by the oracle's row_number form.
+  }
+
+  /** File assignment by GLOBAL RANK over the layout key — computed with
+    * the two-level prefix composition (coarse key-range cells → per-cell
+    * parallel windows → one tiny offsets table), NOT a single global
+    * sort window: the same deterministic order, parallelism that scales
+    * with the corpus. file = floor((rank-1)·32 / n) — equal-size files
+    * (±1 row), replayed by the oracle's row_number form. */
+  private def rankedBy(cells: DataFrame, k: String, bits: Int): DataFrame = {
+    val shift = 1L << math.max(0, bits - 8) // ~256 coarse cells
+    graft.operators.PrefixSum.twoLevel(
+      cells.withColumn("pcell", expr(s"$k div $shift")),
+      Nil, Seq("pcell"), lit(1L), Seq(col(k), col("event_id")))
+      .withColumn("rank", col("boff") + col("end_in_b"))
+      .withColumn("bucket", expr("((rank - 1) * 32) div n_rows")
+        .cast("int"))
+  }
+
+  def layoutZorder(s: SparkSession, d: String): DataFrame = {
+    val cells = evCells(s, d)
     val layouts = Seq(
       ("zorder", "zval", 20), ("time_sorted", "y", 10),
       ("user_sorted", "x", 10))
     layouts.map { case (name, k, bits) =>
-      val shift = 1L << math.max(0, bits - 8) // ~256 coarse cells
-      val ranked = graft.operators.PrefixSum.twoLevel(
-        cells.withColumn("pcell", expr(s"$k div $shift")),
-        Nil, Seq("pcell"), lit(1L), Seq(col(k), col("event_id")))
-        .withColumn("rank", col("boff") + col("end_in_b"))
-        .withColumn("bucket", expr("((rank - 1) * 32) div n_rows")
-          .cast("int"))
-      ranked
+      rankedBy(cells, k, bits)
         .groupBy(col("bucket"))
         .agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
           min(col("y")).as("ymin"), max(col("y")).as("ymax"),
@@ -121,9 +129,141 @@ object Layout {
        |ORDER BY layout""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // idx_zonemap_build / idx_zonemap_serve
+  // ------------------------------------------------------------------
+
+  /** Artifact keys for the zone-mapped table (events fingerprint — the
+    * docKey convention over the events table). */
+  private[graft] def zmKey(s: SparkSession, d: String, which: String)
+      : String = {
+    val fp = Tables.events(s, d).agg(count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(event_id))").as("h")).head()
+    val h = if (fp.isNullAt(1)) 0L else fp.getLong(1)
+    s"zonemap_v1_n${fp.getLong(0)}_h${h}_$which"
+  }
+
+  private def zRankedTable(s: SparkSession, d: String): DataFrame =
+    rankedBy(evCells(s, d), "zval", 20)
+      .select("event_id", "x", "y", "bucket")
+      // range-partitioned write in bucket order: output files (and row
+      // groups within them) are bucket-clustered, so a bucket predicate
+      // prunes on parquet footer stats — the physical layout the zone
+      // map indexes
+      .repartitionByRange(8, col("bucket"))
+      .sortWithinPartitions("bucket", "x", "y", "event_id")
+
+  private def zStats(table: DataFrame): DataFrame = table
+    .groupBy("bucket")
+    .agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"),
+      count(lit(1)).as("cnt"))
+
+  /** The lakehouse zone-map pattern: the z-laid-out table is committed
+    * ONCE (bucket-clustered parquet), alongside a 32-row min/max stats
+    * artifact — the table-format statistics a scan planner prunes on.
+    * Build reports the stats rows; the oracle replays them from the
+    * rank formula. */
+  def zonemapBuild(s: SparkSession, d: String): DataFrame = {
+    val table = zRankedTable(s, d)
+    ArtifactStore.commit(table, zmKey(s, d, "table"))
+    val stats = zStats(
+      ArtifactStore.load(s, zmKey(s, d, "table")))
+    ArtifactStore.commit(stats, zmKey(s, d, "stats"))
+    ArtifactStore.load(s, zmKey(s, d, "stats"))
+      .orderBy("bucket")
+  }
+
+  /** Serve: answer two box queries FROM the artifacts — the 32-row
+    * stats pick the buckets whose extents overlap the box (the planner
+    * step), the bucket predicate prunes the bucket-clustered table
+    * scan, and the exact predicate runs only over the surviving rows.
+    * Reports files hit, rows scanned (Σ cnt over hit buckets — what the
+    * pruned scan reads), and exact matches. No full-table pass happens
+    * at serve time for either box. */
+  def zonemapServe(s: SparkSession, d: String): DataFrame = {
+    val table = ArtifactStore.getOrBuild(s, zmKey(s, d, "table")) {
+      zRankedTable(s, d)
+    }
+    val stats = ArtifactStore.getOrBuild(s, zmKey(s, d, "stats")) {
+      zStats(ArtifactStore.load(s, zmKey(s, d, "table")))
+    }
+    val boxes = Seq(
+      ("user_box", "xmin", "xmax", 100L, 199L, "x"),
+      ("time_box", "ymin", "ymax", 300L, 399L, "y"))
+    boxes.map { case (name, lo, hi, a, b, dim) =>
+      val hits = stats.where(col(hi) >= a && col(lo) <= b)
+      val scanned = table
+        .join(broadcast(hits.select(col("bucket"))), Seq("bucket"))
+      scanned
+        .agg(count(lit(1)).as("rows_scanned"),
+          sum(when(col(dim) >= a && col(dim) <= b, 1L).otherwise(0L))
+            .as("rows_matched"))
+        .crossJoin(broadcast(
+          hits.agg(count(lit(1)).as("files_hit"),
+            sum(col("cnt")).as("stat_rows"))))
+        .select(lit(name).as("box"), col("files_hit"),
+          col("rows_scanned"), col("stat_rows"), col("rows_matched"))
+    }.reduce(_.union(_)).orderBy("box")
+  }
+
+  private val zmChainSql: String = {
+    val z = zFormulaSql("x", "y")
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) // 60000000 AS minute
+       |  FROM events),
+       |b AS (
+       |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+       |    min(minute) AS mn, max(minute) AS mx FROM ev),
+       |cells AS (
+       |  SELECT event_id,
+       |    ((user_id - umin) * 1024) // (umax - umin + 1) AS x,
+       |    ((minute - mn) * 1024) // (mx - mn + 1) AS y
+       |  FROM ev, b),
+       |zc AS (SELECT event_id, x, y, $z AS zval FROM cells),
+       |zt AS (
+       |  SELECT event_id, x, y,
+       |    ((row_number() OVER (ORDER BY zval, event_id) - 1) * 32)
+       |      // (SELECT count(*) FROM ev) AS bucket
+       |  FROM zc),
+       |st AS (
+       |  SELECT bucket, min(x) AS xmin, max(x) AS xmax,
+       |    min(y) AS ymin, max(y) AS ymax, count(*) AS cnt
+       |  FROM zt GROUP BY bucket)""".stripMargin
+  }
+
+  val zonemapBuildSql: String =
+    s"""$zmChainSql
+       |SELECT bucket, xmin, xmax, ymin, ymax, cnt FROM st
+       |ORDER BY bucket""".stripMargin
+
+  val zonemapServeSql: String = {
+    def box(name: String, lo: String, hi: String, a: Long, b: Long,
+            dim: String): String =
+      s"""SELECT '$name' AS box,
+         |  (SELECT count(*) FROM st WHERE $hi >= $a AND $lo <= $b)
+         |    AS files_hit,
+         |  CAST(count(*) AS BIGINT) AS rows_scanned,
+         |  (SELECT CAST(sum(cnt) AS BIGINT) FROM st
+         |   WHERE $hi >= $a AND $lo <= $b) AS stat_rows,
+         |  CAST(sum(CASE WHEN $dim >= $a AND $dim <= $b THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS rows_matched
+         |FROM zt WHERE bucket IN
+         |  (SELECT bucket FROM st WHERE $hi >= $a AND $lo <= $b)""".stripMargin
+    s"""$zmChainSql
+       |${box("user_box", "xmin", "xmax", 100L, 199L, "x")}
+       |UNION ALL
+       |${box("time_box", "ymin", "ymax", 300L, 399L, "y")}
+       |ORDER BY box""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder" -> (layoutZorder _))
+    "layout_zorder" -> (layoutZorder _),
+    "idx_zonemap_build" -> (zonemapBuild _),
+    "idx_zonemap_serve" -> (zonemapServe _))
 
   val oracle: Map[String, String] = Map(
-    "layout_zorder" -> layoutZorderSql)
+    "layout_zorder" -> layoutZorderSql,
+    "idx_zonemap_build" -> zonemapBuildSql,
+    "idx_zonemap_serve" -> zonemapServeSql)
 }

@@ -48,6 +48,28 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("zone map: serve answers from the artifacts, stats agree with " +
+    "the pruned scan, and both boxes skip most files") {
+    import graft.queries.Layout
+    graft.sinks.ArtifactStore.remove(spark, Layout.zmKey(spark, sf, "table"))
+    graft.sinks.ArtifactStore.remove(spark, Layout.zmKey(spark, sf, "stats"))
+    val built = Layout.zonemapBuild(spark, sf).collect()
+    assert(built.length == 32)
+    assert(built.map(_.getAs[Long]("cnt")).sum == 1000L)
+    val served = Layout.zonemapServe(spark, sf).collect()
+    assert(served.length == 2)
+    served.foreach { r =>
+      // the stats artifact and the actual pruned scan must agree row
+      // for row — a drift means the table artifact and its zone map
+      // come from different builds
+      assert(r.getAs[Long]("rows_scanned") == r.getAs[Long]("stat_rows"))
+      assert(r.getAs[Long]("files_hit") < 32)
+      assert(r.getAs[Long]("rows_matched") <= r.getAs[Long]("rows_scanned"))
+    }
+    // serve twice == stable (pure artifact reads)
+    assert(Layout.zonemapServe(spark, sf).collect().toSeq == served.toSeq)
+  }
+
   test("layout_zorder: z-layout prunes both boxes; single-axis layouts " +
     "are blind on their off axis") {
     val rows = graft.queries.Layout.layoutZorder(spark, sf).collect()

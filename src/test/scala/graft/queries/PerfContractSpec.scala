@@ -218,6 +218,20 @@ class PerfContractSpec extends SparkSpec {
     // per-doc lineage: the e2e chain's own exchanges plus four
     // doc-keyed (id, small-int) joins — budget mirrors corpus_build_e2e
     Contract("corpus_lineage", 36, 84),
+    // zone map: build pays the layout rank machinery + the
+    // bucket-clustered artifact write (integer columns only); serve is
+    // PURE artifact reads — zero shuffle is the contract, a bucket-hit
+    // broadcast join over the clustered table
+    Contract("idx_zonemap_build", 10, 62),
+    Contract("idx_zonemap_serve", 2, 34, (p, n) =>
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$n: the bucket-hit join must broadcast (32-row stats side)")),
+    // ES weighted sampling: TakeOrdered top-k — per-partition heaps, a
+    // k-row merge, zero exchange
+    Contract("sample_weighted", 1, 4, (p, n) =>
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$n: top-k must be TakeOrdered, not a global sort")),
     // ExactSubstr cut (round 12, 3.6 MB at sf0.1): mining shuffles gram
     // digests + interval endpoints; islands broadcast back onto the
     // corpus scan; the single text-bearing exchange is the final

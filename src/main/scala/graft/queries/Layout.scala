@@ -135,13 +135,15 @@ object Layout {
 
   /** Artifact keys for the zone-mapped table (events fingerprint — the
     * docKey convention over the events table). */
-  private[graft] def zmKey(s: SparkSession, d: String, which: String)
-      : String = {
+  private def zmPrefix(s: SparkSession, d: String): String = {
     val fp = Tables.events(s, d).agg(count(lit(1)).as("n"),
       expr("bit_xor(xxhash64(event_id))").as("h")).head()
     val h = if (fp.isNullAt(1)) 0L else fp.getLong(1)
-    s"zonemap_v1_n${fp.getLong(0)}_h${h}_$which"
+    s"zonemap_v1_n${fp.getLong(0)}_h$h"
   }
+
+  private[graft] def zmKey(s: SparkSession, d: String, which: String)
+      : String = s"${zmPrefix(s, d)}_$which"
 
   private def zRankedTable(s: SparkSession, d: String): DataFrame =
     rankedBy(evCells(s, d), "zval", 20)
@@ -165,13 +167,12 @@ object Layout {
     * Build reports the stats rows; the oracle replays them from the
     * rank formula. */
   def zonemapBuild(s: SparkSession, d: String): DataFrame = {
-    val table = zRankedTable(s, d)
-    ArtifactStore.commit(table, zmKey(s, d, "table"))
-    val stats = zStats(
-      ArtifactStore.load(s, zmKey(s, d, "table")))
-    ArtifactStore.commit(stats, zmKey(s, d, "stats"))
-    ArtifactStore.load(s, zmKey(s, d, "stats"))
-      .orderBy("bucket")
+    // fingerprint pass once (zmPrefix aggregates events), not per op
+    val pfx = zmPrefix(s, d)
+    val (tKey, sKey) = (s"${pfx}_table", s"${pfx}_stats")
+    ArtifactStore.commit(zRankedTable(s, d), tKey)
+    ArtifactStore.commit(zStats(ArtifactStore.load(s, tKey)), sKey)
+    ArtifactStore.load(s, sKey).orderBy("bucket")
   }
 
   /** Serve: answer two box queries FROM the artifacts — the 32-row
@@ -182,11 +183,12 @@ object Layout {
     * pruned scan reads), and exact matches. No full-table pass happens
     * at serve time for either box. */
   def zonemapServe(s: SparkSession, d: String): DataFrame = {
-    val table = ArtifactStore.getOrBuild(s, zmKey(s, d, "table")) {
+    val pfx = zmPrefix(s, d)
+    val table = ArtifactStore.getOrBuild(s, s"${pfx}_table") {
       zRankedTable(s, d)
     }
-    val stats = ArtifactStore.getOrBuild(s, zmKey(s, d, "stats")) {
-      zStats(ArtifactStore.load(s, zmKey(s, d, "table")))
+    val stats = ArtifactStore.getOrBuild(s, s"${pfx}_stats") {
+      zStats(ArtifactStore.load(s, s"${pfx}_table"))
     }
     val boxes = Seq(
       ("user_box", "xmin", "xmax", 100L, 199L, "x"),

@@ -329,7 +329,10 @@ object Sketches {
     row
       .withColumn("u", expr("slice(array_sort(array_union(a, b)), 1, 256)"))
       .withColumn("ku", expr("size(u)"))
-      .withColumn("tau", expr("element_at(u, size(u))"))
+      // empty-corpus guard: element_at(u, 0) is an ANSI error, and an
+      // empty union means theta = 1 (the ku < 256 branch) — tau unused
+      .withColumn("tau", expr(
+        "CASE WHEN size(u) = 0 THEN NULL ELSE element_at(u, size(u)) END"))
       .withColumn("inter_in_u", expr(
         "size(array_intersect(array_intersect(u, a), b))"))
       .withColumn("est_a_micro", expr(
@@ -369,7 +372,8 @@ object Sketches {
       |  FROM ka, kb),
       |c AS (
       |  SELECT a, b, u,
-      |    len(u) AS ku, u[len(u)] AS tau,
+      |    len(u) AS ku,
+      |    CASE WHEN len(u) = 0 THEN NULL ELSE u[len(u)] END AS tau,
       |    len(list_filter(u, x -> list_contains(a, x)
       |      AND list_contains(b, x))) AS inter_in_u
       |  FROM m)

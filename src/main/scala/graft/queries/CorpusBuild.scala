@@ -35,14 +35,20 @@ object CorpusBuild {
     * (host, url) frontier aggregate and the host-keyed window — 16-byte
     * counts and short URL strings, never documents (the 100× row in
     * README pins this). */
-  def crawlFrontier(s: SparkSession, d: String): DataFrame = {
+  /** The per-record crawl gate (link harvest → UrlNorm → RobotsTxt),
+    * shared by the batch frontier and its streaming twin
+    * (u_stream_crawl_gate) — STATELESS and narrow, so it runs unchanged
+    * on a streaming DataFrame. Returns allowed (host, url) rows,
+    * duplicates preserved (the frontier aggregate counts them). */
+  private[graft] def allowedLinks(s: SparkSession, docs: DataFrame)
+      : DataFrame = {
     import s.implicits._
     // 7 sites' rule sets, parsed once and shipped in the closure —
     // the textHtmlRobots convention
     val rulesByK = (0L until 7L).map(k => k -> graft.text.RobotsTxt.parse(
       graft.text.RobotsTxt.fixtureRobots(k), "graftbot")).toMap
-    val allowed = graft.text.HtmlExtract
-      .linksFromDocuments(s, Tables.documents(s, d))
+    graft.text.HtmlExtract
+      .linksFromDocuments(s, docs)
       .flatMap { r =>
         val k = r.doc_id % 7
         val base = s"HTTP://Site$k.Example.COM:80/pages/index.html"
@@ -57,6 +63,10 @@ object CorpusBuild {
           else None
         }
       }.toDF("host", "url")
+  }
+
+  def crawlFrontier(s: SparkSession, d: String): DataFrame = {
+    val allowed = allowedLinks(s, Tables.documents(s, d))
     val w = Window.partitionBy("host")
       .orderBy(col("n_refs").desc, col("url"))
     allowed.groupBy("host", "url").agg(count(lit(1)).as("n_refs"))

@@ -615,6 +615,29 @@ object UdLang extends Serializable {
     runStream(s, out, "u_stream_html_sink").orderBy("doc_id")
   }
 
+  /** Streaming crawl gate — the per-record link-harvest → UrlNorm →
+    * RobotsTxt politeness gate (CorpusBuild.allowedLinks, shared with
+    * the batch frontier) running STATELESSLY over arriving pages:
+    * append mode, no state store, no watermark; per-host fetch ORDERING
+    * stays the batch frontier's job (it needs the full reference
+    * counts). The entry aggregates the sink's gate decisions, so the
+    * oracle is exactly the batch frontier minus scheduling. */
+  def uStreamCrawlGate(s: SparkSession, d: String): DataFrame = {
+    val fileSchema = parquetSchema(s, s"$d/documents.parquet")
+    val stream = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val out = CorpusBuild.allowedLinks(s, stream)
+    runStream(s, out, "u_stream_crawl_gate_sink")
+      .groupBy("host", "url").agg(count(lit(1)).as("n_refs"))
+      .orderBy("host", "url")
+  }
+
+  val uStreamCrawlGateSql: String =
+    s"""SELECT host, url, n_refs FROM (
+       |${CorpusBuild.crawlFrontierSql}
+       |) ORDER BY host, url""".stripMargin
+
   def uStreamDedup(s: SparkSession, d: String): DataFrame = {
     val fileSchema = parquetSchema(s, s"$d/events.parquet")
     val stream = s.readStream.schema(fileSchema)
@@ -969,6 +992,7 @@ object UdLang extends Serializable {
     "u_stream_state" -> (uStreamState _),
     "u_stream_dedup" -> (uStreamDedup _),
     "u_stream_html" -> (uStreamHtml _),
+    "u_stream_crawl_gate" -> (uStreamCrawlGate _),
     "u_stream_neardup" -> (uStreamNeardup _),
     "u_stream_contamination" -> (uStreamContamination _),
     "u_stream_shards" -> (uStreamShards _),
@@ -995,6 +1019,7 @@ object UdLang extends Serializable {
     "u_stream_state" -> uStreamStateSql,
     "u_stream_dedup" -> uStreamDedupSql,
     "u_stream_html" -> graft.queries.LlmPipeline.textHtmlExtractSql,
+    "u_stream_crawl_gate" -> uStreamCrawlGateSql,
     "u_stream_neardup" -> uStreamNeardupSql,
     "u_stream_contamination" -> uStreamContaminationSql,
     "u_stream_shards" -> uStreamShardsSql,

@@ -186,6 +186,9 @@ class PerfContractSpec extends SparkSpec {
     // crawl_frontier: narrow link harvest; only (host, url) counts and
     // the host-keyed window exchange — hrefs, never documents
     Contract("crawl_frontier", 6, 14),
+    // its streaming twin: stateless gate, memory-sink collect of
+    // (host, url) rows + the sink aggregate
+    Contract("u_stream_crawl_gate", 6, 16),
     // corpus_build_e2e: the full composed chain — budget ≈ the SUM of
     // its stages' own exchanges (extract is narrow; quality a filter;
     // exact dedup one digest-keyed window; near dedup the STOP-SHINGLE

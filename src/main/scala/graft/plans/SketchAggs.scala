@@ -61,7 +61,12 @@ case class HllSketchAgg(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // The register math assumes a 52-bit non-negative hash (the
+      // md5-substr idiom); mask so a wider input (e.g. raw xxhash64)
+      // degrades to its low 52 bits instead of silently dropping the
+      // value (w >>> p exceeding wBits made rho <= 0 and the update
+      // a no-op, biasing the estimate with no error).
+      val h = v.asInstanceOf[Long] & ((1L << 52) - 1)
       val j = (h & (m - 1)).toInt
       val w = h >>> p
       val rho =
@@ -128,13 +133,16 @@ case class CmsSketchAgg(
     if (v != null && wt != null) {
       val hs = v.asInstanceOf[ArrayData]
       val add = wt.asInstanceOf[Long]
-      val n = math.min(d, hs.numElements())
+      // A short or null-slotted hash array would leave whole counter
+      // rows untouched, silently breaking the overestimate-only
+      // invariant (est >= true count) the entries pin — fail loudly.
+      require(hs.numElements() == d,
+        s"graft_cms: expected $d hashes, got ${hs.numElements()}")
       var r = 0
-      while (r < n) {
-        if (!hs.isNullAt(r)) {
-          val idx = r * w + (hs.getLong(r) & (w - 1)).toInt
-          buf(idx) += add
-        }
+      while (r < d) {
+        require(!hs.isNullAt(r), s"graft_cms: null hash at row $r")
+        val idx = r * w + (hs.getLong(r) & (w - 1)).toInt
+        buf(idx) += add
         r += 1
       }
     }

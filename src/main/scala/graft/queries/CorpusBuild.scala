@@ -65,12 +65,29 @@ object CorpusBuild {
       }.toDF("host", "url")
   }
 
+  /** Per-host fetch order WITHOUT a per-host window: real frontiers are
+    * power-law by host, and `row_number() OVER (PARTITION BY host)`
+    * sorts a mega-host's entire queue in ONE task. Instead the rank is
+    * the two-level prefix composition (the Layout.rankedBy idiom)
+    * restarting per host, bucket-major over (neg_refs, url-prefix cell):
+    * cells of one host rank in parallel, and the only single-window
+    * step orders the tiny per-(host, cell) totals table. The order is
+    * identical to the window form — (n_refs DESC, url) — because a
+    * fixed-length prefix respects lexicographic order (u1 < u2 ⇒
+    * prefix(u1) <= prefix(u2)), so bucket-major-by-prefix-then-url IS
+    * url order within equal n_refs. Oracle unchanged. */
   def crawlFrontier(s: SparkSession, d: String): DataFrame = {
     val allowed = allowedLinks(s, Tables.documents(s, d))
-    val w = Window.partitionBy("host")
-      .orderBy(col("n_refs").desc, col("url"))
-    allowed.groupBy("host", "url").agg(count(lit(1)).as("n_refs"))
-      .withColumn("fetch_order", row_number().over(w).cast("int"))
+    val fr = allowed.groupBy("host", "url")
+      .agg(count(lit(1)).as("n_refs"))
+      .withColumn("neg_refs", -col("n_refs"))
+      // url = "http://" + host + path → the cell is the first 8 chars
+      // of the path (positions 8+len(host)..), coarse enough to stay a
+      // small totals table, fine enough to split a mega-host's queue.
+      .withColumn("ucell", expr("substring(url, 8 + length(host), 8)"))
+    graft.operators.PrefixSum.twoLevel(fr, Seq("host"),
+        Seq("neg_refs", "ucell"), lit(1L), Seq(col("url")))
+      .withColumn("fetch_order", (col("boff") + col("end_in_b")).cast("int"))
       .select("host", "fetch_order", "url", "n_refs")
       .orderBy("host", "fetch_order")
   }

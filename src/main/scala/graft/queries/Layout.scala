@@ -68,7 +68,11 @@ object Layout {
   }
 
   def layoutZorder(s: SparkSession, d: String): DataFrame = {
-    val cells = evCells(s, d)
+    // Materialize the grid cells ONCE: the three layouts below each
+    // rank the same cell frame, and without the pin each re-derives it
+    // from the events scan + bounds aggregate — three full scans of a
+    // 100-TB table where one suffices.
+    val cells = evCells(s, d).localCheckpoint(true)
     val layouts = Seq(
       ("zorder", "zval", 20), ("time_sorted", "y", 10),
       ("user_sorted", "x", 10))

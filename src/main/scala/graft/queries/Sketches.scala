@@ -103,7 +103,7 @@ object Sketches {
 
   val hllShinglesSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS t FROM documents),
       |sh AS (
       |  SELECT lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
@@ -165,7 +165,7 @@ object Sketches {
 
   val hllCubeBuildSql: String =
     """WITH toks AS (
-      |  SELECT lang, source, string_split(text, ' ') AS t FROM documents),
+      |  SELECT lang, source, string_split_regex(text, '\s+') AS t FROM documents),
       |sh AS (
       |  SELECT lang, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
@@ -209,7 +209,7 @@ object Sketches {
 
   val hllCubeServeSql: String =
     """WITH toks AS (
-      |  SELECT lang, string_split(text, ' ') AS t FROM documents),
+      |  SELECT lang, string_split_regex(text, '\s+') AS t FROM documents),
       |sh AS (
       |  SELECT lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
@@ -284,7 +284,7 @@ object Sketches {
 
   val cmsTopkSql: String =
     """WITH tk AS (
-      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
       |hs AS (
       |  SELECT tok, r,
       |    ('0x' || substr(md5(tok), r * 8 + 1, 8))::BIGINT % 512 AS c
@@ -353,7 +353,7 @@ object Sketches {
 
   val kmvIntersectSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id % 2 AS side,
       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s

@@ -76,19 +76,59 @@ object CorpusBuild {
     * fixed-length prefix respects lexicographic order (u1 < u2 ⇒
     * prefix(u1) <= prefix(u2)), so bucket-major-by-prefix-then-url IS
     * url order within equal n_refs. Oracle unchanged. */
-  def crawlFrontier(s: SparkSession, d: String): DataFrame = {
-    val allowed = allowedLinks(s, Tables.documents(s, d))
-    val fr = allowed.groupBy("host", "url")
-      .agg(count(lit(1)).as("n_refs"))
-      .withColumn("neg_refs", -col("n_refs"))
-      // url = "http://" + host + path → the cell is the first 8 chars
-      // of the path (positions 8+len(host)..), coarse enough to stay a
-      // small totals table, fine enough to split a mega-host's queue.
-      .withColumn("ucell", expr("substring(url, 8 + length(host), 8)"))
-    graft.operators.PrefixSum.twoLevel(fr, Seq("host"),
-        Seq("neg_refs", "ucell"), lit(1L), Seq(col("url")))
+  /** The skew-safe rank itself, over any frontier of UNIQUE (host, url)
+    * rows — exposed so CrawlFrontierSkewSpec can pin BOTH halves of the
+    * contract on a synthetic power-law host: order identical to the
+    * window form, mega-host queue split across many parallel cells.
+    *
+    * The coarse cells come from Spark's RANGE PARTITIONER over the full
+    * ordering key (host, n_refs DESC, url): sampling splits ANY
+    * distribution — one host holding 100% of the links, arbitrarily
+    * diverse url shapes — into ~4×cores balanced, ORDER-ALIGNED cells
+    * (partition p < q ⟹ every row of p sorts before q), which is
+    * exactly what twoLevel needs. A static key-derived cell (url
+    * prefix, numeric div) cannot promise that: the first cut's 8-char
+    * prefix cell degenerated to one cell per url on prefix-diverse
+    * queues, pushing the whole frontier into the level-2 totals table
+    * (caught by the spec's totals-size assertion). Here the totals
+    * table is ≤ #hosts + #cells rows by construction (each host spans
+    * contiguous cells). Ranks are boundary-independent — the global
+    * order is total because (host, url) is unique — so sampled
+    * boundaries can shift between runs without changing a single
+    * fetch_order. */
+  private[graft] def frontierRank(fr0: DataFrame): DataFrame = {
+    val s = fr0.sparkSession
+    val nCells = s.sparkContext.defaultParallelism * 4
+    val fr = fr0.select(col("host"), col("url"), col("n_refs"),
+      (-col("n_refs")).as("neg_refs"))
+    val ranged = fr.repartitionByRange(nCells,
+      col("host"), col("neg_refs"), col("url"))
+    // Pin the cell assignment through ONE RDD: range-partitioner
+    // boundaries are sampled with an rdd-id-derived seed, so two plan
+    // branches each planning their own range exchange can disagree on
+    // cells — twoLevel's in-cell sums would then count a different
+    // split than its totals (caught by CrawlFrontierSkewSpec's order
+    // contract: ranks drifted between evaluations). A LogicalRDD is
+    // referenced, not re-planned, so both branches read the SAME
+    // shuffle output — which stays fault-tolerant (shuffle files
+    // recompute on executor loss, unlike a localCheckpoint pin).
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "pcell", org.apache.spark.sql.types.LongType, nullable = false))
+    val withCell = s.createDataFrame(
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        it.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid.toLong))
+      }, schema)
+    graft.operators.PrefixSum.twoLevel(withCell, Seq("host"), Seq("pcell"),
+        lit(1L), Seq(col("neg_refs"), col("url")))
       .withColumn("fetch_order", (col("boff") + col("end_in_b")).cast("int"))
       .select("host", "fetch_order", "url", "n_refs")
+  }
+
+  def crawlFrontier(s: SparkSession, d: String): DataFrame = {
+    val allowed = allowedLinks(s, Tables.documents(s, d))
+    frontierRank(allowed.groupBy("host", "url")
+        .agg(count(lit(1)).as("n_refs")))
       .orderBy("host", "fetch_order")
   }
 
@@ -134,10 +174,16 @@ object CorpusBuild {
       .select(lit("stage").as("kind"), lit(id).cast("int").as("id"),
         lit(label).as("label"), col("n_docs"), col("n_tokens"))
 
-  /** The full corpus build, one chain. Stage boundaries materialize via
-    * localCheckpoint — the lakehouse pattern (each stage's output is a
-    * table the next stage scans), which also keeps the report's
-    * fan-out from re-executing upstream stages. Stage semantics:
+  /** The full corpus build, one chain. Stage boundaries are DURABLE
+    * ArtifactStore commits (round-13: replaced localCheckpoint, whose
+    * executor-pinned blocks truncate lineage — one lost executor on a
+    * multi-hour 100-TB run killed the job instead of recomputing): each
+    * stage's output is a committed parquet table keyed by the corpus
+    * fingerprint + the chain's parameter set, the next stage scans the
+    * LOADED table (never the in-memory build result — the tok/idx serve
+    * convention), a restarted run resumes from the last committed
+    * stage, and `corpus_build_e2e` / `corpus_lineage` share ONE chain
+    * execution instead of two. Stage semantics:
     *
     *  - ingest:      docs with a parsed 200 response; raw extracted tokens
     *  - normalize:   lowercase, drop {a, the}, empties, pure-digit tokens
@@ -165,54 +211,91 @@ object CorpusBuild {
       exactAll: DataFrame, exact: DataFrame, bad: DataFrame,
       near: DataFrame, asg: DataFrame)
 
-  private def chainFrames(s: SparkSession, d: String): ChainFrames = {
+  /** Stage-artifact keys: corpus fingerprint (count + order-independent
+    * xxhash64 — the docKey idiom) + the chain's parameter set, so a
+    * changed corpus or parameter is a DIFFERENT artifact, never a stale
+    * read. One narrow metadata-scale scan computes it once per call. */
+  private def chainKey(s: SparkSession, d: String): String = {
+    val fp = Tables.documents(s, d).agg(count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(doc_id, text))").as("h")).head()
+    val h = if (fp.isNullAt(1)) 0L else fp.getLong(1)
+    s"v1_n${fp.getLong(0)}_h$h"
+  }
+
+  private[graft] def chainStageNames(s: SparkSession, d: String)
+      : Seq[String] = {
+    val ck = chainKey(s, d)
+    Seq(s"chain_norm_$ck", s"chain_exact_${ck}_q02",
+      s"chain_bad_${ck}_q02_w3k64b32t08",
+      s"chain_asg_${ck}_q02_w3k64b32t08_s8")
+  }
+
+  /** `rebuild = true` (the e2e BUILD entry): drop and re-commit every
+    * stage, so the entry always measures a full chain build — the
+    * idxPqBuild/tok_*_build convention (build entries retrain; only
+    * serve/read paths skip work). `rebuild = false` (lineage, a
+    * restarted production run): `getOrBuild` per stage — resume from
+    * the last committed stage. Either way every downstream frame reads
+    * the COMMITTED parquet, never the in-memory build result. */
+  private[graft] def chainFrames(s: SparkSession, d: String,
+                                 rebuild: Boolean = false): ChainFrames = {
     import s.implicits._
+    import graft.sinks.ArtifactStore
+    val Seq(normKey, exactKey, badKey, asgKey) = chainStageNames(s, d)
+    if (rebuild) Seq(normKey, exactKey, badKey, asgKey)
+      .foreach(ArtifactStore.remove(s, _))
     val stop = Set("the", "a", "and", "of", "to", "is", "in")
     // stages 0-1: WARC → extract → normalize, ONE narrow pass
-    val norm = graft.sources.Warc
-      .extractedFromDocuments(s, Tables.documents(s, d))
-      .map { case (id, etext) =>
-        val raw = etext.split(ws)
-        val kept = raw.iterator.map(_.toLowerCase)
-          .filter(t => t.nonEmpty && t != "a" && t != "the" &&
-            !t.forall(c => c >= '0' && c <= '9'))
-          .toArray
-        (id, kept.mkString(" "), raw.length.toLong, kept.length.toLong,
-          kept.iterator.map(_.length.toLong).sum,
-          kept.count(stop).toLong)
-      }.toDF("doc_id", "norm_text", "n_raw", "n_norm", "sum_len",
-        "n_stop")
-      .localCheckpoint(true)
-    // stage 2: quality gate (engine-identical double expression)
+    val norm = ArtifactStore.getOrBuild(s, normKey) {
+      graft.sources.Warc
+        .extractedFromDocuments(s, Tables.documents(s, d))
+        .map { case (id, etext) =>
+          val raw = etext.split(ws)
+          val kept = raw.iterator.map(_.toLowerCase)
+            .filter(t => t.nonEmpty && t != "a" && t != "the" &&
+              !t.forall(c => c >= '0' && c <= '9'))
+            .toArray
+          (id, kept.mkString(" "), raw.length.toLong, kept.length.toLong,
+            kept.iterator.map(_.length.toLong).sum,
+            kept.count(stop).toLong)
+        }.toDF("doc_id", "norm_text", "n_raw", "n_norm", "sum_len",
+          "n_stop")
+    }
+    // stage 2: quality gate (engine-identical double expression) — a
+    // narrow projection of the committed normalize table; recomputed on
+    // read rather than committed (no shuffle to protect)
     val qAll = norm.where(col("n_norm") > 0)
       .withColumn("quality", expr(
         "round(least(CAST(sum_len AS DOUBLE) / n_norm, 10.0) / 10.0 " +
           "* 0.2 + CAST(n_stop AS DOUBLE) / n_norm * 0.5 + " +
           "least(CAST(n_norm AS DOUBLE), 100.0) / 100.0 * 0.3, 6)"))
     val q = qAll.where(col("quality") >= lit(QualityMin))
-    // stage 3: exact dedup on the normalized content digest
-    val exactAll = q
-      .withColumn("key", sha2(concat_ws(" ", array_sort(array_distinct(
-        split(col("norm_text"), ws)))), 256))
-      .withColumn("keep_id",
-        min(col("doc_id")).over(Window.partitionBy("key")))
+    // stage 3: exact dedup on the normalized content digest (the digest
+    // itself stays build-side; the committed table carries keep_id)
+    val exactAll = ArtifactStore.getOrBuild(s, exactKey) {
+      q.withColumn("key", sha2(concat_ws(" ", array_sort(array_distinct(
+          split(col("norm_text"), ws)))), 256))
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy("key")))
+        .drop("key")
+    }
     val exact = exactAll
       .where(col("doc_id") === col("keep_id"))
-      .drop("key", "keep_id")
-      .localCheckpoint(true)
+      .drop("keep_id")
     // stage 4: near dedup among the exact survivors — the STOP-SHINGLE
     // variant: extracted pages share template shingles, and plain
     // banding would give every unrelated pair a collision probability
     // (candidates ∝ n²; measured 137 MB of candidate attach at sf0.1)
-    val bad = Dedup.minhashNearDupsStopShingles(s,
-        exact.select(col("doc_id"), col("norm_text").as("text")),
-        w = 3, k = 64, bands = 32, threshold = 0.8,
-        totalDocs = exact.count())
-      .select(col("b").as("doc_id")).distinct()
+    val bad = ArtifactStore.getOrBuild(s, badKey) {
+      Dedup.minhashNearDupsStopShingles(s,
+          exact.select(col("doc_id"), col("norm_text").as("text")),
+          w = 3, k = 64, bands = 32, threshold = 0.8,
+          totalDocs = exact.count())
+        .select(col("b").as("doc_id")).distinct()
+    }
     val near = exact.join(bad, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    ChainFrames(norm, qAll, q, exactAll, exact, bad, near,
-      shardAsg(s, near))
+    val asg = ArtifactStore.getOrBuild(s, asgKey)(shardAsg(s, near))
+    ChainFrames(norm, qAll, q, exactAll, exact, bad, near, asg)
   }
 
   /** Stages 5-6: pack + shard manifest over the survivors — the
@@ -240,11 +323,14 @@ object CorpusBuild {
       .withColumn("shard",
         least(lit(Shards - 1).cast("long"),
           expr(s"(start_tok * $Shards) div total")).cast("int"))
-      .localCheckpoint(true)
+      // lean committed shape: the manifest/lineage/tokenize consumers
+      // need ids, counts and placement — not the md5/bucket scaffolding
+      .select("doc_id", "n_tokens", "start_tok", "shard")
   }
 
   def corpusBuildE2e(s: SparkSession, d: String): DataFrame = {
-    val ChainFrames(norm, _, q, _, exact, _, near, asg) = chainFrames(s, d)
+    val ChainFrames(norm, _, q, _, exact, _, near, asg) =
+      chainFrames(s, d, rebuild = true)
     val packRow = asg
       .agg(sum(col("n_tokens")).cast("long").as("total"))
       .select(lit("stage").as("kind"), lit(5).cast("int").as("id"),
@@ -438,15 +524,87 @@ object CorpusBuild {
        |  LEFT JOIN a2 USING (doc_id))
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // corpus_build_tokenized — the chain's last mile (round-13 ask #5)
+  // ------------------------------------------------------------------
+
+  /** What a real pipeline runs AFTER the shard manifest: load the
+    * committed tokenizer, encode the survivor corpus, emit per-shard
+    * token totals (the numbers a training job sizes its data loader
+    * with). Composition-only entry: the chain comes back from its
+    * committed stage artifacts (one execution shared with the manifest
+    * and lineage entries), the BPE merge table from ITS committed
+    * artifact (tok_bpe's — getOrBuild), and the encode is the
+    * tok_bpe_serve shape: the merge list rides a broadcast into a
+    * distinct-word segmentation (vocabulary-sized), the corpus-width
+    * token stream joins that small side, and the per-doc/per-shard
+    * aggregates partial-aggregate map-side — the corpus text itself is
+    * never re-shuffled (PerfContractSpec pins the budget). */
+  def corpusBuildTokenized(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = chainFrames(s, d)
+    val merges = LlmPipeline.bpeMergesArtifact(s, d).orderBy("step")
+      .collect() // merge-budget-sized (8 rows)
+      .map(r => (r.getAs[String]("l"), r.getAs[String]("r"),
+        r.getAs[String]("merged"))).toSeq
+    val bc = s.sparkContext.broadcast(merges)
+    val toks = f.near.select(col("doc_id"),
+        explode(split(col("norm_text"), ws)).as("tok"))
+      .where(length(col("tok")) > 0)
+    val seg = toks.select(col("tok").as("word")).distinct().as[String]
+      .map(w => (w, graft.text.Bpe.applyMergeList(w, bc.value).length))
+      .toDF("word", "n_pieces")
+    val perDoc = toks.join(seg, toks("tok") === seg("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_pieces").cast("long")).as("n_subtokens"))
+    f.asg.join(perDoc, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_ws_tokens"),
+        sum(col("n_subtokens")).as("n_subtokens"))
+      .orderBy("shard")
+  }
+
+  /** Oracle = the chain replay composed with the BPE replay: train the
+    * 8 merges over documents (prefixed `bp` CTEs — the exact
+    * textBpeSql chain), apply the merge list to every distinct survivor
+    * word (the applyMergeList fold), aggregate per shard. */
+  val corpusBuildTokenizedSql: String = {
+    val bpeToks =
+      "SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents"
+    s"""$corpusChainSql,
+       |${graft.text.Bpe.oracleChainCtes(8, bpeToks, "bp")},
+       |dt AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split_regex(norm_text, '\\s+'))
+       |      AS tok FROM nr)
+       |  WHERE length(tok) > 0),
+       |${graft.text.Bpe.applyMergesOracleCtes(8,
+             "SELECT DISTINCT tok AS word FROM dt", "bp")},
+       |enc AS (
+       |  SELECT doc_id,
+       |    CAST(sum(len(string_split(e.s, chr(31)))) AS BIGINT)
+       |      AS n_subtokens
+       |  FROM dt JOIN bpe8 e ON dt.tok = e.word
+       |  GROUP BY doc_id)
+       |SELECT a2.shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(a2.n_tokens) AS BIGINT) AS n_ws_tokens,
+       |  CAST(sum(enc.n_subtokens) AS BIGINT) AS n_subtokens
+       |FROM a2 JOIN enc USING (doc_id)
+       |GROUP BY a2.shard ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "crawl_frontier" -> (crawlFrontier _),
     "corpus_build_e2e" -> (corpusBuildE2e _),
-    "corpus_lineage" -> (corpusLineage _)
+    "corpus_lineage" -> (corpusLineage _),
+    "corpus_build_tokenized" -> (corpusBuildTokenized _)
   )
 
   val oracle: Map[String, String] = Map(
     "crawl_frontier" -> crawlFrontierSql,
     "corpus_build_e2e" -> corpusBuildE2eSql,
-    "corpus_lineage" -> corpusLineageSql
+    "corpus_lineage" -> corpusLineageSql,
+    "corpus_build_tokenized" -> corpusBuildTokenizedSql
   )
 }

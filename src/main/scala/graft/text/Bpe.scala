@@ -297,21 +297,22 @@ object Bpe {
     * v$i (merged vocab via a string-accumulator left fold, semantically
     * identical to the trainer's mergeOnce fold). Suffix a final SELECT over
     * t1..t$merges (train) or v$merges (encode). */
-  private def oracleChain(merges: Int, toksSql: String): String = {
+  private def oracleChain(merges: Int, toksSql: String,
+                          pfx: String = ""): String = {
     val sep = "chr(31)"
     // MATERIALIZED: v$i and t$i are each referenced twice, and DuckDB
     // inlines plain CTEs per reference — an n-round chain would expand
     // 2^n times (the 8-round oracle survived that; 32 rounds cannot)
     def round(i: Int): String =
-      s"""p$i AS MATERIALIZED (
+      s"""${pfx}p$i AS MATERIALIZED (
          |  SELECT t[j] AS l, t[j+1] AS r, CAST(sum(cnt) AS BIGINT) AS n
-         |  FROM (SELECT string_split(s, $sep) AS t, cnt FROM v${i - 1}),
+         |  FROM (SELECT string_split(s, $sep) AS t, cnt FROM ${pfx}v${i - 1}),
          |    LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS j)
          |  GROUP BY 1, 2),
-         |t$i AS MATERIALIZED (
-         |  SELECT l, r, l || r AS m, n FROM p$i
+         |${pfx}t$i AS MATERIALIZED (
+         |  SELECT l, r, l || r AS m, n FROM ${pfx}p$i
          |  ORDER BY n DESC, l, r LIMIT 1),
-         |v$i AS MATERIALIZED (
+         |${pfx}v$i AS MATERIALIZED (
          |  SELECT word, cnt,
          |    list_reduce(list_prepend('', string_split(s, $sep)),
          |      (acc, x) -> CASE
@@ -320,16 +321,52 @@ object Bpe {
          |          AND x = t.r
          |        THEN substr(acc, 1, length(acc) - length(t.l)) || t.m
          |        ELSE acc || $sep || x END) AS s
-         |  FROM v${i - 1} LEFT JOIN t$i t ON TRUE)""".stripMargin
+         |  FROM ${pfx}v${i - 1} LEFT JOIN ${pfx}t$i t ON TRUE)""".stripMargin
     val rounds = (1 to merges).map(round).mkString(",\n")
-    s"""WITH toks AS ($toksSql),
-       |v0 AS MATERIALIZED (
+    s"""WITH ${pfx}toks AS ($toksSql),
+       |${pfx}v0 AS MATERIALIZED (
        |  SELECT word, cnt,
        |    array_to_string(list_transform(generate_series(1, length(word)),
        |      i -> substr(word, i, 1)), $sep) AS s
-       |  FROM (SELECT tok AS word, count(*) AS cnt FROM toks
+       |  FROM (SELECT tok AS word, count(*) AS cnt FROM ${pfx}toks
        |        WHERE length(tok) > 0 GROUP BY tok)),
        |$rounds""".stripMargin
+  }
+
+  /** The training-replay CTE list as a COMPOSABLE fragment: no leading
+    * WITH, every CTE name prefixed with `pfx` — for oracles that splice
+    * the tokenizer replay into their own WITH chain (the corpus-build
+    * composition; the prefix dodges name collisions with the caller's
+    * CTEs). Trained winners land in `${pfx}t1..t$merges`, the final
+    * vocab in `${pfx}v$merges`. */
+  def oracleChainCtes(merges: Int, toksSql: String, pfx: String): String =
+    oracleChain(merges, toksSql, pfx).stripPrefix("WITH ")
+
+  /** Replay of `applyMergeList` over an ARBITRARY word set as CTEs
+    * `${pfx}e0..e$merges`: char-split each word of `wordsSql` (one
+    * `word` column), then fold the trained merges `${pfx}t1..t$merges`
+    * in order with the exact list_reduce body training uses — how the
+    * serve path segments words that may not be in the training vocab. */
+  def applyMergesOracleCtes(merges: Int, wordsSql: String,
+                            pfx: String): String = {
+    val sep = "chr(31)"
+    def round(i: Int): String =
+      s"""${pfx}e$i AS MATERIALIZED (
+         |  SELECT word,
+         |    list_reduce(list_prepend('', string_split(s, $sep)),
+         |      (acc, x) -> CASE
+         |        WHEN acc = '' THEN x
+         |        WHEN regexp_extract(acc, '[^' || $sep || ']*$$') = t.l
+         |          AND x = t.r
+         |        THEN substr(acc, 1, length(acc) - length(t.l)) || t.m
+         |        ELSE acc || $sep || x END) AS s
+         |  FROM ${pfx}e${i - 1} LEFT JOIN ${pfx}t$i t ON TRUE)""".stripMargin
+    s"""${pfx}e0 AS MATERIALIZED (
+       |  SELECT word,
+       |    array_to_string(list_transform(generate_series(1, length(word)),
+       |      i -> substr(word, i, 1)), $sep) AS s
+       |  FROM ($wordsSql)),
+       |${(1 to merges).map(round).mkString(",\n")}""".stripMargin
   }
 
   /** DuckDB replay of `train`. */

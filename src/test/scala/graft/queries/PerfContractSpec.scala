@@ -198,6 +198,17 @@ class PerfContractSpec extends SparkSpec {
     // or the boilerplate candidate explosion returned (the plain
     // banding this chain replaced measured 137 MB on the same data).
     Contract("corpus_build_e2e", 33, 74),
+    // the chain's last mile: committed stages reload (or cold-build:
+    // the stage budget covers a full chain build + commits), the BPE
+    // merge table rides a task broadcast into the vocabulary-sized
+    // distinct-word segmentation, and the corpus-width token stream
+    // joins that SMALL side — the survivor text itself is never
+    // re-shuffled (the word stream's exchanges are partial-aggregated
+    // doc/word counts)
+    Contract("corpus_build_tokenized", 40, 100, (p, n) =>
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$n: the segmentation join must broadcast (vocabulary-sized side)")),
     Contract("idx_lsh_serve", 14, 26, (p, n) => noSmj(p, n)),
     // sketch aggregates (round 12, sf0.1 evidence 0.0/0.0/0.0 MB after
     // the exact twins were evicted to SketchSpec — the in-plan

@@ -19,6 +19,7 @@ object SparkEntry {
       graft.queries.Scalars.queries ++
       graft.queries.LlmPipeline.queries ++
       graft.queries.CorpusBuild.queries ++
+      graft.queries.Profile.queries ++
       graft.queries.Sketches.queries ++
       graft.queries.Layout.queries ++
       graft.queries.UdLang.queries
@@ -39,6 +40,7 @@ object SparkEntry {
       graft.queries.Scalars.oracle ++
       graft.queries.LlmPipeline.oracle ++
       graft.queries.CorpusBuild.oracle ++
+      graft.queries.Profile.oracle ++
       graft.queries.Sketches.oracle ++
       graft.queries.Layout.oracle ++
       graft.queries.UdLang.oracle

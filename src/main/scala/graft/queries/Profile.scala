@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import graft.plans.Sketch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the pass a 100-TB ingest runs BEFORE training to
+  * decide whether the data is usable at all (the Deequ/"data quality
+  * at scale" shape, single-pass and mergeable):
+  *
+  *  - `profile_table` — per-column stats over `documents` in ONE
+  *    aggregate pass: null count, min/max rendered length, and an
+  *    HLL(p=10) distinct estimate. The whole profile is one agg whose
+  *    state is fixed-size per column (1 KB of registers + four longs),
+  *    so the exchange carries kilobytes regardless of corpus size and
+  *    partials merge map-side — the same contract as the sketch
+  *    entries. An exact per-column distinct would shuffle every value
+  *    of every column (the key-universe cost the HLL exists to avoid).
+  *  - `profile_checks` — the constraint audit: named rules with exact
+  *    violation counts (primary-key duplicates, nulls in required
+  *    columns, `n_chars` disagreeing with `length(text)`, empty text,
+  *    unknown language codes). The uniqueness rule shuffles only the
+  *    8-byte key column with map-side partial counts; everything else
+  *    folds in one scan.
+  *
+  * Determinism: distinct estimates use the repo's md5-derived 52-bit
+  * hash of the value rendered as a string (BIGINT renders identically
+  * in Spark and DuckDB), so the oracle replays every register
+  * bit-for-bit; estimates are micro-fixed-point like the sketch
+  * entries. No reference analog (builder-brief extension).
+  */
+object Profile {
+
+  /** Profiled columns of `documents`. BIGINT/string only, so the
+    * cast-to-string rendering is engine-identical. */
+  private val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private def h52OfString(c: String): String =
+    s"CAST(conv(substr(md5(CAST($c AS STRING)), 1, 13), 16, 10) AS BIGINT)"
+
+  def profileTable(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d)
+    // ONE wide aggregate: all per-column stats in a single corpus pass.
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(length(col(c).cast("string"))).as(s"${c}__minlen"),
+        max(length(col(c).cast("string"))).as(s"${c}__maxlen"),
+        Sketch.hll(expr(h52OfString(c)), 10).as(s"${c}__regs"))
+    }
+    val one = src.agg(aggs.head, aggs.tail: _*)
+    // Long form via stack (still the one agg row — no re-execution of
+    // the corpus pass per column), then the shared HLL summary math.
+    val stacked = one.select(expr(
+      "stack(" + cols.size + ", " + cols.map(c =>
+        s"'$c', ${c}__nulls, ${c}__minlen, ${c}__maxlen, ${c}__regs")
+        .mkString(", ") + ") AS (col_name, nulls, min_len, max_len, regs)"))
+    stacked
+      .withColumn("v_zero", expr(
+        "aggregate(regs, 0L, (a, r) -> a + IF(r = 0, 1L, 0L))"))
+      .withColumn("s_scaled", expr(
+        "aggregate(regs, 0L, (a, r) -> a + shiftleft(1L, 43 - r))"))
+      .withColumn("raw_est", expr(
+        "0.7213e0 / (1e0 + 1.079e0 / 1024e0) * 1024e0 * 1024e0" +
+          " * 8796093022208e0 / CAST(s_scaled AS DOUBLE)"))
+      .withColumn("distinct_micro", expr(
+        "CAST(round(CASE WHEN raw_est <= 2560e0 AND v_zero > 0" +
+          " THEN 1024e0 * ln(1024e0 / CAST(v_zero AS DOUBLE))" +
+          " ELSE raw_est END * 1000000e0) AS BIGINT)"))
+      .select("col_name", "nulls", "min_len", "max_len",
+        "v_zero", "s_scaled", "distinct_micro")
+      .orderBy("col_name")
+  }
+
+  /** Per-column oracle block: stats + HLL register replay. */
+  private def profileColSql(c: String): String =
+    s"""SELECT '$c' AS col_name,
+       |  (SELECT CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |     FROM documents) AS nulls,
+       |  (SELECT CAST(min(length(CAST($c AS VARCHAR))) AS INT)
+       |     FROM documents) AS min_len,
+       |  (SELECT CAST(max(length(CAST($c AS VARCHAR))) AS INT)
+       |     FROM documents) AS max_len,
+       |  v_zero, s_scaled,
+       |  CAST(round(CASE WHEN raw_est <= 2560e0 AND v_zero > 0
+       |    THEN 1024e0 * ln(1024e0 / CAST(v_zero AS DOUBLE))
+       |    ELSE raw_est END * 1000000e0) AS BIGINT) AS distinct_micro
+       |FROM (
+       |  SELECT v_zero, s_scaled,
+       |    0.7213e0 / (1e0 + 1.079e0 / 1024e0) * 1024e0 * 1024e0
+       |      * 8796093022208e0 / CAST(s_scaled AS DOUBLE) AS raw_est
+       |  FROM (
+       |    SELECT 1024 - count(*) AS v_zero,
+       |      CAST(coalesce(sum(1::BIGINT << (43 - rho)), 0)
+       |        + (1024 - count(*)) * (1::BIGINT << 43) AS BIGINT) AS s_scaled
+       |    FROM (
+       |      SELECT h % 1024 AS j,
+       |        max(CASE WHEN h // 1024 = 0 THEN 43
+       |            ELSE 43 - length(format('{:b}', h // 1024)) END) AS rho
+       |      FROM (
+       |        SELECT ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 13))::BIGINT AS h
+       |        FROM documents WHERE $c IS NOT NULL) hh
+       |      GROUP BY 1) reg))""".stripMargin
+
+  val profileTableSql: String =
+    cols.map(profileColSql).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  /** Known language codes for the whitelist rule (the fixture's
+    * universe; a real run loads this from config). */
+  private val knownLangs = Seq("en", "de", "es", "fr", "zh")
+
+  def profileChecks(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d)
+    // Single-scan rules fold in one aggregate; the uniqueness rule is
+    // its own pass because it must shuffle the key column (exact dup
+    // count IS the audit) — map-side combine first, 8-byte keys only.
+    val scanRules = src.select(
+      sum(when(col("doc_id").isNull || col("lang").isNull ||
+        col("text").isNull, 1L).otherwise(0L)).as("null_required"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("n_chars_mismatch"),
+      sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("empty_text"),
+      sum(when(!col("lang").isin(knownLangs.map(x => x: Any): _*), 1L)
+        .otherwise(0L)).as("unknown_lang"))
+    val dupKeys = src.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("dup_doc_id"))
+    scanRules.join(broadcast(dupKeys))
+      .select(expr(
+        "stack(5, 'dup_doc_id', dup_doc_id, 'empty_text', empty_text," +
+          " 'n_chars_mismatch', n_chars_mismatch," +
+          " 'null_required', null_required, 'unknown_lang', unknown_lang)" +
+          " AS (rule, violations)"))
+      .orderBy("rule")
+  }
+
+  val profileChecksSql: String =
+    s"""WITH scan AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN doc_id IS NULL OR lang IS NULL OR text IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS null_required,
+       |    CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_chars_mismatch,
+       |    CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS empty_text,
+       |    CAST(sum(CASE WHEN lang NOT IN (${knownLangs.map("'" + _ + "'").mkString(", ")})
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS unknown_lang
+       |  FROM documents),
+       |dup AS (
+       |  SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dup_doc_id
+       |  FROM (SELECT doc_id, count(*) AS c FROM documents
+       |        GROUP BY 1 HAVING count(*) > 1))
+       |SELECT rule, violations FROM (
+       |  SELECT 'dup_doc_id' AS rule, dup_doc_id AS violations FROM dup
+       |  UNION ALL SELECT 'empty_text', empty_text FROM scan
+       |  UNION ALL SELECT 'n_chars_mismatch', n_chars_mismatch FROM scan
+       |  UNION ALL SELECT 'null_required', null_required FROM scan
+       |  UNION ALL SELECT 'unknown_lang', unknown_lang FROM scan)
+       |ORDER BY rule""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_table" -> (profileTable _),
+    "profile_checks" -> (profileChecks _))
+
+  val oracle: Map[String, String] = Map(
+    "profile_table" -> profileTableSql,
+    "profile_checks" -> profileChecksSql)
+}

@@ -391,8 +391,87 @@ object Sketches {
       |FROM c""".stripMargin
 
   // ------------------------------------------------------------------
+  // sketch_quantiles
+  // ------------------------------------------------------------------
+
+  /** Mergeable quantile sketch: per-lang p50/p90/p99 of document length
+    * via an HDR-histogram-style log-linear bucketing (octave = bit
+    * length, 16 linear sub-buckets per octave => relative error <=
+    * 1/16). Unlike DDSketch/t-digest the bucket index is PURE INTEGER
+    * math — `e = bitlen(x)-1`, `sub = ((x - 2^e)*16) >> e` — so there
+    * is no `ln` boundary wobble to adjudicate cross-engine: the DuckDB
+    * oracle replays every bucket count exactly.
+    *
+    * Scale shape: the only exchange carries the bounded histogram —
+    * at most langs × 64 octaves × 16 sub-buckets rows regardless of
+    * corpus size (map-side combine folds each task's rows into local
+    * bucket counts first). The per-lang cumulative window runs over
+    * that same bounded histogram, never the corpus. An exact
+    * percentile at 100 TB would instead global-sort the value column;
+    * this is the published HdrHistogram/log-linear idiom (Tene,
+    * HdrHistogram; DDSketch, Masson et al. VLDB'19) for percentiles
+    * that merge across partitions/time windows.
+    *
+    * Output per (lang, q): the first bucket whose cumulative count
+    * reaches ceil(q·total/100), its lower bound in 16ths (`lo16`; the
+    * true quantile lies in [lo16/16, lo16/16·(1+1/16))), and the
+    * cum/total evidence. All BIGINT — hash-exact. */
+  def quantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(s, d)
+      .where(col("n_chars") >= 1)
+      .select(col("lang"), col("n_chars").as("x"))
+      .withColumn("e", expr(
+        "CAST(length(conv(CAST(x AS STRING), 10, 2)) AS INT) - 1"))
+      .withColumn("sub", expr(
+        "CAST(shiftright((x - shiftleft(CAST(1 AS BIGINT), e)) * 16, e) AS INT)"))
+      .groupBy("lang", "e", "sub").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("lang").orderBy("e", "sub")))
+      .withColumn("tot", sum("c").over(Window.partitionBy("lang")))
+    val qs = s.range(1)
+      .select(explode(expr("array(50, 90, 99)")).as("q_pct"))
+    cum.join(broadcast(qs))
+      .where(col("cum") >= expr("(q_pct * tot + 99) div 100"))
+      .groupBy("lang", "q_pct")
+      .agg(min(struct(col("e"), col("sub"), col("cum"), col("tot"))).as("b"))
+      .select(col("lang"), col("q_pct"),
+        col("b.e").as("e"), col("b.sub").as("sub"),
+        expr("shiftleft(CAST(16 + b.sub AS BIGINT), b.e)").as("lo16"),
+        col("b.cum").as("cum_le"), col("b.tot").as("total"))
+      .orderBy("lang", "q_pct")
+  }
+
+  val quantilesSql: String =
+    """WITH base AS (
+      |  SELECT lang, n_chars AS x FROM documents WHERE n_chars >= 1),
+      |b AS (
+      |  SELECT lang,
+      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e,
+      |    CAST(((x - (CAST(1 AS BIGINT) << (length(format('{:b}', x)) - 1))) * 16)
+      |      >> (length(format('{:b}', x)) - 1) AS INT) AS sub
+      |  FROM base),
+      |hist AS (SELECT lang, e, sub, count(*) AS c FROM b GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT lang, e, sub, c,
+      |    sum(c) OVER (PARTITION BY lang ORDER BY e, sub
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY lang) AS tot
+      |  FROM hist),
+      |q AS (SELECT CAST(unnest([50, 90, 99]) AS INT) AS q_pct)
+      |SELECT lang, q_pct, e, sub,
+      |  CAST(16 + sub AS BIGINT) << e AS lo16,
+      |  CAST(cum AS BIGINT) AS cum_le, CAST(tot AS BIGINT) AS total
+      |FROM cum, q
+      |WHERE cum >= (q_pct * tot + 99) // 100
+      |QUALIFY row_number() OVER (PARTITION BY lang, q_pct ORDER BY e, sub) = 1
+      |ORDER BY lang, q_pct""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_quantiles" -> (quantiles _),
     "sketch_hll_shingles" -> (hllShingles _),
     "sketch_hll_cube_build" -> (hllCubeBuild _),
     "sketch_hll_cube_serve" -> (hllCubeServe _),
@@ -400,6 +479,7 @@ object Sketches {
     "sketch_kmv_intersect" -> (kmvIntersect _))
 
   val oracle: Map[String, String] = Map(
+    "sketch_quantiles" -> quantilesSql,
     "sketch_hll_shingles" -> hllShinglesSql,
     "sketch_hll_cube_build" -> hllCubeBuildSql,
     "sketch_hll_cube_serve" -> hllCubeServeSql,

@@ -253,6 +253,17 @@ class PerfContractSpec extends SparkSpec {
     Contract("text_cut_dup_spans", 12, 16, (p, n) =>
       assert(p.contains("xxhash64"),
         s"$n: gram digests missing — the mining join would ship text")),
+    // log-linear quantile sketch (round 13): the ONLY exchange is the
+    // bounded histogram (≤ langs × 64 octaves × 16 sub-buckets rows) —
+    // an exact percentile would global-sort the value column
+    Contract("sketch_quantiles", 2, 14),
+    // single-pass profiler: one wide aggregate whose state is fixed per
+    // column (1 KB registers + four longs) — nothing value-sized on the
+    // exchange regardless of corpus size
+    Contract("profile_table", 2, 8),
+    // constraint audit: the uniqueness rule shuffles 8-byte keys with
+    // map-side partial counts; every other rule folds in the one scan
+    Contract("profile_checks", 4, 12),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

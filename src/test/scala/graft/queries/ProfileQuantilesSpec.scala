@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** sketch_quantiles (Sketches.quantiles) + the Profile pack:
+  * bucket-math parity with an independent JVM fold, the 1/16 relative
+  * error bound against exact percentiles, partitioning invariance
+  * (mergeability), profiler exactness, and constraint-rule counts on a
+  * doctored table. */
+class ProfileQuantilesSpec extends SparkSpec {
+
+  /** Reference log-linear bucket math (independent of the SQL idiom):
+    * e = bitlen(x)-1, sub = ((x - 2^e) * 16) >> e. */
+  private def refBucket(x: Long): (Int, Int) = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val sub = (((x - (1L << e)) * 16) >> e).toInt
+    (e, sub)
+  }
+
+  test("log-linear bucket SQL (conv/shiftright idiom) equals the JVM " +
+    "fold over an exhaustive small range plus boundary probes") {
+    import spark.implicits._
+    val probes = (1L to 4096L) ++
+      Seq(1L << 20, (1L << 20) - 1, (1L << 20) + 1, (1L << 40),
+        (1L << 40) + (1L << 36), Long.MaxValue / 16)
+    val got = probes.toDF("x")
+      .withColumn("e", expr(
+        "CAST(length(conv(CAST(x AS STRING), 10, 2)) AS INT) - 1"))
+      .withColumn("sub", expr(
+        "CAST(shiftright((x - shiftleft(CAST(1 AS BIGINT), e)) * 16, e) AS INT)"))
+      .select("x", "e", "sub").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    probes.foreach { x =>
+      assert(got(x) == refBucket(x), s"x=$x")
+    }
+  }
+
+  test("sketch_quantiles: every reported bucket contains the exact " +
+    "discrete percentile (relative error <= 1/16 by construction)") {
+    val rows = Sketches.quantiles(spark, sf).collect()
+    assert(rows.length == 15) // 5 langs x 3 quantiles
+    // exact per-lang sorted lengths
+    val exact = graft.Tables.documents(spark, sf)
+      .where(col("n_chars") >= 1)
+      .select("lang", "n_chars").collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getLong(1)).sorted }
+    rows.foreach { r =>
+      val (lang, q, e, sub, lo16) =
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
+      val xs = exact(lang)
+      val needed = (q.toLong * xs.length + 99) / 100
+      val xStar = xs((needed - 1).toInt) // rank-needed order statistic
+      val hi16 = lo16 + (1L << e) // bucket upper bound in 16ths
+      assert(16 * xStar >= lo16 && 16 * xStar < hi16,
+        s"$lang q$q: x*=$xStar not in [$lo16, $hi16)/16")
+    }
+  }
+
+  test("sketch_quantiles is invariant to input partitioning (the " +
+    "histogram is mergeable)") {
+    // Same rows written as 1 file vs 7 files: the per-task partial
+    // histograms must merge to the identical quantile picks.
+    val docs = graft.Tables.documents(spark, sf)
+    val t1 = java.nio.file.Files.createTempDirectory("graft_q1_").toString
+    val t7 = java.nio.file.Files.createTempDirectory("graft_q7_").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$t1/documents.parquet")
+    docs.repartition(7).write.mode("overwrite")
+      .parquet(s"$t7/documents.parquet")
+    val a = Sketches.quantiles(spark, t1).collect().toSeq
+    val b = Sketches.quantiles(spark, t7).collect().toSeq
+    assert(a == b)
+    assert(a == Sketches.quantiles(spark, sf).collect().toSeq)
+  }
+
+  test("profile_table: exact fields match direct computation; distinct " +
+    "estimate lands within the HLL bound for every column") {
+    val prof = Profile.profileTable(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    val docs = graft.Tables.documents(spark, sf)
+    prof.foreach { case (c, r) =>
+      val (nulls, minLen, maxLen, estMicro) =
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(6))
+      val direct = docs.select(
+        sum(when(col(c).isNull, 1L).otherwise(0L)),
+        min(length(col(c).cast("string"))),
+        max(length(col(c).cast("string"))),
+        countDistinct(col(c))).head()
+      assert(nulls == direct.getLong(0), s"$c nulls")
+      assert(minLen == direct.getInt(1), s"$c min_len")
+      assert(maxLen == direct.getInt(2), s"$c max_len")
+      val exact = direct.getLong(3).toDouble
+      val est = estMicro / 1e6
+      assert(math.abs(est - exact) / exact < 0.165,
+        s"$c est=$est exact=$exact")
+    }
+  }
+
+  test("profile_checks: zero violations on the fixture; exact named " +
+    "counts on a doctored table") {
+    import spark.implicits._
+    val clean = Profile.profileChecks(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.values.forall(_ == 0L), s"fixture not clean: $clean")
+
+    // doctored copy: 2 extra rows under one key (dup=2), one null lang
+    // (null_required=1), one n_chars off by one (mismatch=1), one empty
+    // text (empty+mismatch... keep disjoint: empty text with n_chars=0
+    // consistent), one unknown lang.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_profile_")
+      .toString
+    val doctored = Seq(
+      (1L, "alpha beta", "en", "web", 10L),
+      (1L, "alpha beta", "en", "web", 10L), // dup of key 1
+      (1L, "alpha beta", "en", "web", 10L), // dup of key 1
+      (2L, "hello", null.asInstanceOf[String], "web", 5L), // null lang
+      (3L, "hello", "en", "web", 99L), // n_chars mismatch
+      (4L, "", "en", "web", 0L), // empty text
+      (5L, "bonjour", "xx", "web", 7L)) // unknown lang
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    doctored.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val checked = Profile.profileChecks(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(checked == Map(
+      "dup_doc_id" -> 2L, "empty_text" -> 1L, "n_chars_mismatch" -> 1L,
+      "null_required" -> 1L, "unknown_lang" -> 1L), s"got $checked")
+  }
+}

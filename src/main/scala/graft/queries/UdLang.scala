@@ -874,6 +874,93 @@ object UdLang extends Serializable {
       |FROM tr JOIN ev USING (g)
       |ORDER BY doc_id, g""".stripMargin
 
+  /** Streaming quantile sketch: the batch `sketch_quantiles` log-linear
+    * histogram (octave = bit length, 16 linear sub-buckets — pure
+    * integer bucket math, see Sketches.quantiles) as a WATERMARKED
+    * event-time aggregation. The stream emits one bounded histogram per
+    * finalized (1-hour window, event_type) — state per group is ≤ 64×16
+    * counters no matter how many events the window saw — and the
+    * quantile picks are batch math over those emitted sketch rows (the
+    * stored-sketch serve pattern: the stream ships mergeable state,
+    * serving derives estimates). Values are integer cents
+    * (floor(value·100): one IEEE-exact multiply, floor — both engines
+    * identical), watermark semantics as in u_stream_window: only
+    * windows whose end precedes max(ts) − 10min finalize. */
+  def uStreamQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val fileSchema = parquetSchema(s, s"$d/events.parquet")
+    val hist = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(Tables.normTs)
+      .select(col("ts"), col("event_type"),
+        expr("CAST(floor(value * 100e0) AS BIGINT)").as("x"))
+      .withWatermark("ts", "10 minutes") // BEFORE the x-filter: the
+      // watermark must advance on every event, not just bucketed ones
+      .where(col("x") >= 1)
+      .withColumn("e", expr(
+        "CAST(length(conv(CAST(x AS STRING), 10, 2)) AS INT) - 1"))
+      .withColumn("sub", expr(
+        "CAST(shiftright((x - shiftleft(CAST(1 AS BIGINT), e)) * 16, e) AS INT)"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        col("e"), col("sub"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("e"), col("sub"), col("c"))
+    val sunk = withStatePartitions(s, 4) {
+      runStream(s, hist, "u_stream_quantiles_sink")
+    }
+    // serve: per-(window, type) p50/p95 from the emitted histograms —
+    // the same pick as the batch sketch (bounded rows, never events)
+    val cum = sunk
+      .withColumn("cum", sum("c").over(
+        W.partitionBy("win_start_us", "event_type").orderBy("e", "sub")))
+      .withColumn("tot", sum("c").over(
+        W.partitionBy("win_start_us", "event_type")))
+    val qs = s.range(1).select(explode(expr("array(50, 95)")).as("q_pct"))
+    cum.join(broadcast(qs))
+      .where(col("cum") >= expr("(q_pct * tot + 99) div 100"))
+      .groupBy("win_start_us", "event_type", "q_pct")
+      .agg(min(struct(col("e"), col("sub"), col("cum"), col("tot"))).as("b"))
+      .select(col("win_start_us"), col("event_type"), col("q_pct"),
+        expr("shiftleft(CAST(16 + b.sub AS BIGINT), b.e)").as("lo16"),
+        col("b.cum").as("cum_le"), col("b.tot").as("total"))
+      .orderBy("win_start_us", "event_type", "q_pct")
+  }
+
+  /** Batch twin: same histogram + pick over the watermark-finalized
+    * windows. */
+  val uStreamQuantilesSql: String =
+    """WITH ev AS (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win, event_type,
+      |    CAST(floor(value * 100e0) AS BIGINT) AS x
+      |  FROM events
+      |  WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <=
+      |    (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)),
+      |b AS (
+      |  SELECT win, event_type,
+      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e,
+      |    CAST(((x - (CAST(1 AS BIGINT) << (length(format('{:b}', x)) - 1))) * 16)
+      |      >> (length(format('{:b}', x)) - 1) AS INT) AS sub
+      |  FROM ev WHERE x >= 1),
+      |hist AS (
+      |  SELECT win, event_type, e, sub, count(*) AS c
+      |  FROM b GROUP BY 1, 2, 3, 4),
+      |cum AS (
+      |  SELECT win, event_type, e, sub, c,
+      |    sum(c) OVER (PARTITION BY win, event_type ORDER BY e, sub
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY win, event_type) AS tot
+      |  FROM hist),
+      |q AS (SELECT CAST(unnest([50, 95]) AS INT) AS q_pct)
+      |SELECT epoch_us(win) AS win_start_us, event_type, q_pct,
+      |  CAST(16 + sub AS BIGINT) << e AS lo16,
+      |  CAST(cum AS BIGINT) AS cum_le, CAST(tot AS BIGINT) AS total
+      |FROM cum, q
+      |WHERE cum >= (q_pct * tot + 99) // 100
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY win, event_type, q_pct ORDER BY e, sub) = 1
+      |ORDER BY win_start_us, event_type, q_pct""".stripMargin
+
   /** The transformWithState stateful driver as a driver-gate entry: the
     * Spark 4 StatefulProcessor (typed ValueState on the RocksDB store) runs
     * the per-key running (count, sum) over the event file stream; a finite
@@ -996,6 +1083,7 @@ object UdLang extends Serializable {
     "u_stream_neardup" -> (uStreamNeardup _),
     "u_stream_contamination" -> (uStreamContamination _),
     "u_stream_shards" -> (uStreamShards _),
+    "u_stream_quantiles" -> (uStreamQuantiles _),
     "u_effect_dlq" -> (uEffectDlq _),
     "u_stream_join" -> (uStreamJoin _),
     "u_union_ingest" -> (uUnionIngest _),
@@ -1023,6 +1111,7 @@ object UdLang extends Serializable {
     "u_stream_neardup" -> uStreamNeardupSql,
     "u_stream_contamination" -> uStreamContaminationSql,
     "u_stream_shards" -> uStreamShardsSql,
+    "u_stream_quantiles" -> uStreamQuantilesSql,
     "u_effect_dlq" -> uEffectDlqSql,
     "u_stream_join" -> uStreamJoinSql,
     "u_union_ingest" -> uUnionIngestSql,

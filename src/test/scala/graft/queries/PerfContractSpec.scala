@@ -264,6 +264,11 @@ class PerfContractSpec extends SparkSpec {
     // constraint audit: the uniqueness rule shuffles 8-byte keys with
     // map-side partial counts; every other rule folds in the one scan
     Contract("profile_checks", 4, 12),
+    // streaming quantile sketch: the watermarked histogram aggregation
+    // exchanges bounded (window, type, bucket) counter rows per
+    // micro-batch — never events — and the serve-side pick runs over
+    // the emitted sketch rows only
+    Contract("u_stream_quantiles", 8, 30),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

@@ -225,7 +225,10 @@ object CorpusBuild {
   private[graft] def chainStageNames(s: SparkSession, d: String)
       : Seq[String] = {
     val ck = chainKey(s, d)
-    Seq(s"chain_norm_$ck", s"chain_exact_${ck}_q02",
+    // exactp (not exact): the committed shape changed to the pair list
+    // in round 13 — a new key so a pre-change artifact can never be
+    // read under the new schema
+    Seq(s"chain_norm_$ck", s"chain_exactp_${ck}_q02",
       s"chain_bad_${ck}_q02_w3k64b32t08",
       s"chain_asg_${ck}_q02_w3k64b32t08_s8")
   }
@@ -270,18 +273,27 @@ object CorpusBuild {
           "* 0.2 + CAST(n_stop AS DOUBLE) / n_norm * 0.5 + " +
           "least(CAST(n_norm AS DOUBLE), 100.0) / 100.0 * 0.3, 6)"))
     val q = qAll.where(col("quality") >= lit(QualityMin))
-    // stage 3: exact dedup on the normalized content digest (the digest
-    // itself stays build-side; the committed table carries keep_id)
+    // stage 3: exact dedup on the normalized content digest. The window
+    // input is slimmed to (doc_id, digest) — 40-byte rows on the digest
+    // exchange, never norm_text — and the COMMITTED table is the
+    // (doc_id, keep_id) pair list: the first durable cut committed the
+    // full q frame + keep_id, i.e. wrote the corpus to disk a SECOND
+    // time (norm already carries it) and shipped norm_text through the
+    // digest shuffle. Survivor text reattaches by a doc-keyed semi join
+    // against the recomputed narrow q projection (survivor-id side is
+    // id-only — AQE broadcasts it at small SF; at corpus scale the
+    // corpus shuffles its own bytes once, strictly cheaper than the
+    // double write).
     val exactAll = ArtifactStore.getOrBuild(s, exactKey) {
-      q.withColumn("key", sha2(concat_ws(" ", array_sort(array_distinct(
-          split(col("norm_text"), ws)))), 256))
+      q.select(col("doc_id"), sha2(concat_ws(" ", array_sort(array_distinct(
+          split(col("norm_text"), ws)))), 256).as("key"))
         .withColumn("keep_id",
           min(col("doc_id")).over(Window.partitionBy("key")))
-        .drop("key")
+        .select("doc_id", "keep_id")
     }
-    val exact = exactAll
-      .where(col("doc_id") === col("keep_id"))
-      .drop("keep_id")
+    val exact = q.join(
+      exactAll.where(col("doc_id") === col("keep_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
     // stage 4: near dedup among the exact survivors — the STOP-SHINGLE
     // variant: extracted pages share template shingles, and plain
     // banding would give every unrelated pair a collision probability

@@ -506,6 +506,48 @@ object Relational extends Serializable {
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Bloom runtime-filter join (round 13): the semi-join reduction a
+    * 100-TB fact join leans on, made explicit. A selective dimension
+    * predicate (o_totalprice < 20000 keeps ~4% of orders) builds a
+    * fixed-size Bloom over the qualifying keys — one aggregate row,
+    * driver-held like the text_contamination filter (bounded by numBits,
+    * never by row count) — and the FACT side probes it BEFORE the
+    * shuffle join, so only the surviving ~4% of lineitem ever exchanges.
+    * Bloom filters have no false negatives and the exact join confirms
+    * survivors, so the result is IDENTICAL to the plain join (the
+    * oracle is that plain join). Spark's AQE InjectRuntimeFilter plays
+    * this trick opportunistically; owning it as an operator makes the
+    * reduction deterministic and lets a serving system commit the
+    * filter as an artifact (the idx_bloom pattern). */
+  def qBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val sel = Tables.orders(s, d)
+      .where(col("o_totalprice") < 20000)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // capacity: dimension-count-derived (the evalBloom convention) —
+    // a dim-side count is metadata-scale next to the fact scan
+    val items = math.max(1024L, sel.count())
+    val bits = math.min(1L << 26, items * 16)
+    val bf = sel.agg(graft.plans.Bloom
+      .agg(xxhash64(col("o_orderkey")), items, bits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pre = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .where(graft.plans.Bloom.mightContain(lit(bf),
+        xxhash64(col("l_orderkey"))))
+    pre.join(sel, pre("l_orderkey") === sel("o_orderkey"))
+      .groupBy(expr("substr(CAST(o_orderdate AS STRING), 1, 7)").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("revenue"))
+      .orderBy("month")
+  }
+
+  val qBloomJoinSql: String =
+    s"""SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+       |  count(*) AS n, ${sqlSumd("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_totalprice < 20000
+       |GROUP BY 1 ORDER BY month""".stripMargin
+
   /** Skew-salted join (graft.operators.Skew): orders⋈customer salted 8
     * ways — results identical to the plain join, shuffle spread over
     * (key × salt). */
@@ -1145,6 +1187,7 @@ object Relational extends Serializable {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_bloom_join" -> (qBloomJoin _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopk _),
     "q5_star_broadcast" -> (q5StarBroadcast _),
@@ -1185,6 +1228,7 @@ object Relational extends Serializable {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_stats_agg" -> qStatsAggSql,
     "q_salted_join" -> qSaltedJoinSql,
+    "q_bloom_join" -> qBloomJoinSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopkSql,
     "q5_star_broadcast" -> q5StarBroadcastSql,

@@ -416,31 +416,48 @@ object Sketches {
     * reaches ceil(q·total/100), its lower bound in 16ths (`lo16`; the
     * true quantile lies in [lo16/16, lo16/16·(1+1/16))), and the
     * cum/total evidence. All BIGINT — hash-exact. */
-  def quantiles(s: SparkSession, d: String): DataFrame = {
+  /** Log-linear bucket columns over a BIGINT column `x` (≥ 1):
+    * e = bitlen(x)−1, sub = ((x − 2^e)·16) >> e. Shared by the batch
+    * entry, the histogram artifact pair, and the streaming twin — the
+    * bucket math must stay ONE definition. */
+  private[graft] def withHistBuckets(df: DataFrame): DataFrame = df
+    .withColumn("e", expr(
+      "CAST(length(conv(CAST(x AS STRING), 10, 2)) AS INT) - 1"))
+    .withColumn("sub", expr(
+      "CAST(shiftright((x - shiftleft(CAST(1 AS BIGINT), e)) * 16, e) AS INT)"))
+
+  /** Quantile picks over histogram cells (keys..., e, sub, c): per key
+    * group, the first bucket whose cumulative count reaches
+    * ceil(q·total/100), for each q in qPcts. The windows run over the
+    * BOUNDED histogram, never the data. */
+  private[graft] def histQuantilePick(cells: DataFrame, keys: Seq[String],
+                                      qPcts: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = Tables.documents(s, d)
-      .where(col("n_chars") >= 1)
-      .select(col("lang"), col("n_chars").as("x"))
-      .withColumn("e", expr(
-        "CAST(length(conv(CAST(x AS STRING), 10, 2)) AS INT) - 1"))
-      .withColumn("sub", expr(
-        "CAST(shiftright((x - shiftleft(CAST(1 AS BIGINT), e)) * 16, e) AS INT)"))
-      .groupBy("lang", "e", "sub").agg(count(lit(1)).as("c"))
-    val cum = hist
-      .withColumn("cum",
-        sum("c").over(Window.partitionBy("lang").orderBy("e", "sub")))
-      .withColumn("tot", sum("c").over(Window.partitionBy("lang")))
-    val qs = s.range(1)
-      .select(explode(expr("array(50, 90, 99)")).as("q_pct"))
+    val s = cells.sparkSession
+    val part = Window.partitionBy(keys.map(col): _*)
+    val cum = cells
+      .withColumn("cum", sum("c").over(part.orderBy("e", "sub")))
+      .withColumn("tot", sum("c").over(part))
+    val qs = s.range(1).select(explode(expr(
+      s"array(${qPcts.mkString(", ")})")).as("q_pct"))
     cum.join(broadcast(qs))
       .where(col("cum") >= expr("(q_pct * tot + 99) div 100"))
-      .groupBy("lang", "q_pct")
+      .groupBy((keys :+ "q_pct").map(col): _*)
       .agg(min(struct(col("e"), col("sub"), col("cum"), col("tot"))).as("b"))
-      .select(col("lang"), col("q_pct"),
+      .select(keys.map(col) ++ Seq(col("q_pct"),
         col("b.e").as("e"), col("b.sub").as("sub"),
         expr("shiftleft(CAST(16 + b.sub AS BIGINT), b.e)").as("lo16"),
-        col("b.cum").as("cum_le"), col("b.tot").as("total"))
-      .orderBy("lang", "q_pct")
+        col("b.cum").as("cum_le"), col("b.tot").as("total")): _*)
+      .orderBy((keys :+ "q_pct").map(col): _*)
+  }
+
+  def quantiles(s: SparkSession, d: String): DataFrame = {
+    val hist = withHistBuckets(
+      Tables.documents(s, d)
+        .where(col("n_chars") >= 1)
+        .select(col("lang"), col("n_chars").as("x")))
+      .groupBy("lang", "e", "sub").agg(count(lit(1)).as("c"))
+    histQuantilePick(hist, Seq("lang"), Seq(50, 90, 99))
   }
 
   val quantilesSql: String =
@@ -469,8 +486,96 @@ object Sketches {
       |ORDER BY lang, q_pct""".stripMargin
 
   // ------------------------------------------------------------------
+  // sketch_hist_build / sketch_hist_serve
+  // ------------------------------------------------------------------
+
+  private[graft] def histKey(s: SparkSession, d: String): String =
+    LlmPipeline.docKey(s, d, "hist_cells", "hdr16")
+
+  /** The bounded per-(lang, source) histogram cell grid — ≤ langs ×
+    * sources × 64 × 16 rows regardless of corpus size. */
+  private def histCells(s: SparkSession, d: String): DataFrame =
+    withHistBuckets(
+      Tables.documents(s, d)
+        .where(col("n_chars") >= 1)
+        .select(col("lang"), col("source"), col("n_chars").as("x")))
+      .groupBy("lang", "source", "e", "sub").agg(count(lit(1)).as("c"))
+
+  /** The stored-sketch pattern for quantiles (the hll_cube twin): ONE
+    * corpus pass commits the per-(lang, source) histogram cells; after
+    * that ANY rollup — per language, whole corpus, any source subset —
+    * answers from the committed counters (counts ADD under merge, so
+    * rollup == direct by construction). Build output = the committed
+    * grid itself, exact in the oracle. */
+  def histBuild(s: SparkSession, d: String): DataFrame = {
+    val key = histKey(s, d) // fingerprint pass once
+    ArtifactStore.commit(histCells(s, d), key)
+    // read back what was written (the honest load==build check; also
+    // never re-runs the corpus pass for the output)
+    ArtifactStore.load(s, key).orderBy("lang", "source", "e", "sub")
+  }
+
+  val histBuildSql: String =
+    """WITH base AS (
+      |  SELECT lang, source, n_chars AS x FROM documents WHERE n_chars >= 1),
+      |b AS (
+      |  SELECT lang, source,
+      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e,
+      |    CAST(((x - (CAST(1 AS BIGINT) << (length(format('{:b}', x)) - 1))) * 16)
+      |      >> (length(format('{:b}', x)) - 1) AS INT) AS sub
+      |  FROM base)
+      |SELECT lang, source, e, sub, count(*) AS c
+      |FROM b GROUP BY 1, 2, 3, 4
+      |ORDER BY lang, source, e, sub""".stripMargin
+
+  /** Serve: per-language AND corpus-wide ('*') p50/p90/p99 from the
+    * LOADED cells — counter sums + the pick machinery over bounded
+    * rows, no corpus access. The oracle is the DIRECT formula from
+    * documents: matching it proves merged-rollup == direct. */
+  def histServe(s: SparkSession, d: String): DataFrame = {
+    val art = ArtifactStore.getOrBuild(s, histKey(s, d))(histCells(s, d))
+    val perLang = art.groupBy("lang", "e", "sub")
+      .agg(sum("c").as("c"))
+    val corpus = art.groupBy("e", "sub").agg(sum("c").as("c"))
+      .withColumn("lang", lit("*"))
+      .select("lang", "e", "sub", "c")
+    histQuantilePick(perLang.unionByName(corpus), Seq("lang"),
+      Seq(50, 90, 99))
+  }
+
+  val histServeSql: String =
+    """WITH base AS (
+      |  SELECT lang, n_chars AS x FROM documents WHERE n_chars >= 1),
+      |scoped AS (
+      |  SELECT lang, x FROM base
+      |  UNION ALL SELECT '*' AS lang, x FROM base),
+      |b AS (
+      |  SELECT lang,
+      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e,
+      |    CAST(((x - (CAST(1 AS BIGINT) << (length(format('{:b}', x)) - 1))) * 16)
+      |      >> (length(format('{:b}', x)) - 1) AS INT) AS sub
+      |  FROM scoped),
+      |hist AS (SELECT lang, e, sub, count(*) AS c FROM b GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT lang, e, sub, c,
+      |    sum(c) OVER (PARTITION BY lang ORDER BY e, sub
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY lang) AS tot
+      |  FROM hist),
+      |q AS (SELECT CAST(unnest([50, 90, 99]) AS INT) AS q_pct)
+      |SELECT lang, q_pct, e, sub,
+      |  CAST(16 + sub AS BIGINT) << e AS lo16,
+      |  CAST(cum AS BIGINT) AS cum_le, CAST(tot AS BIGINT) AS total
+      |FROM cum, q
+      |WHERE cum >= (q_pct * tot + 99) // 100
+      |QUALIFY row_number() OVER (PARTITION BY lang, q_pct ORDER BY e, sub) = 1
+      |ORDER BY lang, q_pct""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hist_build" -> (histBuild _),
+    "sketch_hist_serve" -> (histServe _),
     "sketch_quantiles" -> (quantiles _),
     "sketch_hll_shingles" -> (hllShingles _),
     "sketch_hll_cube_build" -> (hllCubeBuild _),
@@ -479,6 +584,8 @@ object Sketches {
     "sketch_kmv_intersect" -> (kmvIntersect _))
 
   val oracle: Map[String, String] = Map(
+    "sketch_hist_build" -> histBuildSql,
+    "sketch_hist_serve" -> histServeSql,
     "sketch_quantiles" -> quantilesSql,
     "sketch_hll_shingles" -> hllShinglesSql,
     "sketch_hll_cube_build" -> hllCubeBuildSql,

@@ -887,20 +887,16 @@ object UdLang extends Serializable {
     * identical), watermark semantics as in u_stream_window: only
     * windows whose end precedes max(ts) − 10min finalize. */
   def uStreamQuantiles(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.{Window => W}
     val fileSchema = parquetSchema(s, s"$d/events.parquet")
-    val hist = s.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .transform(Tables.normTs)
-      .select(col("ts"), col("event_type"),
-        expr("CAST(floor(value * 100e0) AS BIGINT)").as("x"))
-      .withWatermark("ts", "10 minutes") // BEFORE the x-filter: the
-      // watermark must advance on every event, not just bucketed ones
-      .where(col("x") >= 1)
-      .withColumn("e", expr(
-        "CAST(length(conv(CAST(x AS STRING), 10, 2)) AS INT) - 1"))
-      .withColumn("sub", expr(
-        "CAST(shiftright((x - shiftleft(CAST(1 AS BIGINT), e)) * 16, e) AS INT)"))
+    val hist = Sketches.withHistBuckets(
+      s.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .transform(Tables.normTs)
+        .select(col("ts"), col("event_type"),
+          expr("CAST(floor(value * 100e0) AS BIGINT)").as("x"))
+        .withWatermark("ts", "10 minutes") // BEFORE the x-filter: the
+        // watermark must advance on every event, not just bucketed ones
+        .where(col("x") >= 1))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"),
         col("e"), col("sub"))
       .agg(count(lit(1)).as("c"))
@@ -910,21 +906,10 @@ object UdLang extends Serializable {
       runStream(s, hist, "u_stream_quantiles_sink")
     }
     // serve: per-(window, type) p50/p95 from the emitted histograms —
-    // the same pick as the batch sketch (bounded rows, never events)
-    val cum = sunk
-      .withColumn("cum", sum("c").over(
-        W.partitionBy("win_start_us", "event_type").orderBy("e", "sub")))
-      .withColumn("tot", sum("c").over(
-        W.partitionBy("win_start_us", "event_type")))
-    val qs = s.range(1).select(explode(expr("array(50, 95)")).as("q_pct"))
-    cum.join(broadcast(qs))
-      .where(col("cum") >= expr("(q_pct * tot + 99) div 100"))
-      .groupBy("win_start_us", "event_type", "q_pct")
-      .agg(min(struct(col("e"), col("sub"), col("cum"), col("tot"))).as("b"))
-      .select(col("win_start_us"), col("event_type"), col("q_pct"),
-        expr("shiftleft(CAST(16 + b.sub AS BIGINT), b.e)").as("lo16"),
-        col("b.cum").as("cum_le"), col("b.tot").as("total"))
-      .orderBy("win_start_us", "event_type", "q_pct")
+    // the shared pick machinery over bounded sketch rows, never events
+    Sketches.histQuantilePick(sunk,
+        Seq("win_start_us", "event_type"), Seq(50, 95))
+      .drop("e", "sub")
   }
 
   /** Batch twin: same histogram + pick over the watermark-finalized

@@ -253,6 +253,11 @@ class PerfContractSpec extends SparkSpec {
     Contract("text_cut_dup_spans", 12, 16, (p, n) =>
       assert(p.contains("xxhash64"),
         s"$n: gram digests missing — the mining join would ship text")),
+    // histogram artifact pair: build = one corpus pass + the counter
+    // grid commit; serve = pure artifact reads + the pick over bounded
+    // rows — neither may exchange anything data-sized
+    Contract("sketch_hist_build", 2, 10),
+    Contract("sketch_hist_serve", 2, 16),
     // log-linear quantile sketch (round 13): the ONLY exchange is the
     // bounded histogram (≤ langs × 64 octaves × 16 sub-buckets rows) —
     // an exact percentile would global-sort the value column
@@ -264,6 +269,11 @@ class PerfContractSpec extends SparkSpec {
     // constraint audit: the uniqueness rule shuffles 8-byte keys with
     // map-side partial counts; every other rule folds in the one scan
     Contract("profile_checks", 4, 12),
+    // Bloom runtime-filter join: the fact scan must carry the
+    // might_contain pre-pass (only bloom survivors reach the exchange)
+    Contract("q_bloom_join", 12, 14, (p, n) =>
+      assert(p.contains("might_contain"),
+        s"$n: Bloom pre-pass missing — the full fact side would shuffle")),
     // streaming quantile sketch: the watermarked histogram aggregation
     // exchanges bounded (window, type, bucket) counter rows per
     // micro-batch — never events — and the serve-side pick runs over

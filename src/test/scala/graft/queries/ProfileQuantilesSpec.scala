@@ -74,6 +74,30 @@ class ProfileQuantilesSpec extends SparkSpec {
     assert(a == Sketches.quantiles(spark, sf).collect().toSeq)
   }
 
+  test("sketch_hist_build/serve: committed cells reload identically and " +
+    "the '*' rollup equals the direct corpus-wide pick (counts add)") {
+    import graft.sinks.ArtifactStore
+    val key = Sketches.histKey(spark, sf)
+    ArtifactStore.remove(spark, key)
+    val built = Sketches.histBuild(spark, sf).collect().toSeq
+    assert(ArtifactStore.exists(spark, key))
+    assert(ArtifactStore.load(spark, key)
+      .orderBy("lang", "source", "e", "sub").collect().toSeq == built)
+    val serve = Sketches.histServe(spark, sf)
+    val star = serve.where(col("lang") === "*").collect()
+      .map(r => r.getInt(1) -> ((r.getInt(2), r.getInt(3)))).toMap
+    // direct corpus-wide pick, bypassing the artifact entirely
+    val direct = Sketches.histQuantilePick(
+      Sketches.withHistBuckets(
+        graft.Tables.documents(spark, sf)
+          .where(col("n_chars") >= 1)
+          .select(lit("*").as("lang"), col("n_chars").as("x")))
+        .groupBy("lang", "e", "sub").agg(count(lit(1)).as("c")),
+      Seq("lang"), Seq(50, 90, 99)).collect()
+      .map(r => r.getInt(1) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(star == direct, s"rollup $star != direct $direct")
+  }
+
   test("profile_table: exact fields match direct computation; distinct " +
     "estimate lands within the HLL bound for every column") {
     val prof = Profile.profileTable(spark, sf).collect()

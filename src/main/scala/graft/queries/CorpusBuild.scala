@@ -216,10 +216,10 @@ object CorpusBuild {
     * changed corpus or parameter is a DIFFERENT artifact, never a stale
     * read. One narrow metadata-scale scan computes it once per call. */
   private def chainKey(s: SparkSession, d: String): String = {
-    val fp = Tables.documents(s, d).agg(count(lit(1)).as("n"),
-      expr("bit_xor(xxhash64(doc_id, text))").as("h")).head()
-    val h = if (fp.isNullAt(1)) 0L else fp.getLong(1)
-    s"v1_n${fp.getLong(0)}_h$h"
+    // the shared cached (count, xor-hash) pass — lineage/tokenized no
+    // longer re-scan the corpus just to derive their stage keys
+    val (n, h) = LlmPipeline.docFingerprint(s, d)
+    s"v1_n${n}_h$h"
   }
 
   private[graft] def chainStageNames(s: SparkSession, d: String)

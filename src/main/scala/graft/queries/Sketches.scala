@@ -73,7 +73,7 @@ object Sketches {
     * exact BIGINT ≤ 2^53), linear counting below 2.5m. The register
     * array itself is the aggregate's output, so the summary is plain
     * column math the oracle replays bit-for-bit. */
-  private def hllSummary(df: DataFrame): DataFrame = df
+  private[queries] def hllSummary(df: DataFrame): DataFrame = df
     .withColumn("v_zero", expr(
       "aggregate(regs, 0L, (a, r) -> a + IF(r = 0, 1L, 0L))"))
     .withColumn("s_scaled", expr(

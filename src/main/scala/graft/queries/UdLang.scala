@@ -946,6 +946,71 @@ object UdLang extends Serializable {
       |  PARTITION BY win, event_type, q_pct ORDER BY e, sub) = 1
       |ORDER BY win_start_us, event_type, q_pct""".stripMargin
 
+  /** Streaming HLL: the custom TypedImperativeAggregate
+    * (plans.SketchAggs.HllSketchAgg) running INSIDE streaming state —
+    * per finalized 1-hour window, the approximate distinct-user count
+    * from 1 KB of registers, where an exact streaming count(DISTINCT)
+    * is unsupported (Spark rejects it) and the workaround (keying state
+    * by user) holds per-user state. Register state per window is FIXED
+    * (1 KB) no matter how many events arrive; partial buffers merge in
+    * the state store across micro-batches — the mergeable-sketch
+    * contract exercised on the streaming engine. Summary/estimate
+    * columns compute post-sink from the emitted registers (the
+    * stored-sketch serve pattern); watermark semantics as in
+    * u_stream_window, so the batch oracle replays registers per
+    * finalized window. */
+  def uStreamHll(s: SparkSession, d: String): DataFrame = {
+    val fileSchema = parquetSchema(s, s"$d/events.parquet")
+    val regs = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(Tables.normTs)
+      .select(col("ts"), expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 13), 16, 10)" +
+          " AS BIGINT)").as("h"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.plans.Sketch.hll(col("h"), 10).as("regs"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("regs"))
+    val sunk = withStatePartitions(s, 4) {
+      runStream(s, regs, "u_stream_hll_sink")
+    }
+    Sketches.hllSummary(sunk)
+      .select("win_start_us", "v_zero", "s_scaled", "est_micro")
+      .orderBy("win_start_us")
+  }
+
+  /** Batch twin: per-window register replay with the watermark cutoff. */
+  val uStreamHllSql: String =
+    """WITH ev AS (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      |  FROM events
+      |  WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <=
+      |    (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)),
+      |reg AS (
+      |  SELECT win, h % 1024 AS j,
+      |    max(CASE WHEN h // 1024 = 0 THEN 43
+      |        ELSE 43 - length(format('{:b}', h // 1024)) END) AS rho
+      |  FROM ev GROUP BY 1, 2),
+      |summ AS (
+      |  SELECT win,
+      |    1024 - count(*) AS v_zero,
+      |    CAST(coalesce(sum(1::BIGINT << (43 - rho)), 0)
+      |      + (1024 - count(*)) * (1::BIGINT << 43) AS BIGINT) AS s_scaled
+      |  FROM reg GROUP BY 1),
+      |est AS (
+      |  SELECT win, v_zero, s_scaled,
+      |    0.7213e0 / (1e0 + 1.079e0 / 1024e0) * 1024e0 * 1024e0
+      |      * 8796093022208e0 / CAST(s_scaled AS DOUBLE) AS raw_est
+      |  FROM summ)
+      |SELECT epoch_us(win) AS win_start_us, v_zero, s_scaled,
+      |  CAST(round(CASE WHEN raw_est <= 2560e0 AND v_zero > 0
+      |    THEN 1024e0 * ln(1024e0 / CAST(v_zero AS DOUBLE))
+      |    ELSE raw_est END * 1000000e0) AS BIGINT) AS est_micro
+      |FROM est
+      |ORDER BY win_start_us""".stripMargin
+
   /** The transformWithState stateful driver as a driver-gate entry: the
     * Spark 4 StatefulProcessor (typed ValueState on the RocksDB store) runs
     * the per-key running (count, sum) over the event file stream; a finite
@@ -1069,6 +1134,7 @@ object UdLang extends Serializable {
     "u_stream_contamination" -> (uStreamContamination _),
     "u_stream_shards" -> (uStreamShards _),
     "u_stream_quantiles" -> (uStreamQuantiles _),
+    "u_stream_hll" -> (uStreamHll _),
     "u_effect_dlq" -> (uEffectDlq _),
     "u_stream_join" -> (uStreamJoin _),
     "u_union_ingest" -> (uUnionIngest _),
@@ -1097,6 +1163,7 @@ object UdLang extends Serializable {
     "u_stream_contamination" -> uStreamContaminationSql,
     "u_stream_shards" -> uStreamShardsSql,
     "u_stream_quantiles" -> uStreamQuantilesSql,
+    "u_stream_hll" -> uStreamHllSql,
     "u_effect_dlq" -> uEffectDlqSql,
     "u_stream_join" -> uStreamJoinSql,
     "u_union_ingest" -> uUnionIngestSql,

@@ -279,6 +279,9 @@ class PerfContractSpec extends SparkSpec {
     // micro-batch — never events — and the serve-side pick runs over
     // the emitted sketch rows only
     Contract("u_stream_quantiles", 8, 30),
+    // streaming HLL: 1 KB of registers per window on the exchange and
+    // in the state store — never user ids
+    Contract("u_stream_hll", 16, 16),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

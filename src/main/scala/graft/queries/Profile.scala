@@ -159,11 +159,79 @@ object Profile {
        |  UNION ALL SELECT 'unknown_lang', unknown_lang FROM scan)
        |ORDER BY rule""".stripMargin
 
+  /** Distribution-drift audit between two corpus slices (the
+    * training-vs-incoming shift monitor): smoothed per-token KL and
+    * total-variation contributions over the reference slice's top-200
+    * tokens. Sides = doc_id parity (the kmv convention — any real run
+    * substitutes snapshot ids). Scale shape: ONE (side, token) counted
+    * aggregate with map-side combine (the text_vocab exchange — counts,
+    * never instances), top-200 via TakeOrdered (per-partition heaps),
+    * and the scoring join broadcasts those 200 tokens back onto the
+    * vocabulary-sized count table.
+    *
+    * Determinism: counts are exact BIGINTs; probabilities are add-1
+    * smoothed rationals evaluated in ONE correctly-rounded double
+    * division each; each token's KL/TV contribution is micro-rounded
+    * BEFORE any summation (the repo's fixed-point convention), so the
+    * output is hash-exact per token. */
+  def profileDrift(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select((col("doc_id") % 2).cast("int").as("side"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_a"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("c_b"))
+    val totals = counts.agg(sum("c_a").as("tot_a"), sum("c_b").as("tot_b"))
+    val top = counts
+      .orderBy(col("c_a").desc, col("tok")) // TakeOrdered, not a sort
+      .limit(200)
+    top.crossJoin(broadcast(totals))
+      .withColumn("p_a", expr(
+        "CAST(c_a + 1 AS DOUBLE) / CAST(tot_a + 200 AS DOUBLE)"))
+      .withColumn("p_b", expr(
+        "CAST(c_b + 1 AS DOUBLE) / CAST(tot_b + 200 AS DOUBLE)"))
+      .select(col("tok"), col("c_a"), col("c_b"),
+        expr("CAST(round(p_a * ln(p_a / p_b) * 1000000e0) AS BIGINT)")
+          .as("kl_micro"),
+        expr("CAST(round(abs(p_a - p_b) / 2e0 * 1000000e0) AS BIGINT)")
+          .as("tv_micro"))
+      .orderBy("tok")
+  }
+
+  val profileDriftSql: String =
+    """WITH toks AS (
+      |  SELECT CAST(doc_id % 2 AS INT) AS side,
+      |    unnest(string_split_regex(text, '\s+')) AS tok
+      |  FROM documents),
+      |counts AS (
+      |  SELECT tok,
+      |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM toks WHERE length(tok) > 0 GROUP BY 1),
+      |totals AS (
+      |  SELECT CAST(sum(c_a) AS BIGINT) AS tot_a,
+      |    CAST(sum(c_b) AS BIGINT) AS tot_b FROM counts),
+      |top AS (
+      |  SELECT tok, c_a, c_b FROM counts
+      |  ORDER BY c_a DESC, tok LIMIT 200),
+      |p AS (
+      |  SELECT tok, c_a, c_b,
+      |    CAST(c_a + 1 AS DOUBLE) / CAST(tot_a + 200 AS DOUBLE) AS p_a,
+      |    CAST(c_b + 1 AS DOUBLE) / CAST(tot_b + 200 AS DOUBLE) AS p_b
+      |  FROM top, totals)
+      |SELECT tok, c_a, c_b,
+      |  CAST(round(p_a * ln(p_a / p_b) * 1000000e0) AS BIGINT) AS kl_micro,
+      |  CAST(round(abs(p_a - p_b) / 2e0 * 1000000e0) AS BIGINT) AS tv_micro
+      |FROM p ORDER BY tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_table" -> (profileTable _),
-    "profile_checks" -> (profileChecks _))
+    "profile_checks" -> (profileChecks _),
+    "profile_drift" -> (profileDrift _))
 
   val oracle: Map[String, String] = Map(
     "profile_table" -> profileTableSql,
-    "profile_checks" -> profileChecksSql)
+    "profile_checks" -> profileChecksSql,
+    "profile_drift" -> profileDriftSql)
 }

@@ -269,6 +269,11 @@ class PerfContractSpec extends SparkSpec {
     // constraint audit: the uniqueness rule shuffles 8-byte keys with
     // map-side partial counts; every other rule folds in the one scan
     Contract("profile_checks", 4, 12),
+    // drift audit: the (token, count) vocabulary exchange + TakeOrdered
+    // top-200 — instances never shuffle, the scoring join broadcasts
+    Contract("profile_drift", 4, 12, (p, n) =>
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$n: top-200 must be TakeOrdered, not a global sort")),
     // Bloom runtime-filter join: the fact scan must carry the
     // might_contain pre-pass (only bloom survivors reach the exchange)
     Contract("q_bloom_join", 12, 14, (p, n) =>

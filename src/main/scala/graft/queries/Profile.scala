@@ -225,13 +225,68 @@ object Profile {
       |  CAST(round(abs(p_a - p_b) / 2e0 * 1000000e0) AS BIGINT) AS tv_micro
       |FROM p ORDER BY tok""".stripMargin
 
+  /** Referential-integrity audit across the star schema: orphan ROW
+    * counts per foreign key (fact rows whose key has no dimension
+    * match). Scale shape: each fact side pre-aggregates to (key, count)
+    * with map-side combine BEFORE the anti join — the exchange carries
+    * one row per distinct key, never fact instances — and the anti
+    * join's dim side ships keys only. A clean warehouse reports zeros;
+    * the entry is the gate a 100-TB ingest runs before joining
+    * anything. */
+  def profileFkOrphans(s: SparkSession, d: String): DataFrame = {
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame,
+                pk: String): DataFrame =
+      fact.groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
+        .join(dim.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+        .agg(coalesce(sum("c"), lit(0L)).as("orphans"))
+    val li = Tables.lineitem(s, d)
+    Seq(
+      ("lineitem.l_orderkey->orders",
+        orphans(li, "l_orderkey", Tables.orders(s, d), "o_orderkey")),
+      ("lineitem.l_partkey->part",
+        orphans(li, "l_partkey", Tables.part(s, d), "p_partkey")),
+      ("lineitem.l_suppkey->supplier",
+        orphans(li, "l_suppkey", Tables.supplier(s, d), "s_suppkey")),
+      ("orders.o_custkey->customer",
+        orphans(Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey")))
+      .map { case (name, df) => df.select(lit(name).as("fk"), col("orphans")) }
+      .reduce(_.unionAll(_))
+      .orderBy("fk")
+  }
+
+  val profileFkOrphansSql: String =
+    """SELECT fk, orphans FROM (
+      |  SELECT 'lineitem.l_orderkey->orders' AS fk,
+      |    CAST(coalesce(sum(c), 0) AS BIGINT) AS orphans
+      |  FROM (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1)
+      |  WHERE k NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part',
+      |    CAST(coalesce(sum(c), 0) AS BIGINT)
+      |  FROM (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1)
+      |  WHERE k NOT IN (SELECT p_partkey FROM part)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey->supplier',
+      |    CAST(coalesce(sum(c), 0) AS BIGINT)
+      |  FROM (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1)
+      |  WHERE k NOT IN (SELECT s_suppkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer',
+      |    CAST(coalesce(sum(c), 0) AS BIGINT)
+      |  FROM (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1)
+      |  WHERE k NOT IN (SELECT c_custkey FROM customer))
+      |ORDER BY fk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_table" -> (profileTable _),
     "profile_checks" -> (profileChecks _),
-    "profile_drift" -> (profileDrift _))
+    "profile_drift" -> (profileDrift _),
+    "profile_fk_orphans" -> (profileFkOrphans _))
 
   val oracle: Map[String, String] = Map(
     "profile_table" -> profileTableSql,
     "profile_checks" -> profileChecksSql,
-    "profile_drift" -> profileDriftSql)
+    "profile_drift" -> profileDriftSql,
+    "profile_fk_orphans" -> profileFkOrphansSql)
 }

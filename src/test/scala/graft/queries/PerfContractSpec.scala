@@ -269,6 +269,9 @@ class PerfContractSpec extends SparkSpec {
     // constraint audit: the uniqueness rule shuffles 8-byte keys with
     // map-side partial counts; every other rule folds in the one scan
     Contract("profile_checks", 4, 12),
+    // FK orphan audit: per fact key ONE (key, count) exchange with
+    // map-side combine feeding the anti join — fact instances never move
+    Contract("profile_fk_orphans", 24, 26),
     // drift audit: the (token, count) vocabulary exchange + TakeOrdered
     // top-200 — instances never shuffle, the scoring join broadcasts
     Contract("profile_drift", 4, 12, (p, n) =>

@@ -56,18 +56,10 @@ object Profile {
       "stack(" + cols.size + ", " + cols.map(c =>
         s"'$c', ${c}__nulls, ${c}__minlen, ${c}__maxlen, ${c}__regs")
         .mkString(", ") + ") AS (col_name, nulls, min_len, max_len, regs)"))
-    stacked
-      .withColumn("v_zero", expr(
-        "aggregate(regs, 0L, (a, r) -> a + IF(r = 0, 1L, 0L))"))
-      .withColumn("s_scaled", expr(
-        "aggregate(regs, 0L, (a, r) -> a + shiftleft(1L, 43 - r))"))
-      .withColumn("raw_est", expr(
-        "0.7213e0 / (1e0 + 1.079e0 / 1024e0) * 1024e0 * 1024e0" +
-          " * 8796093022208e0 / CAST(s_scaled AS DOUBLE)"))
-      .withColumn("distinct_micro", expr(
-        "CAST(round(CASE WHEN raw_est <= 2560e0 AND v_zero > 0" +
-          " THEN 1024e0 * ln(1024e0 / CAST(v_zero AS DOUBLE))" +
-          " ELSE raw_est END * 1000000e0) AS BIGINT)"))
+    // the shared register→estimate math (Sketches.hllSummary) — one
+    // copy of the HLL constants, not a third
+    Sketches.hllSummary(stacked)
+      .withColumnRenamed("est_micro", "distinct_micro")
       .select("col_name", "nulls", "min_len", "max_len",
         "v_zero", "s_scaled", "distinct_micro")
       .orderBy("col_name")
@@ -255,27 +247,32 @@ object Profile {
       .orderBy("fk")
   }
 
+  /** NOT EXISTS, not NOT IN: the Spark side is a left_anti join, whose
+    * NULL semantics differ from NOT IN exactly in the dirty-data regime
+    * this audit exists for — a NULL fact key IS an orphan under
+    * left_anti (matches nothing), and a NULL dimension key must not
+    * poison the whole predicate to NULL the way NOT IN does. */
   val profileFkOrphansSql: String =
     """SELECT fk, orphans FROM (
       |  SELECT 'lineitem.l_orderkey->orders' AS fk,
       |    CAST(coalesce(sum(c), 0) AS BIGINT) AS orphans
-      |  FROM (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1)
-      |  WHERE k NOT IN (SELECT o_orderkey FROM orders)
+      |  FROM (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1) g
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = g.k)
       |  UNION ALL
       |  SELECT 'lineitem.l_partkey->part',
       |    CAST(coalesce(sum(c), 0) AS BIGINT)
-      |  FROM (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1)
-      |  WHERE k NOT IN (SELECT p_partkey FROM part)
+      |  FROM (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1) g
+      |  WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = g.k)
       |  UNION ALL
       |  SELECT 'lineitem.l_suppkey->supplier',
       |    CAST(coalesce(sum(c), 0) AS BIGINT)
-      |  FROM (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1)
-      |  WHERE k NOT IN (SELECT s_suppkey FROM supplier)
+      |  FROM (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1) g
+      |  WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = g.k)
       |  UNION ALL
       |  SELECT 'orders.o_custkey->customer',
       |    CAST(coalesce(sum(c), 0) AS BIGINT)
-      |  FROM (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1)
-      |  WHERE k NOT IN (SELECT c_custkey FROM customer))
+      |  FROM (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1) g
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = g.k))
       |ORDER BY fk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

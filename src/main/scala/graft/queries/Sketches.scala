@@ -416,15 +416,22 @@ object Sketches {
     * reaches ceil(q·total/100), its lower bound in 16ths (`lo16`; the
     * true quantile lies in [lo16/16, lo16/16·(1+1/16))), and the
     * cum/total evidence. All BIGINT — hash-exact. */
-  /** Log-linear bucket columns over a BIGINT column `x` (≥ 1):
-    * e = bitlen(x)−1, sub = ((x − 2^e)·16) >> e. Shared by the batch
-    * entry, the histogram artifact pair, and the streaming twin — the
-    * bucket math must stay ONE definition. */
+  /** Log-linear bucket columns over a BIGINT column `x` (domain
+    * 1 ≤ x < 2^59 — above that `lo16 = (16+sub) << e` exceeds signed
+    * 64-bit): e = bitlen(x)−1, sub = (x − 2^e)·16 / 2^e computed as a
+    * SHIFT in the overflow-safe direction — `(x − 2^e) >> (e−4)` for
+    * e ≥ 4 (the naive `·16 then >> e` form overflows at e ≥ 60, where
+    * Spark wraps silently and DuckDB raises — divergent failure).
+    * Shared by the batch entry, the histogram artifact pair, and the
+    * streaming twin — the bucket math must stay ONE definition. */
   private[graft] def withHistBuckets(df: DataFrame): DataFrame = df
     .withColumn("e", expr(
       "CAST(length(conv(CAST(x AS STRING), 10, 2)) AS INT) - 1"))
     .withColumn("sub", expr(
-      "CAST(shiftright((x - shiftleft(CAST(1 AS BIGINT), e)) * 16, e) AS INT)"))
+      "CAST(CASE WHEN e >= 4" +
+        " THEN shiftright(x - shiftleft(CAST(1 AS BIGINT), e), e - 4)" +
+        " ELSE shiftleft(x - shiftleft(CAST(1 AS BIGINT), e), 4 - e)" +
+        " END AS INT)"))
 
   /** Quantile picks over histogram cells (keys..., e, sub, c): per key
     * group, the first bucket whose cumulative count reaches
@@ -463,12 +470,17 @@ object Sketches {
   val quantilesSql: String =
     """WITH base AS (
       |  SELECT lang, n_chars AS x FROM documents WHERE n_chars >= 1),
-      |b AS (
-      |  SELECT lang,
-      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e,
-      |    CAST(((x - (CAST(1 AS BIGINT) << (length(format('{:b}', x)) - 1))) * 16)
-      |      >> (length(format('{:b}', x)) - 1) AS INT) AS sub
+      |b0 AS (
+      |  SELECT lang, x,
+      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e
       |  FROM base),
+      |b AS (
+      |  SELECT lang, e,
+      |    CAST(CASE WHEN e >= 4
+      |      THEN (x - (CAST(1 AS BIGINT) << e)) >> (e - 4)
+      |      ELSE (x - (CAST(1 AS BIGINT) << e)) << (4 - e)
+      |      END AS INT) AS sub
+      |  FROM b0),
       |hist AS (SELECT lang, e, sub, count(*) AS c FROM b GROUP BY 1, 2, 3),
       |cum AS (
       |  SELECT lang, e, sub, c,
@@ -518,12 +530,17 @@ object Sketches {
   val histBuildSql: String =
     """WITH base AS (
       |  SELECT lang, source, n_chars AS x FROM documents WHERE n_chars >= 1),
+      |b0 AS (
+      |  SELECT lang, source, x,
+      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e
+      |  FROM base),
       |b AS (
-      |  SELECT lang, source,
-      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e,
-      |    CAST(((x - (CAST(1 AS BIGINT) << (length(format('{:b}', x)) - 1))) * 16)
-      |      >> (length(format('{:b}', x)) - 1) AS INT) AS sub
-      |  FROM base)
+      |  SELECT lang, source, e,
+      |    CAST(CASE WHEN e >= 4
+      |      THEN (x - (CAST(1 AS BIGINT) << e)) >> (e - 4)
+      |      ELSE (x - (CAST(1 AS BIGINT) << e)) << (4 - e)
+      |      END AS INT) AS sub
+      |  FROM b0)
       |SELECT lang, source, e, sub, count(*) AS c
       |FROM b GROUP BY 1, 2, 3, 4
       |ORDER BY lang, source, e, sub""".stripMargin
@@ -549,12 +566,17 @@ object Sketches {
       |scoped AS (
       |  SELECT lang, x FROM base
       |  UNION ALL SELECT '*' AS lang, x FROM base),
-      |b AS (
-      |  SELECT lang,
-      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e,
-      |    CAST(((x - (CAST(1 AS BIGINT) << (length(format('{:b}', x)) - 1))) * 16)
-      |      >> (length(format('{:b}', x)) - 1) AS INT) AS sub
+      |b0 AS (
+      |  SELECT lang, x,
+      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e
       |  FROM scoped),
+      |b AS (
+      |  SELECT lang, e,
+      |    CAST(CASE WHEN e >= 4
+      |      THEN (x - (CAST(1 AS BIGINT) << e)) >> (e - 4)
+      |      ELSE (x - (CAST(1 AS BIGINT) << e)) << (4 - e)
+      |      END AS INT) AS sub
+      |  FROM b0),
       |hist AS (SELECT lang, e, sub, count(*) AS c FROM b GROUP BY 1, 2, 3),
       |cum AS (
       |  SELECT lang, e, sub, c,

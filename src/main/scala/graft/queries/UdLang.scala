@@ -921,12 +921,17 @@ object UdLang extends Serializable {
       |  FROM events
       |  WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <=
       |    (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)),
-      |b AS (
-      |  SELECT win, event_type,
-      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e,
-      |    CAST(((x - (CAST(1 AS BIGINT) << (length(format('{:b}', x)) - 1))) * 16)
-      |      >> (length(format('{:b}', x)) - 1) AS INT) AS sub
+      |b0 AS (
+      |  SELECT win, event_type, x,
+      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e
       |  FROM ev WHERE x >= 1),
+      |b AS (
+      |  SELECT win, event_type, e,
+      |    CAST(CASE WHEN e >= 4
+      |      THEN (x - (CAST(1 AS BIGINT) << e)) >> (e - 4)
+      |      ELSE (x - (CAST(1 AS BIGINT) << e)) << (4 - e)
+      |      END AS INT) AS sub
+      |  FROM b0),
       |hist AS (
       |  SELECT win, event_type, e, sub, count(*) AS c
       |  FROM b GROUP BY 1, 2, 3, 4),
@@ -986,7 +991,8 @@ object UdLang extends Serializable {
       |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win,
       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
       |  FROM events
-      |  WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <=
+      |  WHERE user_id IS NOT NULL -- the aggregate skips null hashes
+      |    AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <=
       |    (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)),
       |reg AS (
       |  SELECT win, h % 1024 AS j,

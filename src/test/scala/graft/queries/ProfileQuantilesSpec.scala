@@ -11,28 +11,33 @@ import org.apache.spark.sql.functions._
 class ProfileQuantilesSpec extends SparkSpec {
 
   /** Reference log-linear bucket math (independent of the SQL idiom):
-    * e = bitlen(x)-1, sub = ((x - 2^e) * 16) >> e. */
+    * e = bitlen(x)-1, sub = (x - 2^e) / 2^(e-4) — the shift runs in the
+    * overflow-safe direction, like the production expression. */
   private def refBucket(x: Long): (Int, Int) = {
     val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
-    val sub = (((x - (1L << e)) * 16) >> e).toInt
+    val d = x - (1L << e)
+    val sub = (if (e >= 4) d >> (e - 4) else d << (4 - e)).toInt
     (e, sub)
   }
 
-  test("log-linear bucket SQL (conv/shiftright idiom) equals the JVM " +
-    "fold over an exhaustive small range plus boundary probes") {
+  test("log-linear bucket SQL (conv/shift idiom) equals the JVM fold " +
+    "over an exhaustive small range plus boundary probes incl. the top " +
+    "of the 2^59 domain") {
     import spark.implicits._
     val probes = (1L to 4096L) ++
       Seq(1L << 20, (1L << 20) - 1, (1L << 20) + 1, (1L << 40),
-        (1L << 40) + (1L << 36), Long.MaxValue / 16)
-    val got = probes.toDF("x")
-      .withColumn("e", expr(
-        "CAST(length(conv(CAST(x AS STRING), 10, 2)) AS INT) - 1"))
-      .withColumn("sub", expr(
-        "CAST(shiftright((x - shiftleft(CAST(1 AS BIGINT), e)) * 16, e) AS INT)"))
+        (1L << 40) + (1L << 36), Long.MaxValue / 16,
+        // the naive (x-2^e)*16 form overflowed from e=60 up; the domain
+        // ceiling (lo16 fits signed 64-bit) is x < 2^59
+        (1L << 58), (1L << 59) - 1)
+    val got = Sketches.withHistBuckets(probes.toDF("x"))
       .select("x", "e", "sub").collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
     probes.foreach { x =>
       assert(got(x) == refBucket(x), s"x=$x")
+      val (e, sub) = refBucket(x)
+      assert(sub >= 0 && sub < 16, s"sub out of range at x=$x")
+      assert((16L + sub) << e > 0, s"lo16 overflow at x=$x")
     }
   }
 

@@ -398,7 +398,7 @@ object Sketches {
     * via an HDR-histogram-style log-linear bucketing (octave = bit
     * length, 16 linear sub-buckets per octave => relative error <=
     * 1/16). Unlike DDSketch/t-digest the bucket index is PURE INTEGER
-    * math — `e = bitlen(x)-1`, `sub = ((x - 2^e)*16) >> e` — so there
+    * math — `e = bitlen(x)-1`, `sub = (x - 2^e) >> (e-4)` — so there
     * is no `ln` boundary wobble to adjudicate cross-engine: the DuckDB
     * oracle replays every bucket count exactly.
     *
@@ -432,6 +432,23 @@ object Sketches {
         " THEN shiftright(x - shiftleft(CAST(1 AS BIGINT), e), e - 4)" +
         " ELSE shiftleft(x - shiftleft(CAST(1 AS BIGINT), e), 4 - e)" +
         " END AS INT)"))
+
+  /** The DuckDB twin of withHistBuckets as a `b0, b` CTE pair over a
+    * source CTE exposing (keys..., x) — interpolated into every
+    * histogram oracle so the bucket math has ONE definition per engine,
+    * not one per oracle string. */
+  private[graft] def bucketCtesSql(src: String, keys: String): String =
+    s"""b0 AS (
+       |  SELECT $keys, x,
+       |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e
+       |  FROM $src),
+       |b AS (
+       |  SELECT $keys, e,
+       |    CAST(CASE WHEN e >= 4
+       |      THEN (x - (CAST(1 AS BIGINT) << e)) >> (e - 4)
+       |      ELSE (x - (CAST(1 AS BIGINT) << e)) << (4 - e)
+       |      END AS INT) AS sub
+       |  FROM b0)""".stripMargin
 
   /** Quantile picks over histogram cells (keys..., e, sub, c): per key
     * group, the first bucket whose cumulative count reaches
@@ -468,19 +485,9 @@ object Sketches {
   }
 
   val quantilesSql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT lang, n_chars AS x FROM documents WHERE n_chars >= 1),
-      |b0 AS (
-      |  SELECT lang, x,
-      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e
-      |  FROM base),
-      |b AS (
-      |  SELECT lang, e,
-      |    CAST(CASE WHEN e >= 4
-      |      THEN (x - (CAST(1 AS BIGINT) << e)) >> (e - 4)
-      |      ELSE (x - (CAST(1 AS BIGINT) << e)) << (4 - e)
-      |      END AS INT) AS sub
-      |  FROM b0),
+      |${bucketCtesSql("base", "lang")},
       |hist AS (SELECT lang, e, sub, count(*) AS c FROM b GROUP BY 1, 2, 3),
       |cum AS (
       |  SELECT lang, e, sub, c,
@@ -528,19 +535,9 @@ object Sketches {
   }
 
   val histBuildSql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT lang, source, n_chars AS x FROM documents WHERE n_chars >= 1),
-      |b0 AS (
-      |  SELECT lang, source, x,
-      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e
-      |  FROM base),
-      |b AS (
-      |  SELECT lang, source, e,
-      |    CAST(CASE WHEN e >= 4
-      |      THEN (x - (CAST(1 AS BIGINT) << e)) >> (e - 4)
-      |      ELSE (x - (CAST(1 AS BIGINT) << e)) << (4 - e)
-      |      END AS INT) AS sub
-      |  FROM b0)
+      |${bucketCtesSql("base", "lang, source")}
       |SELECT lang, source, e, sub, count(*) AS c
       |FROM b GROUP BY 1, 2, 3, 4
       |ORDER BY lang, source, e, sub""".stripMargin
@@ -561,22 +558,12 @@ object Sketches {
   }
 
   val histServeSql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT lang, n_chars AS x FROM documents WHERE n_chars >= 1),
       |scoped AS (
       |  SELECT lang, x FROM base
       |  UNION ALL SELECT '*' AS lang, x FROM base),
-      |b0 AS (
-      |  SELECT lang, x,
-      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e
-      |  FROM scoped),
-      |b AS (
-      |  SELECT lang, e,
-      |    CAST(CASE WHEN e >= 4
-      |      THEN (x - (CAST(1 AS BIGINT) << e)) >> (e - 4)
-      |      ELSE (x - (CAST(1 AS BIGINT) << e)) << (4 - e)
-      |      END AS INT) AS sub
-      |  FROM b0),
+      |${bucketCtesSql("scoped", "lang")},
       |hist AS (SELECT lang, e, sub, count(*) AS c FROM b GROUP BY 1, 2, 3),
       |cum AS (
       |  SELECT lang, e, sub, c,

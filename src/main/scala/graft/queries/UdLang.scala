@@ -915,23 +915,14 @@ object UdLang extends Serializable {
   /** Batch twin: same histogram + pick over the watermark-finalized
     * windows. */
   val uStreamQuantilesSql: String =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win, event_type,
       |    CAST(floor(value * 100e0) AS BIGINT) AS x
       |  FROM events
       |  WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <=
       |    (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)),
-      |b0 AS (
-      |  SELECT win, event_type, x,
-      |    CAST(length(format('{:b}', x)) - 1 AS INT) AS e
-      |  FROM ev WHERE x >= 1),
-      |b AS (
-      |  SELECT win, event_type, e,
-      |    CAST(CASE WHEN e >= 4
-      |      THEN (x - (CAST(1 AS BIGINT) << e)) >> (e - 4)
-      |      ELSE (x - (CAST(1 AS BIGINT) << e)) << (4 - e)
-      |      END AS INT) AS sub
-      |  FROM b0),
+      |evp AS (SELECT win, event_type, x FROM ev WHERE x >= 1),
+      |${Sketches.bucketCtesSql("evp", "win, event_type")},
       |hist AS (
       |  SELECT win, event_type, e, sub, count(*) AS c
       |  FROM b GROUP BY 1, 2, 3, 4),
@@ -985,26 +976,40 @@ object UdLang extends Serializable {
       .orderBy("win_start_us")
   }
 
-  /** Batch twin: per-window register replay with the watermark cutoff. */
+  /** Batch twin: per-window register replay with the watermark cutoff.
+    * Window UNIVERSE derives from ALL finalized-window events; only the
+    * register fold skips null user_ids (mirroring the aggregate's
+    * per-ROW null skip) — a window whose events are all-null still
+    * emits on the Spark side (empty registers, est 0), so it must
+    * appear here too. */
   val uStreamHllSql: String =
     """WITH ev AS (
-      |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win,
-      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win, user_id
       |  FROM events
-      |  WHERE user_id IS NOT NULL -- the aggregate skips null hashes
-      |    AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <=
+      |  WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <=
       |    (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)),
+      |wins AS (SELECT DISTINCT win FROM ev),
+      |hh AS (
+      |  SELECT win,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      |  FROM ev WHERE user_id IS NOT NULL),
       |reg AS (
       |  SELECT win, h % 1024 AS j,
       |    max(CASE WHEN h // 1024 = 0 THEN 43
       |        ELSE 43 - length(format('{:b}', h // 1024)) END) AS rho
-      |  FROM ev GROUP BY 1, 2),
-      |summ AS (
+      |  FROM hh GROUP BY 1, 2),
+      |summ0 AS (
       |  SELECT win,
       |    1024 - count(*) AS v_zero,
       |    CAST(coalesce(sum(1::BIGINT << (43 - rho)), 0)
       |      + (1024 - count(*)) * (1::BIGINT << 43) AS BIGINT) AS s_scaled
       |  FROM reg GROUP BY 1),
+      |summ AS (
+      |  SELECT wins.win,
+      |    CAST(coalesce(v_zero, 1024) AS BIGINT) AS v_zero,
+      |    CAST(coalesce(s_scaled, 1024 * (1::BIGINT << 43)) AS BIGINT)
+      |      AS s_scaled
+      |  FROM wins LEFT JOIN summ0 USING (win)),
       |est AS (
       |  SELECT win, v_zero, s_scaled,
       |    0.7213e0 / (1e0 + 1.079e0 / 1024e0) * 1024e0 * 1024e0

@@ -127,6 +127,36 @@ class ProfileQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("u_stream_hll emits a finalized window whose events are ALL " +
+    "null-keyed — empty registers, est 0 (the oracle's LEFT JOIN row)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shll_").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:20:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-01 03:00:00")
+    // window [00:00,01:00): only null user_ids; the 03:00 event advances
+    // the watermark past its end so it finalizes
+    // the stream source globs on the FILE name (the driver's layout is
+    // one file per table), so write a directory then promote the single
+    // part file to <tmp>/events.parquet
+    Seq((1L, t0, null.asInstanceOf[java.lang.Long], "click", 1.0, "{}"),
+      (2L, t1, null.asInstanceOf[java.lang.Long], "view", 2.0, "{}"),
+      (3L, late, java.lang.Long.valueOf(7L), "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ev_dir")
+    val part = new java.io.File(s"$tmp/ev_dir").listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/events.parquet"))
+    val rows = UdLang.uStreamHll(spark, tmp).collect()
+    assert(rows.length == 1, s"expected the one finalized window, got " +
+      rows.map(_.toString).mkString(", "))
+    val r = rows.head
+    assert(r.getLong(1) == 1024L, "v_zero of the all-null window")
+    assert(r.getLong(2) == 1024L * (1L << 43), "s_scaled")
+    assert(r.getLong(3) == 0L, "est_micro")
+  }
+
   test("profile_checks: zero violations on the fixture; exact named " +
     "counts on a doctored table") {
     import spark.implicits._

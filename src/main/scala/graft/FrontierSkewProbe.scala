@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   * the range-partitioned two-level rank must show every wide stage's
   * max task at a small multiple of the median.
   *
+  * Evidence-printing only: per-task durations come off the listener
+  * bus, which is BEST-EFFORT (events can drop under bus pressure), so
+  * a stage's task histogram may undercount — stage wall/shuffle totals
+  * come from the stage-completed event and stay authoritative.
+  *
   * Usage: tools/run_class.sh graft.FrontierSkewProbe [nMega]
   */
 object FrontierSkewProbe {
@@ -38,7 +43,7 @@ object FrontierSkewProbe {
             yield c - s).getOrElse(-1L)
           println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%5d " +
             f"wall=${wall}%7dms maxTask=${d.last}%7dms " +
-            f"medTask=${d(d.length / 2)}%7dms " +
+            f"medTask=${(d((d.length - 1) / 2) + d(d.length / 2)) / 2}%7dms " +
             f"sr=${si.taskMetrics.shuffleReadMetrics.totalBytesRead / 1000000}%5dMB " +
             si.name.take(50))
         }

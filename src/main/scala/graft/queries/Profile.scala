@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * decide whether the data is usable at all (the Deequ/"data quality
   * at scale" shape, single-pass and mergeable):
   *
-  *  - `profile_table` — per-column stats over `documents` in ONE
-  *    aggregate pass: null count, min/max rendered length, and an
-  *    HLL(p=10) distinct estimate. The whole profile is one agg whose
-  *    state is fixed-size per column (1 KB of registers + four longs),
-  *    so the exchange carries kilobytes regardless of corpus size and
-  *    partials merge map-side — the same contract as the sketch
-  *    entries. An exact per-column distinct would shuffle every value
-  *    of every column (the key-universe cost the HLL exists to avoid).
+  *  - `profile_table` / `profile_table_events` — per-column stats over
+  *    `documents` / `events` in ONE aggregate pass: null count, min/max
+  *    rendered length, exact min/max/sum of the value domain for
+  *    numeric columns, and an HLL(p=10) distinct estimate. The whole
+  *    profile is one agg whose state is fixed-size per column (1 KB of
+  *    registers + seven longs), so the exchange carries kilobytes
+  *    regardless of corpus size and partials merge map-side — the same
+  *    contract as the sketch entries. An exact per-column distinct
+  *    would shuffle every value of every column (the key-universe cost
+  *    the HLL exists to avoid).
   *  - `profile_checks` — the constraint audit: named rules with exact
   *    violation counts (primary-key duplicates, nulls in required
   *    columns, `n_chars` disagreeing with `length(text)`, empty text,
@@ -32,71 +34,163 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** One profiled column: `name` in the report, an engine-identical
+    * STRING rendering (the null/length/distinct domain — BIGINT renders
+    * identically in Spark and DuckDB; doubles and timestamps are
+    * canonicalized to BIGINT first, see the events profile) and an
+    * optional exact BIGINT VALUE domain for min/max/sum. `sumable`
+    * opts a numeric column out of sum_val when the sum cannot fit
+    * int64 (epoch-microsecond timestamps overflow at ~5400 rows ×
+    * 1.7e15 — Spark would wrap silently where DuckDB widens to
+    * INT128; min/max stay exact either way). */
+  private final case class ProfCol(name: String, sparkStr: String,
+      duckStr: String, sparkNum: Option[String] = None,
+      duckNum: Option[String] = None, sumable: Boolean = true)
+
   /** Profiled columns of `documents`. BIGINT/string only, so the
-    * cast-to-string rendering is engine-identical. */
-  private val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    * cast-to-string rendering is engine-identical; the two BIGINT
+    * columns also get the exact value-domain stats. */
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    .map { c =>
+      val num = if (c == "doc_id" || c == "n_chars")
+        (Some(s"CAST($c AS BIGINT)"), Some(s"CAST($c AS BIGINT)"))
+      else (None, None)
+      ProfCol(c, s"CAST($c AS STRING)", s"CAST($c AS VARCHAR)",
+        num._1, num._2)
+    }
 
-  private def h52OfString(c: String): String =
-    s"CAST(conv(substr(md5(CAST($c AS STRING)), 1, 13), 16, 10) AS BIGINT)"
+  /** Profiled columns of `events` — the warehouse's other fixture
+    * table, with the non-BIGINT types canonicalized the way every
+    * graft oracle renders them: timestamps as epoch MICROSECONDS
+    * (unix_micros ↔ epoch_us — exact integers) and doubles as
+    * micro-fixed-point (the CAST(round(v*1e6) AS BIGINT) convention),
+    * so hashing, lengths, and the value stats are engine-identical. */
+  private val eventCols = Seq(
+    ProfCol("event_id", "CAST(event_id AS STRING)",
+      "CAST(event_id AS VARCHAR)",
+      Some("CAST(event_id AS BIGINT)"), Some("CAST(event_id AS BIGINT)")),
+    ProfCol("event_type", "CAST(event_type AS STRING)",
+      "CAST(event_type AS VARCHAR)"),
+    ProfCol("props", "CAST(props AS STRING)", "CAST(props AS VARCHAR)"),
+    ProfCol("ts_us", "CAST(unix_micros(ts) AS STRING)",
+      "CAST(epoch_us(ts) AS VARCHAR)",
+      Some("unix_micros(ts)"), Some("epoch_us(ts)"), sumable = false),
+    ProfCol("user_id", "CAST(user_id AS STRING)",
+      "CAST(user_id AS VARCHAR)",
+      Some("CAST(user_id AS BIGINT)"), Some("CAST(user_id AS BIGINT)")),
+    ProfCol("value_micro", "CAST(CAST(round(value * 1000000e0) AS BIGINT)" +
+      " AS STRING)", "CAST(CAST(round(value * 1000000e0) AS BIGINT)" +
+      " AS VARCHAR)",
+      Some("CAST(round(value * 1000000e0) AS BIGINT)"),
+      Some("CAST(round(value * 1000000e0) AS BIGINT)")))
 
-  def profileTable(s: SparkSession, d: String): DataFrame = {
-    val src = Tables.documents(s, d)
-    // ONE wide aggregate: all per-column stats in a single corpus pass.
-    val aggs = cols.flatMap { c =>
+  /** The one-pass profiler over any table: every per-column stat —
+    * nulls, min/max rendered length, exact min/max/sum of the BIGINT
+    * value domain where one exists, and the HLL(p=10) distinct
+    * registers — folds in ONE wide aggregate whose state is fixed-size
+    * per column, so the exchange carries kilobytes at any corpus size
+    * and partials merge map-side. */
+  private def profileOver(src: DataFrame, pcols: Seq[ProfCol]): DataFrame = {
+    val aggs = pcols.flatMap { pc =>
+      val sv = expr(pc.sparkStr)
+      val nv = pc.sparkNum.map(expr).getOrElse(lit(null).cast("long"))
+      val h52 = s"CAST(conv(substr(md5(${pc.sparkStr}), 1, 13), 16, 10)" +
+        " AS BIGINT)"
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        min(length(col(c).cast("string"))).as(s"${c}__minlen"),
-        max(length(col(c).cast("string"))).as(s"${c}__maxlen"),
-        Sketch.hll(expr(h52OfString(c)), 10).as(s"${c}__regs"))
+        sum(when(sv.isNull, 1L).otherwise(0L)).as(s"${pc.name}__nulls"),
+        min(length(sv)).as(s"${pc.name}__minlen"),
+        max(length(sv)).as(s"${pc.name}__maxlen"),
+        min(nv).as(s"${pc.name}__minv"),
+        max(nv).as(s"${pc.name}__maxv"),
+        sum(if (pc.sumable) nv else lit(null).cast("long"))
+          .as(s"${pc.name}__sumv"),
+        Sketch.hll(expr(h52), 10).as(s"${pc.name}__regs"))
     }
     val one = src.agg(aggs.head, aggs.tail: _*)
     // Long form via stack (still the one agg row — no re-execution of
     // the corpus pass per column), then the shared HLL summary math.
     val stacked = one.select(expr(
-      "stack(" + cols.size + ", " + cols.map(c =>
-        s"'$c', ${c}__nulls, ${c}__minlen, ${c}__maxlen, ${c}__regs")
-        .mkString(", ") + ") AS (col_name, nulls, min_len, max_len, regs)"))
+      "stack(" + pcols.size + ", " + pcols.map(pc =>
+        s"'${pc.name}', ${pc.name}__nulls, ${pc.name}__minlen, " +
+          s"${pc.name}__maxlen, ${pc.name}__minv, ${pc.name}__maxv, " +
+          s"${pc.name}__sumv, ${pc.name}__regs")
+        .mkString(", ") + ") AS (col_name, nulls, min_len, max_len, " +
+        "min_val, max_val, sum_val, regs)"))
     // the shared register→estimate math (Sketches.hllSummary) — one
     // copy of the HLL constants, not a third
     Sketches.hllSummary(stacked)
       .withColumnRenamed("est_micro", "distinct_micro")
       .select("col_name", "nulls", "min_len", "max_len",
+        "min_val", "max_val", "sum_val",
         "v_zero", "s_scaled", "distinct_micro")
       .orderBy("col_name")
   }
 
-  /** Per-column oracle block: stats + HLL register replay. */
-  private def profileColSql(c: String): String =
-    s"""SELECT '$c' AS col_name,
-       |  (SELECT CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |     FROM documents) AS nulls,
-       |  (SELECT CAST(min(length(CAST($c AS VARCHAR))) AS INT)
-       |     FROM documents) AS min_len,
-       |  (SELECT CAST(max(length(CAST($c AS VARCHAR))) AS INT)
-       |     FROM documents) AS max_len,
-       |  v_zero, s_scaled,
-       |  CAST(round(CASE WHEN raw_est <= 2560e0 AND v_zero > 0
-       |    THEN 1024e0 * ln(1024e0 / CAST(v_zero AS DOUBLE))
-       |    ELSE raw_est END * 1000000e0) AS BIGINT) AS distinct_micro
-       |FROM (
-       |  SELECT v_zero, s_scaled,
+  def profileTable(s: SparkSession, d: String): DataFrame =
+    profileOver(Tables.documents(s, d), docCols)
+
+  def profileTableEvents(s: SparkSession, d: String): DataFrame =
+    profileOver(Tables.events(s, d), eventCols)
+
+  /** The oracle: ONE unnest-widened scan feeds both the stats
+    * aggregate and the register replay (the round-13 form issued three
+    * scalar subqueries plus a register scan PER COLUMN — 20 table
+    * scans for one entry). A LEFT JOIN + empty-register defaults keep
+    * an all-null column well-defined (v_zero=1024 ⇒ estimate 0, the
+    * same linear-counting row the Spark side emits). */
+  private def profileSqlOver(table: String, pcols: Seq[ProfCol]): String = {
+    val structs = pcols.map { pc =>
+      val vn = pc.duckNum.getOrElse("CAST(NULL AS BIGINT)")
+      val vs = if (pc.sumable) vn else "CAST(NULL AS BIGINT)"
+      s"{'col_name': '${pc.name}', 'v': ${pc.duckStr}, 'vn': $vn, " +
+        s"'vs': $vs}"
+    }.mkString(",\n      ")
+    s"""WITH vals AS (
+       |  SELECT unnest([
+       |      $structs
+       |    ], recursive := true)
+       |  FROM $table),
+       |longstats AS (
+       |  SELECT col_name,
+       |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nulls,
+       |    CAST(min(length(v)) AS INT) AS min_len,
+       |    CAST(max(length(v)) AS INT) AS max_len,
+       |    CAST(min(vn) AS BIGINT) AS min_val,
+       |    CAST(max(vn) AS BIGINT) AS max_val,
+       |    CAST(sum(vs) AS BIGINT) AS sum_val
+       |  FROM vals GROUP BY col_name),
+       |reg AS (
+       |  SELECT col_name, h % 1024 AS j,
+       |    max(CASE WHEN h // 1024 = 0 THEN 43
+       |        ELSE 43 - length(format('{:b}', h // 1024)) END) AS rho
+       |  FROM (SELECT col_name, ('0x' || substr(md5(v), 1, 13))::BIGINT AS h
+       |        FROM vals WHERE v IS NOT NULL) hh
+       |  GROUP BY 1, 2),
+       |regsum AS (
+       |  SELECT col_name, 1024 - count(*) AS v_zero,
+       |    CAST(coalesce(sum(1::BIGINT << (43 - rho)), 0)
+       |      + (1024 - count(*)) * (1::BIGINT << 43) AS BIGINT) AS s_scaled
+       |  FROM reg GROUP BY col_name),
+       |est AS (
+       |  SELECT col_name, v_zero, s_scaled,
        |    0.7213e0 / (1e0 + 1.079e0 / 1024e0) * 1024e0 * 1024e0
        |      * 8796093022208e0 / CAST(s_scaled AS DOUBLE) AS raw_est
-       |  FROM (
-       |    SELECT 1024 - count(*) AS v_zero,
-       |      CAST(coalesce(sum(1::BIGINT << (43 - rho)), 0)
-       |        + (1024 - count(*)) * (1::BIGINT << 43) AS BIGINT) AS s_scaled
-       |    FROM (
-       |      SELECT h % 1024 AS j,
-       |        max(CASE WHEN h // 1024 = 0 THEN 43
-       |            ELSE 43 - length(format('{:b}', h // 1024)) END) AS rho
-       |      FROM (
-       |        SELECT ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 13))::BIGINT AS h
-       |        FROM documents WHERE $c IS NOT NULL) hh
-       |      GROUP BY 1) reg))""".stripMargin
+       |  FROM regsum)
+       |SELECT l.col_name, l.nulls, l.min_len, l.max_len,
+       |  l.min_val, l.max_val, l.sum_val,
+       |  coalesce(e.v_zero, 1024) AS v_zero,
+       |  coalesce(e.s_scaled, 1024 * (1::BIGINT << 43)) AS s_scaled,
+       |  CAST(round(CASE WHEN e.col_name IS NULL THEN 0e0
+       |    WHEN e.raw_est <= 2560e0 AND e.v_zero > 0
+       |    THEN 1024e0 * ln(1024e0 / CAST(e.v_zero AS DOUBLE))
+       |    ELSE e.raw_est END * 1000000e0) AS BIGINT) AS distinct_micro
+       |FROM longstats l LEFT JOIN est e USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
 
-  val profileTableSql: String =
-    cols.map(profileColSql).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  val profileTableSql: String = profileSqlOver("documents", docCols)
+  val profileTableEventsSql: String = profileSqlOver("events", eventCols)
 
   /** Known language codes for the whitelist rule (the fixture's
     * universe; a real run loads this from config). */
@@ -165,7 +259,13 @@ object Profile {
     * smoothed rationals evaluated in ONE correctly-rounded double
     * division each; each token's KL/TV contribution is micro-rounded
     * BEFORE any summation (the repo's fixed-point convention), so the
-    * output is hash-exact per token. */
+    * output is hash-exact per token. Accepted wobble: kl_micro passes
+    * through ln(), which is not correctly rounded in either engine
+    * (JVM Math.log vs DuckDB libm) — a 1-ulp disagreement could in
+    * principle flip a micro-round at an exact .5 boundary. Same
+    * convention as the HLL linear-counting estimate (Sketches): the
+    * fixture values sit nowhere near a boundary, and a real deployment
+    * comparing engines should allow ±1 micro on ln-derived columns. */
   def profileDrift(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select((col("doc_id") % 2).cast("int").as("side"),
@@ -277,12 +377,14 @@ object Profile {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_table" -> (profileTable _),
+    "profile_table_events" -> (profileTableEvents _),
     "profile_checks" -> (profileChecks _),
     "profile_drift" -> (profileDrift _),
     "profile_fk_orphans" -> (profileFkOrphans _))
 
   val oracle: Map[String, String] = Map(
     "profile_table" -> profileTableSql,
+    "profile_table_events" -> profileTableEventsSql,
     "profile_checks" -> profileChecksSql,
     "profile_drift" -> profileDriftSql,
     "profile_fk_orphans" -> profileFkOrphansSql)

@@ -266,6 +266,7 @@ class PerfContractSpec extends SparkSpec {
     // column (1 KB registers + four longs) — nothing value-sized on the
     // exchange regardless of corpus size
     Contract("profile_table", 2, 8),
+    Contract("profile_table_events", 2, 8),
     // constraint audit: the uniqueness rule shuffles 8-byte keys with
     // map-side partial counts; every other rule folds in the one scan
     Contract("profile_checks", 4, 12),
@@ -288,8 +289,9 @@ class PerfContractSpec extends SparkSpec {
     // the emitted sketch rows only
     Contract("u_stream_quantiles", 8, 30),
     // streaming HLL: 1 KB of registers per window on the exchange and
-    // in the state store — never user ids
-    Contract("u_stream_hll", 16, 16),
+    // in the state store — never user ids (range, not an exact pin: a
+    // benign planner change must not fail the suite)
+    Contract("u_stream_hll", 14, 18),
   )
 
   // entries whose optimized logical plan must NOT force a broadcast

@@ -111,7 +111,7 @@ class ProfileQuantilesSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, sf)
     prof.foreach { case (c, r) =>
       val (nulls, minLen, maxLen, estMicro) =
-        (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(6))
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(9))
       val direct = docs.select(
         sum(when(col(c).isNull, 1L).otherwise(0L)),
         min(length(col(c).cast("string"))),
@@ -124,6 +124,52 @@ class ProfileQuantilesSpec extends SparkSpec {
       val est = estMicro / 1e6
       assert(math.abs(est - exact) / exact < 0.165,
         s"$c est=$est exact=$exact")
+    }
+    // value-domain stats: exact min/max/sum on the BIGINT columns,
+    // NULL on the string columns
+    Seq("doc_id", "n_chars").foreach { c =>
+      val r = prof(c)
+      val direct = docs.select(min(col(c)), max(col(c)),
+        sum(col(c))).head()
+      assert(r.getLong(4) == direct.getLong(0), s"$c min_val")
+      assert(r.getLong(5) == direct.getLong(1), s"$c max_val")
+      assert(r.getLong(6) == direct.getLong(2), s"$c sum_val")
+    }
+    Seq("text", "lang", "source").foreach { c =>
+      assert(prof(c).isNullAt(4) && prof(c).isNullAt(5) &&
+        prof(c).isNullAt(6), s"$c value stats must be NULL")
+    }
+  }
+
+  test("profile_table_events: canonicalized columns profile exactly " +
+    "(epoch-micros timestamps, micro-fixed-point doubles)") {
+    val prof = Profile.profileTableEvents(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("event_id", "event_type", "props",
+      "ts_us", "user_id", "value_micro"))
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("props"),
+        expr("unix_micros(ts)").as("ts_us"), col("user_id"),
+        expr("CAST(round(value * 1000000e0) AS BIGINT)")
+          .as("value_micro"))
+    Seq("event_id", "ts_us", "user_id", "value_micro").foreach { c =>
+      val r = prof(c)
+      val direct = ev.select(min(col(c)), max(col(c)), sum(col(c)),
+        sum(when(col(c).isNull, 1L).otherwise(0L)),
+        countDistinct(col(c))).head()
+      assert(r.getLong(4) == direct.getLong(0), s"$c min_val")
+      assert(r.getLong(5) == direct.getLong(1), s"$c max_val")
+      if (c == "ts_us") // not sumable: epoch micros overflow int64
+        assert(r.isNullAt(6), s"$c sum_val must be NULL")
+      else assert(r.getLong(6) == direct.getLong(2), s"$c sum_val")
+      assert(r.getLong(1) == direct.getLong(3), s"$c nulls")
+      val exact = direct.getLong(4).toDouble
+      assert(math.abs(r.getLong(9) / 1e6 - exact) / exact < 0.165,
+        s"$c distinct est vs $exact")
+    }
+    Seq("event_type", "props").foreach { c =>
+      assert(prof(c).isNullAt(4) && prof(c).isNullAt(5) &&
+        prof(c).isNullAt(6), s"$c value stats must be NULL")
     }
   }
 

@@ -44,6 +44,17 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Deterministic FP behavior for oracle comparison.
       .config("spark.sql.ansi.enabled", "false")
+      // BloomFilterAggregate SILENTLY clamps items/bits to these confs
+      // (Math.min in its lazy vals): the defaults (4M items / 2^26
+      // bits) froze q_bloom_join's filter size at ~6M dim keys and let
+      // FPR grow with key count (measured 669 MB of FPR-inflated
+      // exchange at SF100). Raise the ceilings so count-derived sizing
+      // stays at its design point; 2^31 bits = a 256 MB filter at the
+      // ceiling, far past any dim this engine broadcasts.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        (1L << 28).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        (1L << 31).toString)
 
   /** Local session used by tests and ad-hoc runs. */
   def local(cores: Int = 4): SparkSession = {

@@ -222,4 +222,16 @@ object GraftExprs {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         ExpressionUtils.expression(bloomBytes),
         ExpressionUtils.expression(value)))
+
+  /** A one-row, one-column DataFrame as a SCALAR SUBQUERY expression —
+    * Spark's own runtime-filter ship vehicle (InjectRuntimeFilter builds
+    * exactly this around its BloomFilterAggregate). The subquery
+    * executes once as its own job and its value reaches probe tasks
+    * through the stage's broadcast task binary, so a multi-MB Bloom
+    * filter never sits in the expression tree the way a lit(bytes)
+    * literal does (every plan copy/render carried the bytes). */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.queryExecution.analyzed))
 }

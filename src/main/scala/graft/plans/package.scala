@@ -28,6 +28,10 @@ package object plans {
     /** might_contain probe of a constant serialized filter. */
     def mightContain(bloomBytes: Column, value: Column): Column =
       org.apache.spark.sql.graft.GraftExprs.mightContain(bloomBytes, value)
+    /** A one-row/one-column aggregate as a scalar-subquery expression —
+      * the plan-literal-free way to ship a built filter to its probe. */
+    def scalarOf(df: org.apache.spark.sql.DataFrame): Column =
+      org.apache.spark.sql.graft.GraftExprs.scalarSubquery(df)
   }
 
   object SortedIntersect {

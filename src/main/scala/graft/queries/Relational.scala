@@ -524,15 +524,23 @@ object Relational extends Serializable {
       .where(col("o_totalprice") < 20000)
       .select(col("o_orderkey"), col("o_orderdate"))
     // capacity: dimension-count-derived (the evalBloom convention) —
-    // a dim-side count is metadata-scale next to the fact scan
+    // a dim-side count is metadata-scale next to the fact scan. Sized
+    // UNCONDITIONALLY from the measured key count (round-13's 2^26 cap
+    // let FPR grow with keys: 669 MB of false-positive exchange at
+    // SF100's 6M keys); 16 bits/key holds FPR at ~5e-4 at any SF, and
+    // GraftSession raises BloomFilterAggregate's silent clamp confs so
+    // the sizing is actually honored.
     val items = math.max(1024L, sel.count())
-    val bits = math.min(1L << 26, items * 16)
-    val bf = sel.agg(graft.plans.Bloom
+    val bits = items * 16
+    // The filter ships as a SCALAR SUBQUERY (Spark's own runtime-filter
+    // vehicle): built once in its own job, delivered to probe tasks in
+    // the stage's broadcast task binary — never driver-collected into a
+    // lit(bytes) plan literal that every plan copy/render would carry.
+    val bfDf = sel.agg(graft.plans.Bloom
       .agg(xxhash64(col("o_orderkey")), items, bits).as("bf"))
-      .head().getAs[Array[Byte]](0)
     val pre = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-      .where(graft.plans.Bloom.mightContain(lit(bf),
+      .where(graft.plans.Bloom.mightContain(graft.plans.Bloom.scalarOf(bfDf),
         xxhash64(col("l_orderkey"))))
     pre.join(sel, pre("l_orderkey") === sel("o_orderkey"))
       .groupBy(expr("substr(CAST(o_orderdate AS STRING), 1, 7)").as("month"))

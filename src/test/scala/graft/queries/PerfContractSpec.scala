@@ -279,10 +279,15 @@ class PerfContractSpec extends SparkSpec {
       assert(p.contains("TakeOrderedAndProject"),
         s"$n: top-200 must be TakeOrdered, not a global sort")),
     // Bloom runtime-filter join: the fact scan must carry the
-    // might_contain pre-pass (only bloom survivors reach the exchange)
-    Contract("q_bloom_join", 12, 14, (p, n) =>
+    // might_contain pre-pass (only bloom survivors reach the exchange),
+    // and the filter must ship as a scalar subquery — never a
+    // driver-collected lit(bytes) plan literal (round-14 ask #3)
+    Contract("q_bloom_join", 12, 14, (p, n) => {
       assert(p.contains("might_contain"),
-        s"$n: Bloom pre-pass missing — the full fact side would shuffle")),
+        s"$n: Bloom pre-pass missing — the full fact side would shuffle")
+      assert(p.contains("Subquery subquery"),
+        s"$n: filter must ride a scalar subquery, not a plan literal")
+    }),
     // streaming quantile sketch: the watermarked histogram aggregation
     // exchanges bounded (window, type, bucket) counter rows per
     // micro-batch — never events — and the serve-side pick runs over

@@ -309,11 +309,66 @@ object Dedup extends Serializable {
       totalDocs: Long): Set[Long] = {
     import typed.sparkSession.implicits._
     if (totalDocs == 0L) return Set.empty
+    stopShinglesDf(typed, w, totalDocs).as[Long].collect().toSet
+  }
+
+  /** The stop-shingle mining as a DataFrame of hashes — the committable
+    * form (the incremental chain freezes the base corpus's stop set as
+    * an artifact, the tokenizer convention for trained parameters). */
+  private[graft] def stopShinglesDf(typed: Dataset[(Long, String)],
+      w: Int, totalDocs: Long): org.apache.spark.sql.DataFrame = {
+    import typed.sparkSession.implicits._
     val dfLimit = totalDocs / 2
     typed.flatMap { case (_, t) => shingles(t, w).distinct }
       .toDF("h").groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") > dfLimit)
-      .select("h").as[Long].collect().toSet
+      .select("h")
+  }
+
+  /** Stop-filtered MinHash signatures — the minhashNearDupsStopShingles
+    * signature builder, exposed so the incremental chain can sign a
+    * delta batch under the base corpus's FROZEN stop set. A doc whose
+    * filtered shingle set is empty (pure template) gets a unique
+    * sentinel so it collides with nothing. */
+  private[graft] def stopFilteredSigs(typed: Dataset[(Long, String)],
+      bc: org.apache.spark.broadcast.Broadcast[Set[Long]], w: Int, k: Int)
+      : Dataset[DocSig] = {
+    import typed.sparkSession.implicits._
+    typed.map { case (id, t) =>
+      val sh = shingles(t, w).filter(h => !bc.value(h))
+      val eff = if (sh.isEmpty) Array(hashString(s"empty:$id")) else sh
+      DocSig(id, minhashSignature(eff, k))
+    }
+  }
+
+  /** Exact stop-filtered shingle-Jaccard verification of candidate
+    * pairs: attach texts from `txt` (doc_id, text) via shuffle-hash
+    * joins (the wide-sort-free attach, see minhashNearDups), score the
+    * FILTERED sets, keep pairs at or above `threshold`. `txt` should be
+    * pre-restricted to candidate ids when the candidate set is small
+    * next to the corpus (the incremental path). */
+  private[graft] def verifyStopFiltered(cand: org.apache.spark.sql.DataFrame,
+      txt: org.apache.spark.sql.DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Set[Long]], w: Int,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    import cand.sparkSession.implicits._
+    val withTexts = cand
+      .join(txt.select(col("doc_id").as("a"), col("text").as("ta"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(txt.select(col("doc_id").as("b"), col("text").as("tb"))
+        .hint("shuffle_hash"), Seq("b"))
+      .select(col("a"), col("b"), col("ta"), col("tb"))
+      .as[(Long, Long, String, String)]
+    withTexts.map { case (a, b, ta, tb) =>
+      val sa = shingles(ta, w).filter(h => !bc.value(h)).toSet
+      val sb = shingles(tb, w).filter(h => !bc.value(h)).toSet
+      val jac =
+        if (sa.isEmpty || sb.isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / (sa ++ sb).size
+      (a, b, jac)
+    }.toDF("a", "b", "jac_raw")
+      .select(col("a"), col("b"), round(col("jac_raw"), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** Boilerplate-aware MinHash near-dup: shingles whose DOCUMENT
@@ -344,31 +399,10 @@ object Dedup extends Serializable {
       .as[(Long, String)]
     val common = stopShingles(typed, w, totalDocs)
     val bc = s.sparkContext.broadcast(common)
-    val sigs = typed.map { case (id, t) =>
-      val sh = shingles(t, w).filter(h => !bc.value(h))
-      val eff = if (sh.isEmpty) Array(hashString(s"empty:$id")) else sh
-      DocSig(id, minhashSignature(eff, k))
-    }
+    val sigs = stopFilteredSigs(typed, bc, w, k)
     val cand = lshCandidates(sigs, bands, k / bands)
     val txt = docs.select(col("doc_id"), col("text"))
-    // shuffle-hash text attach — same rationale as minhashNearDups
-    val withTexts = cand
-      .join(txt.select(col("doc_id").as("a"), col("text").as("ta"))
-        .hint("shuffle_hash"), Seq("a"))
-      .join(txt.select(col("doc_id").as("b"), col("text").as("tb"))
-        .hint("shuffle_hash"), Seq("b"))
-      .select(col("a"), col("b"), col("ta"), col("tb"))
-      .as[(Long, Long, String, String)]
-    withTexts.map { case (a, b, ta, tb) =>
-      val sa = shingles(ta, w).filter(h => !bc.value(h)).toSet
-      val sb = shingles(tb, w).filter(h => !bc.value(h)).toSet
-      val jac =
-        if (sa.isEmpty || sb.isEmpty) 0.0
-        else sa.intersect(sb).size.toDouble / (sa ++ sb).size
-      (a, b, jac)
-    }.toDF("a", "b", "jac_raw")
-      .select(col("a"), col("b"), round(col("jac_raw"), 6).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    verifyStopFiltered(cand, txt, bc, w, threshold)
       .orderBy("a", "b")
   }
 

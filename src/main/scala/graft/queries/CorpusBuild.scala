@@ -240,38 +240,55 @@ object CorpusBuild {
     * restarted production run): `getOrBuild` per stage — resume from
     * the last committed stage. Either way every downstream frame reads
     * the COMMITTED parquet, never the in-memory build result. */
-  private[graft] def chainFrames(s: SparkSession, d: String,
-                                 rebuild: Boolean = false): ChainFrames = {
+  /** Stages 0-1 (WARC → extract → normalize) over ANY docs frame: ONE
+    * narrow per-doc pass, shared by the full chain and the incremental
+    * base/delta slices. */
+  private[graft] def normFrame(s: SparkSession, docs: DataFrame)
+      : DataFrame = {
     import s.implicits._
-    import graft.sinks.ArtifactStore
-    val Seq(normKey, exactKey, badKey, asgKey) = chainStageNames(s, d)
-    if (rebuild) Seq(normKey, exactKey, badKey, asgKey)
-      .foreach(ArtifactStore.remove(s, _))
     val stop = Set("the", "a", "and", "of", "to", "is", "in")
-    // stages 0-1: WARC → extract → normalize, ONE narrow pass
-    val norm = ArtifactStore.getOrBuild(s, normKey) {
-      graft.sources.Warc
-        .extractedFromDocuments(s, Tables.documents(s, d))
-        .map { case (id, etext) =>
-          val raw = etext.split(ws)
-          val kept = raw.iterator.map(_.toLowerCase)
-            .filter(t => t.nonEmpty && t != "a" && t != "the" &&
-              !t.forall(c => c >= '0' && c <= '9'))
-            .toArray
-          (id, kept.mkString(" "), raw.length.toLong, kept.length.toLong,
-            kept.iterator.map(_.length.toLong).sum,
-            kept.count(stop).toLong)
-        }.toDF("doc_id", "norm_text", "n_raw", "n_norm", "sum_len",
-          "n_stop")
-    }
-    // stage 2: quality gate (engine-identical double expression) — a
-    // narrow projection of the committed normalize table; recomputed on
-    // read rather than committed (no shuffle to protect)
-    val qAll = norm.where(col("n_norm") > 0)
+    graft.sources.Warc
+      .extractedFromDocuments(s, docs)
+      .map { case (id, etext) =>
+        val raw = etext.split(ws)
+        val kept = raw.iterator.map(_.toLowerCase)
+          .filter(t => t.nonEmpty && t != "a" && t != "the" &&
+            !t.forall(c => c >= '0' && c <= '9'))
+          .toArray
+        (id, kept.mkString(" "), raw.length.toLong, kept.length.toLong,
+          kept.iterator.map(_.length.toLong).sum,
+          kept.count(stop).toLong)
+      }.toDF("doc_id", "norm_text", "n_raw", "n_norm", "sum_len",
+        "n_stop")
+  }
+
+  /** Stage 2 (quality gate, engine-identical double expression) — a
+    * narrow projection of the normalize table; recomputed on read
+    * rather than committed (no shuffle to protect). */
+  private[graft] def withQuality(norm: DataFrame): DataFrame =
+    norm.where(col("n_norm") > 0)
       .withColumn("quality", expr(
         "round(least(CAST(sum_len AS DOUBLE) / n_norm, 10.0) / 10.0 " +
           "* 0.2 + CAST(n_stop AS DOUBLE) / n_norm * 0.5 + " +
           "least(CAST(n_norm AS DOUBLE), 100.0) / 100.0 * 0.3, 6)"))
+
+  /** The exact-dedup content digest (sorted distinct normalized
+    * tokens). */
+  private[graft] def digestCol: Column =
+    sha2(concat_ws(" ", array_sort(array_distinct(
+      split(col("norm_text"), ws)))), 256)
+
+  private[graft] def chainFrames(s: SparkSession, d: String,
+                                 rebuild: Boolean = false): ChainFrames = {
+    import graft.sinks.ArtifactStore
+    val Seq(normKey, exactKey, badKey, asgKey) = chainStageNames(s, d)
+    if (rebuild) Seq(normKey, exactKey, badKey, asgKey)
+      .foreach(ArtifactStore.remove(s, _))
+    // stages 0-1: WARC → extract → normalize, ONE narrow pass
+    val norm = ArtifactStore.getOrBuild(s, normKey) {
+      normFrame(s, Tables.documents(s, d))
+    }
+    val qAll = withQuality(norm)
     val q = qAll.where(col("quality") >= lit(QualityMin))
     // stage 3: exact dedup on the normalized content digest. The window
     // input is slimmed to (doc_id, digest) — 40-byte rows on the digest
@@ -285,8 +302,7 @@ object CorpusBuild {
     // corpus shuffles its own bytes once, strictly cheaper than the
     // double write).
     val exactAll = ArtifactStore.getOrBuild(s, exactKey) {
-      q.select(col("doc_id"), sha2(concat_ws(" ", array_sort(array_distinct(
-          split(col("norm_text"), ws)))), 256).as("key"))
+      q.select(col("doc_id"), digestCol.as("key"))
         .withColumn("keep_id",
           min(col("doc_id")).over(Window.partitionBy("key")))
         .select("doc_id", "keep_id")
@@ -316,7 +332,7 @@ object CorpusBuild {
     * ship 16-byte rows, not the normalized text (measured: one full
     * corpus-text exchange saved at the 100× tier vs reusing
     * shardAssignments, which keeps every input column for the writer) */
-  private def shardAsg(s: SparkSession, near: DataFrame): DataFrame = {
+  private[graft] def shardAsg(s: SparkSession, near: DataFrame): DataFrame = {
     val docsT = near.select(col("doc_id"),
       col("n_norm").cast("int").as("n_tokens"))
     val nBuckets = graft.operators.PrefixSum.bucketCount(near.count())
@@ -340,9 +356,11 @@ object CorpusBuild {
       .select("doc_id", "n_tokens", "start_tok", "shard")
   }
 
-  def corpusBuildE2e(s: SparkSession, d: String): DataFrame = {
-    val ChainFrames(norm, _, q, _, exact, _, near, asg) =
-      chainFrames(s, d, rebuild = true)
+  /** The composed report (stage rows + pack + shard manifest) from any
+    * set of chain frames — shared by the full-rebuild entry and the
+    * incremental entry (whose frames are base-committed ∪ delta). */
+  private[graft] def chainReport(norm: DataFrame, q: DataFrame, exact: DataFrame,
+      near: DataFrame, asg: DataFrame): DataFrame = {
     val packRow = asg
       .agg(sum(col("n_tokens")).cast("long").as("total"))
       .select(lit("stage").as("kind"), lit(5).cast("int").as("id"),
@@ -363,6 +381,12 @@ object CorpusBuild {
       .union(packRow)
       .union(shardRows)
       .orderBy("kind", "id")
+  }
+
+  def corpusBuildE2e(s: SparkSession, d: String): DataFrame = {
+    val ChainFrames(norm, _, q, _, exact, _, near, asg) =
+      chainFrames(s, d, rebuild = true)
+    chainReport(norm, q, exact, near, asg)
   }
 
   /** Per-document lineage through the SAME chain — the "why did my doc
@@ -397,13 +421,17 @@ object CorpusBuild {
       .orderBy("doc_id")
   }
 
-  /** Full DuckDB replay of the chain's CTEs (shared by the manifest and
-    * lineage oracles): the htmlBlockChain extraction, normalization, the
-    * quality formula, digest-group exact dedup, exact all-pairs
-    * shingle-Jaccard near dedup (the minhashNearDups equivalence
-    * contract), and the sample_shards prefix-sum machinery. */
-  private val corpusChainSql: String =
-    s"""${LlmPipeline.htmlBlockChainSqlShared},
+  /** Full DuckDB replay of the chain's CTEs (shared by the manifest,
+    * lineage, and incremental oracles): the htmlBlockChain extraction,
+    * normalization, the quality formula, digest-group exact dedup,
+    * exact all-pairs shingle-Jaccard near dedup (the minhashNearDups
+    * equivalence contract), and the sample_shards prefix-sum machinery.
+    * `stopScope` restricts the STOP-SHINGLE mining (and only it) — the
+    * incremental oracle freezes the stop set to the base slice
+    * (`doc_id < cut`), everything else replays over the full appended
+    * corpus. */
+  private def chainCtes(stopScope: String, extraCtes: String = ""): String =
+    s"""${LlmPipeline.htmlBlockChainSqlShared},$extraCtes
        |ex AS (
        |  SELECT doc_id,
        |    coalesce(string_agg(btext, chr(10) ORDER BY ord)
@@ -446,8 +474,9 @@ object CorpusBuild {
        |  FROM (SELECT doc_id, string_split_regex(norm_text, '\\s+') AS t
        |        FROM exd)),
        |sdf AS (
-       |  SELECT g FROM (SELECT unnest(s0) AS g FROM shn)
-       |  GROUP BY g HAVING count(*) > (SELECT count(*) FROM exd) // 2),
+       |  SELECT g FROM (SELECT unnest(s0) AS g FROM shn$stopScope)
+       |  GROUP BY g
+       |  HAVING count(*) > (SELECT count(*) FROM exd$stopScope) // 2),
        |shf AS (
        |  SELECT doc_id, list(g) AS sset
        |  FROM (SELECT doc_id, unnest(s0) AS g FROM shn)
@@ -489,8 +518,18 @@ object CorpusBuild {
        |      // (SELECT total FROM tot2)) AS INTEGER) AS shard
        |  FROM c2 JOIN bb2 USING (bucket))""".stripMargin
 
-  val corpusBuildE2eSql: String =
-    s"""$corpusChainSql
+  private val corpusChainSql: String = chainCtes("")
+
+  /** The incremental oracle's chain: identical replay over the full
+    * appended corpus, with ONLY the stop-shingle mining frozen to the
+    * base slice — the semantics corpus_build_incr implements. */
+  private val corpusChainIncrSql: String = chainCtes(
+    " WHERE doc_id < (SELECT c FROM cutv)",
+    "\ncutv AS (SELECT ((max(doc_id) + 1) * 9) // 10 AS c" +
+      " FROM documents),")
+
+  private def reportSql(ctes: String): String =
+    s"""$ctes
        |SELECT kind, id, label, n_docs, n_tokens FROM (
        |  SELECT 'stage' AS kind, CAST(0 AS INT) AS id, 'ingest' AS label,
        |    CAST(count(*) AS BIGINT) AS n_docs,
@@ -516,6 +555,9 @@ object CorpusBuild {
        |    CAST(sum(n_tokens) AS BIGINT)
        |  FROM a2 GROUP BY shard)
        |ORDER BY kind, id""".stripMargin
+
+  val corpusBuildE2eSql: String = reportSql(corpusChainSql)
+  val corpusBuildIncrSql: String = reportSql(corpusChainIncrSql)
 
   val corpusLineageSql: String =
     s"""$corpusChainSql
@@ -606,16 +648,220 @@ object CorpusBuild {
        |GROUP BY a2.shard ORDER BY shard""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // corpus_build_incr — append a corpus slice, recompute only the
+  // delta against committed base stages (round-14 ask #4)
+  // ------------------------------------------------------------------
+
+  /** The append cut: ids below (max+1)·9/10 are the BASE corpus (the
+    * committed build); the top slice is the appended delta. Appended
+    * slices carry LARGER ids than every base doc (the append
+    * convention), which is what makes keep-min-id dedup monotone: a
+    * delta doc can never displace a base survivor, so base stages are
+    * immutable under append. */
+  private[graft] def incrCut(s: SparkSession, d: String): Long = {
+    val m = Tables.documents(s, d)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    (m + 1) * 9 / 10
+  }
+
+  /** Base-stage artifact keys, keyed by the BASE slice's content
+    * fingerprint (cached per file signature + cut tag — the derived
+    * slice is a pure function of the file and the cut, so the key
+    * derivation is metadata-scale after the first pass). */
+  private[graft] def incrStageNames(s: SparkSession, d: String)
+      : Seq[String] = {
+    val cut = incrCut(s, d)
+    val (n, h) = LlmPipeline.fingerprintCached(s,
+      s"$d/documents.parquet", Seq("doc_id", "text"),
+      tag = s"base_lt$cut")(
+      Tables.documents(s, d).where(col("doc_id") < cut))
+    val bk = s"v1_n${n}_h${h}_q02_w3k64b32t08"
+    Seq(s"chain_incrb_norm_$bk", s"chain_incrb_exactd_$bk",
+      s"chain_incrb_stop_$bk", s"chain_incrb_bands_$bk",
+      s"chain_incrb_bad_$bk")
+  }
+
+  /** The INCREMENTAL corpus build: the appended corpus's full chain
+    * report (identical shape to corpus_build_e2e), computed by serving
+    * the committed BASE stages and running only DELTA-sized work over
+    * the appended slice — the production append path the full-rebuild
+    * entry can't model (`dedup_incremental`/`dedup_minhash_incremental`
+    * conventions applied to the chain's committed stages).
+    *
+    * Base build (first run per base corpus, then served from
+    * ArtifactStore): normalize table, the exact-dedup DIGEST table
+    * (doc_id, digest, keep_id — wider than the e2e chain's slim pair
+    * list because the digest IS the incremental probe key), the
+    * near-dup STOP-SHINGLE set, the banded MinHash key table over base
+    * exact survivors, and the base near-dup removals.
+    *
+    * The near stage's stop set is a TRAINED parameter (document
+    * frequency over the base corpus), so the incremental chain FREEZES
+    * it — the tokenizer convention: appends serve the base-trained
+    * artifact rather than retraining per batch (a corpus-dependent
+    * stop set would change every base doc's signature on every append,
+    * which is exactly the non-incremental cost this entry removes).
+    * The oracle replays that semantic: a full rebuild over the
+    * appended corpus with the stop set mined from the base slice.
+    *
+    * Delta pass, per run (all exchanges delta-sized):
+    *  - normalize + quality: narrow per-doc pass over the delta slice
+    *    (parquet row-group pruning on the id predicate).
+    *  - exact: delta digests probe the committed digest table — the
+    *    corpus side STREAMS (scan + semi join against the
+    *    delta-bounded digest list, broadcastable by AQE); only then a
+    *    delta-internal window picks min-id keepers of NEW digests.
+    *  - near: delta survivors sign under the frozen stop set and
+    *    band-join the COMMITTED base band table (corpus side streams
+    *    against the delta probe); candidate texts attach after a
+    *    candidate-id semi-join restriction, so the verify join ships
+    *    candidate-sized text, never the corpus.
+    *  - pack/shard: placement is a global function of survivor
+    *    (doc_id, n_tokens) — recomputed over id+count columns only
+    *    (16-byte rows), the manifest cost any append pays.
+    *
+    * Stage totals aggregate committed base columns + delta results;
+    * nothing re-reads base TEXT except the candidate-restricted verify
+    * attach. */
+  def corpusBuildIncr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sinks.ArtifactStore
+    val cut = incrCut(s, d)
+    val docs = Tables.documents(s, d)
+    val Seq(normKey, exactKey, stopKey, bandKey, badKey) =
+      incrStageNames(s, d)
+
+    // ---- base stages: committed once per base corpus ----
+    val normB = ArtifactStore.getOrBuild(s, normKey)(
+      normFrame(s, docs.where(col("doc_id") < cut)))
+    val qB = withQuality(normB).where(col("quality") >= lit(QualityMin))
+    val exactB = ArtifactStore.getOrBuild(s, exactKey) {
+      qB.select(col("doc_id"), digestCol.as("digest"))
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy("digest")))
+        .select("doc_id", "digest", "keep_id")
+    }
+    val exactSurvB = qB.join(
+      exactB.where(col("doc_id") === col("keep_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    def typedTxt(df: DataFrame) =
+      df.select(col("doc_id"), col("norm_text")).as[(Long, String)]
+    val stopDf = ArtifactStore.getOrBuild(s, stopKey)(
+      graft.dedup.Dedup.stopShinglesDf(typedTxt(exactSurvB), 3,
+        exactSurvB.count()))
+    // driver-bounded by construction: at df > N/2 there are at most
+    // 2 × avg-shingles-per-doc stop shingles
+    val bc = s.sparkContext.broadcast(
+      stopDf.select("h").as[Long].collect().toSet)
+    val bandsB = ArtifactStore.getOrBuild(s, bandKey)(
+      graft.dedup.Dedup.bandedKeys(
+        graft.dedup.Dedup.stopFilteredSigs(typedTxt(exactSurvB), bc,
+          3, 64), 32, 2))
+    val badB = ArtifactStore.getOrBuild(s, badKey) {
+      val l = bandsB.select(col("doc_id").as("a"), col("band"), col("key"))
+      val r = bandsB.select(col("doc_id").as("b"), col("band"), col("key"))
+      val candB = l.join(r, Seq("band", "key"))
+        .where(col("a") < col("b")).select("a", "b").distinct()
+      graft.dedup.Dedup.verifyStopFiltered(candB,
+          exactSurvB.select(col("doc_id"), col("norm_text").as("text")),
+          bc, 3, 0.8)
+        .select(col("b").as("doc_id")).distinct()
+    }
+
+    // ---- delta pass: everything below is delta-sized ----
+    // The delta intermediates are PINNED (localCheckpoint): they feed
+    // 5-6 consumers each (stage rows, bands ×2, the text attach, the
+    // survivor unions), and re-deriving them re-runs the delta
+    // extraction plus a committed-base scan per consumer — measured
+    // 26s → the pinned shape at sf0.1. Unlike the chain's STAGE
+    // boundaries (durable commits since r13: a multi-hour build must
+    // restart), these are per-run DELTA-sized frames — the slice IS
+    // the unit of retry, the layoutZorder-style one-job pin.
+    val normD = normFrame(s, docs.where(col("doc_id") >= cut))
+      .localCheckpoint(true)
+    val qD = withQuality(normD).where(col("quality") >= lit(QualityMin))
+    val digD = qD.select(col("doc_id"), digestCol.as("digest"))
+    // base digests STREAM against the delta-bounded probe list; the
+    // matched list comes back delta-sized for the anti join
+    val hitDigests = exactB.select("digest")
+      .join(digD.select("digest").distinct(), Seq("digest"), "left_semi")
+      .distinct()
+    val exactSurvD = digD
+      .join(hitDigests, Seq("digest"), "left_anti")
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy("digest")))
+      .where(col("doc_id") === col("keep_id"))
+      .select("doc_id")
+    val survDTxt = qD
+      .join(exactSurvD, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("norm_text"), col("n_norm"))
+      .localCheckpoint(true)
+    val bandsD = graft.dedup.Dedup.bandedKeys(
+      graft.dedup.Dedup.stopFilteredSigs(
+        survDTxt.select(col("doc_id"), col("norm_text"))
+          .as[(Long, String)], bc, 3, 64), 32, 2)
+    // candidates: delta probes (base ∪ delta) bands; a < b keeps the
+    // pair orientation that can only ever remove DELTA docs. The
+    // committed corpus band table must NOT shuffle per append (measured
+    // 325 MB at the 100× tier when the join exchanged both sides), so
+    // the q_bloom_join runtime filter is reused here: a delta-sized
+    // Bloom over the probe's (band, key) pairs pre-filters the corpus
+    // bands IN THE SCAN — only colliding rows reach the exchange, and
+    // the exact band join rejects the filter's false positives, so the
+    // candidate set is identical by construction.
+    val nBandsD = survDTxt.count() * 32
+    val bandBits = math.max(1024L, nBandsD) * 16
+    val bandBf = bandsD.agg(graft.plans.Bloom
+      .agg(xxhash64(col("band"), col("key")),
+        math.max(1024L, nBandsD), bandBits).as("bf"))
+    val bandsBHit = bandsB.where(graft.plans.Bloom.mightContain(
+      graft.plans.Bloom.scalarOf(bandBf),
+      xxhash64(col("band"), col("key"))))
+    val cand = bandsBHit.unionByName(bandsD)
+      .select(col("doc_id").as("a"), col("band"), col("key"))
+      .join(bandsD.select(col("doc_id").as("b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val candIds = cand
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val txtCand = exactSurvB
+      .select(col("doc_id"), col("norm_text").as("text"))
+      .unionByName(survDTxt.select(col("doc_id"),
+        col("norm_text").as("text")))
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val badD = graft.dedup.Dedup
+      .verifyStopFiltered(cand, txtCand, bc, 3, 0.8)
+      .select(col("b").as("doc_id")).distinct()
+      .localCheckpoint(true)
+
+    // ---- combined report over base-committed ∪ delta frames ----
+    val slim = (df: DataFrame) =>
+      df.select("doc_id", "n_raw", "n_norm")
+    val normAll = slim(normB).unionByName(slim(normD))
+    val qSlim = (df: DataFrame) => df.select("doc_id", "n_norm")
+    val qAll2 = qSlim(qB).unionByName(qSlim(qD))
+    val exactAllN = qSlim(exactSurvB)
+      .unionByName(qSlim(survDTxt))
+    val nearAllN = qSlim(exactSurvB.join(badB, Seq("doc_id"), "left_anti"))
+      .unionByName(qSlim(survDTxt.join(badD, Seq("doc_id"), "left_anti")))
+    val asg = shardAsg(s, nearAllN)
+    chainReport(normAll, qAll2, exactAllN, nearAllN, asg)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "crawl_frontier" -> (crawlFrontier _),
     "corpus_build_e2e" -> (corpusBuildE2e _),
     "corpus_lineage" -> (corpusLineage _),
-    "corpus_build_tokenized" -> (corpusBuildTokenized _)
+    "corpus_build_tokenized" -> (corpusBuildTokenized _),
+    "corpus_build_incr" -> (corpusBuildIncr _)
   )
 
   val oracle: Map[String, String] = Map(
     "crawl_frontier" -> crawlFrontierSql,
     "corpus_build_e2e" -> corpusBuildE2eSql,
+    "corpus_build_incr" -> corpusBuildIncrSql,
     "corpus_lineage" -> corpusLineageSql,
     "corpus_build_tokenized" -> corpusBuildTokenizedSql
   )

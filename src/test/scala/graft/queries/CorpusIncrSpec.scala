@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.sinks.ArtifactStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** corpus_build_incr (round-14 ask #4): the incremental chain must
+  * equal a FULL REBUILD of the appended corpus under the frozen base
+  * stop set, while actually serving its committed base stages.
+  *
+  *  1. Equivalence against an INDEPENDENT reference: the reference here
+  *     mines globally (one exact-dedup window over the whole corpus,
+  *     LSH self-join candidates over all survivors) — a different join
+  *     structure from the entry's base-probe composition, so agreement
+  *     pins the incremental algebra (the DuckDB oracle replays the same
+  *     semantics a third way at verify time).
+  *  2. Serve semantics: a second run re-commits nothing (artifact
+  *     mtimes unchanged) and returns the identical report.
+  */
+class CorpusIncrSpec extends SparkSpec {
+
+  private def typed(df: DataFrame) = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("norm_text")).as[(Long, String)]
+  }
+
+  test("incremental report equals the frozen-stop full rebuild " +
+    "(independent global-mining reference)") {
+    import spark.implicits._
+    val s = spark
+    val cut = CorpusBuild.incrCut(s, sf)
+    val norm = CorpusBuild.normFrame(s, graft.Tables.documents(s, sf))
+      .localCheckpoint(true) // one extraction for the whole reference
+    val q = CorpusBuild.withQuality(norm).where(col("quality") >= 0.2)
+    val exactAll = q
+      .withColumn("digest", CorpusBuild.digestCol)
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy("digest")))
+    val exact = exactAll.where(col("doc_id") === col("keep_id"))
+    val baseSurv = exact.where(col("doc_id") < cut)
+    val stopSet = Dedup.stopShingles(typed(baseSurv), 3, baseSurv.count())
+    val bc = s.sparkContext.broadcast(stopSet)
+    val sigs = Dedup.stopFilteredSigs(typed(exact), bc, 3, 64)
+    val cand = Dedup.lshCandidates(sigs, 32, 2)
+    val bad = Dedup.verifyStopFiltered(cand,
+        exact.select(col("doc_id"), col("norm_text").as("text")),
+        bc, 3, 0.8)
+      .select(col("b").as("doc_id")).distinct()
+    val near = exact.join(bad, Seq("doc_id"), "left_anti")
+    val asg = CorpusBuild.shardAsg(s, near.select("doc_id", "n_norm"))
+    val want = CorpusBuild.chainReport(norm, q, exact, near, asg)
+      .collect().toSeq
+    val got = CorpusBuild.corpusBuildIncr(s, sf).collect().toSeq
+    assert(got == want,
+      s"incremental diverged from the frozen-stop rebuild:\n" +
+        s"got  ${got.mkString(", ")}\nwant ${want.mkString(", ")}")
+  }
+
+  test("second run serves committed base stages (no re-commit) and " +
+    "returns the identical report") {
+    val s = spark
+    val keys = CorpusBuild.incrStageNames(s, sf)
+    keys.foreach(ArtifactStore.remove(s, _)) // force a clean base build
+    val first = CorpusBuild.corpusBuildIncr(s, sf).collect().toSeq
+    assert(keys.forall(ArtifactStore.exists(s, _)),
+      "first run must commit every base stage")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    def mtimes = keys.map(k =>
+      fs.getFileStatus(ArtifactStore.path(k)).getModificationTime)
+    val before = mtimes
+    val second = CorpusBuild.corpusBuildIncr(s, sf).collect().toSeq
+    assert(second == first, "served rerun must reproduce the report")
+    assert(mtimes == before,
+      "rerun re-committed a base stage — the delta path rebuilt base work")
+  }
+}

@@ -267,6 +267,11 @@ class PerfContractSpec extends SparkSpec {
     // exchange regardless of corpus size
     Contract("profile_table", 2, 8),
     Contract("profile_table_events", 2, 8),
+    // incremental chain: cold run measured 10.2 MB / 45 stages (base
+    // build + delta), warm 0.4 MB / 25 stages (served base, delta-only
+    // exchanges) — the budget admits the cold build, the warm path
+    // sits far inside it
+    Contract("corpus_build_incr", 30, 90),
     // constraint audit: the uniqueness rule shuffles 8-byte keys with
     // map-side partial counts; every other rule folds in the one scan
     Contract("profile_checks", 4, 12),

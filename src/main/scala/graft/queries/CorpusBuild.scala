@@ -679,7 +679,7 @@ object CorpusBuild {
     val bk = s"v1_n${n}_h${h}_q02_w3k64b32t08"
     Seq(s"chain_incrb_norm_$bk", s"chain_incrb_exactd_$bk",
       s"chain_incrb_stop_$bk", s"chain_incrb_bands_$bk",
-      s"chain_incrb_bad_$bk")
+      s"chain_incrb_bad_$bk", s"chain_incrb_survn_$bk")
   }
 
   /** The INCREMENTAL corpus build: the appended corpus's full chain
@@ -729,7 +729,7 @@ object CorpusBuild {
     import graft.sinks.ArtifactStore
     val cut = incrCut(s, d)
     val docs = Tables.documents(s, d)
-    val Seq(normKey, exactKey, stopKey, bandKey, badKey) =
+    val Seq(normKey, exactKey, stopKey, bandKey, badKey, survKey) =
       incrStageNames(s, d)
 
     // ---- base stages: committed once per base corpus ----
@@ -768,6 +768,11 @@ object CorpusBuild {
           bc, 3, 0.8)
         .select(col("b").as("doc_id")).distinct()
     }
+    // the serve-side survivor summary (doc_id, n_norm): the report and
+    // manifest consumers read THIS committed table instead of each
+    // re-deriving the survivor semi-join from norm + exactd per use
+    val survNB = ArtifactStore.getOrBuild(s, survKey)(
+      exactSurvB.select("doc_id", "n_norm"))
 
     // ---- delta pass: everything below is delta-sized ----
     // The delta intermediates are PINNED (localCheckpoint): they feed
@@ -801,6 +806,7 @@ object CorpusBuild {
       graft.dedup.Dedup.stopFilteredSigs(
         survDTxt.select(col("doc_id"), col("norm_text"))
           .as[(Long, String)], bc, 3, 64), 32, 2)
+      .localCheckpoint(true) // 3 consumers: the Bloom agg + both join sides
     // candidates: delta probes (base ∪ delta) bands; a < b keeps the
     // pair orientation that can only ever remove DELTA docs. The
     // committed corpus band table must NOT shuffle per append (measured
@@ -842,9 +848,9 @@ object CorpusBuild {
     val normAll = slim(normB).unionByName(slim(normD))
     val qSlim = (df: DataFrame) => df.select("doc_id", "n_norm")
     val qAll2 = qSlim(qB).unionByName(qSlim(qD))
-    val exactAllN = qSlim(exactSurvB)
+    val exactAllN = survNB
       .unionByName(qSlim(survDTxt))
-    val nearAllN = qSlim(exactSurvB.join(badB, Seq("doc_id"), "left_anti"))
+    val nearAllN = survNB.join(badB, Seq("doc_id"), "left_anti")
       .unionByName(qSlim(survDTxt.join(badD, Seq("doc_id"), "left_anti")))
     val asg = shardAsg(s, nearAllN)
     chainReport(normAll, qAll2, exactAllN, nearAllN, asg)

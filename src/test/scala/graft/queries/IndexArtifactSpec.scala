@@ -124,4 +124,34 @@ class IndexArtifactSpec extends SparkSpec {
     val f = LlmPipeline.dedupMinhashLsh(spark, sf).collect().toSeq
     assert(e == f)
   }
+
+  test("idx_ivf_append: base centroids/postings commit once, the append " +
+    "is an immutable delta segment, and a rerun re-commits nothing") {
+    val (cut, centsKey, postKey, segKey) =
+      LlmPipeline.ivfAppendKeys(spark, sf)
+    Seq(centsKey, postKey, segKey).foreach(ArtifactStore.remove(spark, _))
+    val first = LlmPipeline.idxIvfAppend(spark, sf).collect().toSeq
+    Seq(centsKey, postKey, segKey).foreach(k =>
+      assert(ArtifactStore.exists(spark, k), s"missing $k"))
+    // segment contains exactly the appended ids; base postings none
+    val segIds = ArtifactStore.load(spark, segKey)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(segIds.nonEmpty && segIds.forall(_ >= cut),
+      "segment must hold only appended vectors")
+    assert(ArtifactStore.load(spark, postKey)
+      .select(max(col("vec_id"))).head().getLong(0) < cut,
+      "base postings must hold only base vectors")
+    // serve semantics: rerun reads committed artifacts, identical result
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def mtimes = Seq(centsKey, postKey, segKey).map(k =>
+      fs.getFileStatus(ArtifactStore.path(k)).getModificationTime)
+    val before = mtimes
+    val second = LlmPipeline.idxIvfAppend(spark, sf).collect().toSeq
+    assert(second == first)
+    assert(mtimes == before, "append rerun re-committed an artifact")
+    // the union serves the whole corpus exactly once
+    assert(first.map(_.getLong(0)).distinct.length == first.length)
+    assert(first.count(_.getBoolean(3)) == segIds.length)
+  }
 }

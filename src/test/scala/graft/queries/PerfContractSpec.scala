@@ -272,6 +272,9 @@ class PerfContractSpec extends SparkSpec {
     // exchanges) — the budget admits the cold build, the warm path
     // sits far inside it
     Contract("corpus_build_incr", 30, 90),
+    // incremental IVF: cold 1.9 MB / 33 stages (train + both posting
+    // commits), append-only and serve runs far inside
+    Contract("idx_ivf_append", 6, 66),
     // constraint audit: the uniqueness rule shuffles 8-byte keys with
     // map-side partial counts; every other rule folds in the one scan
     Contract("profile_checks", 4, 12),

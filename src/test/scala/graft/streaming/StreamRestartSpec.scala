@@ -156,4 +156,75 @@ class StreamRestartSpec extends SparkSpec {
     restartScenario(Some("org.apache.spark.sql.execution.streaming" +
       ".state.RocksDBStateStoreProvider"))
   }
+
+  /** The OTHER custom-state surface: transformWithState's typed
+    * ValueState (u_stream_state's RunningCountProcessor). A restarted
+    * query must resume each key's running (count, sum) from the
+    * restored handle — keys with post-restart rows continue from their
+    * pre-restart totals, keys without keep their last emission. Values
+    * are dyadic rationals so double sums are exact and
+    * order-independent. */
+  test("transformWithState ValueState survives a durable-checkpoint " +
+    "restart (RocksDB, the operator's required provider)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tws_restart_").toString
+    val (src, out, cp) = (s"$root/src", s"$root/out", s"$root/cp")
+    new java.io.File(src).mkdirs()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    def writeRows(name: String, rows: Seq[(Long, Double)]): Unit = {
+      val tmp = s"$src/.stage_$name"
+      rows.toDF("user_id", "value").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runPhase(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val ds = spark.readStream.schema(schema).parquet(src)
+        .as[(Long, Double)]
+      val q = graft.streaming.StreamKernel.statefulCountTws(ds)
+        .toDF("user_id", "n", "sum_value")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      // phase 1: users 1-10 x3 rows, user 11 x3 (no phase-2 rows)
+      writeRows("f1", (1L to 11L).flatMap(u =>
+        Seq.fill(3)((u, 0.25 * u))))
+      runPhase()
+      // phase 2, NEW query from the same checkpoint: users 1-10 x2
+      // (must continue from n=3), user 12 x2 (fresh key)
+      writeRows("f2", ((1L to 10L) :+ 12L).flatMap(u =>
+        Seq.fill(2)((u, 0.25 * u))))
+      runPhase()
+      val last = spark.read.parquet(out)
+        .orderBy("user_id", "n").collect()
+        .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.last }
+      (1L to 12L).foreach { u =>
+        val (wantN, wantSum) =
+          if (u <= 10L) (5L, 0.25 * u * 5)
+          else if (u == 11L) (3L, 0.25 * u * 3)
+          else (2L, 0.25 * u * 2)
+        val r = last(u)
+        assert(r.getLong(1) == wantN,
+          s"user $u: n=${r.getLong(1)}, want $wantN — ValueState lost " +
+            "across restart")
+        assert(r.getDouble(2) == wantSum, s"user $u sum")
+      }
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -49,12 +49,14 @@ object GraftSession {
       // bits) froze q_bloom_join's filter size at ~6M dim keys and let
       // FPR grow with key count (measured 669 MB of FPR-inflated
       // exchange at SF100). Raise the ceilings so count-derived sizing
-      // stays at its design point; 2^31 bits = a 256 MB filter at the
-      // ceiling, far past any dim this engine broadcasts.
+      // stays at its design point up to the MEMORY-derived bound the
+      // builders also use: 2^28 bits = a 32 MB per-task aggregation
+      // buffer (~1 GB across 32 concurrent partials) — past that,
+      // shard the filter instead of growing it.
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
-        (1L << 28).toString)
+        (1L << 26).toString)
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-        (1L << 31).toString)
+        (1L << 28).toString)
 
   /** Local session used by tests and ad-hoc runs. */
   def local(cores: Int = 4): SparkSession = {

@@ -659,11 +659,18 @@ object CorpusBuild {
     * convention), which is what makes keep-min-id dedup monotone: a
     * delta doc can never displace a base survivor, so base stages are
     * immutable under append. */
-  private[graft] def incrCut(s: SparkSession, d: String): Long = {
-    val m = Tables.documents(s, d)
-      .agg(max(col("doc_id"))).head().getLong(0)
-    (m + 1) * 9 / 10
-  }
+  private val cutCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  private[graft] def incrCut(s: SparkSession, d: String): Long =
+    // cached per (session, dir) like Tables.cachedCount: the entry and
+    // its key derivation would otherwise each pay the max() column
+    // scan per run (the round-6 own-count anti-pattern)
+    cutCache.getOrElseUpdate((Tables.sessionToken(s), d), {
+      val m = Tables.documents(s, d)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      (m + 1) * 9 / 10
+    })
 
   /** Base-stage artifact keys, keyed by the BASE slice's content
     * fingerprint (cached per file signature + cut tag — the derived
@@ -817,7 +824,9 @@ object CorpusBuild {
     // the exact band join rejects the filter's false positives, so the
     // candidate set is identical by construction.
     val nBandsD = survDTxt.count() * 32
-    val bandBits = math.max(1024L, nBandsD) * 16
+    // same memory-derived ceiling as q_bloom_join: 2^28 bits = 32 MB
+    // per partial-aggregation task buffer
+    val bandBits = math.min(1L << 28, math.max(1024L, nBandsD) * 16)
     val bandBf = bandsD.agg(graft.plans.Bloom
       .agg(xxhash64(col("band"), col("key")),
         math.max(1024L, nBandsD), bandBits).as("bf"))

@@ -55,8 +55,13 @@ object Profile {
       val num = if (c == "doc_id" || c == "n_chars")
         (Some(s"CAST($c AS BIGINT)"), Some(s"CAST($c AS BIGINT)"))
       else (None, None)
+      // identifier sums are meaningless AND overflow-prone (a dense id
+      // column sums ~n²/2 — past int64 at ~4.3B rows, where Spark
+      // wraps silently with ANSI off); ids get min/max only. n_chars
+      // sums ARE the profile (total corpus chars, bounded by corpus
+      // bytes — fits int64 to ~9 EB of text).
       ProfCol(c, s"CAST($c AS STRING)", s"CAST($c AS VARCHAR)",
-        num._1, num._2)
+        num._1, num._2, sumable = c == "n_chars")
     }
 
   /** Profiled columns of `events` — the warehouse's other fixture
@@ -66,9 +71,11 @@ object Profile {
     * micro-fixed-point (the CAST(round(v*1e6) AS BIGINT) convention),
     * so hashing, lengths, and the value stats are engine-identical. */
   private val eventCols = Seq(
+    // id columns: min/max only (the docCols identifier-sum rationale)
     ProfCol("event_id", "CAST(event_id AS STRING)",
       "CAST(event_id AS VARCHAR)",
-      Some("CAST(event_id AS BIGINT)"), Some("CAST(event_id AS BIGINT)")),
+      Some("CAST(event_id AS BIGINT)"), Some("CAST(event_id AS BIGINT)"),
+      sumable = false),
     ProfCol("event_type", "CAST(event_type AS STRING)",
       "CAST(event_type AS VARCHAR)"),
     ProfCol("props", "CAST(props AS STRING)", "CAST(props AS VARCHAR)"),
@@ -77,7 +84,10 @@ object Profile {
       Some("unix_micros(ts)"), Some("epoch_us(ts)"), sumable = false),
     ProfCol("user_id", "CAST(user_id AS STRING)",
       "CAST(user_id AS VARCHAR)",
-      Some("CAST(user_id AS BIGINT)"), Some("CAST(user_id AS BIGINT)")),
+      Some("CAST(user_id AS BIGINT)"), Some("CAST(user_id AS BIGINT)"),
+      sumable = false),
+    // micro units sum to ~1e6 × Σ|value| — int64-safe to ~9e12 of
+    // absolute value mass, the documented bound of the convention
     ProfCol("value_micro", "CAST(CAST(round(value * 1000000e0) AS BIGINT)" +
       " AS STRING)", "CAST(CAST(round(value * 1000000e0) AS BIGINT)" +
       " AS VARCHAR)",

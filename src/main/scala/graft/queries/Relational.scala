@@ -525,13 +525,17 @@ object Relational extends Serializable {
       .select(col("o_orderkey"), col("o_orderdate"))
     // capacity: dimension-count-derived (the evalBloom convention) —
     // a dim-side count is metadata-scale next to the fact scan. Sized
-    // UNCONDITIONALLY from the measured key count (round-13's 2^26 cap
-    // let FPR grow with keys: 669 MB of false-positive exchange at
-    // SF100's 6M keys); 16 bits/key holds FPR at ~5e-4 at any SF, and
-    // GraftSession raises BloomFilterAggregate's silent clamp confs so
-    // the sizing is actually honored.
+    // from the measured key count (round-13's fixed 2^26 cap let FPR
+    // grow with keys); 16 bits/key holds FPR at ~5e-4. The ceiling is
+    // MEMORY-derived, not arbitrary: every partial-aggregation task
+    // eagerly allocates bits/8 bytes of buffer and ships it through
+    // the merge exchange, so 2^28 bits = 32 MB/task (~1 GB across 32
+    // concurrent tasks) is the sane single-filter bound — it keeps the
+    // design point to ~17M keys (10× the SF100 tier); past that, shard
+    // the filter rather than grow it (GraftSession's clamp confs match
+    // this ceiling).
     val items = math.max(1024L, sel.count())
-    val bits = items * 16
+    val bits = math.min(1L << 28, items * 16)
     // The filter ships as a SCALAR SUBQUERY (Spark's own runtime-filter
     // vehicle): built once in its own job, delivered to probe tasks in
     // the stage's broadcast task binary — never driver-collected into a

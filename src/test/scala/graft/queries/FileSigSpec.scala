@@ -66,8 +66,11 @@ class FileSigSpec extends SparkSpec {
     "bypass-and-hash path), never a degenerate signature") {
     assert(LlmPipeline.fileSig(spark,
       "/nonexistent/graft/no_such_table.parquet").isEmpty)
+    // unroutable LITERAL address (not a hostname): wildcard DNS
+    // resolvers would otherwise answer anything and stall the test in
+    // Hadoop's ipc connect-retry loop
     assert(LlmPipeline.fileSig(spark,
-      "hdfs://no-such-namenode:1/t.parquet").isEmpty)
+      "hdfs://127.0.0.1:1/t.parquet").isEmpty)
   }
 
   test("docKey serves artifact keys for scheme-qualified table dirs " +

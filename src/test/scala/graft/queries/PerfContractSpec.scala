@@ -263,8 +263,8 @@ class PerfContractSpec extends SparkSpec {
     // an exact percentile would global-sort the value column
     Contract("sketch_quantiles", 2, 14),
     // single-pass profiler: one wide aggregate whose state is fixed per
-    // column (1 KB registers + four longs) — nothing value-sized on the
-    // exchange regardless of corpus size
+    // column (1 KB of HLL registers + seven longs) — nothing
+    // value-sized on the exchange regardless of corpus size
     Contract("profile_table", 2, 8),
     Contract("profile_table_events", 2, 8),
     // incremental chain: cold run measured 10.2 MB / 45 stages (base

@@ -133,7 +133,9 @@ class ProfileQuantilesSpec extends SparkSpec {
         sum(col(c))).head()
       assert(r.getLong(4) == direct.getLong(0), s"$c min_val")
       assert(r.getLong(5) == direct.getLong(1), s"$c max_val")
-      assert(r.getLong(6) == direct.getLong(2), s"$c sum_val")
+      if (c == "doc_id") // identifier sums: meaningless + overflow-prone
+        assert(r.isNullAt(6), s"$c sum_val must be NULL")
+      else assert(r.getLong(6) == direct.getLong(2), s"$c sum_val")
     }
     Seq("text", "lang", "source").foreach { c =>
       assert(prof(c).isNullAt(4) && prof(c).isNullAt(5) &&
@@ -159,9 +161,10 @@ class ProfileQuantilesSpec extends SparkSpec {
         countDistinct(col(c))).head()
       assert(r.getLong(4) == direct.getLong(0), s"$c min_val")
       assert(r.getLong(5) == direct.getLong(1), s"$c max_val")
-      if (c == "ts_us") // not sumable: epoch micros overflow int64
+      if (c == "value_micro") // the one meaningful, int64-safe sum
+        assert(r.getLong(6) == direct.getLong(2), s"$c sum_val")
+      else // ids + epoch micros: overflow-prone, min/max only
         assert(r.isNullAt(6), s"$c sum_val must be NULL")
-      else assert(r.getLong(6) == direct.getLong(2), s"$c sum_val")
       assert(r.getLong(1) == direct.getLong(3), s"$c nulls")
       val exact = direct.getLong(4).toDouble
       assert(math.abs(r.getLong(9) / 1e6 - exact) / exact < 0.165,

@@ -841,7 +841,14 @@ object CorpusBuild {
       .select("a", "b").distinct()
     val candIds = cand
       .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-    val txtCand = exactSurvB
+    // candidate text attach reads the committed NORM table directly:
+    // every base id in `cand` came out of the committed band table,
+    // which only holds base exact survivors, so no survivor semi-join
+    // is needed — the corpus text STREAMS against the delta-bounded
+    // candidate-id list instead of exchanging through a 4M-id join
+    // (the first cut routed this through exactSurvB and shuffled
+    // corpus text on the warm path)
+    val txtCand = normB
       .select(col("doc_id"), col("norm_text").as("text"))
       .unionByName(survDTxt.select(col("doc_id"),
         col("norm_text").as("text")))

@@ -560,6 +560,52 @@ object Relational extends Serializable {
        |WHERE o_totalprice < 20000
        |GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** SHARDED Bloom runtime filter — the path past q_bloom_join's
+    * single-filter memory ceiling (2^28 bits = 32 MB per build task):
+    * keys hash-partition into S independent filters, each sized
+    * items/S, so per-task build buffers stay at ceiling/S while total
+    * capacity scales S× — the FPR design point holds at S× the key
+    * count of the single filter. The probe is an OR over
+    * (shard-select AND might_contain(shard's subquery)): exactly one
+    * term's shard predicate is true per row, so exactly one filter is
+    * consulted. A fact key hashing to an EMPTY shard (null aggregate)
+    * evaluates null and is dropped — correct, because an empty build
+    * shard means no dim key hashes there and the row cannot join.
+    * Each shard's build is its own scalar subquery over the filtered
+    * dim (S metadata-scale dim scans; a single grouped build would
+    * save the scans but has no subquery ship per group). Results are
+    * identical to the plain join (no false negatives per shard; the
+    * exact join confirms survivors) — the oracle is that plain join. */
+  def qBloomJoinSharded(s: SparkSession, d: String): DataFrame = {
+    val shards = 4
+    val sel = Tables.orders(s, d)
+      .where(col("o_totalprice") < 20000)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val items = math.max(1024L, sel.count())
+    val per = math.max(1024L, items / shards)
+    val bits = math.min(1L << 28, per * 16)
+    val subs = (0 until shards).map { i =>
+      val bf = sel
+        .where(pmod(xxhash64(col("o_orderkey")), lit(shards)) === i)
+        .agg(graft.plans.Bloom
+          .agg(xxhash64(col("o_orderkey")), per, bits).as("bf"))
+      graft.plans.Bloom.scalarOf(bf)
+    }
+    val lh = xxhash64(col("l_orderkey"))
+    val probe = (0 until shards).map(i =>
+      (pmod(lh, lit(shards)) === i) &&
+        graft.plans.Bloom.mightContain(subs(i), lh))
+      .reduce(_ || _)
+    val pre = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .where(probe)
+    pre.join(sel, pre("l_orderkey") === sel("o_orderkey"))
+      .groupBy(expr("substr(CAST(o_orderdate AS STRING), 1, 7)").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("revenue"))
+      .orderBy("month")
+  }
+
   /** Skew-salted join (graft.operators.Skew): orders⋈customer salted 8
     * ways — results identical to the plain join, shuffle spread over
     * (key × salt). */
@@ -1200,6 +1246,7 @@ object Relational extends Serializable {
     "q_stats_agg" -> (qStatsAgg _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_bloom_join" -> (qBloomJoin _),
+    "q_bloom_join_sharded" -> (qBloomJoinSharded _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopk _),
     "q5_star_broadcast" -> (q5StarBroadcast _),
@@ -1241,6 +1288,7 @@ object Relational extends Serializable {
     "q_stats_agg" -> qStatsAggSql,
     "q_salted_join" -> qSaltedJoinSql,
     "q_bloom_join" -> qBloomJoinSql,
+    "q_bloom_join_sharded" -> qBloomJoinSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopkSql,
     "q5_star_broadcast" -> q5StarBroadcastSql,

@@ -296,6 +296,15 @@ class PerfContractSpec extends SparkSpec {
       assert(p.contains("Subquery subquery"),
         s"$n: filter must ride a scalar subquery, not a plan literal")
     }),
+    // sharded variant: all four shard filters must probe (one
+    // might_contain per shard, each on its own subquery)
+    Contract("q_bloom_join_sharded", 12, 18, (p, n) => {
+      val probes = "might_contain".r.findAllIn(p).length
+      assert(probes >= 4,
+        s"$n: expected 4 shard probes, plan shows $probes")
+      assert(p.contains("Subquery subquery"),
+        s"$n: shard filters must ride scalar subqueries")
+    }),
     // streaming quantile sketch: the watermarked histogram aggregation
     // exchanges bounded (window, type, bucket) counter rows per
     // micro-batch — never events — and the serve-side pick runs over

@@ -659,18 +659,14 @@ object CorpusBuild {
     * convention), which is what makes keep-min-id dedup monotone: a
     * delta doc can never displace a base survivor, so base stages are
     * immutable under append. */
-  private val cutCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
-
   private[graft] def incrCut(s: SparkSession, d: String): Long =
-    // cached per (session, dir) like Tables.cachedCount: the entry and
-    // its key derivation would otherwise each pay the max() column
-    // scan per run (the round-6 own-count anti-pattern)
-    cutCache.getOrElseUpdate((Tables.sessionToken(s), d), {
-      val m = Tables.documents(s, d)
-        .agg(max(col("doc_id"))).head().getLong(0)
-      (m + 1) * 9 / 10
-    })
+    // cached per FILE SIGNATURE (not per (session, dir) — an in-session
+    // append moves max(doc_id) and the oracle recomputes the cut fresh,
+    // so a session-keyed cache would silently serve the stale split;
+    // round-14 ADVICE): the entry and its key derivation share the one
+    // max() column scan per corpus epoch
+    (LlmPipeline.maxIdCached(s, s"$d/documents.parquet", "doc_id")(
+      Tables.documents(s, d)) + 1) * 9 / 10
 
   /** Base-stage artifact keys, keyed by the BASE slice's content
     * fingerprint (cached per file signature + cut tag — the derived

@@ -576,12 +576,29 @@ object Relational extends Serializable {
     * save the scans but has no subquery ship per group). Results are
     * identical to the plain join (no false negatives per shard; the
     * exact join confirms survivors) — the oracle is that plain join. */
+  /** Shard count DERIVED from the measured key count (round-14 ADVICE:
+    * a hardcoded 4 only scales capacity 4×; past ~68M keys per-shard
+    * bits clamp at the 2^28 ceiling again and FPR silently degrades —
+    * the failure mode the sharded path exists to avoid). The formula
+    * keeps the 16-bits/key design point at ANY tier: S grows linearly
+    * with keys once items·16 exceeds one filter's ceiling. The floor of
+    * 4 is a TEST-SCALE demonstration floor — it keeps the multi-filter
+    * probe mechanics (shard-select ∧ might_contain per term) exercised
+    * at sf0.1, and extra shards only IMPROVE per-shard FPR at the cost
+    * of metadata-scale dim scans. A single grouped build (groupBy shard
+    * → one pass) was adjudicated out: each shard's filter must ship as
+    * its own SCALAR subquery, and a grouped result either re-executes
+    * the grouped aggregate once per shard subquery or driver-collects
+    * into the lit(bytes) plan literal the round-14 fix removed. */
+  private[queries] def bloomShardCount(items: Long): Int =
+    math.max(4, math.ceil(items * 16.0 / (1L << 28)).toInt)
+
   def qBloomJoinSharded(s: SparkSession, d: String): DataFrame = {
-    val shards = 4
     val sel = Tables.orders(s, d)
       .where(col("o_totalprice") < 20000)
       .select(col("o_orderkey"), col("o_orderdate"))
     val items = math.max(1024L, sel.count())
+    val shards = bloomShardCount(items)
     val per = math.max(1024L, items / shards)
     val bits = math.min(1L << 28, per * 16)
     val subs = (0 until shards).map { i =>

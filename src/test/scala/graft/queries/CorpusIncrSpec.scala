@@ -67,14 +67,15 @@ class CorpusIncrSpec extends SparkSpec {
     val first = CorpusBuild.corpusBuildIncr(s, sf).collect().toSeq
     assert(keys.forall(ArtifactStore.exists(s, _)),
       "first run must commit every base stage")
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      s.sparkContext.hadoopConfiguration)
-    def mtimes = keys.map(k =>
-      fs.getFileStatus(ArtifactStore.path(k)).getModificationTime)
-    val before = mtimes
+    // compare the recursive PART-FILE listing, not directory mtimes: a
+    // re-commit within the same second passes an mtime check falsely on
+    // 1s-granularity filesystems, while part-file names are fresh per
+    // Spark job (round-14 ADVICE)
+    def parts = keys.map(k => SparkSpec.partListing(s, k))
+    val before = parts
     val second = CorpusBuild.corpusBuildIncr(s, sf).collect().toSeq
     assert(second == first, "served rerun must reproduce the report")
-    assert(mtimes == before,
+    assert(parts == before,
       "rerun re-committed a base stage — the delta path rebuilt base work")
   }
 }

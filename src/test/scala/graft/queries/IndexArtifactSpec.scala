@@ -141,15 +141,15 @@ class IndexArtifactSpec extends SparkSpec {
     assert(ArtifactStore.load(spark, postKey)
       .select(max(col("vec_id"))).head().getLong(0) < cut,
       "base postings must hold only base vectors")
-    // serve semantics: rerun reads committed artifacts, identical result
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
-    def mtimes = Seq(centsKey, postKey, segKey).map(k =>
-      fs.getFileStatus(ArtifactStore.path(k)).getModificationTime)
-    val before = mtimes
+    // serve semantics: rerun reads committed artifacts, identical
+    // result — witnessed by the part-file listing (fresh names per
+    // Spark job), not mtimes (1s granularity; round-14 ADVICE)
+    def parts = Seq(centsKey, postKey, segKey)
+      .map(k => graft.SparkSpec.partListing(spark, k))
+    val before = parts
     val second = LlmPipeline.idxIvfAppend(spark, sf).collect().toSeq
     assert(second == first)
-    assert(mtimes == before, "append rerun re-committed an artifact")
+    assert(parts == before, "append rerun re-committed an artifact")
     // the union serves the whole corpus exactly once
     assert(first.map(_.getLong(0)).distinct.length == first.length)
     assert(first.count(_.getBoolean(3)) == segIds.length)

@@ -296,12 +296,18 @@ class PerfContractSpec extends SparkSpec {
       assert(p.contains("Subquery subquery"),
         s"$n: filter must ride a scalar subquery, not a plan literal")
     }),
-    // sharded variant: all four shard filters must probe (one
-    // might_contain per shard, each on its own subquery)
+    // sharded variant: the plan must carry EXACTLY the count-derived
+    // number of shard probes (one might_contain per shard, each on its
+    // own subquery) — the formula, not a hardcoded 4, governs capacity
     Contract("q_bloom_join_sharded", 12, 18, (p, n) => {
+      val items = math.max(1024L, graft.Tables.orders(spark,
+          "/root/testdata/sf0.1")
+        .where(org.apache.spark.sql.functions.col("o_totalprice") < 20000)
+        .count())
+      val want = Relational.bloomShardCount(items)
       val probes = "might_contain".r.findAllIn(p).length
-      assert(probes >= 4,
-        s"$n: expected 4 shard probes, plan shows $probes")
+      assert(probes == want,
+        s"$n: expected $want derived shard probes, plan shows $probes")
       assert(p.contains("Subquery subquery"),
         s"$n: shard filters must ride scalar subqueries")
     }),

@@ -44,8 +44,12 @@ class StreamRestartSpec extends SparkSpec {
     .select(unix_micros(col("window.start")).as("win_start_us"),
       col("regs"), col("kmv"), col("cms"))
 
-  private def ts(hhmm: String) =
-    java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+  // explicit UTC instants: Timestamp.valueOf reads the JVM default
+  // zone, which spark.sql.session.timeZone=UTC does NOT override — the
+  // epoch-hour-aligned window assertions below would fail spuriously
+  // under a non-whole-hour-offset JVM zone (round-14 ADVICE)
+  private def ts(hhmm: String) = java.sql.Timestamp.from(
+    java.time.Instant.parse(s"2024-01-01T$hhmm:00Z"))
 
   /** file 1: hours 0 and 1 complete, hour 3 PARTIAL (users 100-119),
     * clock at 03:30 → watermark 03:20 finalizes hours 0-1 only. */

@@ -528,6 +528,17 @@ object CorpusBuild {
     "\ncutv AS (SELECT ((max(doc_id) + 1) * 9) // 10 AS c" +
       " FROM documents),")
 
+  /** Two-append oracle: same frozen-stop replay with the stop scope at
+    * the 80% cut (the incr2 base). The oracle is SPLIT-INVARIANT — it
+    * cannot see where append boundaries fell — so agreement pins that
+    * the stacked segments compose to exactly the monolithic result;
+    * the spec pins the reuse (that append-2 actually served append-1's
+    * committed segment). */
+  private val corpusChainIncr2Sql: String = chainCtes(
+    " WHERE doc_id < (SELECT c FROM cutv)",
+    "\ncutv AS (SELECT ((max(doc_id) + 1) * 8) // 10 AS c" +
+      " FROM documents),")
+
   private def reportSql(ctes: String): String =
     s"""$ctes
        |SELECT kind, id, label, n_docs, n_tokens FROM (
@@ -558,6 +569,7 @@ object CorpusBuild {
 
   val corpusBuildE2eSql: String = reportSql(corpusChainSql)
   val corpusBuildIncrSql: String = reportSql(corpusChainIncrSql)
+  val corpusBuildIncr2Sql: String = reportSql(corpusChainIncr2Sql)
 
   val corpusLineageSql: String =
     s"""$corpusChainSql
@@ -667,14 +679,15 @@ object CorpusBuild {
     // max() column scan per corpus epoch
     (LlmPipeline.maxIdCached(s, s"$d/documents.parquet", "doc_id")(
       Tables.documents(s, d)) + 1) * 9 / 10
-
-  /** Base-stage artifact keys, keyed by the BASE slice's content
-    * fingerprint (cached per file signature + cut tag — the derived
-    * slice is a pure function of the file and the cut, so the key
-    * derivation is metadata-scale after the first pass). */
-  private[graft] def incrStageNames(s: SparkSession, d: String)
-      : Seq[String] = {
-    val cut = incrCut(s, d)
+  /** Base-stage artifact keys at an EXPLICIT cut (the generalized form:
+    * corpus_build_incr freezes at the 90% cut, corpus_build_incr2 at
+    * the 80% cut, corpus_build_retract at the whole corpus). Keyed by
+    * the base slice's content fingerprint (cached per file signature +
+    * cut tag — the derived slice is a pure function of the file and the
+    * cut, so the key derivation is metadata-scale after the first
+    * pass). */
+  private[graft] def incrStageNamesAt(s: SparkSession, d: String,
+      cut: Long): Seq[String] = {
     val (n, h) = LlmPipeline.fingerprintCached(s,
       s"$d/documents.parquet", Seq("doc_id", "text"),
       tag = s"base_lt$cut")(
@@ -682,60 +695,42 @@ object CorpusBuild {
     val bk = s"v1_n${n}_h${h}_q02_w3k64b32t08"
     Seq(s"chain_incrb_norm_$bk", s"chain_incrb_exactd_$bk",
       s"chain_incrb_stop_$bk", s"chain_incrb_bands_$bk",
-      s"chain_incrb_bad_$bk", s"chain_incrb_survn_$bk")
+      s"chain_incrb_pairs_$bk", s"chain_incrb_survn_$bk")
   }
 
-  /** The INCREMENTAL corpus build: the appended corpus's full chain
-    * report (identical shape to corpus_build_e2e), computed by serving
-    * the committed BASE stages and running only DELTA-sized work over
-    * the appended slice — the production append path the full-rebuild
-    * entry can't model (`dedup_incremental`/`dedup_minhash_incremental`
-    * conventions applied to the chain's committed stages).
-    *
-    * Base build (first run per base corpus, then served from
-    * ArtifactStore): normalize table, the exact-dedup DIGEST table
-    * (doc_id, digest, keep_id — wider than the e2e chain's slim pair
-    * list because the digest IS the incremental probe key), the
-    * near-dup STOP-SHINGLE set, the banded MinHash key table over base
-    * exact survivors, and the base near-dup removals.
-    *
-    * The near stage's stop set is a TRAINED parameter (document
-    * frequency over the base corpus), so the incremental chain FREEZES
-    * it — the tokenizer convention: appends serve the base-trained
-    * artifact rather than retraining per batch (a corpus-dependent
-    * stop set would change every base doc's signature on every append,
-    * which is exactly the non-incremental cost this entry removes).
-    * The oracle replays that semantic: a full rebuild over the
-    * appended corpus with the stop set mined from the base slice.
-    *
-    * Delta pass, per run (all exchanges delta-sized):
-    *  - normalize + quality: narrow per-doc pass over the delta slice
-    *    (parquet row-group pruning on the id predicate).
-    *  - exact: delta digests probe the committed digest table — the
-    *    corpus side STREAMS (scan + semi join against the
-    *    delta-bounded digest list, broadcastable by AQE); only then a
-    *    delta-internal window picks min-id keepers of NEW digests.
-    *  - near: delta survivors sign under the frozen stop set and
-    *    band-join the COMMITTED base band table (corpus side streams
-    *    against the delta probe); candidate texts attach after a
-    *    candidate-id semi-join restriction, so the verify join ships
-    *    candidate-sized text, never the corpus.
-    *  - pack/shard: placement is a global function of survivor
-    *    (doc_id, n_tokens) — recomputed over id+count columns only
-    *    (16-byte rows), the manifest cost any append pays.
-    *
-    * Stage totals aggregate committed base columns + delta results;
-    * nothing re-reads base TEXT except the candidate-restricted verify
-    * attach. */
-  def corpusBuildIncr(s: SparkSession, d: String): DataFrame = {
+  private[graft] def incrStageNames(s: SparkSession, d: String)
+      : Seq[String] = incrStageNamesAt(s, d, incrCut(s, d))
+
+  /** The committed BASE build the incremental family serves: normalize
+    * table, the exact-dedup DIGEST table (doc_id, digest, keep_id — the
+    * digest IS the incremental probe key), the near-dup STOP-SHINGLE
+    * set (the frozen trained parameter), the banded MinHash key table
+    * over base exact survivors, the verified near-dup PAIR table (a, b)
+    * — pairs rather than just removal ids, because retraction must
+    * re-elect removals when a partner is taken down — and the
+    * serve-side survivor summary (doc_id, n_norm). */
+  private[graft] final case class IncrBase(
+      cut: Long,
+      normB: DataFrame,
+      qB: DataFrame,
+      exactB: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Set[Long]],
+      bandsB: DataFrame,
+      pairsB: DataFrame,
+      survNB: DataFrame) {
+    /** Base near-dup removals, derived from the committed pair table
+      * (pair-count-sized — tiny next to any stage). */
+    def badB: DataFrame =
+      pairsB.select(col("b").as("doc_id")).distinct()
+  }
+
+  private[graft] def incrBase(s: SparkSession, d: String, cut: Long)
+      : IncrBase = {
     import s.implicits._
     import graft.sinks.ArtifactStore
-    val cut = incrCut(s, d)
     val docs = Tables.documents(s, d)
-    val Seq(normKey, exactKey, stopKey, bandKey, badKey, survKey) =
-      incrStageNames(s, d)
-
-    // ---- base stages: committed once per base corpus ----
+    val Seq(normKey, exactKey, stopKey, bandKey, pairsKey, survKey) =
+      incrStageNamesAt(s, d, cut)
     val normB = ArtifactStore.getOrBuild(s, normKey)(
       normFrame(s, docs.where(col("doc_id") < cut)))
     val qB = withQuality(normB).where(col("quality") >= lit(QualityMin))
@@ -761,7 +756,7 @@ object CorpusBuild {
       graft.dedup.Dedup.bandedKeys(
         graft.dedup.Dedup.stopFilteredSigs(typedTxt(exactSurvB), bc,
           3, 64), 32, 2))
-    val badB = ArtifactStore.getOrBuild(s, badKey) {
+    val pairsB = ArtifactStore.getOrBuild(s, pairsKey) {
       val l = bandsB.select(col("doc_id").as("a"), col("band"), col("key"))
       val r = bandsB.select(col("doc_id").as("b"), col("band"), col("key"))
       val candB = l.join(r, Seq("band", "key"))
@@ -769,30 +764,66 @@ object CorpusBuild {
       graft.dedup.Dedup.verifyStopFiltered(candB,
           exactSurvB.select(col("doc_id"), col("norm_text").as("text")),
           bc, 3, 0.8)
-        .select(col("b").as("doc_id")).distinct()
+        .select("a", "b")
     }
     // the serve-side survivor summary (doc_id, n_norm): the report and
     // manifest consumers read THIS committed table instead of each
     // re-deriving the survivor semi-join from norm + exactd per use
     val survNB = ArtifactStore.getOrBuild(s, survKey)(
       exactSurvB.select("doc_id", "n_norm"))
+    IncrBase(cut, normB, qB, exactB, bc, bandsB, pairsB, survNB)
+  }
 
-    // ---- delta pass: everything below is delta-sized ----
-    // The delta intermediates are PINNED (localCheckpoint): they feed
-    // 5-6 consumers each (stage rows, bands ×2, the text attach, the
-    // survivor unions), and re-deriving them re-runs the delta
-    // extraction plus a committed-base scan per consumer — measured
-    // 26s → the pinned shape at sf0.1. Unlike the chain's STAGE
-    // boundaries (durable commits since r13: a multi-hour build must
-    // restart), these are per-run DELTA-sized frames — the slice IS
-    // the unit of retry, the layoutZorder-style one-job pin.
-    val normD = normFrame(s, docs.where(col("doc_id") >= cut))
-      .localCheckpoint(true)
+  /** One appended slice's outputs — everything the report and any LATER
+    * append needs, all slice-sized: per-doc counts for the stage rows,
+    * the digest list (the next append's exact probe extension), the
+    * exact-survivor text table (band source + candidate attach), the
+    * banded keys, and the slice's near-dup removals. */
+  private[graft] final case class DeltaFrames(
+      normSlim: DataFrame, // (doc_id, n_raw, n_norm) — every slice doc
+      qSlim: DataFrame, // (doc_id, n_norm) — quality survivors
+      dig: DataFrame, // (doc_id, digest) — quality survivors
+      survTxt: DataFrame, // (doc_id, norm_text, n_norm) exact survivors
+      bands: DataFrame, // banded keys over exact survivors
+      bad: DataFrame) // (doc_id) near removals within the slice
+
+  /** The delta pass over one appended slice, probing COMMITTED prior
+    * state (base, or base ∪ earlier deltas — the LSM stack). All
+    * exchanges are delta- or candidate-sized; prior-state tables only
+    * SCAN (streamed against delta-bounded probes). The intermediates
+    * are PINNED (localCheckpoint): they feed 5-6 consumers each, and
+    * re-deriving them re-runs the delta extraction plus a
+    * committed-base scan per consumer — measured 26s → the pinned shape
+    * at sf0.1. Unlike the chain's STAGE boundaries (durable commits
+    * since r13: a multi-hour build must restart), these are per-run
+    * DELTA-sized frames — the slice IS the unit of retry, the
+    * layoutZorder-style one-job pin.
+    *
+    *  - normalize + quality: narrow per-doc pass over the slice
+    *    (parquet row-group pruning on the id predicate).
+    *  - exact: delta digests probe the prior digest list — the corpus
+    *    side STREAMS (scan + semi join against the delta-bounded digest
+    *    list, broadcastable by AQE); only then a delta-internal window
+    *    picks min-id keepers of NEW digests.
+    *  - near: delta survivors sign under the FROZEN stop set and
+    *    band-join the prior band tables (corpus side streams against
+    *    the delta probe behind a delta-sized Bloom — the q_bloom_join
+    *    runtime filter: only colliding rows reach the exchange, and the
+    *    exact band join rejects false positives, so the candidate set
+    *    is identical by construction); candidate texts attach after a
+    *    candidate-id semi-join restriction, so the verify join ships
+    *    candidate-sized text, never the corpus. */
+  private def deltaPass(s: SparkSession, slice: DataFrame,
+      priorDigests: DataFrame, priorBands: DataFrame,
+      priorTexts: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Set[Long]])
+      : DeltaFrames = {
+    import s.implicits._
+    val normD = normFrame(s, slice).localCheckpoint(true)
     val qD = withQuality(normD).where(col("quality") >= lit(QualityMin))
     val digD = qD.select(col("doc_id"), digestCol.as("digest"))
-    // base digests STREAM against the delta-bounded probe list; the
-    // matched list comes back delta-sized for the anti join
-    val hitDigests = exactB.select("digest")
+      .localCheckpoint(true) // consumers: hit probe, anti join, commit
+    val hitDigests = priorDigests
       .join(digD.select("digest").distinct(), Seq("digest"), "left_semi")
       .distinct()
     val exactSurvD = digD
@@ -810,15 +841,9 @@ object CorpusBuild {
         survDTxt.select(col("doc_id"), col("norm_text"))
           .as[(Long, String)], bc, 3, 64), 32, 2)
       .localCheckpoint(true) // 3 consumers: the Bloom agg + both join sides
-    // candidates: delta probes (base ∪ delta) bands; a < b keeps the
-    // pair orientation that can only ever remove DELTA docs. The
-    // committed corpus band table must NOT shuffle per append (measured
-    // 325 MB at the 100× tier when the join exchanged both sides), so
-    // the q_bloom_join runtime filter is reused here: a delta-sized
-    // Bloom over the probe's (band, key) pairs pre-filters the corpus
-    // bands IN THE SCAN — only colliding rows reach the exchange, and
-    // the exact band join rejects the filter's false positives, so the
-    // candidate set is identical by construction.
+    // candidates: delta probes (prior ∪ delta) bands; a < b keeps the
+    // pair orientation that can only ever remove DELTA docs (appended
+    // ids are the largest in the corpus)
     val nBandsD = survDTxt.count() * 32
     // same memory-derived ceiling as q_bloom_join: 2^28 bits = 32 MB
     // per partial-aggregation task buffer
@@ -826,10 +851,10 @@ object CorpusBuild {
     val bandBf = bandsD.agg(graft.plans.Bloom
       .agg(xxhash64(col("band"), col("key")),
         math.max(1024L, nBandsD), bandBits).as("bf"))
-    val bandsBHit = bandsB.where(graft.plans.Bloom.mightContain(
+    val bandsPriorHit = priorBands.where(graft.plans.Bloom.mightContain(
       graft.plans.Bloom.scalarOf(bandBf),
       xxhash64(col("band"), col("key"))))
-    val cand = bandsBHit.unionByName(bandsD)
+    val cand = bandsPriorHit.unionByName(bandsD)
       .select(col("doc_id").as("a"), col("band"), col("key"))
       .join(bandsD.select(col("doc_id").as("b"), col("band"), col("key")),
         Seq("band", "key"))
@@ -837,15 +862,12 @@ object CorpusBuild {
       .select("a", "b").distinct()
     val candIds = cand
       .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-    // candidate text attach reads the committed NORM table directly:
-    // every base id in `cand` came out of the committed band table,
-    // which only holds base exact survivors, so no survivor semi-join
-    // is needed — the corpus text STREAMS against the delta-bounded
-    // candidate-id list instead of exchanging through a 4M-id join
-    // (the first cut routed this through exactSurvB and shuffled
-    // corpus text on the warm path)
-    val txtCand = normB
-      .select(col("doc_id"), col("norm_text").as("text"))
+    // candidate text attach: every prior id in `cand` came out of a
+    // committed band table, whose ids `priorTexts` covers by contract,
+    // so no survivor semi-join is needed — the corpus text STREAMS
+    // against the delta-bounded candidate-id list instead of exchanging
+    // through a corpus-wide join
+    val txtCand = priorTexts
       .unionByName(survDTxt.select(col("doc_id"),
         col("norm_text").as("text")))
       .join(candIds, Seq("doc_id"), "left_semi")
@@ -853,19 +875,156 @@ object CorpusBuild {
       .verifyStopFiltered(cand, txtCand, bc, 3, 0.8)
       .select(col("b").as("doc_id")).distinct()
       .localCheckpoint(true)
+    DeltaFrames(
+      normD.select("doc_id", "n_raw", "n_norm"),
+      qD.select("doc_id", "n_norm"),
+      digD,
+      survDTxt,
+      bandsD,
+      badD)
+  }
 
-    // ---- combined report over base-committed ∪ delta frames ----
-    val slim = (df: DataFrame) =>
-      df.select("doc_id", "n_raw", "n_norm")
-    val normAll = slim(normB).unionByName(slim(normD))
+  /** The combined report over base-committed ∪ delta frames. Nothing
+    * re-reads base TEXT; stage totals aggregate committed base columns
+    * + the slices' slim frames, and placement is recomputed over
+    * id+count columns only (16-byte rows), the manifest cost any append
+    * pays. */
+  private def incrReport(s: SparkSession, base: IncrBase,
+      deltas: Seq[DeltaFrames]): DataFrame = {
+    val slim = (df: DataFrame) => df.select("doc_id", "n_raw", "n_norm")
+    val normAll = deltas.map(_.normSlim)
+      .foldLeft(slim(base.normB))(_ unionByName _)
     val qSlim = (df: DataFrame) => df.select("doc_id", "n_norm")
-    val qAll2 = qSlim(qB).unionByName(qSlim(qD))
-    val exactAllN = survNB
-      .unionByName(qSlim(survDTxt))
-    val nearAllN = survNB.join(badB, Seq("doc_id"), "left_anti")
-      .unionByName(qSlim(survDTxt.join(badD, Seq("doc_id"), "left_anti")))
+    val qAll = deltas.map(_.qSlim)
+      .foldLeft(qSlim(base.qB))(_ unionByName _)
+    val exactAllN = deltas.map(d => qSlim(d.survTxt))
+      .foldLeft(base.survNB: DataFrame)(_ unionByName _)
+    val nearAllN = deltas
+      .map(d => qSlim(d.survTxt.join(d.bad, Seq("doc_id"), "left_anti")))
+      .foldLeft(base.survNB.join(base.badB, Seq("doc_id"), "left_anti"))(
+        _ unionByName _)
     val asg = shardAsg(s, nearAllN)
-    chainReport(normAll, qAll2, exactAllN, nearAllN, asg)
+    chainReport(normAll, qAll, exactAllN, nearAllN, asg)
+  }
+
+  /** The INCREMENTAL corpus build: the appended corpus's full chain
+    * report (identical shape to corpus_build_e2e), computed by serving
+    * the committed BASE stages and running only DELTA-sized work over
+    * the appended slice — the production append path the full-rebuild
+    * entry can't model (`dedup_incremental`/`dedup_minhash_incremental`
+    * conventions applied to the chain's committed stages).
+    *
+    * The near stage's stop set is a TRAINED parameter (document
+    * frequency over the base corpus), so the incremental chain FREEZES
+    * it — the tokenizer convention: appends serve the base-trained
+    * artifact rather than retraining per batch (a corpus-dependent
+    * stop set would change every base doc's signature on every append,
+    * which is exactly the non-incremental cost this entry removes).
+    * The oracle replays that semantic: a full rebuild over the
+    * appended corpus with the stop set mined from the base slice. */
+  def corpusBuildIncr(s: SparkSession, d: String): DataFrame = {
+    val cut = incrCut(s, d)
+    val base = incrBase(s, d, cut)
+    val delta = deltaPass(s,
+      Tables.documents(s, d).where(col("doc_id") >= cut),
+      base.exactB.select("digest"), base.bandsB,
+      base.normB.select(col("doc_id"), col("norm_text").as("text")),
+      base.bc)
+    incrReport(s, base, Seq(delta))
+  }
+
+  // ------------------------------------------------------------------
+  // corpus_build_incr2 — ITERATED appends: the chain survives a SECOND
+  // append by stacking committed delta segments the LSM way
+  // (round-15 ask #1)
+  // ------------------------------------------------------------------
+
+  /** The two append cuts: base = ids below 80% of (max+1), the first
+    * appended slice is [80%, 90%), the second [90%, ∞). Both appends
+    * carry larger ids than everything before them (the append
+    * convention), so keep-min-id dedup stays monotone across the whole
+    * stack: no later slice can displace an earlier survivor, and every
+    * committed segment is immutable. */
+  private[graft] def incr2Cuts(s: SparkSession, d: String): (Long, Long) = {
+    val m = LlmPipeline.maxIdCached(s, s"$d/documents.parquet", "doc_id")(
+      Tables.documents(s, d))
+    ((m + 1) * 8 / 10, (m + 1) * 9 / 10)
+  }
+
+  /** Append-1's committed SEGMENT keys: keyed by the base fingerprint
+    * (the frozen stop set and the committed band table the delta probed
+    * are base-derived) plus the slice's own content fingerprint — a
+    * different first append is a different segment, never an
+    * overwrite. */
+  private[graft] def incr2Delta1Keys(s: SparkSession, d: String)
+      : Seq[String] = {
+    val (cut1, cut2) = incr2Cuts(s, d)
+    val docs = Tables.documents(s, d)
+    val (nb, hb) = LlmPipeline.fingerprintCached(s,
+      s"$d/documents.parquet", Seq("doc_id", "text"),
+      tag = s"base_lt$cut1")(docs.where(col("doc_id") < cut1))
+    val (nd, hd) = LlmPipeline.fingerprintCached(s,
+      s"$d/documents.parquet", Seq("doc_id", "text"),
+      tag = s"slice_${cut1}_$cut2")(
+      docs.where(col("doc_id") >= cut1 && col("doc_id") < cut2))
+    val k = s"v1_b${nb}x${hb}_d${nd}x${hd}_q02_w3k64b32t08"
+    Seq(s"chain_incr1_normslim_$k", s"chain_incr1_qslim_$k",
+      s"chain_incr1_dig_$k", s"chain_incr1_survtxt_$k",
+      s"chain_incr1_bands_$k", s"chain_incr1_bad_$k")
+  }
+
+  /** Append-1 as a COMMITTED event: run the delta pass for the first
+    * slice against the base, then commit each output as an immutable
+    * segment artifact (built once; later appends and reruns SERVE it —
+    * the returned frames always read the committed parquet, the
+    * ArtifactStore convention). Exposed so the spec can stage the
+    * "after append-1" state and prove append-2 leaves these
+    * untouched. */
+  private[graft] def incr2Delta1(s: SparkSession, d: String,
+      base: IncrBase): DeltaFrames = {
+    import graft.sinks.ArtifactStore
+    val (cut1, cut2) = incr2Cuts(s, d)
+    val keys = incr2Delta1Keys(s, d)
+    if (!keys.forall(ArtifactStore.exists(s, _))) {
+      val f = deltaPass(s,
+        Tables.documents(s, d)
+          .where(col("doc_id") >= cut1 && col("doc_id") < cut2),
+        base.exactB.select("digest"), base.bandsB,
+        base.normB.select(col("doc_id"), col("norm_text").as("text")),
+        base.bc)
+      Seq(f.normSlim, f.qSlim, f.dig, f.survTxt, f.bands, f.bad)
+        .zip(keys).foreach { case (df, k) =>
+          if (!ArtifactStore.exists(s, k)) ArtifactStore.commit(df, k)
+        }
+    }
+    val Seq(n, q, g, t, b, x) = keys.map(ArtifactStore.load(s, _))
+    DeltaFrames(n, q, g, t, b, x)
+  }
+
+  /** TWO stacked appends (round-15 ask #1): base builds/serves its
+    * committed stages at the 80% cut; append-1 runs one delta pass and
+    * COMMITS its outputs as an immutable segment; append-2 runs its
+    * delta pass probing base ∪ segment-1 (digest list, band table, and
+    * candidate texts each extend by the committed slice — the LSM read
+    * path) and stays per-run. A rerun serves base AND segment-1 from
+    * their artifacts — the second append never re-pays the first.
+    *
+    * Oracle: a full rebuild of the twice-appended corpus under the stop
+    * set mined from the 80% base — split-invariant, so the committed
+    * stack must land exactly where the monolith does. */
+  def corpusBuildIncr2(s: SparkSession, d: String): DataFrame = {
+    val (cut1, cut2) = incr2Cuts(s, d)
+    val base = incrBase(s, d, cut1)
+    val d1 = incr2Delta1(s, d, base)
+    val d2 = deltaPass(s,
+      Tables.documents(s, d).where(col("doc_id") >= cut2),
+      base.exactB.select("digest").unionByName(d1.dig.select("digest")),
+      base.bandsB.unionByName(d1.bands),
+      base.normB.select(col("doc_id"), col("norm_text").as("text"))
+        .unionByName(d1.survTxt.select(col("doc_id"),
+          col("norm_text").as("text"))),
+      base.bc)
+    incrReport(s, base, Seq(d1, d2))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -873,13 +1032,15 @@ object CorpusBuild {
     "corpus_build_e2e" -> (corpusBuildE2e _),
     "corpus_lineage" -> (corpusLineage _),
     "corpus_build_tokenized" -> (corpusBuildTokenized _),
-    "corpus_build_incr" -> (corpusBuildIncr _)
+    "corpus_build_incr" -> (corpusBuildIncr _),
+    "corpus_build_incr2" -> (corpusBuildIncr2 _)
   )
 
   val oracle: Map[String, String] = Map(
     "crawl_frontier" -> crawlFrontierSql,
     "corpus_build_e2e" -> corpusBuildE2eSql,
     "corpus_build_incr" -> corpusBuildIncrSql,
+    "corpus_build_incr2" -> corpusBuildIncr2Sql,
     "corpus_lineage" -> corpusLineageSql,
     "corpus_build_tokenized" -> corpusBuildTokenizedSql
   )

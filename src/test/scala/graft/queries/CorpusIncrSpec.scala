@@ -78,4 +78,64 @@ class CorpusIncrSpec extends SparkSpec {
     assert(parts == before,
       "rerun re-committed a base stage — the delta path rebuilt base work")
   }
+
+  test("incr2 report equals the frozen-stop full rebuild at the 80% cut " +
+    "(independent global-mining reference)") {
+    import spark.implicits._
+    val s = spark
+    val (cut1, _) = CorpusBuild.incr2Cuts(s, sf)
+    val norm = CorpusBuild.normFrame(s, graft.Tables.documents(s, sf))
+      .localCheckpoint(true)
+    val q = CorpusBuild.withQuality(norm).where(col("quality") >= 0.2)
+    val exactAll = q
+      .withColumn("digest", CorpusBuild.digestCol)
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy("digest")))
+    val exact = exactAll.where(col("doc_id") === col("keep_id"))
+    val baseSurv = exact.where(col("doc_id") < cut1)
+    val stopSet = Dedup.stopShingles(typed(baseSurv), 3, baseSurv.count())
+    val bc = s.sparkContext.broadcast(stopSet)
+    val sigs = Dedup.stopFilteredSigs(typed(exact), bc, 3, 64)
+    val cand = Dedup.lshCandidates(sigs, 32, 2)
+    val bad = Dedup.verifyStopFiltered(cand,
+        exact.select(col("doc_id"), col("norm_text").as("text")),
+        bc, 3, 0.8)
+      .select(col("b").as("doc_id")).distinct()
+    val near = exact.join(bad, Seq("doc_id"), "left_anti")
+    val asg = CorpusBuild.shardAsg(s, near.select("doc_id", "n_norm"))
+    val want = CorpusBuild.chainReport(norm, q, exact, near, asg)
+      .collect().toSeq
+    val got = CorpusBuild.corpusBuildIncr2(s, sf).collect().toSeq
+    assert(got == want,
+      s"two-append stack diverged from the frozen-stop rebuild:\n" +
+        s"got  ${got.mkString(", ")}\nwant ${want.mkString(", ")}")
+  }
+
+  test("incr2: append-2 serves append-1's committed segment — no base " +
+    "rebuild, no segment re-commit") {
+    val s = spark
+    val (cut1, _) = CorpusBuild.incr2Cuts(s, sf)
+    val baseKeys = CorpusBuild.incrStageNamesAt(s, sf, cut1)
+    val segKeys = CorpusBuild.incr2Delta1Keys(s, sf)
+    (baseKeys ++ segKeys).foreach(ArtifactStore.remove(s, _))
+    // stage the world as it stands AFTER append-1: base stages committed,
+    // the first slice processed and committed as an immutable segment —
+    // and nothing has seen the second slice yet
+    val base = CorpusBuild.incrBase(s, sf, cut1)
+    CorpusBuild.incr2Delta1(s, sf, base)
+    assert((baseKeys ++ segKeys).forall(ArtifactStore.exists(s, _)),
+      "append-1 must commit the base stages and its segment")
+    def parts = (baseKeys ++ segKeys)
+      .map(k => SparkSpec.partListing(s, k))
+    val afterAppend1 = parts
+    // the append-2 event: the full entry over the twice-appended corpus
+    val first = CorpusBuild.corpusBuildIncr2(s, sf).collect().toSeq
+    assert(parts == afterAppend1,
+      "append-2 re-committed base or segment-1 work — the stack rebuilt " +
+        "instead of serving")
+    // and a rerun serves the whole stack
+    val second = CorpusBuild.corpusBuildIncr2(s, sf).collect().toSeq
+    assert(second == first, "served rerun must reproduce the report")
+    assert(parts == afterAppend1, "rerun re-committed stack work")
+  }
 }

@@ -272,6 +272,11 @@ class PerfContractSpec extends SparkSpec {
     // exchanges) — the budget admits the cold build, the warm path
     // sits far inside it
     Contract("corpus_build_incr", 30, 90),
+    // two stacked appends: cold run measured 12.3 MB / 137 stages (base
+    // build + both delta passes + 6 segment commits); warm serves base
+    // AND segment-1 from artifacts, leaving only the second delta's
+    // slice-sized exchanges
+    Contract("corpus_build_incr2", 35, 170),
     // incremental IVF: cold 1.9 MB / 33 stages (train + both posting
     // commits), append-only and serve runs far inside
     Contract("idx_ivf_append", 6, 66),

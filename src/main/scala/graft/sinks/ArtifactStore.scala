@@ -73,6 +73,18 @@ object ArtifactStore {
     load(s, name)
   }
 
+  /** Committed artifact names under a prefix — segment discovery for
+    * the LSM families (idx_ivf_compact folds every committed posting
+    * segment of a base). Metadata-only: one directory listing. */
+  def list(s: SparkSession, prefix: String): Seq[String] = {
+    val f = fs(s)
+    val r = new Path(root)
+    if (!f.exists(r)) Seq.empty
+    else f.listStatus(r).map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && !n.startsWith("."))
+      .sorted.toSeq
+  }
+
   /** Drop a committed artifact (tests). */
   def remove(s: SparkSession, name: String): Unit = {
     val f = fs(s)

@@ -154,4 +154,57 @@ class IndexArtifactSpec extends SparkSpec {
     assert(first.map(_.getLong(0)).distinct.length == first.length)
     assert(first.count(_.getBoolean(3)) == segIds.length)
   }
+
+  test("idx_ivf_compact: compacted content equals base ∪ segments, and " +
+    "post-compaction serving reads ONE artifact (base/segment removal " +
+    "does not break it)") {
+    val (_, centsKey, postKey, segKey) =
+      LlmPipeline.ivfAppendKeys(spark, sf)
+    val compKey = LlmPipeline.ivfCompactKey(spark, sf)
+    ArtifactStore.remove(spark, compKey)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cid", "dist").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val first = LlmPipeline.idxIvfCompact(spark, sf)
+    val got = rows(first)
+    // union-equality against the committed parts it folded
+    val want = rows(ArtifactStore.load(spark, postKey)) ++
+      rows(ArtifactStore.load(spark, segKey))
+    assert(got == want, "compacted content must equal base ∪ segments")
+    // LSM read-path collapse: with the compacted artifact committed,
+    // serving must touch NOTHING else — remove base + segment + even
+    // the centroids and the entry still serves, without rebuilding them
+    Seq(centsKey, postKey, segKey)
+      .foreach(ArtifactStore.remove(spark, _))
+    val served = rows(LlmPipeline.idxIvfCompact(spark, sf))
+    assert(served == got, "post-compaction serve must read the artifact")
+    assert(!ArtifactStore.exists(spark, postKey) &&
+      !ArtifactStore.exists(spark, segKey) &&
+      !ArtifactStore.exists(spark, centsKey),
+      "serving after compaction rebuilt a pre-compaction artifact — " +
+        "the read path did not collapse to one artifact")
+    // restore the append family for later suites (cheap rebuild at sf)
+    LlmPipeline.idxIvfAppend(spark, sf).count()
+  }
+
+  test("idx_ivf_compact: N segments fold to the same content as one " +
+    "(compaction is a pure re-commit)") {
+    val (cut, _, postKey, segKey) = LlmPipeline.ivfAppendKeys(spark, sf)
+    LlmPipeline.idxIvfAppend(spark, sf).count() // ensure parts exist
+    val postB = ArtifactStore.load(spark, postKey)
+    val seg = ArtifactStore.load(spark, segKey)
+    val mid = (cut + seg.agg(max(col("vec_id"))).head().getLong(0)) / 2
+    val halves = Seq(seg.where(col("vec_id") <= mid),
+      seg.where(col("vec_id") > mid))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cid", "dist").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(rows(LlmPipeline.foldPostings(postB, halves)) ==
+      rows(LlmPipeline.foldPostings(postB, Seq(seg))),
+      "a 2-segment fold must equal the 1-segment fold")
+    // overlap safety: folding a segment with ITSELF changes nothing
+    assert(rows(LlmPipeline.foldPostings(postB, Seq(seg, seg))) ==
+      rows(LlmPipeline.foldPostings(postB, Seq(seg))),
+      "overlapping segments must fold to one row per vector")
+  }
 }

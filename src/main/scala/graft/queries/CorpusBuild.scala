@@ -1027,13 +1027,244 @@ object CorpusBuild {
     incrReport(s, base, Seq(d1, d2))
   }
 
+  // ------------------------------------------------------------------
+  // corpus_build_retract — takedown: remove a doc slice (exact KEEPERS
+  // included) and re-elect survivors from the committed stages
+  // (round-15 ask #3)
+  // ------------------------------------------------------------------
+
+  /** The takedown slice: every 13th doc starting at 5 — dense enough
+    * that it hits exact keepers (min-ids of their digest groups) and
+    * near-dup pair members, so both re-election paths run on the real
+    * fixture, not just the synthetic spec. */
+  private val RetractPredSql = "doc_id % 13 = 5"
+  private def retractPred(c: Column): Column = c % 13 === 5
+
+  /** Survivor re-election over a committed build after removing the
+    * docs matching `rm` — the production takedown path (GDPR/DMCA):
+    * the corpus-sized stages only SCAN (predicate filters), and every
+    * exchange is R-sized or candidate-sized.
+    *
+    *  - exact: digest groups whose KEEPER was taken down re-elect the
+    *    min remaining member from the committed digest table (the
+    *    R-bounded `touched` digest list streams against it); untouched
+    *    groups keep their keeper — removal can never displace a
+    *    surviving keeper, since keepers are min-ids.
+    *  - near: committed verified PAIRS whose smaller side survives
+    *    still remove their larger side; pairs whose smaller side was
+    *    taken down lapse — a doc whose only partners lapse RESURRECTS.
+    *    Newly elected keepers enter the near-dup pool fresh (their
+    *    shingle sequences differ from the old keeper's even though the
+    *    digest matches — digests ignore order, shingles don't): they
+    *    sign under the FROZEN stop set and band-join the alive
+    *    committed band table behind an R-sized Bloom, in BOTH
+    *    orientations (a new keeper can be removed by a smaller-id
+    *    survivor, or remove a larger-id one).
+    *
+    * Returns (norm', q', exactSurvivors', nearSurvivors') as
+    * (doc_id, [n_raw,] n_norm) frames for the report. */
+  private[graft] def retractFrames(s: SparkSession, base: IncrBase,
+      rm: Column => Column)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val keep = (c: Column) => !rm(c)
+    val normA = base.normB.where(keep(col("doc_id")))
+      .select("doc_id", "n_raw", "n_norm")
+    val qA = base.qB.where(keep(col("doc_id")))
+      .select("doc_id", "n_norm")
+    val touched = base.exactB
+      .where(rm(col("doc_id")) && col("doc_id") === col("keep_id"))
+      .select("digest")
+    val newKeepers = base.exactB
+      .join(touched, Seq("digest"), "left_semi")
+      .where(keep(col("doc_id")))
+      .withColumn("keep2",
+        min(col("doc_id")).over(Window.partitionBy("digest")))
+      .where(col("doc_id") === col("keep2"))
+      .select("doc_id")
+      .localCheckpoint(true) // consumers: n_norm attach, sigs, texts
+    val exactAllN = base.survNB.where(keep(col("doc_id")))
+      .unionByName(base.qB.select("doc_id", "n_norm")
+        .join(newKeepers, Seq("doc_id"), "left_semi"))
+    val stillBad = base.pairsB.where(keep(col("a")))
+      .select(col("b").as("doc_id"))
+    val nkTxt = base.normB
+      .select(col("doc_id"), col("norm_text"))
+      .join(newKeepers, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val bandsN = graft.dedup.Dedup.bandedKeys(
+      graft.dedup.Dedup.stopFilteredSigs(
+        nkTxt.as[(Long, String)], base.bc, 3, 64), 32, 2)
+      .localCheckpoint(true) // 3 consumers: Bloom agg + both join sides
+    val nBandsN = newKeepers.count() * 32
+    // same memory-derived ceiling as the delta pass (32 MB/task)
+    val bandBits = math.min(1L << 28, math.max(1024L, nBandsN) * 16)
+    val bandBf = bandsN.agg(graft.plans.Bloom
+      .agg(xxhash64(col("band"), col("key")),
+        math.max(1024L, nBandsN), bandBits).as("bf"))
+    val bandsAliveHit = base.bandsB.where(keep(col("doc_id")))
+      .where(graft.plans.Bloom.mightContain(
+        graft.plans.Bloom.scalarOf(bandBf),
+        xxhash64(col("band"), col("key"))))
+    val cand = bandsAliveHit.unionByName(bandsN)
+      .select(col("doc_id").as("x"), col("band"), col("key"))
+      .join(bandsN.select(col("doc_id").as("y"), col("band"), col("key")),
+        Seq("band", "key"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val candIds = cand
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val txtCand = base.normB
+      .select(col("doc_id"), col("norm_text").as("text"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val newBad = graft.dedup.Dedup
+      .verifyStopFiltered(cand, txtCand, base.bc, 3, 0.8)
+      .select(col("b").as("doc_id"))
+    val badAll = stillBad.unionByName(newBad).distinct()
+    val nearAllN = exactAllN.join(badAll, Seq("doc_id"), "left_anti")
+    (normA, qA, exactAllN, nearAllN)
+  }
+
+  /** CHAIN RETRACTION (`corpus_build_retract`): the takedown twin of
+    * the append entries — the committed FULL-CORPUS build (incrBase at
+    * a cut above every id) serves its stages, the retraction slice is
+    * removed, and survivors re-elect per `retractFrames`. The stop set
+    * stays FROZEN to the committed (pre-takedown) corpus — the
+    * trained-parameter convention: a takedown serves the trained
+    * params, it does not retrain them. Oracle: a full rebuild over the
+    * reduced corpus with the stop set mined over the ORIGINAL corpus
+    * (the two-branch replay in `chainCtesRetract`). */
+  def corpusBuildRetract(s: SparkSession, d: String): DataFrame = {
+    val mx = LlmPipeline.maxIdCached(s, s"$d/documents.parquet",
+      "doc_id")(Tables.documents(s, d)) + 1
+    val base = incrBase(s, d, mx)
+    val (n, q, e, nr) = retractFrames(s, base, retractPred)
+    chainReport(n, q, e, nr, shardAsg(s, nr))
+  }
+
+  /** Two-branch replay for the retraction oracle: the FULL-corpus chain
+    * runs to its exact survivors (`exdf`) to mine the frozen stop set
+    * (`sdf`), then the REDUCED chain (documents minus the retraction
+    * slice) re-runs exact + near dedup + pack under that stop set. CTE
+    * bodies mirror `chainCtes` (same engine-identical expressions);
+    * only the branching differs, so `reportSql` composes unchanged. */
+  private def chainCtesRetract(rmPred: String): String =
+    s"""${LlmPipeline.htmlBlockChainSqlShared},
+       |ex AS (
+       |  SELECT doc_id,
+       |    coalesce(string_agg(btext, chr(10) ORDER BY ord)
+       |      FILTER (WHERE keep), '') AS etext
+       |  FROM fin GROUP BY doc_id),
+       |n2 AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(etext, '\\s+')) AS BIGINT)
+       |      AS n_raw,
+       |    list_filter(string_split_regex(lower(etext), '\\s+'),
+       |      t -> t NOT IN ('a', 'the') AND t <> ''
+       |        AND NOT regexp_matches(t, '^[0-9]+$$')) AS nl
+       |  FROM ex),
+       |n3f AS (
+       |  SELECT doc_id, n_raw, array_to_string(nl, ' ') AS norm_text,
+       |    CAST(len(nl) AS BIGINT) AS n_norm,
+       |    CAST(coalesce(list_aggregate(list_transform(nl,
+       |      t -> length(t)), 'sum'), 0) AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(nl, t -> t IN
+       |      ('the','a','and','of','to','is','in'))) AS BIGINT) AS n_stop
+       |  FROM n2),
+       |q_allf AS (
+       |  SELECT *, round(least(CAST(sum_len AS DOUBLE) / n_norm, 10.0)
+       |    / 10.0 * 0.2 + CAST(n_stop AS DOUBLE) / n_norm * 0.5 +
+       |    least(CAST(n_norm AS DOUBLE), 100.0) / 100.0 * 0.3, 6)
+       |    AS quality
+       |  FROM n3f WHERE n_norm > 0),
+       |qsf AS (SELECT * FROM q_allf WHERE quality >= 0.2),
+       |exdf AS (
+       |  SELECT * FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY
+       |      array_to_string(list_sort(list_distinct(
+       |        string_split_regex(norm_text, '\\s+'))), ' ')) AS keep_id
+       |    FROM qsf)
+       |  WHERE doc_id = keep_id),
+       |shnf AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |      ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+       |             i -> array_to_string(t[i:i+2], ' '))) END AS s0
+       |  FROM (SELECT doc_id, string_split_regex(norm_text, '\\s+') AS t
+       |        FROM exdf)),
+       |sdf AS (
+       |  SELECT g FROM (SELECT unnest(s0) AS g FROM shnf)
+       |  GROUP BY g
+       |  HAVING count(*) > (SELECT count(*) FROM exdf) // 2),
+       |n3 AS (SELECT * FROM n3f WHERE NOT ($rmPred)),
+       |qs AS (SELECT * FROM qsf WHERE NOT ($rmPred)),
+       |exd_all AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY
+       |    array_to_string(list_sort(list_distinct(
+       |      string_split_regex(norm_text, '\\s+'))), ' ')) AS keep_id
+       |  FROM qs),
+       |exd AS (SELECT * FROM exd_all WHERE doc_id = keep_id),
+       |shn AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |      ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+       |             i -> array_to_string(t[i:i+2], ' '))) END AS s0
+       |  FROM (SELECT doc_id, string_split_regex(norm_text, '\\s+') AS t
+       |        FROM exd)),
+       |shf AS (
+       |  SELECT doc_id, list(g) AS sset
+       |  FROM (SELECT doc_id, unnest(s0) AS g FROM shn)
+       |  WHERE g NOT IN (SELECT g FROM sdf)
+       |  GROUP BY doc_id),
+       |bad AS (
+       |  SELECT DISTINCT b.doc_id AS doc_id
+       |  FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+       |  WHERE round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(a.sset, b.sset)))
+       |      AS DOUBLE), 6) >= 0.8),
+       |nr AS (
+       |  SELECT * FROM exd
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |p2 AS (SELECT GREATEST(8, (count(*) + 4095) // 4096) AS nb FROM nr),
+       |t2 AS (
+       |  SELECT doc_id, CAST(n_norm AS INTEGER) AS n_tokens,
+       |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % (SELECT nb FROM p2) AS INTEGER) AS bucket,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM nr),
+       |c2 AS (
+       |  SELECT doc_id, bucket, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_in_b
+       |  FROM t2),
+       |bb2 AS (
+       |  SELECT bucket,
+       |    CAST(coalesce(sum(btot) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS boff
+       |  FROM (SELECT bucket, sum(n_tokens) AS btot FROM t2
+       |        GROUP BY bucket)),
+       |tot2 AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+       |         AS total FROM t2),
+       |a2 AS (
+       |  SELECT c2.doc_id, c2.n_tokens,
+       |    CAST(least(7, ((bb2.boff + c2.end_in_b - c2.n_tokens) * 8)
+       |      // (SELECT total FROM tot2)) AS INTEGER) AS shard
+       |  FROM c2 JOIN bb2 USING (bucket))""".stripMargin
+
+  val corpusBuildRetractSql: String =
+    reportSql(chainCtesRetract(RetractPredSql))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "crawl_frontier" -> (crawlFrontier _),
     "corpus_build_e2e" -> (corpusBuildE2e _),
     "corpus_lineage" -> (corpusLineage _),
     "corpus_build_tokenized" -> (corpusBuildTokenized _),
     "corpus_build_incr" -> (corpusBuildIncr _),
-    "corpus_build_incr2" -> (corpusBuildIncr2 _)
+    "corpus_build_incr2" -> (corpusBuildIncr2 _),
+    "corpus_build_retract" -> (corpusBuildRetract _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1041,6 +1272,7 @@ object CorpusBuild {
     "corpus_build_e2e" -> corpusBuildE2eSql,
     "corpus_build_incr" -> corpusBuildIncrSql,
     "corpus_build_incr2" -> corpusBuildIncr2Sql,
+    "corpus_build_retract" -> corpusBuildRetractSql,
     "corpus_lineage" -> corpusLineageSql,
     "corpus_build_tokenized" -> corpusBuildTokenizedSql
   )

@@ -277,6 +277,11 @@ class PerfContractSpec extends SparkSpec {
     // AND segment-1 from artifacts, leaving only the second delta's
     // slice-sized exchanges
     Contract("corpus_build_incr2", 35, 170),
+    // takedown: warm measured 6.2 MB / 76 stages at sf0.1 (served base;
+    // the retraction pass itself is R-sized probes + scan filters over
+    // committed stages — no corpus text ever exchanges); budget admits
+    // the cold base build
+    Contract("corpus_build_retract", 35, 120),
     // incremental IVF: cold 1.9 MB / 33 stages (train + both posting
     // commits), append-only and serve runs far inside
     Contract("idx_ivf_append", 6, 66),

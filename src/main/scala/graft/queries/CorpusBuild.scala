@@ -787,6 +787,34 @@ object CorpusBuild {
       bands: DataFrame, // banded keys over exact survivors
       bad: DataFrame) // (doc_id) near removals within the slice
 
+  /** The delta pass's EXACT-dedup front half — normalize + quality +
+    * digest probe against prior committed digests, ending in the
+    * slice's exact-survivor text table. Shared by the full delta pass
+    * and the stop-drift monitor (which must see the survivors a serve
+    * decision would sign, but runs BEFORE any signing). */
+  private def deltaExactSurv(s: SparkSession, slice: DataFrame,
+      priorDigests: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val normD = normFrame(s, slice).localCheckpoint(true)
+    val qD = withQuality(normD).where(col("quality") >= lit(QualityMin))
+    val digD = qD.select(col("doc_id"), digestCol.as("digest"))
+      .localCheckpoint(true) // consumers: hit probe, anti join, commit
+    val hitDigests = priorDigests
+      .join(digD.select("digest").distinct(), Seq("digest"), "left_semi")
+      .distinct()
+    val exactSurvD = digD
+      .join(hitDigests, Seq("digest"), "left_anti")
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy("digest")))
+      .where(col("doc_id") === col("keep_id"))
+      .select("doc_id")
+    val survDTxt = qD
+      .join(exactSurvD, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("norm_text"), col("n_norm"))
+      .localCheckpoint(true)
+    (normD, qD, digD, survDTxt)
+  }
+
   /** The delta pass over one appended slice, probing COMMITTED prior
     * state (base, or base ∪ earlier deltas — the LSM stack). All
     * exchanges are delta- or candidate-sized; prior-state tables only
@@ -819,23 +847,8 @@ object CorpusBuild {
       bc: org.apache.spark.broadcast.Broadcast[Set[Long]])
       : DeltaFrames = {
     import s.implicits._
-    val normD = normFrame(s, slice).localCheckpoint(true)
-    val qD = withQuality(normD).where(col("quality") >= lit(QualityMin))
-    val digD = qD.select(col("doc_id"), digestCol.as("digest"))
-      .localCheckpoint(true) // consumers: hit probe, anti join, commit
-    val hitDigests = priorDigests
-      .join(digD.select("digest").distinct(), Seq("digest"), "left_semi")
-      .distinct()
-    val exactSurvD = digD
-      .join(hitDigests, Seq("digest"), "left_anti")
-      .withColumn("keep_id",
-        min(col("doc_id")).over(Window.partitionBy("digest")))
-      .where(col("doc_id") === col("keep_id"))
-      .select("doc_id")
-    val survDTxt = qD
-      .join(exactSurvD, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("norm_text"), col("n_norm"))
-      .localCheckpoint(true)
+    val (normD, qD, digD, survDTxt) = deltaExactSurv(s, slice,
+      priorDigests)
     val bandsD = graft.dedup.Dedup.bandedKeys(
       graft.dedup.Dedup.stopFilteredSigs(
         survDTxt.select(col("doc_id"), col("norm_text"))
@@ -1257,6 +1270,173 @@ object CorpusBuild {
   val corpusBuildRetractSql: String =
     reportSql(chainCtesRetract(RetractPredSql))
 
+  // ------------------------------------------------------------------
+  // corpus_stop_drift — retrain-vs-serve trigger for the frozen stop
+  // set (round-15 ask #4)
+  // ------------------------------------------------------------------
+
+  /** The named retrain threshold: total variation distance between the
+    * base and delta stop-shingle document-frequency profiles, in
+    * micro-fixed-point. TV > 0.1 → retrain. */
+  private[graft] val StopDriftTvMicro = 100000L
+
+  /** Shingle STRINGS of a normalized text column (w = 3, distinct per
+    * doc, whole-text fallback under 3 tokens) — the string twin of
+    * Dedup.shingles' hashed form, used where the oracle must replay the
+    * grams themselves. */
+  private def shingleStrings(textCol: String): Column = {
+    val toks = s"split($textCol, '\\\\s+')"
+    expr(s"""CASE WHEN size($toks) < 3 THEN array($textCol)
+         ELSE array_distinct(transform(sequence(0, size($toks) - 3),
+           i -> concat_ws(' ', slice($toks, i + 1, 3)))) END""")
+  }
+
+  /** The drift computation over two survivor-text frames
+    * (doc_id, norm_text[, n_norm]): per-side shingle DOCUMENT
+    * FREQUENCIES, restricted to shingles that are stop shingles on
+    * EITHER side (df > n/2 — the mining rule itself), each scored with
+    * its membership ('both' / 'frozen_only' / 'mined_only') and its
+    * micro-rounded TV contribution |df_b/n_b − df_d/n_d| / 2, plus one
+    * DECISION row carrying the side sizes, the total, the named
+    * threshold, and retrain-vs-serve.
+    *
+    * TV rather than KL (profile_drift carries both): membership rates
+    * here legitimately hit ZERO (a frozen stop shingle absent from the
+    * delta is exactly the retrain signal), where KL needs smoothing and
+    * its ln() is not correctly rounded in either engine — TV stays
+    * micro-exact with no accepted wobble. Terms are micro-rounded
+    * BEFORE summation (the repo's fixed-point convention), so the total
+    * is hash-exact.
+    *
+    * Scale shape: one (shingle, count) exchange per side with map-side
+    * combine — counts, never docs (the profile_drift shape); the stop
+    * restriction bounds the scored set at ~2 × avg-shingles-per-doc
+    * rows per side. */
+  private[graft] def stopDriftFrom(s: SparkSession, baseTxt: DataFrame,
+      deltaTxt: DataFrame): DataFrame = {
+    val nB = baseTxt.count()
+    val nD = deltaTxt.count()
+    def dfOf(txt: DataFrame, out: String) = txt
+      .select(explode(shingleStrings("norm_text")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as(out))
+    val joined = dfOf(baseTxt, "df_base")
+      .join(dfOf(deltaTxt, "df_delta"), Seq("g"), "full_outer")
+      .na.fill(0L, Seq("df_base", "df_delta"))
+    val scored = joined
+      .where(col("df_base") > lit(nB / 2) ||
+        col("df_delta") > lit(nD / 2))
+      .select(col("g"), col("df_base"), col("df_delta"),
+        expr(s"CAST(round(abs(CAST(df_base AS DOUBLE) / ${nB}e0 - " +
+          s"CAST(df_delta AS DOUBLE) / ${nD}e0) / 2e0 * 1000000e0) " +
+          "AS BIGINT)").as("drift_micro"),
+        when(col("df_base") > lit(nB / 2) &&
+            col("df_delta") > lit(nD / 2), "both")
+          .when(col("df_base") > lit(nB / 2), "frozen_only")
+          .otherwise("mined_only").as("membership"))
+      .localCheckpoint(true) // consumers: the rows + the total
+    val shingleRows = scored.select(lit("shingle").as("kind"),
+      col("g").as("shingle"), col("df_base"), col("df_delta"),
+      col("drift_micro"), lit(null).cast("long").as("threshold_micro"),
+      col("membership").as("decision"))
+    val decisionRow = scored
+      .agg(coalesce(sum("drift_micro"), lit(0L)).as("t"))
+      .select(lit("decision").as("kind"), lit("__total__").as("shingle"),
+        lit(nB).as("df_base"), lit(nD).as("df_delta"),
+        col("t").as("drift_micro"),
+        lit(StopDriftTvMicro).as("threshold_micro"),
+        when(col("t") > lit(StopDriftTvMicro), "retrain")
+          .otherwise("serve").as("decision"))
+    shingleRows.unionByName(decisionRow).orderBy("kind", "shingle")
+  }
+
+  /** STOP-SET DRIFT TRIGGER (`corpus_stop_drift`): the decision entry a
+    * production append runs BEFORE serving the frozen stop set — does
+    * the incoming delta's shingle document-frequency profile still
+    * match the trained parameter, or has the corpus drifted enough that
+    * the near-dup signatures would be signed under a stale template
+    * model? Base side = the committed build's exact survivors (served
+    * from incrBase stages); delta side = the append slice's exact
+    * survivors after the same digest probe the append pass runs (the
+    * docs a serve decision would actually sign). */
+  def corpusStopDrift(s: SparkSession, d: String): DataFrame = {
+    val cut = incrCut(s, d)
+    val base = incrBase(s, d, cut)
+    val baseTxt = base.normB
+      .join(base.survNB.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "norm_text")
+    val (_, _, _, survDTxt) = deltaExactSurv(s,
+      Tables.documents(s, d).where(col("doc_id") >= cut),
+      base.exactB.select("digest"))
+    stopDriftFrom(s, baseTxt, survDTxt.select("doc_id", "norm_text"))
+  }
+
+  /** Replay: the full chain to `exd`, split at the cut (a base doc's
+    * keeper is always a base doc under the append convention, so the
+    * full-corpus window restricted to each side IS each side's own
+    * survivor set), per-side shingle DF, the same stop restriction,
+    * micro TV terms, and the decision row. */
+  val corpusStopDriftSql: String =
+    s"""$corpusChainSql,
+       |cutv AS (SELECT ((max(doc_id) + 1) * 9) // 10 AS c
+       |  FROM documents),
+       |sb AS (SELECT doc_id, norm_text FROM exd
+       |  WHERE doc_id < (SELECT c FROM cutv)),
+       |sd AS (SELECT doc_id, norm_text FROM exd
+       |  WHERE doc_id >= (SELECT c FROM cutv)),
+       |nb AS (SELECT count(*) AS c FROM sb),
+       |nd AS (SELECT count(*) AS c FROM sd),
+       |shb AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |      ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+       |             i -> array_to_string(t[i:i+2], ' '))) END AS s0
+       |  FROM (SELECT doc_id, string_split_regex(norm_text, '\\s+') AS t
+       |        FROM sb)),
+       |shd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |      ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+       |             i -> array_to_string(t[i:i+2], ' '))) END AS s0
+       |  FROM (SELECT doc_id, string_split_regex(norm_text, '\\s+') AS t
+       |        FROM sd)),
+       |dfb AS (SELECT g, CAST(count(*) AS BIGINT) AS df_base
+       |  FROM (SELECT unnest(s0) AS g FROM shb) GROUP BY g),
+       |dfd AS (SELECT g, CAST(count(*) AS BIGINT) AS df_delta
+       |  FROM (SELECT unnest(s0) AS g FROM shd) GROUP BY g),
+       |j AS (
+       |  SELECT coalesce(dfb.g, dfd.g) AS g,
+       |    coalesce(df_base, 0) AS df_base,
+       |    coalesce(df_delta, 0) AS df_delta
+       |  FROM dfb FULL OUTER JOIN dfd ON dfb.g = dfd.g),
+       |sc AS (
+       |  SELECT g, df_base, df_delta,
+       |    CAST(round(abs(CAST(df_base AS DOUBLE) /
+       |        CAST((SELECT c FROM nb) AS DOUBLE) -
+       |      CAST(df_delta AS DOUBLE) /
+       |        CAST((SELECT c FROM nd) AS DOUBLE)) / 2e0 * 1000000e0)
+       |      AS BIGINT) AS drift_micro,
+       |    CASE WHEN df_base > (SELECT c FROM nb) // 2
+       |           AND df_delta > (SELECT c FROM nd) // 2 THEN 'both'
+       |         WHEN df_base > (SELECT c FROM nb) // 2
+       |           THEN 'frozen_only'
+       |         ELSE 'mined_only' END AS decision
+       |  FROM j
+       |  WHERE df_base > (SELECT c FROM nb) // 2
+       |     OR df_delta > (SELECT c FROM nd) // 2)
+       |SELECT kind, shingle, df_base, df_delta, drift_micro,
+       |  threshold_micro, decision FROM (
+       |  SELECT 'shingle' AS kind, g AS shingle, df_base, df_delta,
+       |    drift_micro, CAST(NULL AS BIGINT) AS threshold_micro, decision
+       |  FROM sc
+       |  UNION ALL
+       |  SELECT 'decision', '__total__',
+       |    (SELECT c FROM nb), (SELECT c FROM nd),
+       |    (SELECT CAST(coalesce(sum(drift_micro), 0) AS BIGINT) FROM sc),
+       |    ${StopDriftTvMicro},
+       |    CASE WHEN (SELECT coalesce(sum(drift_micro), 0) FROM sc)
+       |        > ${StopDriftTvMicro} THEN 'retrain' ELSE 'serve' END)
+       |ORDER BY kind, shingle""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "crawl_frontier" -> (crawlFrontier _),
     "corpus_build_e2e" -> (corpusBuildE2e _),
@@ -1264,7 +1444,8 @@ object CorpusBuild {
     "corpus_build_tokenized" -> (corpusBuildTokenized _),
     "corpus_build_incr" -> (corpusBuildIncr _),
     "corpus_build_incr2" -> (corpusBuildIncr2 _),
-    "corpus_build_retract" -> (corpusBuildRetract _)
+    "corpus_build_retract" -> (corpusBuildRetract _),
+    "corpus_stop_drift" -> (corpusStopDrift _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1273,6 +1454,7 @@ object CorpusBuild {
     "corpus_build_incr" -> corpusBuildIncrSql,
     "corpus_build_incr2" -> corpusBuildIncr2Sql,
     "corpus_build_retract" -> corpusBuildRetractSql,
+    "corpus_stop_drift" -> corpusStopDriftSql,
     "corpus_lineage" -> corpusLineageSql,
     "corpus_build_tokenized" -> corpusBuildTokenizedSql
   )

@@ -277,6 +277,10 @@ class PerfContractSpec extends SparkSpec {
     // AND segment-1 from artifacts, leaving only the second delta's
     // slice-sized exchanges
     Contract("corpus_build_incr2", 35, 170),
+    // stop-drift trigger: two (shingle, count) exchanges with map-side
+    // combine — counts, never docs; budget admits a cold base-stage
+    // build (shared keys with corpus_build_incr's base)
+    Contract("corpus_stop_drift", 30, 90),
     // takedown: warm measured 6.2 MB / 76 stages at sf0.1 (served base;
     // the retraction pass itself is R-sized probes + scan filters over
     // committed stages — no corpus text ever exchanges); budget admits

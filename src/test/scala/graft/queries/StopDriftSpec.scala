@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** corpus_stop_drift (round-15 ask #4): the retrain-vs-serve trigger
+  * must fire on BOTH sides of its named boundary
+  * (total TV > CorpusBuild.StopDriftTvMicro = 0.1):
+  *
+  *  - an UNDRIFTED delta (same template profile as the base) sits at
+  *    ~zero drift → 'serve'
+  *  - a DRIFTED delta (the frozen template fades, a new one dominates)
+  *    reports the fading shingles as 'frozen_only' losses and the new
+  *    template as 'mined_only' gains, and the total crosses the
+  *    threshold → 'retrain'
+  *
+  * Fixtures are synthetic survivor-text frames fed straight to
+  * stopDriftFrom — the entry-level wiring (committed base stages +
+  * the append path's digest probe) is covered by the DuckDB oracle. */
+class StopDriftSpec extends SparkSpec {
+
+  private val P = "is in of to is" // 5-token template → 3 stop shingles
+
+  private def side(tag: String, n: Int, tpl: Int => String): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, tpl(i)))
+      .toDF("doc_id", "norm_text")
+  }
+
+  private def rows(df: DataFrame) = df.collect().map(r => (
+    r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+    r.getLong(4), r.getString(6)))
+
+  test("undrifted delta: identical template profile decides 'serve' at " +
+    "~zero drift") {
+    val base = side("b", 10, i => s"$P b${i}1 b${i}2 b${i}3")
+    val delta = side("d", 10, i => s"$P d${i}1 d${i}2 d${i}3")
+    val out = rows(CorpusBuild.stopDriftFrom(spark, base, delta))
+    val dec = out.find(_._1 == "decision").get
+    assert(dec._6 == "serve", s"undrifted profile must serve: $dec")
+    assert(dec._5 <= 1L, s"identical rates must give ~zero TV: $dec")
+    // every template shingle is a stop shingle on BOTH sides
+    assert(out.filter(_._1 == "shingle").forall(_._6 == "both"))
+    assert(out.count(_._1 == "shingle") == 3) // P's 3 internal trigrams
+  }
+
+  test("drifted delta: fading frozen template + new dominant template " +
+    "decides 'retrain', with both loss directions reported") {
+    val base = side("b", 10, i => s"$P b${i}1 b${i}2 b${i}3")
+    // 2 of 10 delta docs keep the old template; 8 carry a new one
+    val delta = side("d", 10, i =>
+      if (i <= 2) s"$P d${i}1 d${i}2 d${i}3"
+      else s"zz yy xx ww vv d${i}1 d${i}2 d${i}3")
+    val out = rows(CorpusBuild.stopDriftFrom(spark, base, delta))
+    val dec = out.find(_._1 == "decision").get
+    assert(dec._6 == "retrain",
+      s"template replacement must trigger retrain: $dec")
+    assert(dec._5 > CorpusBuild.StopDriftTvMicro)
+    val tags = out.filter(_._1 == "shingle").map(s => s._2 -> s._6).toMap
+    // the frozen template's shingles fell to df 2/10 — frozen_only
+    assert(tags("is in of") == "frozen_only" &&
+      tags("in of to") == "frozen_only" && tags("of to is") == "frozen_only")
+    // the new template mined fresh stop shingles the frozen set lacks
+    assert(tags("zz yy xx") == "mined_only" &&
+      tags("xx ww vv") == "mined_only")
+    // and the per-shingle micro terms: |1.0 - 0.2|/2 = 0.4 for losses,
+    // |0 - 0.8|/2 = 0.4 for gains — exact fixed-point values
+    val bySh = out.filter(_._1 == "shingle").map(s => s._2 -> s._5).toMap
+    assert(bySh("is in of") == 400000L && bySh("zz yy xx") == 400000L)
+  }
+
+  test("boundary: a delta exactly AT the threshold serves; one step " +
+    "past it retrains") {
+    val base = side("b", 10, i => s"$P b${i}1 b${i}2 b${i}3")
+    // k of 10 delta docs drop the template: each of the 3 frozen
+    // shingles contributes |1 - (10-k)/10|/2 = k/20. Total = 3k/20.
+    // k=0 → 0; the template must stay a MAJORITY shingle on the delta
+    // side (df > 5) for the comparison to stay within 'both' rows:
+    // k=1 → 150000 > 100000 (retrain), k=0 → 0 (serve) brackets the
+    // named threshold with the smallest possible profile step.
+    def deltaDrop(k: Int) = side("d", 10, i =>
+      if (i <= 10 - k) s"$P d${i}1 d${i}2 d${i}3"
+      else s"d${i}0 d${i}1 d${i}2 d${i}3 d${i}4")
+    def total(k: Int) = rows(CorpusBuild.stopDriftFrom(spark, base,
+      deltaDrop(k))).find(_._1 == "decision").get
+    val at = total(0)
+    assert(at._6 == "serve" && at._5 == 0L)
+    val past = total(1)
+    assert(past._6 == "retrain" && past._5 == 150000L,
+      s"one-doc profile step must cross the named threshold: $past")
+  }
+}

@@ -319,9 +319,13 @@ class PerfContractSpec extends SparkSpec {
         .where(org.apache.spark.sql.functions.col("o_totalprice") < 20000)
         .count())
       val want = Relational.bloomShardCount(items)
-      val probes = "might_contain".r.findAllIn(p).length
+      // one SUBQUERY per shard: count distinct subquery ids behind the
+      // probes (the plan text renders each probe at both the Filter and
+      // the scan, and ReusedSubquery references repeat the id)
+      val probes = "might_contain\\((?:ReusedSubquery )?Subquery subquery#(\\d+)"
+        .r.findAllMatchIn(p).map(_.group(1)).toSet.size
       assert(probes == want,
-        s"$n: expected $want derived shard probes, plan shows $probes")
+        s"$n: expected $want derived shard filters, plan shows $probes")
       assert(p.contains("Subquery subquery"),
         s"$n: shard filters must ride scalar subqueries")
     }),

@@ -1312,15 +1312,29 @@ object CorpusBuild {
     * combine — counts, never docs (the profile_drift shape); the stop
     * restriction bounds the scored set at ~2 × avg-shingles-per-doc
     * rows per side. */
+  /** Per-shingle document frequency of a survivor-text frame — the
+    * committable profile form (vocabulary-sized: one row per distinct
+    * shingle, map-side combined). */
+  private def shingleDf(txt: DataFrame, out: String): DataFrame = txt
+    .select(explode(shingleStrings("norm_text")).as("g"))
+    .groupBy("g").agg(count(lit(1)).as(out))
+
   private[graft] def stopDriftFrom(s: SparkSession, baseTxt: DataFrame,
-      deltaTxt: DataFrame): DataFrame = {
-    val nB = baseTxt.count()
+      deltaTxt: DataFrame): DataFrame =
+    stopDriftFromDf(s, shingleDf(baseTxt, "df_base"), baseTxt.count(),
+      deltaTxt)
+
+  /** Drift against a PRE-COMPUTED base profile (the serve path: the
+    * base side's DF table is itself a committed trained-parameter
+    * summary, so a warm monitor run pays only delta-sized text work
+    * plus two vocabulary-sized exchanges — measured 57.4s → the
+    * committed-profile shape at the 1000× tier, where re-deriving the
+    * base side re-exchanged 2.6 GB of corpus text per run). */
+  private[graft] def stopDriftFromDf(s: SparkSession, dfBase: DataFrame,
+      nB: Long, deltaTxt: DataFrame): DataFrame = {
     val nD = deltaTxt.count()
-    def dfOf(txt: DataFrame, out: String) = txt
-      .select(explode(shingleStrings("norm_text")).as("g"))
-      .groupBy("g").agg(count(lit(1)).as(out))
-    val joined = dfOf(baseTxt, "df_base")
-      .join(dfOf(deltaTxt, "df_delta"), Seq("g"), "full_outer")
+    val joined = dfBase
+      .join(shingleDf(deltaTxt, "df_delta"), Seq("g"), "full_outer")
       .na.fill(0L, Seq("df_base", "df_delta"))
     val scored = joined
       .where(col("df_base") > lit(nB / 2) ||
@@ -1359,15 +1373,24 @@ object CorpusBuild {
     * survivors after the same digest probe the append pass runs (the
     * docs a serve decision would actually sign). */
   def corpusStopDrift(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.ArtifactStore
     val cut = incrCut(s, d)
     val base = incrBase(s, d, cut)
-    val baseTxt = base.normB
-      .join(base.survNB.select("doc_id"), Seq("doc_id"), "left_semi")
-      .select("doc_id", "norm_text")
+    // the base profile is a pure function of the committed build — a
+    // trained-parameter summary, committed like the stop set itself
+    val dfbKey = incrStageNamesAt(s, d, cut).head
+      .replace("chain_incrb_norm_", "chain_incrb_stopdf_")
+    val dfB = ArtifactStore.getOrBuild(s, dfbKey)(shingleDf(
+      base.normB
+        .join(base.survNB.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id", "norm_text"),
+      "df_base"))
     val (_, _, _, survDTxt) = deltaExactSurv(s,
       Tables.documents(s, d).where(col("doc_id") >= cut),
       base.exactB.select("digest"))
-    stopDriftFrom(s, baseTxt, survDTxt.select("doc_id", "norm_text"))
+    // survivor count reads committed parquet metadata, not data
+    stopDriftFromDf(s, dfB, base.survNB.count(),
+      survDTxt.select("doc_id", "norm_text"))
   }
 
   /** Replay: the full chain to `exd`, split at the cut (a base doc's

@@ -207,4 +207,51 @@ class IndexArtifactSpec extends SparkSpec {
       rows(LlmPipeline.foldPostings(postB, Seq(seg))),
       "overlapping segments must fold to one row per vector")
   }
+
+  test("idx_ivf_retract: takedown filters the committed postings and " +
+    "NEVER retrains — centroids and postings untouched") {
+    val (_, centsKey, postKey, segKey) =
+      LlmPipeline.ivfAppendKeys(spark, sf)
+    LlmPipeline.idxIvfAppend(spark, sf).count() // ensure family exists
+    def parts = Seq(centsKey, postKey, segKey)
+      .map(k => graft.SparkSpec.partListing(spark, k))
+    val before = parts
+    val got = LlmPipeline.idxIvfRetract(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(parts == before,
+      "retraction touched a committed artifact — a takedown must be a " +
+        "pure read-side predicate")
+    val appended = LlmPipeline.idxIvfAppend(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == appended.filterNot(_._1 % 13 == 5),
+      "retracted postings must equal the append output minus the slice")
+    assert(got.size < appended.size, "the slice must be non-empty")
+  }
+
+  test("idx_ivf_drift: boundary both ways — uniform delta serves, " +
+    "collapsed delta retrains, small-sample noise floor holds") {
+    import spark.implicits._
+    def postings(n: Int, cidOf: Int => Int, idBase: Long) =
+      (0 until n).map(i =>
+        (idBase + i, cidOf(i), 1000.0 + i % 7)).toDF("vec_id", "cid", "dist")
+    val base = postings(4000, _ % 8, 0L)
+    def decision(delta: org.apache.spark.sql.DataFrame) =
+      LlmPipeline.ivfDriftFrom(spark, base, delta).collect()
+        .find(_.getString(0) == "decision").get
+    // identical shares at large n: TV = 0, threshold floors at 0.1
+    val serve = decision(postings(2000, _ % 8, 100000L))
+    assert(serve.getString(8) == "serve" && serve.getLong(6) == 0L)
+    assert(serve.getLong(7) == 100000L,
+      s"large-n threshold must floor at 0.1: ${serve.getLong(7)}")
+    // a new content cluster: all delta mass on one cell → TV = 0.875
+    val retrain = decision(postings(2000, _ => 0, 200000L))
+    assert(retrain.getString(8) == "retrain" &&
+      retrain.getLong(6) == 875000L, s"collapsed delta: $retrain")
+    // small sample: threshold lifts to 0.75·√(8/50) = 0.3, so the
+    // multinomial noise of a 50-vector uniform delta cannot retrain
+    val small = decision(postings(50, _ % 8, 300000L))
+    assert(small.getLong(7) == 300000L &&
+      small.getString(8) == "serve", s"noise floor: $small")
+    assert(LlmPipeline.ivfDriftThresholdMicro(8L, 50L) == 300000L)
+  }
 }

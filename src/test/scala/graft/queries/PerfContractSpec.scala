@@ -289,6 +289,12 @@ class PerfContractSpec extends SparkSpec {
     // incremental IVF: cold 1.9 MB / 33 stages (train + both posting
     // commits), append-only and serve runs far inside
     Contract("idx_ivf_append", 6, 66),
+    // takedown: a pure predicate over the committed posting scans —
+    // warm is artifact reads + the final order, nothing retrains
+    Contract("idx_ivf_retract", 6, 66),
+    // quantizer drift monitor: two committed posting scans folding to
+    // 8 cells each — no embedding math on the warm path
+    Contract("idx_ivf_drift", 6, 70),
     // constraint audit: the uniqueness rule shuffles 8-byte keys with
     // map-side partial counts; every other rule folds in the one scan
     Contract("profile_checks", 4, 12),

@@ -902,23 +902,29 @@ object CorpusBuild {
     * + the slices' slim frames, and placement is recomputed over
     * id+count columns only (16-byte rows), the manifest cost any append
     * pays. */
-  private def incrReport(s: SparkSession, base: IncrBase,
+  private def incrReportFrames(s: SparkSession, normSlim0: DataFrame,
+      qSlim0: DataFrame, exactN0: DataFrame, nearN0: DataFrame,
       deltas: Seq[DeltaFrames]): DataFrame = {
-    val slim = (df: DataFrame) => df.select("doc_id", "n_raw", "n_norm")
-    val normAll = deltas.map(_.normSlim)
-      .foldLeft(slim(base.normB))(_ unionByName _)
     val qSlim = (df: DataFrame) => df.select("doc_id", "n_norm")
-    val qAll = deltas.map(_.qSlim)
-      .foldLeft(qSlim(base.qB))(_ unionByName _)
+    val normAll = deltas.map(_.normSlim).foldLeft(normSlim0)(_ unionByName _)
+    val qAll = deltas.map(_.qSlim).foldLeft(qSlim0)(_ unionByName _)
     val exactAllN = deltas.map(d => qSlim(d.survTxt))
-      .foldLeft(base.survNB: DataFrame)(_ unionByName _)
+      .foldLeft(exactN0)(_ unionByName _)
     val nearAllN = deltas
       .map(d => qSlim(d.survTxt.join(d.bad, Seq("doc_id"), "left_anti")))
-      .foldLeft(base.survNB.join(base.badB, Seq("doc_id"), "left_anti"))(
-        _ unionByName _)
+      .foldLeft(nearN0)(_ unionByName _)
     val asg = shardAsg(s, nearAllN)
     chainReport(normAll, qAll, exactAllN, nearAllN, asg)
   }
+
+  private def incrReport(s: SparkSession, base: IncrBase,
+      deltas: Seq[DeltaFrames]): DataFrame =
+    incrReportFrames(s,
+      base.normB.select("doc_id", "n_raw", "n_norm"),
+      base.qB.select("doc_id", "n_norm"),
+      base.survNB,
+      base.survNB.join(base.badB, Seq("doc_id"), "left_anti"),
+      deltas)
 
   /** The INCREMENTAL corpus build: the appended corpus's full chain
     * report (identical shape to corpus_build_e2e), computed by serving
@@ -969,8 +975,10 @@ object CorpusBuild {
     * are base-derived) plus the slice's own content fingerprint — a
     * different first append is a different segment, never an
     * overwrite. */
-  private[graft] def incr2Delta1Keys(s: SparkSession, d: String)
-      : Seq[String] = {
+  /** The (base, slice-1) family key: base fingerprint + first-append
+    * slice fingerprint + chain params — shared by the segment artifacts
+    * and their compaction. */
+  private def incr2FamilyKey(s: SparkSession, d: String): String = {
     val (cut1, cut2) = incr2Cuts(s, d)
     val docs = Tables.documents(s, d)
     val (nb, hb) = LlmPipeline.fingerprintCached(s,
@@ -980,10 +988,23 @@ object CorpusBuild {
       s"$d/documents.parquet", Seq("doc_id", "text"),
       tag = s"slice_${cut1}_$cut2")(
       docs.where(col("doc_id") >= cut1 && col("doc_id") < cut2))
-    val k = s"v1_b${nb}x${hb}_d${nd}x${hd}_q02_w3k64b32t08"
+    s"v1_b${nb}x${hb}_d${nd}x${hd}_q02_w3k64b32t08"
+  }
+
+  private[graft] def incr2Delta1Keys(s: SparkSession, d: String)
+      : Seq[String] = {
+    val k = incr2FamilyKey(s, d)
     Seq(s"chain_incr1_normslim_$k", s"chain_incr1_qslim_$k",
       s"chain_incr1_dig_$k", s"chain_incr1_survtxt_$k",
       s"chain_incr1_bands_$k", s"chain_incr1_bad_$k")
+  }
+
+  /** The compacted family's artifact names (corpus_build_compact). */
+  private[graft] def incr2CompactKeys(s: SparkSession, d: String)
+      : Seq[String] = {
+    val k = incr2FamilyKey(s, d)
+    Seq("normslim", "qslim", "dig", "txt", "bands", "survn", "bad",
+      "stop").map(t => s"chain_comp1_${t}_$k")
   }
 
   /** Append-1 as a COMMITTED event: run the delta pass for the first
@@ -1038,6 +1059,58 @@ object CorpusBuild {
           col("norm_text").as("text"))),
       base.bc)
     incrReport(s, base, Seq(d1, d2))
+  }
+
+  /** CHAIN COMPACTION (`corpus_build_compact`) — the other fold of the
+    * LSM story (the re-keyed-base alternative to stacking): base +
+    * segment-1 materialize as ONE committed family (slim counts,
+    * quality survivors, the DISTINCT digest list, the candidate text
+    * table, the band table, the survivor summary, the removal list,
+    * and a copy of the FROZEN stop set — compaction re-keys tables,
+    * never trained parameters), so the NEXT append probes one family
+    * instead of base ∪ N segments: the read-amplification collapse,
+    * at the price of one corpus-sized rewrite (what LSM compaction
+    * is). The delta-2 pass and report then run EXACTLY the incr2
+    * algebra against the compacted frames — result identical to the
+    * stacked entry, which is why the oracle is the same
+    * split-invariant frozen-stop rebuild. The spec removes the base
+    * family and the segment after compaction and the entry still
+    * serves: the read path provably collapsed. */
+  def corpusBuildCompact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sinks.ArtifactStore
+    val (cut1, cut2) = incr2Cuts(s, d)
+    val keys = incr2CompactKeys(s, d)
+    if (!keys.forall(ArtifactStore.exists(s, _))) {
+      val base = incrBase(s, d, cut1)
+      val d1 = incr2Delta1(s, d, base)
+      val qSlim = (df: DataFrame) => df.select("doc_id", "n_norm")
+      val folds = Seq(
+        base.normB.select("doc_id", "n_raw", "n_norm")
+          .unionByName(d1.normSlim),
+        qSlim(base.qB).unionByName(d1.qSlim),
+        base.exactB.select("digest")
+          .unionByName(d1.dig.select("digest")).distinct(),
+        base.normB.select(col("doc_id"), col("norm_text").as("text"))
+          .unionByName(d1.survTxt.select(col("doc_id"),
+            col("norm_text").as("text"))),
+        base.bandsB.unionByName(d1.bands),
+        base.survNB.unionByName(qSlim(d1.survTxt)),
+        base.badB.unionByName(d1.bad),
+        ArtifactStore.load(s, incrStageNamesAt(s, d, cut1)(2)))
+      folds.zip(keys).foreach { case (df, k) =>
+        if (!ArtifactStore.exists(s, k)) ArtifactStore.commit(df, k)
+      }
+    }
+    val Seq(normC, qC, digC, txtC, bandsC, survC, badC, stopC) =
+      keys.map(ArtifactStore.load(s, _))
+    val bc = s.sparkContext.broadcast(
+      stopC.select("h").as[Long].collect().toSet)
+    val d2 = deltaPass(s,
+      Tables.documents(s, d).where(col("doc_id") >= cut2),
+      digC, bandsC, txtC, bc)
+    incrReportFrames(s, normC, qC, survC,
+      survC.join(badC, Seq("doc_id"), "left_anti"), Seq(d2))
   }
 
   // ------------------------------------------------------------------
@@ -1467,6 +1540,7 @@ object CorpusBuild {
     "corpus_build_tokenized" -> (corpusBuildTokenized _),
     "corpus_build_incr" -> (corpusBuildIncr _),
     "corpus_build_incr2" -> (corpusBuildIncr2 _),
+    "corpus_build_compact" -> (corpusBuildCompact _),
     "corpus_build_retract" -> (corpusBuildRetract _),
     "corpus_stop_drift" -> (corpusStopDrift _)
   )
@@ -1476,6 +1550,7 @@ object CorpusBuild {
     "corpus_build_e2e" -> corpusBuildE2eSql,
     "corpus_build_incr" -> corpusBuildIncrSql,
     "corpus_build_incr2" -> corpusBuildIncr2Sql,
+    "corpus_build_compact" -> corpusBuildIncr2Sql,
     "corpus_build_retract" -> corpusBuildRetractSql,
     "corpus_stop_drift" -> corpusStopDriftSql,
     "corpus_lineage" -> corpusLineageSql,

@@ -138,4 +138,31 @@ class CorpusIncrSpec extends SparkSpec {
     assert(second == first, "served rerun must reproduce the report")
     assert(parts == afterAppend1, "rerun re-committed stack work")
   }
+
+  test("compaction folds base + segment-1 into ONE family: result " +
+    "identical to the stack, and the read path survives removing the " +
+    "pre-compaction artifacts") {
+    val s = spark
+    val (cut1, _) = CorpusBuild.incr2Cuts(s, sf)
+    val preKeys = CorpusBuild.incrStageNamesAt(s, sf, cut1) ++
+      CorpusBuild.incr2Delta1Keys(s, sf)
+    val compKeys = CorpusBuild.incr2CompactKeys(s, sf)
+    compKeys.foreach(ArtifactStore.remove(s, _))
+    val stacked = CorpusBuild.corpusBuildIncr2(s, sf).collect().toSeq
+    val first = CorpusBuild.corpusBuildCompact(s, sf).collect().toSeq
+    assert(first == stacked,
+      "compacted world must land exactly where the stacked one does")
+    assert(compKeys.forall(ArtifactStore.exists(s, _)),
+      "compaction must commit the folded family")
+    // the LSM collapse: with the compacted family committed, the next
+    // append needs NOTHING from before compaction — not the base
+    // stages, not the segment, not even the original stop artifact
+    // (the frozen set travels with the fold)
+    preKeys.foreach(ArtifactStore.remove(s, _))
+    val second = CorpusBuild.corpusBuildCompact(s, sf).collect().toSeq
+    assert(second == first, "post-compaction serve must reproduce")
+    assert(preKeys.forall(k => !ArtifactStore.exists(s, k)),
+      "post-compaction append rebuilt a pre-compaction artifact — the " +
+        "read path did not collapse to the folded family")
+  }
 }

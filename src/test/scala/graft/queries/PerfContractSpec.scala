@@ -277,6 +277,10 @@ class PerfContractSpec extends SparkSpec {
     // AND segment-1 from artifacts, leaving only the second delta's
     // slice-sized exchanges
     Contract("corpus_build_incr2", 35, 170),
+    // compacted world: warm serves the ONE folded family, so only the
+    // second delta's slice-sized exchanges run; budget admits the cold
+    // fold (a deliberate corpus-sized rewrite — what LSM compaction is)
+    Contract("corpus_build_compact", 35, 170),
     // stop-drift trigger: two (shingle, count) exchanges with map-side
     // combine — counts, never docs; budget admits a cold base-stage
     // build (shared keys with corpus_build_incr's base)

@@ -299,6 +299,10 @@ class PerfContractSpec extends SparkSpec {
     // quantizer drift monitor: two committed posting scans folding to
     // 8 cells each — no embedding math on the warm path
     Contract("idx_ivf_drift", 6, 70),
+    // tokenizer drift monitor: the base profile is a committed
+    // vocabulary-sized summary; warm = one delta text pass + bigram
+    // count exchanges
+    Contract("tok_bpe_drift", 8, 40),
     // constraint audit: the uniqueness rule shuffles 8-byte keys with
     // map-side partial counts; every other rule folds in the one scan
     Contract("profile_checks", 4, 12),

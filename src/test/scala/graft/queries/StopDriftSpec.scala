@@ -90,4 +90,38 @@ class StopDriftSpec extends SparkSpec {
     assert(past._6 == "retrain" && past._5 == 150000L,
       s"one-doc profile step must cross the named threshold: $past")
   }
+
+  // ---- tok_bpe_drift: the tokenizer trained-parameter monitor ----
+
+  private def bpeRows(base: Seq[(String, Long)], delta: Seq[String]) = {
+    import spark.implicits._
+    LlmPipeline.tokBpeDriftFrom(spark,
+        base.toDF("pair", "c_base"), delta.toDF("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(6)))
+  }
+
+  private val bpeBase =
+    Seq(("ab", 400L), ("bc", 300L), ("cd", 200L), ("de", 100L))
+
+  test("tok_bpe_drift: proportional delta profile decides 'serve' at " +
+    "zero TV and zero flips") {
+    val delta = Seq.fill(40)("ab") ++ Seq.fill(30)("bc") ++
+      Seq.fill(20)("cd") ++ Seq.fill(10)("de")
+    val out = bpeRows(bpeBase, delta)
+    val dec = out.find(_._1 == "decision").get
+    assert(dec._6 == "serve" && dec._5 == 0L, s"$dec")
+    assert(out.filter(_._1 == "pair").forall(_._6 == "both"))
+  }
+
+  test("tok_bpe_drift: a replaced bigram head decides 'retrain' with " +
+    "the full mass displaced (TV = 1.0)") {
+    val delta = Seq.fill(50)("xy") ++ Seq.fill(50)("yz")
+    val out = bpeRows(bpeBase, delta)
+    val dec = out.find(_._1 == "decision").get
+    assert(dec._6 == "retrain" && dec._5 == 1000000L, s"$dec")
+    val tags = out.filter(_._1 == "pair").map(p => p._2 -> p._6).toMap
+    assert(Seq("ab", "bc", "cd", "de").forall(tags(_) == "frozen_only"))
+    assert(Seq("xy", "yz").forall(tags(_) == "mined_only"))
+  }
 }

@@ -397,11 +397,18 @@ object Flac extends Serializable {
       pos += len // decoder skips non-STREAMINFO metadata, per spec
     }
     if (!sawStreaminfo) return None
-    val outSamples = new Array[Int](
-      if (totalSamples > Int.MaxValue) return None else totalSamples.toInt)
+    // STREAMINFO's 36-bit total is UNTRUSTED input: allocating it
+    // upfront lets a single flipped header byte demand a multi-GB
+    // array (found by the byte-flip fuzz as a heap-pressure OOM).
+    // Capacity-guard the claim and grow the buffer with what the
+    // frames ACTUALLY decode — a lying header then fails the
+    // got != claimed check at the end having allocated nothing.
+    if (totalSamples > (1L << 26)) return None // decoder capacity
+    val claimed = totalSamples.toInt
+    var outSamples = new Array[Int](math.min(claimed, 1 << 16))
     var got = 0
     var nFrames = 0
-    while (pos < bytes.length && got < outSamples.length) {
+    while (pos < bytes.length && got < claimed) {
       val frameStart = pos
       // ---- frame header
       if ((bytes(pos) & 0xFF) != 0xFF || (bytes(pos + 1) & 0xFC) != 0xF8)
@@ -439,7 +446,7 @@ object Flac extends Serializable {
       val declared = crc8(bytes, frameStart, pos)
       if ((bytes(pos) & 0xFF) != declared) return None
       pos += 1
-      blockLen = math.min(blockLen, outSamples.length - got)
+      blockLen = math.min(blockLen, claimed - got)
       // ---- one mono subframe
       val r = new BitReader(bytes, pos)
       if (r.readBits(1) != 0L) return None
@@ -498,11 +505,16 @@ object Flac extends Serializable {
       val declared16 = (((bytes(pos) & 0xFF) << 8) | (bytes(pos + 1) & 0xFF))
       if (crc16(bytes, frameStart, pos) != declared16) return None
       pos += 2
+      if (got + blockLen > outSamples.length)
+        outSamples = java.util.Arrays.copyOf(outSamples, math.min(claimed,
+          math.max(outSamples.length * 2, got + blockLen)))
       System.arraycopy(block, 0, outSamples, got, blockLen)
       got += blockLen
       nFrames += 1
     }
-    if (got != outSamples.length) return None
+    if (got != claimed) return None
+    if (outSamples.length != claimed)
+      outSamples = java.util.Arrays.copyOf(outSamples, claimed)
     val md5Ok = java.util.Arrays.equals(sampleMd5(outSamples), md5)
     val rate = if (streamRate > 0) streamRate else return None
     if (!md5Ok) None

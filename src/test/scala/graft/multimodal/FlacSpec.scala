@@ -28,6 +28,18 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("a lying STREAMINFO total-samples field is rejected by the " +
+    "capacity guard without allocating (fuzz-found heap-pressure OOM)") {
+    val samples = Array.tabulate(600)(i => Multimodal.flacSample(i.toLong, 7L))
+    val good = Flac.encode(samples, 256, useLpc = false)
+    // the 36-bit total starts at bit 108 of STREAMINFO data (byte 21's
+    // low nibble): raising its high bits claims ~2^36 samples — an
+    // upfront allocation of that claim is a 256 GB array
+    val bad = good.clone()
+    bad(21) = (bad(21) | 0x0F).toByte
+    assert(Flac.decode(bad).isEmpty)
+  }
+
   test("round-trip: noise (rice-heavy), constants (CONSTANT subframe), edges") {
     val rnd = Array.tabulate(1024) { i =>
       (((i * 2654435761L + 99L) % 65536L) - 32768L).toInt // full 16-bit swing

@@ -29,6 +29,16 @@ package graft.multimodal
   */
 object Flac extends Serializable {
 
+  /** Decoder capacity limit, in samples (~25 min of 44.1 kHz mono).
+    * STREAMINFO's 36-bit total-samples claim is UNTRUSTED input — it
+    * sizes an upfront allocation, so a single flipped header byte could
+    * demand a multi-GB array (found by the byte-flip fuzz). Streams
+    * claiming more than this are rejected as "too large for this
+    * decoder", a DOCUMENTED limit distinct from corruption: a caller
+    * that must distinguish the two can compare the claim against this
+    * constant before calling [[decode]]. */
+  val MaxDecodedSamples: Long = 1L << 26
+
   // ------------------------------------------------------------ bit I/O
 
   private final class BitWriter {
@@ -356,7 +366,9 @@ object Flac extends Serializable {
     * FIXED 0–4 / LPC subframes, all block-size and 8 kHz-relevant
     * sample-rate codes, both Rice methods + raw escape, any partition
     * order). Verifies every frame's CRC-8 and CRC-16 and the stream
-    * MD5; None on any structural or integrity failure. */
+    * MD5; None on any structural or integrity failure. Also None for
+    * streams whose STREAMINFO claims more than [[MaxDecodedSamples]]
+    * samples — an explicit capacity limit, not a corruption verdict. */
   def decode(bytes: Array[Byte]): Option[FlacDecoded] =
     try decodeInner(bytes)
     catch {
@@ -403,7 +415,7 @@ object Flac extends Serializable {
     // Capacity-guard the claim and grow the buffer with what the
     // frames ACTUALLY decode — a lying header then fails the
     // got != claimed check at the end having allocated nothing.
-    if (totalSamples > (1L << 26)) return None // decoder capacity
+    if (totalSamples > MaxDecodedSamples) return None // documented cap
     val claimed = totalSamples.toInt
     var outSamples = new Array[Int](math.min(claimed, 1 << 16))
     var got = 0

@@ -1161,27 +1161,27 @@ object CorpusBuild {
     val touched = base.exactB
       .where(rm(col("doc_id")) && col("doc_id") === col("keep_id"))
       .select("digest")
-    val newKeepers = base.exactB
+    val newKeepers = graft.util.Pins.pinSmall(base.exactB
       .join(touched, Seq("digest"), "left_semi")
       .where(keep(col("doc_id")))
       .withColumn("keep2",
         min(col("doc_id")).over(Window.partitionBy("digest")))
       .where(col("doc_id") === col("keep2"))
-      .select("doc_id")
-      .localCheckpoint(true) // consumers: n_norm attach, sigs, texts
+      .select("doc_id"),
+      "retract newKeepers (R-bounded); consumers: n_norm, sigs, texts")
     val exactAllN = base.survNB.where(keep(col("doc_id")))
       .unionByName(base.qB.select("doc_id", "n_norm")
         .join(newKeepers, Seq("doc_id"), "left_semi"))
     val stillBad = base.pairsB.where(keep(col("a")))
       .select(col("b").as("doc_id"))
-    val nkTxt = base.normB
+    val nkTxt = graft.util.Pins.pinSmall(base.normB
       .select(col("doc_id"), col("norm_text"))
-      .join(newKeepers, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    val bandsN = graft.dedup.Dedup.bandedKeys(
+      .join(newKeepers, Seq("doc_id"), "left_semi"),
+      "retract new-keeper texts (R-bounded)")
+    val bandsN = graft.util.Pins.pinSmall(graft.dedup.Dedup.bandedKeys(
       graft.dedup.Dedup.stopFilteredSigs(
-        nkTxt.as[(Long, String)], base.bc, 3, 64), 32, 2)
-      .localCheckpoint(true) // 3 consumers: Bloom agg + both join sides
+        nkTxt.as[(Long, String)], base.bc, 3, 64), 32, 2),
+      "retract new-keeper bands (32·R); Bloom agg + both join sides")
     val nBandsN = newKeepers.count() * 32
     // same memory-derived ceiling as the delta pass (32 MB/task)
     val bandBits = math.min(1L << 28, math.max(1024L, nBandsN) * 16)
@@ -1403,13 +1403,29 @@ object CorpusBuild {
     * plus two vocabulary-sized exchanges — measured 57.4s → the
     * committed-profile shape at the 1000× tier, where re-deriving the
     * base side re-exchanged 2.6 GB of corpus text per run). */
+  /** The degenerate-side decision row (round-15 ADVICE): with nD = 0
+    * the TV terms divide by zero, where the engines DISAGREE — Spark's
+    * Inf/NaN→BIGINT cast yields 0/null while DuckDB errors — so the
+    * empty cases short-circuit to one explicit decision row BEFORE any
+    * division. An empty delta carries no drift evidence → serve (the
+    * trained parameter stays valid by default); an empty base profile
+    * means there is no trained parameter behind the monitor → retrain. */
+  private def stopDriftDegenerate(s: SparkSession, nB: Long, nD: Long)
+      : DataFrame =
+    s.range(1).select(lit("decision").as("kind"),
+      lit("__total__").as("shingle"), lit(nB).as("df_base"),
+      lit(nD).as("df_delta"), lit(0L).as("drift_micro"),
+      lit(StopDriftTvMicro).as("threshold_micro"),
+      lit(if (nB == 0L && nD > 0L) "retrain" else "serve").as("decision"))
+
   private[graft] def stopDriftFromDf(s: SparkSession, dfBase: DataFrame,
       nB: Long, deltaTxt: DataFrame): DataFrame = {
     val nD = deltaTxt.count()
+    if (nD == 0L || nB == 0L) return stopDriftDegenerate(s, nB, nD)
     val joined = dfBase
       .join(shingleDf(deltaTxt, "df_delta"), Seq("g"), "full_outer")
       .na.fill(0L, Seq("df_base", "df_delta"))
-    val scored = joined
+    val scored = graft.util.Pins.pinSmall(joined
       .where(col("df_base") > lit(nB / 2) ||
         col("df_delta") > lit(nD / 2))
       .select(col("g"), col("df_base"), col("df_delta"),
@@ -1419,8 +1435,8 @@ object CorpusBuild {
         when(col("df_base") > lit(nB / 2) &&
             col("df_delta") > lit(nD / 2), "both")
           .when(col("df_base") > lit(nB / 2), "frozen_only")
-          .otherwise("mined_only").as("membership"))
-      .localCheckpoint(true) // consumers: the rows + the total
+          .otherwise("mined_only").as("membership")),
+      "stop-drift scored shingles (stop-restricted); rows + total")
     val shingleRows = scored.select(lit("shingle").as("kind"),
       col("g").as("shingle"), col("df_base"), col("df_delta"),
       col("drift_micro"), lit(null).cast("long").as("threshold_micro"),

@@ -253,5 +253,31 @@ class IndexArtifactSpec extends SparkSpec {
     assert(small.getLong(7) == 300000L &&
       small.getString(8) == "serve", s"noise floor: $small")
     assert(LlmPipeline.ivfDriftThresholdMicro(8L, 50L) == 300000L)
+    // degenerate sides (r15 ADVICE): no division runs — empty delta
+    // short-circuits to one 'serve' decision row, empty base retrains
+    val empty = Seq.empty[(Long, Int, Double)].toDF("vec_id", "cid", "dist")
+    val ed = LlmPipeline.ivfDriftFrom(spark, base, empty).collect()
+    assert(ed.length == 1 && ed.head.getString(0) == "decision" &&
+      ed.head.getString(8) == "serve" && ed.head.getLong(6) == 0L,
+      s"empty delta: ${ed.toSeq}")
+    val eb = LlmPipeline.ivfDriftFrom(spark, empty,
+      postings(50, _ % 8, 400000L)).collect()
+    assert(eb.length == 1 && eb.head.getString(8) == "retrain",
+      s"empty base postings must retrain: ${eb.toSeq}")
+  }
+
+  test("foldPostings prefers the newest segment deterministically when " +
+    "the immutability contract is violated (last-writer-wins)") {
+    import spark.implicits._
+    val base = Seq((1L, 0, 10.0), (2L, 1, 20.0)).toDF("vec_id", "cid", "dist")
+    // a stale segment and its same-size rewrite disagree on vec_id 2
+    val stale = Seq((2L, 1, 20.0), (3L, 2, 30.0)).toDF("vec_id", "cid", "dist")
+    val rewrite = Seq((2L, 5, 99.0), (3L, 2, 30.0)).toDF("vec_id", "cid", "dist")
+    val folded = LlmPipeline.foldPostings(base, Seq(stale, rewrite))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(folded(2L) == ((5, 99.0)),
+      "the LAST listed segment must win for a rewritten vec_id")
+    assert(folded(1L) == ((0, 10.0)) && folded(3L) == ((2, 30.0)))
   }
 }

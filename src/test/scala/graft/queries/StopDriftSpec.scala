@@ -124,4 +124,32 @@ class StopDriftSpec extends SparkSpec {
     assert(Seq("ab", "bc", "cd", "de").forall(tags(_) == "frozen_only"))
     assert(Seq("xy", "yz").forall(tags(_) == "mined_only"))
   }
+
+  // ---- degenerate sides (round-15 ADVICE): no division ever runs ----
+
+  test("stop drift: empty delta short-circuits to one 'serve' decision " +
+    "row; empty base profile under a non-empty delta retrains") {
+    import spark.implicits._
+    val base = side("b", 10, i => s"$P b${i}1 b${i}2 b${i}3")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "norm_text")
+    val ed = CorpusBuild.stopDriftFrom(spark, base, empty).collect()
+    assert(ed.length == 1 && ed.head.getString(0) == "decision" &&
+      ed.head.getString(6) == "serve" && ed.head.getLong(4) == 0L &&
+      ed.head.getLong(3) == 0L, s"empty delta: ${ed.toSeq}")
+    val eb = CorpusBuild.stopDriftFrom(spark, empty,
+      side("d", 5, i => s"$P d${i}1")).collect()
+    assert(eb.length == 1 && eb.head.getString(6) == "retrain",
+      s"empty base profile must retrain: ${eb.toSeq}")
+    val both = CorpusBuild.stopDriftFrom(spark, empty, empty).collect()
+    assert(both.length == 1 && both.head.getString(6) == "serve")
+  }
+
+  test("tok_bpe_drift: empty delta short-circuits to 'serve'; empty " +
+    "base profile under a non-empty delta retrains") {
+    val ed = bpeRows(bpeBase, Seq.empty[String])
+    assert(ed.length == 1 && ed.head._1 == "decision" &&
+      ed.head._6 == "serve" && ed.head._5 == 0L, s"${ed.toSeq}")
+    val eb = bpeRows(Seq.empty[(String, Long)], Seq.fill(10)("xy"))
+    assert(eb.length == 1 && eb.head._6 == "retrain", s"${eb.toSeq}")
+  }
 }

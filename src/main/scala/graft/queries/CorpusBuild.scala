@@ -794,8 +794,13 @@ object CorpusBuild {
     * decision would sign, but runs BEFORE any signing). */
   private def deltaExactSurv(s: SparkSession, slice: DataFrame,
       priorDigests: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    deltaExactSurvNorm(s, normFrame(s, slice).localCheckpoint(true),
+      priorDigests)
+
+  private def deltaExactSurvNorm(s: SparkSession, normD: DataFrame,
+      priorDigests: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val normD = normFrame(s, slice).localCheckpoint(true)
     val qD = withQuality(normD).where(col("quality") >= lit(QualityMin))
     val digD = qD.select(col("doc_id"), digestCol.as("digest"))
       .localCheckpoint(true) // consumers: hit probe, anti join, commit
@@ -845,9 +850,21 @@ object CorpusBuild {
       priorDigests: DataFrame, priorBands: DataFrame,
       priorTexts: DataFrame,
       bc: org.apache.spark.broadcast.Broadcast[Set[Long]])
+      : DeltaFrames =
+    deltaPassNorm(s, normFrame(s, slice).localCheckpoint(true),
+      priorDigests, priorBands, priorTexts, bc)
+
+  /** The delta pass from a PRE-NORMALIZED slice frame — exposed so the
+    * composition specs can drive synthetic norm fixtures through the
+    * exact production algebra (CorpusRetractSpec's retract-then-append
+    * stale-probe case, CorpusIncrSpec's N-segment fold). */
+  private[graft] def deltaPassNorm(s: SparkSession, normD: DataFrame,
+      priorDigests: DataFrame, priorBands: DataFrame,
+      priorTexts: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Set[Long]])
       : DeltaFrames = {
     import s.implicits._
-    val (normD, qD, digD, survDTxt) = deltaExactSurv(s, slice,
+    val (_, qD, digD, survDTxt) = deltaExactSurvNorm(s, normD,
       priorDigests)
     val bandsD = graft.dedup.Dedup.bandedKeys(
       graft.dedup.Dedup.stopFilteredSigs(
@@ -1076,6 +1093,35 @@ object CorpusBuild {
     * split-invariant frozen-stop rebuild. The spec removes the base
     * family and the segment after compaction and the entry still
     * serves: the read path provably collapsed. */
+  /** The compaction fold over base + N committed segments — the 8
+    * tables of the compacted family, in `incr2CompactKeys` order. Pure
+    * unions (plus one digest distinct): compaction re-keys tables,
+    * never recomputes, so folding N segments is the same algebra as
+    * folding one — CorpusCompactSpec pins a 2-segment fold against the
+    * split-invariant rebuild. The LSM read-path contract holds at any
+    * N: post-fold, serving probes ONE family. */
+  private[graft] def compactFolds(s: SparkSession, base: IncrBase,
+      stopDf: DataFrame, deltas: Seq[DeltaFrames]): Seq[DataFrame] = {
+    val qSlim = (df: DataFrame) => df.select("doc_id", "n_norm")
+    Seq(
+      deltas.map(_.normSlim)
+        .foldLeft(base.normB.select("doc_id", "n_raw", "n_norm"))(
+          _ unionByName _),
+      deltas.map(_.qSlim).foldLeft(qSlim(base.qB))(_ unionByName _),
+      deltas.map(_.dig.select("digest"))
+        .foldLeft(base.exactB.select("digest"))(_ unionByName _)
+        .distinct(),
+      deltas.map(d => d.survTxt.select(col("doc_id"),
+          col("norm_text").as("text")))
+        .foldLeft(base.normB.select(col("doc_id"),
+          col("norm_text").as("text")))(_ unionByName _),
+      deltas.map(_.bands).foldLeft(base.bandsB)(_ unionByName _),
+      deltas.map(d => qSlim(d.survTxt)).foldLeft(base.survNB)(
+        _ unionByName _),
+      deltas.map(_.bad).foldLeft(base.badB)(_ unionByName _),
+      stopDf)
+  }
+
   def corpusBuildCompact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.sinks.ArtifactStore
@@ -1084,20 +1130,8 @@ object CorpusBuild {
     if (!keys.forall(ArtifactStore.exists(s, _))) {
       val base = incrBase(s, d, cut1)
       val d1 = incr2Delta1(s, d, base)
-      val qSlim = (df: DataFrame) => df.select("doc_id", "n_norm")
-      val folds = Seq(
-        base.normB.select("doc_id", "n_raw", "n_norm")
-          .unionByName(d1.normSlim),
-        qSlim(base.qB).unionByName(d1.qSlim),
-        base.exactB.select("digest")
-          .unionByName(d1.dig.select("digest")).distinct(),
-        base.normB.select(col("doc_id"), col("norm_text").as("text"))
-          .unionByName(d1.survTxt.select(col("doc_id"),
-            col("norm_text").as("text"))),
-        base.bandsB.unionByName(d1.bands),
-        base.survNB.unionByName(qSlim(d1.survTxt)),
-        base.badB.unionByName(d1.bad),
-        ArtifactStore.load(s, incrStageNamesAt(s, d, cut1)(2)))
+      val folds = compactFolds(s, base,
+        ArtifactStore.load(s, incrStageNamesAt(s, d, cut1)(2)), Seq(d1))
       folds.zip(keys).foreach { case (df, k) =>
         if (!ArtifactStore.exists(s, k)) ArtifactStore.commit(df, k)
       }
@@ -1126,6 +1160,21 @@ object CorpusBuild {
   private val RetractPredSql = "doc_id % 13 = 5"
   private def retractPred(c: Column): Column = c % 13 === 5
 
+  /** Everything the post-takedown world exposes to LATER lifecycle
+    * events: the report frames (the retract entry's output), plus the
+    * probe surfaces a subsequent APPEND needs — the alive digest list
+    * (a removed singleton's digest must stop suppressing new content),
+    * the alive band table (old survivor bands minus the slice, plus
+    * the re-elected keepers' bands — both can remove a delta doc), the
+    * text table covering every banded id, and the composed removal
+    * list. This is what lets retract-then-append run the UNCHANGED
+    * deltaPass algebra against the takedown's survivor state. */
+  private[graft] final case class RetractState(
+      normA: DataFrame, qA: DataFrame,
+      exactAllN: DataFrame, nearAllN: DataFrame,
+      aliveDigests: DataFrame, aliveBands: DataFrame,
+      aliveTexts: DataFrame, badAll: DataFrame)
+
   /** Survivor re-election over a committed build after removing the
     * docs matching `rm` — the production takedown path (GDPR/DMCA):
     * the corpus-sized stages only SCAN (predicate filters), and every
@@ -1152,6 +1201,12 @@ object CorpusBuild {
   private[graft] def retractFrames(s: SparkSession, base: IncrBase,
       rm: Column => Column)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val st = retractState(s, base, rm)
+    (st.normA, st.qA, st.exactAllN, st.nearAllN)
+  }
+
+  private[graft] def retractState(s: SparkSession, base: IncrBase,
+      rm: Column => Column): RetractState = {
     import s.implicits._
     val keep = (c: Column) => !rm(c)
     val normA = base.normB.where(keep(col("doc_id")))
@@ -1210,7 +1265,14 @@ object CorpusBuild {
       .select(col("b").as("doc_id"))
     val badAll = stillBad.unionByName(newBad).distinct()
     val nearAllN = exactAllN.join(badAll, Seq("doc_id"), "left_anti")
-    (normA, qA, exactAllN, nearAllN)
+    RetractState(normA, qA, exactAllN, nearAllN,
+      aliveDigests = base.exactB.where(keep(col("doc_id")))
+        .select("digest"),
+      aliveBands = base.bandsB.where(keep(col("doc_id")))
+        .unionByName(bandsN),
+      aliveTexts = base.normB.where(keep(col("doc_id")))
+        .select(col("doc_id"), col("norm_text").as("text")),
+      badAll = badAll)
   }
 
   /** CHAIN RETRACTION (`corpus_build_retract`): the takedown twin of
@@ -1235,9 +1297,13 @@ object CorpusBuild {
     * (`sdf`), then the REDUCED chain (documents minus the retraction
     * slice) re-runs exact + near dedup + pack under that stop set. CTE
     * bodies mirror `chainCtes` (same engine-identical expressions);
-    * only the branching differs, so `reportSql` composes unchanged. */
-  private def chainCtesRetract(rmPred: String): String =
-    s"""${LlmPipeline.htmlBlockChainSqlShared},
+    * only the branching differs, so `reportSql` composes unchanged.
+    * `stopScope` restricts the param-mining branch's exact-survivor
+    * window (retract-then-append freezes the stop set to the BASE
+    * slice); `extraCtes` supplies the cut. */
+  private def chainCtesRetract(rmPred: String, stopScope: String = "",
+      extraCtes: String = ""): String =
+    s"""${LlmPipeline.htmlBlockChainSqlShared},$extraCtes
        |ex AS (
        |  SELECT doc_id,
        |    coalesce(string_agg(btext, chr(10) ORDER BY ord)
@@ -1271,7 +1337,7 @@ object CorpusBuild {
        |    SELECT *, min(doc_id) OVER (PARTITION BY
        |      array_to_string(list_sort(list_distinct(
        |        string_split_regex(norm_text, '\\s+'))), ' ')) AS keep_id
-       |    FROM qsf)
+       |    FROM qsf$stopScope)
        |  WHERE doc_id = keep_id),
        |shnf AS (
        |  SELECT doc_id,
@@ -1342,6 +1408,149 @@ object CorpusBuild {
 
   val corpusBuildRetractSql: String =
     reportSql(chainCtesRetract(RetractPredSql))
+
+  // ------------------------------------------------------------------
+  // corpus_build_retract_incr — COMPOSED lifecycle: takedown, THEN an
+  // append against the post-takedown survivor state (round-16 ask #2)
+  // ------------------------------------------------------------------
+
+  /** Retract-then-append: the committed BASE build (90% cut) takes a
+    * takedown of every 13th doc, survivors re-elect per retractState,
+    * and THEN the append slice arrives — its delta pass must probe the
+    * POST-TAKEDOWN surfaces, not the stale committed ones:
+    *
+    *  - digests: a removed SINGLETON keeper's digest must stop
+    *    suppressing a delta doc with the same content (probing the
+    *    stale committed digest list would wrongly drop it — the spec
+    *    pins a synthetic case where exactly that happens);
+    *  - bands: removed survivors' bands leave the probe set, and the
+    *    RE-ELECTED keepers' bands enter it (a new keeper can remove a
+    *    delta near-dup the old keeper never matched);
+    *  - removals: the takedown's composed list (lapsed pairs re-elect,
+    *    resurrections included) seeds the survivor set the append
+    *    extends.
+    *
+    * Both trained-parameter conventions hold at once: the takedown
+    * serves the frozen stop set, and the append signs under the SAME
+    * frozen set — one parameter epoch across the composed events.
+    * Oracle: two-branch replay — the BASE slice mines the stop set,
+    * then the reduced-plus-appended corpus ((base − slice) ∪ delta)
+    * rebuilds under it. All append exchanges stay delta-/candidate-
+    * sized; the takedown's stay R-sized: composition adds no new
+    * corpus-sized exchange. */
+  def corpusBuildRetractIncr(s: SparkSession, d: String): DataFrame = {
+    val cut = incrCut(s, d)
+    val base = incrBase(s, d, cut)
+    val st = retractState(s, base, retractPred)
+    val delta = deltaPass(s,
+      Tables.documents(s, d).where(col("doc_id") >= cut),
+      st.aliveDigests, st.aliveBands, st.aliveTexts, base.bc)
+    incrReportFrames(s, st.normA, st.qA, st.exactAllN, st.nearAllN,
+      Seq(delta))
+  }
+
+  val corpusBuildRetractIncrSql: String = reportSql(chainCtesRetract(
+    s"$RetractPredSql AND doc_id < (SELECT c FROM cutv)",
+    " WHERE doc_id < (SELECT c FROM cutv)",
+    "\ncutv AS (SELECT ((max(doc_id) + 1) * 9) // 10 AS c" +
+      " FROM documents),"))
+
+  // ------------------------------------------------------------------
+  // corpus_retrain — retrain ACTUATION: the event a 'retrain' decision
+  // from corpus_stop_drift dispatches (round-16 ask #1). Closes the
+  // control loop the monitors opened.
+  // ------------------------------------------------------------------
+
+  /** RETRAIN = COMPACTION THAT ALSO REFOLDS THE TRAINED PARAMETER.
+    * When the drift monitor says the frozen stop set no longer models
+    * the corpus, the retrain event promotes base + appends into the
+    * FULL-corpus family (`incrStageNamesAt` at a cut above every id —
+    * the same keys `corpus_build_retract`'s base serves, so the whole
+    * lifecycle continues from the refreshed family):
+    *
+    *  - the stop-INDEPENDENT stages are never recomputed: the new
+    *    family's normalize table is base ∪ delta-normalize (the
+    *    extraction/normalize pass over the base corpus — the chain's
+    *    most expensive stage — is SERVED, not re-paid), and its digest
+    *    table extends the committed one with the delta's rows, keepers
+    *    resolved by a digest-keyed lookup against the committed
+    *    keepers (append ids are larger, so committed keepers stand);
+    *  - the stop-DEPENDENT stages retrain: the stop set re-mines over
+    *    the union survivors (the one thing compaction deliberately
+    *    never touched), and every survivor re-signs under it — new
+    *    bands, re-verified pairs. This corpus-wide re-sign IS the
+    *    retrain cost; there is no incremental shortcut, because a
+    *    changed stop set changes every signature (exactly why appends
+    *    freeze it and only a triggered retrain pays this).
+    *
+    * The serve path reads ONLY the refreshed family — once it exists,
+    * neither the 90% base family nor any append segment is consulted
+    * (the spec removes the stale near-stage artifacts post-retrain and
+    * the entry still serves). Oracle: the full monolithic rebuild with
+    * the stop set mined over EVERYTHING — the refreshed-parameter
+    * semantics, which is corpus_build_e2e's own replay: retrain ends
+    * exactly where a from-scratch build of the grown corpus ends,
+    * without re-running its extract/normalize/digest stages. */
+  def corpusRetrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sinks.ArtifactStore
+    val mx = LlmPipeline.maxIdCached(s, s"$d/documents.parquet",
+      "doc_id")(Tables.documents(s, d)) + 1
+    val keys = incrStageNamesAt(s, d, mx)
+    val Seq(normKey, exactKey, stopKey, bandKey, pairsKey, survKey) = keys
+    if (!keys.forall(ArtifactStore.exists(s, _))) {
+      val cut = incrCut(s, d)
+      val base = incrBase(s, d, cut)
+      val (normD, _, digD, survDTxt) = deltaExactSurv(s,
+        Tables.documents(s, d).where(col("doc_id") >= cut),
+        base.exactB.select("digest"))
+      // stop-independent folds: rows identical to a from-scratch build
+      // of the full family (RetrainSpec pins the equality)
+      if (!ArtifactStore.exists(s, normKey))
+        ArtifactStore.commit(base.normB.unionByName(normD), normKey)
+      val bKeep = base.exactB.select(col("digest"),
+        col("keep_id").as("bkeep")).distinct()
+      val exactD = digD
+        .join(bKeep, Seq("digest"), "left")
+        .withColumn("dmin",
+          min(col("doc_id")).over(Window.partitionBy("digest")))
+        .select(col("doc_id"), col("digest"),
+          coalesce(col("bkeep"), col("dmin")).as("keep_id"))
+      if (!ArtifactStore.exists(s, exactKey))
+        ArtifactStore.commit(base.exactB.unionByName(exactD), exactKey)
+      // the retrained parameter + its dependents, over union survivors
+      val survTxtFull = base.normB
+        .join(base.survNB.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("norm_text"))
+        .unionByName(survDTxt.select("doc_id", "norm_text"))
+      val nFull = base.survNB.count() + survDTxt.count()
+      val stopDf = ArtifactStore.getOrBuild(s, stopKey)(
+        graft.dedup.Dedup.stopShinglesDf(
+          survTxtFull.as[(Long, String)], 3, nFull))
+      val bcF = s.sparkContext.broadcast(
+        stopDf.select("h").as[Long].collect().toSet)
+      val bandsF = ArtifactStore.getOrBuild(s, bandKey)(
+        graft.dedup.Dedup.bandedKeys(graft.dedup.Dedup.stopFilteredSigs(
+          survTxtFull.as[(Long, String)], bcF, 3, 64), 32, 2))
+      if (!ArtifactStore.exists(s, pairsKey)) {
+        val l = bandsF.select(col("doc_id").as("a"), col("band"),
+          col("key"))
+        val r = bandsF.select(col("doc_id").as("b"), col("band"),
+          col("key"))
+        val candF = l.join(r, Seq("band", "key"))
+          .where(col("a") < col("b")).select("a", "b").distinct()
+        ArtifactStore.commit(graft.dedup.Dedup.verifyStopFiltered(candF,
+            survTxtFull.select(col("doc_id"),
+              col("norm_text").as("text")), bcF, 3, 0.8)
+          .select("a", "b"), pairsKey)
+      }
+      if (!ArtifactStore.exists(s, survKey))
+        ArtifactStore.commit(base.survNB
+          .unionByName(survDTxt.select("doc_id", "n_norm")), survKey)
+    }
+    // serve: the refreshed family alone (getOrBuild loads committed)
+    incrReport(s, incrBase(s, d, mx), Seq.empty)
+  }
 
   // ------------------------------------------------------------------
   // corpus_stop_drift — retrain-vs-serve trigger for the frozen stop
@@ -1558,6 +1767,8 @@ object CorpusBuild {
     "corpus_build_incr2" -> (corpusBuildIncr2 _),
     "corpus_build_compact" -> (corpusBuildCompact _),
     "corpus_build_retract" -> (corpusBuildRetract _),
+    "corpus_build_retract_incr" -> (corpusBuildRetractIncr _),
+    "corpus_retrain" -> (corpusRetrain _),
     "corpus_stop_drift" -> (corpusStopDrift _)
   )
 
@@ -1568,6 +1779,10 @@ object CorpusBuild {
     "corpus_build_incr2" -> corpusBuildIncr2Sql,
     "corpus_build_compact" -> corpusBuildIncr2Sql,
     "corpus_build_retract" -> corpusBuildRetractSql,
+    "corpus_build_retract_incr" -> corpusBuildRetractIncrSql,
+    // retrain ends exactly where a from-scratch build of the grown
+    // corpus ends: the refreshed-parameter replay IS the monolith's
+    "corpus_retrain" -> corpusBuildE2eSql,
     "corpus_stop_drift" -> corpusStopDriftSql,
     "corpus_lineage" -> corpusLineageSql,
     "corpus_build_tokenized" -> corpusBuildTokenizedSql

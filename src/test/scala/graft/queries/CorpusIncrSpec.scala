@@ -165,4 +165,38 @@ class CorpusIncrSpec extends SparkSpec {
       "post-compaction append rebuilt a pre-compaction artifact — the " +
         "read path did not collapse to the folded family")
   }
+
+  test("compaction folds base + TWO segments with the same algebra: " +
+    "the N=2 fold's report equals the split-invariant stack " +
+    "(round-16 ask #3)") {
+    val s = spark
+    val (cut1, cut2) = CorpusBuild.incr2Cuts(s, sf)
+    val base = CorpusBuild.incrBase(s, sf, cut1)
+    val d1 = CorpusBuild.incr2Delta1(s, sf, base)
+    // the second slice as a SEGMENT of the stack: its delta pass probes
+    // base ∪ segment-1 (the LSM read path), exactly as the incr2 entry
+    // runs it per-run
+    val d2 = CorpusBuild.deltaPassNorm(s,
+      CorpusBuild.normFrame(s, graft.Tables.documents(s, sf)
+        .where(col("doc_id") >= cut2)).localCheckpoint(true),
+      base.exactB.select("digest").unionByName(d1.dig.select("digest")),
+      base.bandsB.unionByName(d1.bands),
+      base.normB.select(col("doc_id"), col("norm_text").as("text"))
+        .unionByName(d1.survTxt.select(col("doc_id"),
+          col("norm_text").as("text"))),
+      base.bc)
+    val Seq(normC, qC, _, _, _, survC, badC, _) =
+      CorpusBuild.compactFolds(s, base,
+        ArtifactStore.load(s,
+          CorpusBuild.incrStageNamesAt(s, sf, cut1)(2)), Seq(d1, d2))
+    val nearC = survC.join(badC, Seq("doc_id"), "left_anti")
+    val got = CorpusBuild.chainReport(normC, qC, survC, nearC,
+      CorpusBuild.shardAsg(s, nearC)).collect().toSeq
+    // split-invariant anchor: the stacked twice-appended report (whose
+    // own oracle is the frozen-stop monolith rebuild)
+    val want = CorpusBuild.corpusBuildIncr2(s, sf).collect().toSeq
+    assert(got == want,
+      s"N=2 fold diverged from the split-invariant stack:\n" +
+        s"got  ${got.mkString(", ")}\nwant ${want.mkString(", ")}")
+  }
 }

@@ -148,6 +148,64 @@ class CorpusRetractSpec extends SparkSpec {
     assert(ids(nearN) == ids(exactR.join(badR, Seq("doc_id"), "left_anti")))
   }
 
+  test("retract-then-append: the delta probes the POST-takedown " +
+    "surfaces — the stale committed digests/bands give the WRONG " +
+    "answer on both") {
+    import spark.implicits._
+    val s = spark
+    val P = "is in of to is"
+    def seq(p: String, n: Int) = (1 to n).map(i => f"$p$i%02d")
+    val cA = seq("a", 20); val cU = seq("u", 20)
+    val cV = seq("v", 20); val cZ = seq("z", 20)
+    def t(c: Seq[String], extra: String = "") =
+      (P +: c).mkString(" ") + (if (extra.isEmpty) "" else s" $extra")
+    val norm = Seq(
+      // group A: keeper 10 is the order-reversed twin of 23 — removed,
+      // so 23 re-elects; 23's bands exist ONLY post-takedown (it was
+      // never an exact survivor before)
+      normRow(10L, t(cA.reverse)), // REMOVED keeper
+      normRow(23L, t(cA)), // re-elected
+      normRow(60L, t(cU)), // REMOVED singleton — its digest must lapse
+      normRow(71L, t(cV)) // alive ballast
+    ).toDF("doc_id", "norm_text", "n_raw", "n_norm", "sum_len", "n_stop")
+      .localCheckpoint(true)
+    val base = mkBase(norm)
+    val rmSet = Set(10L, 60L)
+    val rm = (c: org.apache.spark.sql.Column) =>
+      c.isin(rmSet.toSeq.map(java.lang.Long.valueOf): _*)
+    val st = CorpusBuild.retractState(s, base, rm)
+    val deltaNorm = Seq(
+      // same CONTENT as the removed singleton 60: the digest lapsed,
+      // so this doc must SURVIVE — probing the stale committed digest
+      // list wrongly suppresses it
+      normRow(101L, t(cU)),
+      // near-dup of the RE-ELECTED keeper 23 (and only it): the stale
+      // band table carries 10's reversed shingles, which never match
+      normRow(102L, t(cA, "xa1")),
+      normRow(111L, t(cZ)) // fresh content, survives everything
+    ).toDF("doc_id", "norm_text", "n_raw", "n_norm", "sum_len", "n_stop")
+      .localCheckpoint(true)
+    val fresh = CorpusBuild.deltaPassNorm(s, deltaNorm,
+      st.aliveDigests, st.aliveBands, st.aliveTexts, base.bc)
+    assert(ids(fresh.survTxt) == Set(101L, 102L, 111L),
+      s"exact survivors vs post-takedown digests: ${ids(fresh.survTxt)}")
+    assert(ids(fresh.bad) == Set(102L),
+      s"the re-elected keeper must near-remove 102: ${ids(fresh.bad)}")
+    // the composed report path: only 101 and 111 join the survivors
+    val nearD = fresh.survTxt.join(fresh.bad, Seq("doc_id"), "left_anti")
+    assert(ids(nearD) == Set(101L, 111L))
+    // the STALE probes (pre-takedown committed surfaces) are wrong on
+    // both counts — the case corpus_build_retract_incr exists to avoid
+    val stale = CorpusBuild.deltaPassNorm(s, deltaNorm,
+      base.exactB.select("digest"), base.bandsB,
+      base.normB.select(col("doc_id"), col("norm_text").as("text")),
+      base.bc)
+    assert(!ids(stale.survTxt).contains(101L),
+      "stale digest list failed to suppress — fixture broken")
+    assert(!ids(stale.bad).contains(102L),
+      "stale band table caught 102 — fixture broken")
+  }
+
   test("real fixture: retractFrames equals the frozen-stop reduced " +
     "rebuild (independent global-mining reference)") {
     import spark.implicits._

@@ -290,6 +290,16 @@ class PerfContractSpec extends SparkSpec {
     // committed stages — no corpus text ever exchanges); budget admits
     // the cold base build
     Contract("corpus_build_retract", 35, 120),
+    // retract-then-append: cold measured ~23 MB / ~170 stages at sf0.1
+    // (base build + takedown re-election + the delta pass against the
+    // post-takedown surfaces); warm re-runs only the R-sized takedown
+    // probes + the slice-sized delta exchanges — composition adds no
+    // corpus-sized exchange (the budget is what enforces that)
+    Contract("corpus_build_retract_incr", 60, 280),
+    // retrain actuation: cold ~11 MB / ~100 stages (base build + the
+    // promotion's re-mine/re-sign/re-verify + 6 family commits); warm
+    // serves the ONE refreshed family — measured 2.0s / metadata-scale
+    Contract("corpus_retrain", 35, 170),
     // incremental IVF: cold 1.9 MB / 33 stages (train + both posting
     // commits), append-only and serve runs far inside
     Contract("idx_ivf_append", 6, 66),

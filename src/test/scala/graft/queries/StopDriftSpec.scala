@@ -125,6 +125,39 @@ class StopDriftSpec extends SparkSpec {
     assert(Seq("xy", "yz").forall(tags(_) == "mined_only"))
   }
 
+  test("tok_bpe_drift: TAIL-concentrated drift retrains even though " +
+    "the head is unchanged — the head-only score would have served " +
+    "(round-16 ask #4)") {
+    // base: 4 head pairs carrying 71.2% of mass + 100 rare pairs at
+    // 0.3% each; delta: IDENTICAL head shares, but the tail's 100
+    // pairs are entirely REPLACED (a new script arriving as many
+    // individually-rare bigrams that never crack the top-8)
+    def tail(prefix: Int) = (0 until 100).map(i =>
+      s"${('a' + prefix + i / 10).toChar}${('0' + i % 10).toChar}")
+    val base = Seq(("ab", 300L), ("bc", 200L), ("cd", 100L),
+      ("de", 100L)) ++ tail(0).map(_ -> 3L)
+    val delta = Seq.fill(300)("ab") ++ Seq.fill(200)("bc") ++
+      Seq.fill(100)("cd") ++ Seq.fill(100)("de") ++
+      tail(10).flatMap(p => Seq.fill(3)(p))
+    val out = bpeRows(base, delta)
+    val dec = out.find(_._1 == "decision").get
+    assert(dec._6 == "retrain" && dec._5 == 300000L,
+      s"full-profile TV must see the replaced tail: $dec")
+    // the head rows alone sum far BELOW the threshold — the r15
+    // head-only scorer would have decided 'serve' on this profile
+    val headTv = out.filter(_._1 == "pair").map(_._5).sum
+    assert(headTv == 12000L && headTv <= 100000L,
+      s"fixture must be invisible to the head: $headTv")
+    // the tail row carries the residual masses and the residual TV
+    val tl = out.find(_._1 == "tail").get
+    assert(tl._2 == "__tail__" && tl._3 == 288L && tl._4 == 288L &&
+      tl._5 == 288000L, s"tail row: $tl")
+    // heads stay 'both'; the swapped tails surface as one-sided top-8
+    // entries (8 flips — observability, not the decision)
+    val tags = out.filter(_._1 == "pair").map(p => p._2 -> p._6).toMap
+    assert(Seq("ab", "bc", "cd", "de").forall(tags(_) == "both"))
+  }
+
   // ---- degenerate sides (round-15 ADVICE): no division ever runs ----
 
   test("stop drift: empty delta short-circuits to one 'serve' decision " +

@@ -35,8 +35,55 @@ object ArtifactStore {
 
   def path(name: String): Path = new Path(root, name)
 
-  def exists(s: SparkSession, name: String): Boolean =
+  def exists(s: SparkSession, name: String): Boolean = {
+    touch(name)
     fs(s).exists(path(name))
+  }
+
+  // ---- reachability GC (round-16 ask #6) ----
+  //
+  // Committed families are superseded over a store's life: an append's
+  // cut moves, compaction folds segments, a retrain re-keys the family
+  // under the grown fingerprint — the old keys stay on disk, correct
+  // but unreachable, and at 100 TB the dead families ARE the storage
+  // bill. Reachability is witnessed at the API: a key is LIVE iff the
+  // current registry (code + corpus epoch) derives it, and the ONLY way
+  // an artifact is ever read is through exists/load/commit — so the
+  // touched-key set after running the serving registry is exactly the
+  // root set. (No DuckDB-oracle entry: roots are content fingerprints
+  // (xxhash64) DuckDB cannot replay, so the gate is spec-level —
+  // StoreGcSpec proves every entry still serves, rebuild-free, after
+  // sweeping everything outside the roots.)
+
+  private val touched =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def touch(name: String): Unit = touched.add(name)
+
+  /** Keys touched through the public API since the last reset — the
+    * reachability witness `gc` roots come from. */
+  def touchedKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    touched.iterator().asScala.toSet
+  }
+
+  def resetTouched(): Unit = touched.clear()
+
+  /** Remove every committed artifact whose name is not in `roots`, plus
+    * any orphaned commit temp dir (a crashed committer's leftovers).
+    * Single-writer maintenance window assumed — like any LSM store's
+    * GC, it must not race an in-flight commit's rename. Returns the
+    * removed artifact names, sorted. */
+  def gc(s: SparkSession, roots: Set[String]): Seq[String] = {
+    val f = fs(s)
+    val r = new Path(root)
+    if (!f.exists(r)) return Seq.empty
+    val names = f.listStatus(r).map(_.getPath.getName).toSeq
+    val dead = names.filter(n => !roots.contains(n) && !n.startsWith("."))
+    dead.foreach(n => f.delete(path(n), true))
+    names.filter(_.startsWith(".tmp_"))
+      .foreach(n => f.delete(new Path(r, n), true))
+    dead.sorted
+  }
 
   /** Write `df` as artifact `name` via temp-dir + single rename. A
     * concurrent committer of the same (immutable) key wins harmlessly:
@@ -47,6 +94,7 @@ object ArtifactStore {
     * racer that loses between the exists check and the rename must sweep
     * its nested temp dir back out of the winner's artifact. */
   def commit(df: DataFrame, name: String): Unit = {
+    touch(name)
     val s = df.sparkSession
     val f = fs(s)
     val tmp = new Path(root,
@@ -60,8 +108,10 @@ object ArtifactStore {
     }
   }
 
-  def load(s: SparkSession, name: String): DataFrame =
+  def load(s: SparkSession, name: String): DataFrame = {
+    touch(name)
     s.read.parquet(path(name).toString)
+  }
 
   /** The serve-side read: loads the committed artifact, building and
     * committing it first when absent (first request after a deploy). The

@@ -1263,7 +1263,14 @@ object CorpusBuild {
     val newBad = graft.dedup.Dedup
       .verifyStopFiltered(cand, txtCand, base.bc, 3, 0.8)
       .select(col("b").as("doc_id"))
-    val badAll = stillBad.unionByName(newBad).distinct()
+    // pinned: the removal list is R-bounded (lapse-filtered committed
+    // pairs + the new keepers' verified matches), and its producer —
+    // the re-election verify chain — is the takedown's expensive
+    // branch; nearAllN feeds two report consumers (stage row + shard
+    // placement), which would otherwise re-run that verify per use
+    val badAll = graft.util.Pins.pinSmall(
+      stillBad.unionByName(newBad).distinct(),
+      "takedown removal list (R-bounded); report consumers ×2")
     val nearAllN = exactAllN.join(badAll, Seq("doc_id"), "left_anti")
     RetractState(normA, qA, exactAllN, nearAllN,
       aliveDigests = base.exactB.where(keep(col("doc_id")))

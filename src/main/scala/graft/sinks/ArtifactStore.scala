@@ -27,8 +27,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are idempotent by key, and serving jobs only ever read. */
 object ArtifactStore {
 
-  def root: String = sys.env.getOrElse("GRAFT_ARTIFACT_DIR",
-    sys.props("java.io.tmpdir") + "/graft_artifacts")
+  /** The store root. The system property lets a test scope itself to a
+    * private store (StoreGcSpec's sweep must not eat the shared suite
+    * state); production configuration is the env var. */
+  def root: String = sys.props.get("graft.artifact.dir")
+    .orElse(sys.env.get("GRAFT_ARTIFACT_DIR"))
+    .getOrElse(sys.props("java.io.tmpdir") + "/graft_artifacts")
 
   private def fs(s: SparkSession) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)

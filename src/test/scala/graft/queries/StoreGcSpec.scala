@@ -32,6 +32,13 @@ class StoreGcSpec extends SparkSpec {
     "dirs are swept") {
     import spark.implicits._
     val s = spark
+    // a PRIVATE store root: the sweep below removes everything outside
+    // this test's roots, which must not eat the shared suite state
+    // (other suites' sf0.1 families carry perf-contract warm paths)
+    val privRoot = java.nio.file.Files
+      .createTempDirectory("graft_gc_spec").toString
+    sys.props.put("graft.artifact.dir", privRoot)
+    try {
     // stage DEAD artifacts: a superseded family (a fake old-cut key no
     // current code derives) and a crashed committer's temp dir
     val deadKey = "chain_incrb_norm_v1_n999_hdeadbeef_q02_w3k64b32t08"
@@ -64,5 +71,9 @@ class StoreGcSpec extends SparkSpec {
     assert(roots.toSeq.sorted.map(k => SparkSpec.partListing(s, k)) ==
       rootParts,
       "a post-gc serve re-committed a root — the sweep broke serving")
+    } finally {
+      sys.props.remove("graft.artifact.dir")
+      ArtifactStore.resetTouched()
+    }
   }
 }

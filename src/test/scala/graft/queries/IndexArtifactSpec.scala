@@ -266,6 +266,39 @@ class IndexArtifactSpec extends SparkSpec {
       s"empty base postings must retrain: ${eb.toSeq}")
   }
 
+  test("idx_ivf_retrain: commits the successor family on the serve " +
+    "entries' keys, leaves the append family untouched, and the " +
+    "migration report covers every vector") {
+    val s = spark
+    val (_, centsKeyOld, postKeyOld, segKey) =
+      LlmPipeline.ivfAppendKeys(s, sf)
+    LlmPipeline.idxIvfAppend(s, sf).count() // stage the append family
+    val oldKeys = Seq(centsKeyOld, postKeyOld, segKey)
+    def oldParts = oldKeys.map(k => graft.SparkSpec.partListing(s, k))
+    val before = oldParts
+    val report = LlmPipeline.idxIvfRetrain(s, sf).collect()
+    assert(oldParts == before,
+      "the retrain event touched the append family — it must read it, " +
+        "never rewrite it")
+    // the migration report accounts for the whole corpus, and the
+    // refreshed quantizer fits at least as well in total
+    val n = report.map(_.getAs[Long]("n")).sum
+    assert(n == graft.Tables.embeddings(s, sf).count(),
+      s"migration rows must cover every vector: $n")
+    assert(report.map(_.getAs[Long]("err_new")).sum <=
+      report.map(_.getAs[Long]("err_old")).sum,
+      "retraining on the full corpus must not worsen total quantization error")
+    // succession: the committed centroids ARE the build/serve family's
+    // key, so idx_ivf_serve picks up the refreshed quantizer with no
+    // rebuild — and serving needs NOTHING from the append family
+    ArtifactStore.resetTouched()
+    LlmPipeline.idxIvfServe(s, sf).count()
+    val servedRoots = ArtifactStore.touchedKeys
+    assert(oldKeys.forall(k => !servedRoots.contains(k)),
+      "post-retrain serving consulted the superseded append family — " +
+        "it is GC-dead once the retrain report is read")
+  }
+
   test("foldPostings prefers the newest segment deterministically when " +
     "the immutability contract is violated (last-writer-wins)") {
     import spark.implicits._

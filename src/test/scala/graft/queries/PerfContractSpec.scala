@@ -309,6 +309,11 @@ class PerfContractSpec extends SparkSpec {
     // quantizer drift monitor: two committed posting scans folding to
     // 8 cells each — no embedding math on the warm path
     Contract("idx_ivf_drift", 6, 70),
+    // IVF retrain actuation: cold trains BOTH quantizers (base +
+    // full — ~55 stages of capped kmeans) and commits the successor
+    // family; warm is two posting scans joined per vector folding to
+    // K² migration cells (0.9s measured)
+    Contract("idx_ivf_retrain", 12, 140),
     // tokenizer drift monitor: the base profile is a committed
     // vocabulary-sized summary; warm = one delta text pass + bigram
     // count exchanges

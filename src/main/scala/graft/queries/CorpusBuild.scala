@@ -1499,17 +1499,29 @@ object CorpusBuild {
     * exactly where a from-scratch build of the grown corpus ends,
     * without re-running its extract/normalize/digest stages. */
   def corpusRetrain(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import graft.sinks.ArtifactStore
     val mx = LlmPipeline.maxIdCached(s, s"$d/documents.parquet",
       "doc_id")(Tables.documents(s, d)) + 1
-    val keys = incrStageNamesAt(s, d, mx)
+    corpusRetrainAt(s, d, incrCut(s, d), mx)
+  }
+
+  /** The promotion event parameterized by its bounds: promote the
+    * committed family at `cut` plus the [cut, hi) slice into the family
+    * at `hi` — the entry promotes to the full corpus; the spec promotes
+    * to the 90% cut and proves the LIFECYCLE CONTINUES from the
+    * refreshed family (corpus_build_incr's next append serves it with
+    * no re-commit, because the keys coincide with the base family it
+    * would have built from scratch). */
+  private[queries] def corpusRetrainAt(s: SparkSession, d: String,
+      cut: Long, hi: Long): DataFrame = {
+    import s.implicits._
+    import graft.sinks.ArtifactStore
+    val keys = incrStageNamesAt(s, d, hi)
     val Seq(normKey, exactKey, stopKey, bandKey, pairsKey, survKey) = keys
     if (!keys.forall(ArtifactStore.exists(s, _))) {
-      val cut = incrCut(s, d)
       val base = incrBase(s, d, cut)
       val (normD, _, digD, survDTxt) = deltaExactSurv(s,
-        Tables.documents(s, d).where(col("doc_id") >= cut),
+        Tables.documents(s, d)
+          .where(col("doc_id") >= cut && col("doc_id") < hi),
         base.exactB.select("digest"))
       // stop-independent folds: rows identical to a from-scratch build
       // of the full family (RetrainSpec pins the equality)
@@ -1556,7 +1568,7 @@ object CorpusBuild {
           .unionByName(survDTxt.select("doc_id", "n_norm")), survKey)
     }
     // serve: the refreshed family alone (getOrBuild loads committed)
-    incrReport(s, incrBase(s, d, mx), Seq.empty)
+    incrReport(s, incrBase(s, d, hi), Seq.empty)
   }
 
   // ------------------------------------------------------------------

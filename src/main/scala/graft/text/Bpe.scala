@@ -101,9 +101,29 @@ object Bpe {
     // Empty tokens (a \s+ tokenizer emits them on leading whitespace)
     // carry no pairs, and sequence(1, 0) would yield a descending [1,0]
     // range — drop them before the char-split, mirrored in the oracle.
-    var vocab = tokens.filter(length(col("tok")) > 0)
+    trainLoopBatched(s, tokens.filter(length(col("tok")) > 0)
       .groupBy(col("tok").as("word"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")), merges)
+  }
+
+  /** The batched merge loop over a PRE-AGGREGATED (word, cnt) frequency
+    * table. Training is a deterministic function of the frequency table
+    * alone (the classic trainer's sufficient statistic), which is what
+    * makes BPE retraining incremental: committed base counts fold
+    * additively with a delta-only pass and the loop runs on the folded
+    * table — `tok_bpe_retrain`'s path. Identical merge rows to
+    * `trainRoundsBatched` whenever `counts` equals the corpus groupBy. */
+  private[graft] def trainRoundsFromCounts(s: SparkSession,
+                                           counts: DataFrame, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val (learned, vocab, _) = trainLoopBatched(s, counts, merges)
+    (learned, vocab)
+  }
+
+  private def trainLoopBatched(s: SparkSession, counts: DataFrame,
+                               merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame, Int) = {
+    var vocab = counts
       .withColumn("toks", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .select("word", "cnt", "toks")

@@ -86,4 +86,31 @@ class CorpusRetrainSpec extends SparkSpec {
     assert(fullParts == before,
       "serving re-committed the refreshed family")
   }
+
+  test("the lifecycle CONTINUES from the refreshed family: an append " +
+    "after a retrain-to-the-90%-cut serves the retrain-built family " +
+    "and lands exactly where an append after a from-scratch build does") {
+    val s = spark
+    val (cut1, cut2) = CorpusBuild.incr2Cuts(s, sf)
+    val keys2 = CorpusBuild.incrStageNamesAt(s, sf, cut2)
+    // reference: the next append over a from-scratch 90% family
+    keys2.foreach(ArtifactStore.remove(s, _))
+    CorpusBuild.incrBase(s, sf, cut2)
+    val want = CorpusBuild.corpusBuildIncr(s, sf).collect().toSeq
+    // now rebuild the SAME family via the retrain event from the 80%
+    // family (promotion bounds [cut1, cut2)) and append on top of it
+    keys2.foreach(ArtifactStore.remove(s, _))
+    CorpusBuild.corpusRetrainAt(s, sf, cut1, cut2).collect()
+    assert(keys2.forall(ArtifactStore.exists(s, _)),
+      "the bounded promotion must commit the 90% family")
+    def parts = keys2.map(k => SparkSpec.partListing(s, k))
+    val before = parts
+    val got = CorpusBuild.corpusBuildIncr(s, sf).collect().toSeq
+    assert(got == want,
+      "the append probing the retrain-built family diverged from the " +
+        "append probing the from-scratch family — the lifecycle does " +
+        "not continue from the refreshed keys")
+    assert(parts == before,
+      "the append re-committed the refreshed family instead of serving it")
+  }
 }

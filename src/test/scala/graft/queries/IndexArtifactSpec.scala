@@ -299,6 +299,39 @@ class IndexArtifactSpec extends SparkSpec {
         "it is GC-dead once the retrain report is read")
   }
 
+  test("the control loop CLOSES for the index: a drifted delta " +
+    "retrains, and the monitor re-anchored on the retrained " +
+    "(grown-corpus) postings serves the next grown-distributed append") {
+    import spark.implicits._
+    def postings(n: Int, cidOf: Int => Int, idBase: Long) =
+      (0 until n).map(i =>
+        (idBase + i, cidOf(i), 1000.0 + i % 7)).toDF("vec_id", "cid", "dist")
+    def decision(base: org.apache.spark.sql.DataFrame,
+                 delta: org.apache.spark.sql.DataFrame) =
+      LlmPipeline.ivfDriftFrom(spark, base, delta).collect()
+        .find(_.getString(0) == "decision").get
+    val base = postings(4000, _ % 8, 0L)
+    // pre-retrain: a new content cluster lands all its mass on cell 0
+    val delta1 = postings(2000, _ => 0, 100000L)
+    assert(decision(base, delta1).getString(8) == "retrain")
+    // actuation (what idx_ivf_retrain commits): the refreshed
+    // quantizer's postings cover base ∪ delta — cell shares re-anchor
+    // on the grown corpus (cell 0 now carries 2500/6000)
+    val grown = base.unionByName(delta1)
+    // post-retrain: the next append drawn from the GROWN distribution
+    // (same shares at a tenth the size: 250 on cell 0, 50 elsewhere)
+    val delta2 = postings(600, i => if (i < 250) 0 else 1 + i % 7, 200000L)
+    val post = decision(grown, delta2)
+    assert(post.getString(8) == "serve",
+      s"the retrained postings must serve a grown-distributed append: $post")
+    assert(post.getLong(6) == 0L,
+      "identical cell shares must give exactly zero TV")
+    // while the STALE base postings would still (correctly) page on it:
+    // TV = ½(|250/600 − ⅛| + 7·|50/600 − ⅛|) ≈ 0.29 over floor 0.1
+    val stale = decision(base, delta2)
+    assert(stale.getString(8) == "retrain", s"stale profile: $stale")
+  }
+
   test("foldPostings prefers the newest segment deterministically when " +
     "the immutability contract is violated (last-writer-wins)") {
     import spark.implicits._

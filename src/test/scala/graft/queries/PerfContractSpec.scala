@@ -318,6 +318,12 @@ class PerfContractSpec extends SparkSpec {
     // vocabulary-sized summary; warm = one delta text pass + bigram
     // count exchanges
     Contract("tok_bpe_drift", 8, 40),
+    // tokenizer retrain actuation: COLD trains both tables (frozen
+    // base + refreshed fold — two batched merge loops of vocab-sized
+    // rounds); the fold's only corpus-sized read is the DELTA token
+    // pass — the base side enters as the committed vocabulary-sized
+    // word-count profile, so the shuffle budget stays tokenizer-scale
+    Contract("tok_bpe_retrain", 10, 130),
     // constraint audit: the uniqueness rule shuffles 8-byte keys with
     // map-side partial counts; every other rule folds in the one scan
     Contract("profile_checks", 4, 12),

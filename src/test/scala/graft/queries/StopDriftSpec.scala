@@ -91,6 +91,40 @@ class StopDriftSpec extends SparkSpec {
       s"one-doc profile step must cross the named threshold: $past")
   }
 
+  test("the control loop CLOSES: the drifted delta retrains; the " +
+    "monitor re-anchored on the retrained (grown-corpus) profile " +
+    "serves the next grown-distributed append") {
+    val base = side("b", 10, i => s"$P b${i}1 b${i}2 b${i}3")
+    val Q = "zz yy xx ww vv" // the new dominant template
+    val delta1 = side("d", 15, i => s"$Q d${i}1 d${i}2 d${i}3")
+    // pre-retrain: the template replacement pages → retrain
+    val pre = rows(CorpusBuild.stopDriftFrom(spark, base, delta1))
+    assert(pre.find(_._1 == "decision").get._6 == "retrain")
+    // actuation (what corpus_retrain commits): the stop profile
+    // re-mines over base ∪ delta — ids shifted so the union is a
+    // genuine 25-doc grown corpus
+    val grown = base.unionByName(
+      delta1.withColumn("doc_id", col("doc_id") + lit(1000L)))
+    // post-retrain: the next append drawn from the GROWN distribution
+    // (same 2:3 template mix at 10 docs)
+    val delta2 = side("n", 10, i =>
+      if (i <= 4) s"$P n${i}1 n${i}2 n${i}3"
+      else s"$Q n${i}1 n${i}2 n${i}3")
+    val post = rows(CorpusBuild.stopDriftFrom(spark, grown, delta2))
+    val dec = post.find(_._1 == "decision").get
+    assert(dec._6 == "serve",
+      s"the retrained profile must serve a grown-distributed append: $dec")
+    // the refreshed parameter genuinely CHANGED: in the grown corpus
+    // the new template is the majority (15/25) and the old one lapsed
+    // (10/25) — the scored rows are exactly Q's shingles, 'both' sides
+    val tags = post.filter(_._1 == "shingle").map(s => s._2 -> s._6).toMap
+    assert(tags.nonEmpty && tags.values.forall(_ == "both"))
+    assert(tags.contains("zz yy xx") && !tags.contains("is in of"))
+    // while the STALE frozen profile would still page on the same mix
+    assert(rows(CorpusBuild.stopDriftFrom(spark, base, delta2))
+      .find(_._1 == "decision").get._6 == "retrain")
+  }
+
   // ---- tok_bpe_drift: the tokenizer trained-parameter monitor ----
 
   private def bpeRows(base: Seq[(String, Long)], delta: Seq[String]) = {

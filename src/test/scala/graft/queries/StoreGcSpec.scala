@@ -76,4 +76,38 @@ class StoreGcSpec extends SparkSpec {
       ArtifactStore.resetTouched()
     }
   }
+
+  test("retrain RETIRES the frozen family: in the post-retrain steady " +
+    "state (serve entries as roots) the base-trained tokenizer " +
+    "artifacts are swept and serving is unaffected") {
+    val s = spark
+    val privRoot = java.nio.file.Files
+      .createTempDirectory("graft_gc_retrain").toString
+    sys.props.put("graft.artifact.dir", privRoot)
+    try {
+      // the lifecycle event: commits the frozen base table, the base
+      // word-count profile, and the refreshed full-corpus table
+      LlmPipeline.tokBpeRetrain(s, sf).collect()
+      val frozenKeys = ArtifactStore.list(s, "bpe_wordcnt_v1_") ++
+        ArtifactStore.list(s, "bpe_merges_v1_")
+          .filterNot(_ == LlmPipeline.docKey(s, sf, "bpe_merges", "m8"))
+      assert(frozenKeys.nonEmpty)
+      // steady state: the monthly retrain is done; day-to-day
+      // reachability is the SERVE path alone
+      ArtifactStore.resetTouched()
+      val before = LlmPipeline.tokBpeServe(s, sf).collect().toSeq
+      val roots = ArtifactStore.touchedKeys
+        .filter(ArtifactStore.exists(s, _))
+      assert(frozenKeys.forall(k => !roots.contains(k)),
+        "the serve path must not reach the superseded family")
+      val removed = ArtifactStore.gc(s, roots)
+      frozenKeys.foreach(k => assert(removed.contains(k),
+        s"gc must retire the superseded base-trained artifact $k"))
+      assert(LlmPipeline.tokBpeServe(s, sf).collect().toSeq == before,
+        "serving changed after retiring the frozen family")
+    } finally {
+      sys.props.remove("graft.artifact.dir")
+      ArtifactStore.resetTouched()
+    }
+  }
 }

@@ -1761,8 +1761,12 @@ object CorpusBuild {
        |           THEN 'frozen_only'
        |         ELSE 'mined_only' END AS decision
        |  FROM j
-       |  WHERE df_base > (SELECT c FROM nb) // 2
-       |     OR df_delta > (SELECT c FROM nd) // 2)
+       |  -- degenerate-side guard, mirroring stopDriftDegenerate: with
+       |  -- an empty side the scored set is empty (no division ever
+       |  -- runs) and only the decision row remains
+       |  WHERE (SELECT c FROM nb) > 0 AND (SELECT c FROM nd) > 0
+       |    AND (df_base > (SELECT c FROM nb) // 2
+       |     OR df_delta > (SELECT c FROM nd) // 2))
        |SELECT kind, shingle, df_base, df_delta, drift_micro,
        |  threshold_micro, decision FROM (
        |  SELECT 'shingle' AS kind, g AS shingle, df_base, df_delta,
@@ -1773,7 +1777,11 @@ object CorpusBuild {
        |    (SELECT c FROM nb), (SELECT c FROM nd),
        |    (SELECT CAST(coalesce(sum(drift_micro), 0) AS BIGINT) FROM sc),
        |    ${StopDriftTvMicro},
-       |    CASE WHEN (SELECT coalesce(sum(drift_micro), 0) FROM sc)
+       |    CASE WHEN (SELECT c FROM nb) = 0 AND (SELECT c FROM nd) > 0
+       |        THEN 'retrain'
+       |      WHEN (SELECT c FROM nb) = 0 OR (SELECT c FROM nd) = 0
+       |        THEN 'serve'
+       |      WHEN (SELECT coalesce(sum(drift_micro), 0) FROM sc)
        |        > ${StopDriftTvMicro} THEN 'retrain' ELSE 'serve' END)
        |ORDER BY kind, shingle""".stripMargin
 

@@ -139,6 +139,27 @@ object ArtifactStore {
       .sorted.toSeq
   }
 
+  /** Committed artifact names under a prefix in COMMIT order (the
+    * directory's rename timestamp, name-tiebroken). `list`'s name
+    * order sorts content fingerprints lexicographically — unrelated to
+    * write time — so a last-writer-wins fold (foldPostings' epoch)
+    * must discover segments through THIS listing: the epoch a segment
+    * gets has to reflect when it was committed, or a stale segment
+    * that happens to sort last would win its conflicts. The timestamp
+    * is written once by the commit rename and never modified (readers
+    * don't touch it; keyed artifacts are immutable), so the order is
+    * stable across reruns. */
+  def listByCommitTime(s: SparkSession, prefix: String): Seq[String] = {
+    val f = fs(s)
+    val r = new Path(root)
+    if (!f.exists(r)) Seq.empty
+    else f.listStatus(r)
+      .filter(st => st.getPath.getName.startsWith(prefix) &&
+        !st.getPath.getName.startsWith("."))
+      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .map(_.getPath.getName).toSeq
+  }
+
   /** Drop a committed artifact (tests). */
   def remove(s: SparkSession, name: String): Unit = {
     val f = fs(s)

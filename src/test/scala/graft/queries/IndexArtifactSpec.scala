@@ -346,4 +346,38 @@ class IndexArtifactSpec extends SparkSpec {
       "the LAST listed segment must win for a rewritten vec_id")
     assert(folded(1L) == ((0, 10.0)) && folded(3L) == ((2, 30.0)))
   }
+
+  test("segment discovery for the fold is COMMIT-time-ordered: a later " +
+    "commit whose fingerprint name sorts FIRST still wins (name order " +
+    "would hand the conflict to the stale segment)") {
+    val s = spark
+    import s.implicits._
+    val privRoot = java.nio.file.Files
+      .createTempDirectory("graft_seg_order").toString
+    sys.props.put("graft.artifact.dir", privRoot)
+    try {
+      // stale committed first under a name that sorts LAST; the
+      // rewrite lands second under a name that sorts FIRST
+      val stale = Seq((2L, 1, 20.0), (3L, 2, 30.0))
+        .toDF("vec_id", "cid", "dist")
+      val rewrite = Seq((2L, 5, 99.0), (3L, 2, 30.0))
+        .toDF("vec_id", "cid", "dist")
+      ArtifactStore.commit(stale, "ord_seg_n99_hzz")
+      Thread.sleep(1100) // HDFS-API mtime granularity is 1s on some FS
+      ArtifactStore.commit(rewrite, "ord_seg_n100_haa")
+      assert(ArtifactStore.list(s, "ord_seg_").head == "ord_seg_n100_haa",
+        "fixture must make name order disagree with commit order")
+      val byTime = ArtifactStore.listByCommitTime(s, "ord_seg_")
+      assert(byTime == Seq("ord_seg_n99_hzz", "ord_seg_n100_haa"))
+      val base = Seq((1L, 0, 10.0)).toDF("vec_id", "cid", "dist")
+      val folded = LlmPipeline.foldPostings(base,
+          byTime.map(ArtifactStore.load(s, _)))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(folded(2L) == 5,
+        "the later-committed rewrite must win regardless of name order")
+    } finally {
+      sys.props.remove("graft.artifact.dir")
+      ArtifactStore.resetTouched()
+    }
+  }
 }

@@ -153,7 +153,7 @@ class StopDriftSpec extends SparkSpec {
     val delta = Seq.fill(50)("xy") ++ Seq.fill(50)("yz")
     val out = bpeRows(bpeBase, delta)
     val dec = out.find(_._1 == "decision").get
-    assert(dec._6 == "retrain" && dec._5 == 1000000L, s"$dec")
+    assert(dec._6 == "retrain" && dec._5 == 1000000000L, s"$dec")
     val tags = out.filter(_._1 == "pair").map(p => p._2 -> p._6).toMap
     assert(Seq("ab", "bc", "cd", "de").forall(tags(_) == "frozen_only"))
     assert(Seq("xy", "yz").forall(tags(_) == "mined_only"))
@@ -175,17 +175,17 @@ class StopDriftSpec extends SparkSpec {
       tail(10).flatMap(p => Seq.fill(3)(p))
     val out = bpeRows(base, delta)
     val dec = out.find(_._1 == "decision").get
-    assert(dec._6 == "retrain" && dec._5 == 300000L,
+    assert(dec._6 == "retrain" && dec._5 == 300000000L,
       s"full-profile TV must see the replaced tail: $dec")
     // the head rows alone sum far BELOW the threshold — the r15
     // head-only scorer would have decided 'serve' on this profile
     val headTv = out.filter(_._1 == "pair").map(_._5).sum
-    assert(headTv == 12000L && headTv <= 100000L,
+    assert(headTv == 12000000L && headTv <= LlmPipeline.TokBpeDriftTvNano,
       s"fixture must be invisible to the head: $headTv")
     // the tail row carries the residual masses and the residual TV
     val tl = out.find(_._1 == "tail").get
     assert(tl._2 == "__tail__" && tl._3 == 288L && tl._4 == 288L &&
-      tl._5 == 288000L, s"tail row: $tl")
+      tl._5 == 288000000L, s"tail row: $tl")
     // heads stay 'both'; the swapped tails surface as one-sided top-8
     // entries (8 flips — observability, not the decision)
     val tags = out.filter(_._1 == "pair").map(p => p._2 -> p._6).toMap

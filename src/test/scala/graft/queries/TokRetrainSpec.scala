@@ -125,7 +125,7 @@ class TokRetrainSpec extends SparkSpec {
     assert(decision(out) == "serve",
       "the retrained profile must serve a grown-distributed append")
     assert(out.where(col("kind") === "decision").collect()
-      .head.getAs[Long]("drift_micro") == 0L,
+      .head.getAs[Long]("drift_nano") == 0L,
       "identical mix proportions must give exactly zero TV")
     // while the STALE frozen profile would still (correctly) page on it
     assert(decision(

@@ -724,9 +724,48 @@ object CorpusBuild {
       pairsB.select(col("b").as("doc_id")).distinct()
   }
 
+  /** The STOP-DEPENDENT stages of a chain family — mine the stop set
+    * over the survivor text, band the stop-filtered signatures, verify
+    * banded candidates into near-dup pairs — each a durable commit
+    * under the given keys. ONE definition shared by the from-scratch
+    * family build (`incrBase`) and the retrain promotion
+    * (`corpusRetrainAt`): the promotion's "lands exactly where a
+    * from-scratch build lands" equality is structural, not two
+    * hand-synced copies of the band parameters. `survTxt` must carry
+    * (doc_id, norm_text) for exactly the family's survivors; `n` is
+    * its row count (by-name — only a cold build pays the job). */
+  private def buildStopStages(s: SparkSession, survTxt: DataFrame,
+      n: => Long, stopKey: String, bandKey: String, pairsKey: String)
+      : (org.apache.spark.broadcast.Broadcast[Set[Long]],
+         DataFrame, DataFrame) = {
+    import s.implicits._
+    import graft.sinks.ArtifactStore
+    def typed = survTxt.select(col("doc_id"), col("norm_text"))
+      .as[(Long, String)]
+    val stopDf = ArtifactStore.getOrBuild(s, stopKey)(
+      graft.dedup.Dedup.stopShinglesDf(typed, 3, n))
+    // driver-bounded by construction: at df > N/2 there are at most
+    // 2 × avg-shingles-per-doc stop shingles
+    val bc = s.sparkContext.broadcast(
+      stopDf.select("h").as[Long].collect().toSet)
+    val bands = ArtifactStore.getOrBuild(s, bandKey)(
+      graft.dedup.Dedup.bandedKeys(
+        graft.dedup.Dedup.stopFilteredSigs(typed, bc, 3, 64), 32, 2))
+    val pairs = ArtifactStore.getOrBuild(s, pairsKey) {
+      val l = bands.select(col("doc_id").as("a"), col("band"), col("key"))
+      val r = bands.select(col("doc_id").as("b"), col("band"), col("key"))
+      val cand = l.join(r, Seq("band", "key"))
+        .where(col("a") < col("b")).select("a", "b").distinct()
+      graft.dedup.Dedup.verifyStopFiltered(cand,
+          survTxt.select(col("doc_id"), col("norm_text").as("text")),
+          bc, 3, 0.8)
+        .select("a", "b")
+    }
+    (bc, bands, pairs)
+  }
+
   private[graft] def incrBase(s: SparkSession, d: String, cut: Long)
       : IncrBase = {
-    import s.implicits._
     import graft.sinks.ArtifactStore
     val docs = Tables.documents(s, d)
     val Seq(normKey, exactKey, stopKey, bandKey, pairsKey, survKey) =
@@ -743,29 +782,8 @@ object CorpusBuild {
     val exactSurvB = qB.join(
       exactB.where(col("doc_id") === col("keep_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    def typedTxt(df: DataFrame) =
-      df.select(col("doc_id"), col("norm_text")).as[(Long, String)]
-    val stopDf = ArtifactStore.getOrBuild(s, stopKey)(
-      graft.dedup.Dedup.stopShinglesDf(typedTxt(exactSurvB), 3,
-        exactSurvB.count()))
-    // driver-bounded by construction: at df > N/2 there are at most
-    // 2 × avg-shingles-per-doc stop shingles
-    val bc = s.sparkContext.broadcast(
-      stopDf.select("h").as[Long].collect().toSet)
-    val bandsB = ArtifactStore.getOrBuild(s, bandKey)(
-      graft.dedup.Dedup.bandedKeys(
-        graft.dedup.Dedup.stopFilteredSigs(typedTxt(exactSurvB), bc,
-          3, 64), 32, 2))
-    val pairsB = ArtifactStore.getOrBuild(s, pairsKey) {
-      val l = bandsB.select(col("doc_id").as("a"), col("band"), col("key"))
-      val r = bandsB.select(col("doc_id").as("b"), col("band"), col("key"))
-      val candB = l.join(r, Seq("band", "key"))
-        .where(col("a") < col("b")).select("a", "b").distinct()
-      graft.dedup.Dedup.verifyStopFiltered(candB,
-          exactSurvB.select(col("doc_id"), col("norm_text").as("text")),
-          bc, 3, 0.8)
-        .select("a", "b")
-    }
+    val (bc, bandsB, pairsB) = buildStopStages(s, exactSurvB,
+      exactSurvB.count(), stopKey, bandKey, pairsKey)
     // the serve-side survivor summary (doc_id, n_norm): the report and
     // manifest consumers read THIS committed table instead of each
     // re-deriving the survivor semi-join from norm + exactd per use
@@ -1537,35 +1555,25 @@ object CorpusBuild {
           coalesce(col("bkeep"), col("dmin")).as("keep_id"))
       if (!ArtifactStore.exists(s, exactKey))
         ArtifactStore.commit(base.exactB.unionByName(exactD), exactKey)
-      // the retrained parameter + its dependents, over union survivors
+      // the retrained parameter + its dependents, over union survivors.
+      // The union is corpus-sized and the stop/band/verify builds each
+      // consume it — persist() (lineage-preserving, spills, recomputes
+      // on executor loss; NOT a localCheckpoint pin, which the
+      // convention reserves for small frames) makes the retrain event
+      // pay the base-survivor scan once instead of three times.
       val survTxtFull = base.normB
         .join(base.survNB.select("doc_id"), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("norm_text"))
         .unionByName(survDTxt.select("doc_id", "norm_text"))
-      val nFull = base.survNB.count() + survDTxt.count()
-      val stopDf = ArtifactStore.getOrBuild(s, stopKey)(
-        graft.dedup.Dedup.stopShinglesDf(
-          survTxtFull.as[(Long, String)], 3, nFull))
-      val bcF = s.sparkContext.broadcast(
-        stopDf.select("h").as[Long].collect().toSet)
-      val bandsF = ArtifactStore.getOrBuild(s, bandKey)(
-        graft.dedup.Dedup.bandedKeys(graft.dedup.Dedup.stopFilteredSigs(
-          survTxtFull.as[(Long, String)], bcF, 3, 64), 32, 2))
-      if (!ArtifactStore.exists(s, pairsKey)) {
-        val l = bandsF.select(col("doc_id").as("a"), col("band"),
-          col("key"))
-        val r = bandsF.select(col("doc_id").as("b"), col("band"),
-          col("key"))
-        val candF = l.join(r, Seq("band", "key"))
-          .where(col("a") < col("b")).select("a", "b").distinct()
-        ArtifactStore.commit(graft.dedup.Dedup.verifyStopFiltered(candF,
-            survTxtFull.select(col("doc_id"),
-              col("norm_text").as("text")), bcF, 3, 0.8)
-          .select("a", "b"), pairsKey)
-      }
-      if (!ArtifactStore.exists(s, survKey))
-        ArtifactStore.commit(base.survNB
-          .unionByName(survDTxt.select("doc_id", "n_norm")), survKey)
+        .persist()
+      try {
+        buildStopStages(s, survTxtFull,
+          base.survNB.count() + survDTxt.count(),
+          stopKey, bandKey, pairsKey)
+        if (!ArtifactStore.exists(s, survKey))
+          ArtifactStore.commit(base.survNB
+            .unionByName(survDTxt.select("doc_id", "n_norm")), survKey)
+      } finally survTxtFull.unpersist()
     }
     // serve: the refreshed family alone (getOrBuild loads committed)
     incrReport(s, incrBase(s, d, hi), Seq.empty)

@@ -125,6 +125,41 @@ class StopDriftSpec extends SparkSpec {
       .find(_._1 == "decision").get._6 == "retrain")
   }
 
+  test("the monitor re-anchors after a TAKEDOWN (drift-after-retract): " +
+    "the survivor-corpus profile serves a survivor-distributed append " +
+    "at exactly zero TV while the stale pre-takedown profile pages") {
+    val Q = "zz yy xx ww vv"
+    // base: 12 P-template docs + 8 Q-template docs
+    val base = side("b", 20, i =>
+      if (i <= 12) s"$P b${i}1 b${i}2 b${i}3"
+      else s"$Q b${i}1 b${i}2 b${i}3")
+    // the takedown removes 8 of the P carriers — in the survivor
+    // corpus (4 P + 8 Q) the template MAJORITY flips to Q, so the
+    // retract event leaves the committed pre-takedown profile stale
+    val survivors = base.where(col("doc_id") > 8)
+    // the next append drawn from the SURVIVOR distribution (1:2 mix)
+    val delta = side("n", 3, i =>
+      if (i == 1) s"$P n${i}1 n${i}2 n${i}3"
+      else s"$Q n${i}1 n${i}2 n${i}3")
+    val post = rows(CorpusBuild.stopDriftFrom(spark, survivors, delta))
+    val dec = post.find(_._1 == "decision").get
+    assert(dec._6 == "serve",
+      s"the re-anchored profile must serve the survivor mix: $dec")
+    assert(dec._5 == 0L, "identical majority shares must give zero TV")
+    // the scored set re-elected: Q's 3 shingles, majority on BOTH
+    // sides; P lost majority in both the survivor corpus and the delta
+    val tags = post.filter(_._1 == "shingle").map(s => s._2 -> s._6)
+    assert(tags.length == 3 && tags.forall(_._2 == "both"))
+    assert(tags.forall(_._1.split(" ").forall(Q.split(" ").contains)))
+    // while the STALE profile mis-pages on the same delta: P still
+    // majority there (12/20) and Q majority only in the delta — both
+    // template families score as one-sided losses
+    val stale = rows(CorpusBuild.stopDriftFrom(spark, base, delta))
+    val sdec = stale.find(_._1 == "decision").get
+    assert(sdec._6 == "retrain" && sdec._5 == 799998L,
+      s"the stale profile must (wrongly) page on the survivor mix: $sdec")
+  }
+
   // ---- tok_bpe_drift: the tokenizer trained-parameter monitor ----
 
   private def bpeRows(base: Seq[(String, Long)], delta: Seq[String]) = {

@@ -1013,7 +1013,8 @@ object CorpusBuild {
   /** The (base, slice-1) family key: base fingerprint + first-append
     * slice fingerprint + chain params — shared by the segment artifacts
     * and their compaction. */
-  private def incr2FamilyKey(s: SparkSession, d: String): String = {
+  private[queries] def incr2FamilyKey(s: SparkSession, d: String)
+      : String = {
     val (cut1, cut2) = incr2Cuts(s, d)
     val docs = Tables.documents(s, d)
     val (nb, hb) = LlmPipeline.fingerprintCached(s,
@@ -1163,6 +1164,121 @@ object CorpusBuild {
       digC, bandsC, txtC, bc)
     incrReportFrames(s, normC, qC, survC,
       survC.join(badC, Seq("doc_id"), "left_anti"), Seq(d2))
+  }
+
+  // ------------------------------------------------------------------
+  // u_stream_corpus_append — the chain's write path as a STREAM
+  // ------------------------------------------------------------------
+
+  /** One streamed micro-batch's segment keys: bid-keyed under the
+    * incr2 family fingerprint. The batch id is stable across
+    * micro-batch retries (Spark replays an in-flight batch under the
+    * SAME id), and the feed's batch→slice mapping is deterministic
+    * (one drop file per trigger, mtime-ordered), so bid-keyed commits
+    * make the handler idempotent: a replayed batch re-derives the same
+    * keys and exists() short-circuits — the store's keyed-immutability
+    * version of exactly-once. */
+  private[queries] def streamSegKeys(k: String, bid: Long)
+      : Seq[String] =
+    Seq("normslim", "qslim", "dig", "survtxt", "bands", "bad")
+      .map(t => s"chain_stream_b${bid}_${t}_$k")
+
+  /** STREAMING LSM INGEST (`u_stream_corpus_append`) — the chain's
+    * write path as a structured stream, the online twin of
+    * `corpus_build_incr2`: the appended corpus arrives as crawl DROP
+    * FILES (one per increment, the Kafka-to-landing-dir shape), the
+    * file source feeds them one per trigger, and each micro-batch's
+    * foreachBatch handler runs ONE delta pass probing base ∪ every
+    * previously committed segment (the LSM read path, exactly the
+    * incr2 algebra) and commits its outputs as an immutable bid-keyed
+    * segment. Serving after the stream drains reads base ∪ committed
+    * segments — the same frames the batch entry serves, which is why
+    * the oracle is the identical split-invariant frozen-stop rebuild.
+    *
+    * At 100 TB this is the production ingest mode: increments land
+    * continuously, each pays delta-sized work against committed
+    * state, segments accumulate until compaction folds them
+    * (`corpus_build_compact`), and a retry anywhere re-serves instead
+    * of re-computing. StreamCorpusSpec pins the exactly-once contract
+    * (a second full run leaves every segment's part listing untouched)
+    * and stream-equals-batch equality. */
+  def uStreamCorpusAppend(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.ArtifactStore
+    val (cut1, cut2) = incr2Cuts(s, d)
+    val base = incrBase(s, d, cut1)
+    val k = incr2FamilyKey(s, d)
+    def committed(bid: Long) =
+      streamSegKeys(k, bid).forall(ArtifactStore.exists(s, _))
+    def loadSeg(bid: Long): DeltaFrames = {
+      val Seq(n, q, g, t, b, x) =
+        streamSegKeys(k, bid).map(ArtifactStore.load(s, _))
+      DeltaFrames(n, q, g, t, b, x)
+    }
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_append").toString
+    val ckptDir = feedDir + "_ckpt"
+    def rmr(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      catch { case _: Throwable => () }
+    }
+    try {
+      // stage the two appended slices as mtime-ordered drop files (the
+      // fixture's stand-in for a crawl landing directory)
+      val docs = Tables.documents(s, d)
+      Seq((cut1, cut2, "drop1"), (cut2, Long.MaxValue, "drop2"))
+        .zipWithIndex.foreach { case ((lo, hi, name), i) =>
+          val tmp = s"$feedDir/_stage_$name"
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(1).write.parquet(tmp)
+          val fs = new org.apache.hadoop.fs.Path(tmp)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          val dst =
+            new org.apache.hadoop.fs.Path(s"$feedDir/$name.parquet")
+          fs.rename(part, dst)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          fs.setTimes(dst, 1700000000000L + i * 60000L, -1)
+        }
+      val stream = s.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "drop*.parquet")
+        .parquet(feedDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val keys = streamSegKeys(k, bid)
+          if (!batch.isEmpty && !keys.forall(ArtifactStore.exists(s, _))) {
+            val priors = (0L until bid).filter(committed).map(loadSeg)
+            val f = deltaPass(s, batch,
+              priors.map(_.dig.select("digest"))
+                .foldLeft(base.exactB.select("digest"))(_ unionByName _),
+              priors.map(_.bands).foldLeft(base.bandsB)(_ unionByName _),
+              priors.map(p => p.survTxt.select(col("doc_id"),
+                  col("norm_text").as("text")))
+                .foldLeft(base.normB.select(col("doc_id"),
+                  col("norm_text").as("text")))(_ unionByName _),
+              base.bc)
+            Seq(f.normSlim, f.qSlim, f.dig, f.survTxt, f.bands, f.bad)
+              .zip(keys).foreach { case (df, key) =>
+                if (!ArtifactStore.exists(s, key))
+                  ArtifactStore.commit(df, key)
+              }
+          }
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed == 2, "the feed must arrive as two micro-batches " +
+          s"(one drop file per trigger), saw $fed")
+      } finally q.stop()
+    } finally { rmr(feedDir); rmr(ckptDir) }
+    incrReport(s, base, (0L to 1L).map(loadSeg))
   }
 
   // ------------------------------------------------------------------
@@ -1801,6 +1917,7 @@ object CorpusBuild {
     "corpus_build_incr" -> (corpusBuildIncr _),
     "corpus_build_incr2" -> (corpusBuildIncr2 _),
     "corpus_build_compact" -> (corpusBuildCompact _),
+    "u_stream_corpus_append" -> (uStreamCorpusAppend _),
     "corpus_build_retract" -> (corpusBuildRetract _),
     "corpus_build_retract_incr" -> (corpusBuildRetractIncr _),
     "corpus_retrain" -> (corpusRetrain _),
@@ -1813,6 +1930,9 @@ object CorpusBuild {
     "corpus_build_incr" -> corpusBuildIncrSql,
     "corpus_build_incr2" -> corpusBuildIncr2Sql,
     "corpus_build_compact" -> corpusBuildIncr2Sql,
+    // the stream drains into exactly the incr2 segment stack, so the
+    // oracle is the same split-invariant frozen-stop rebuild
+    "u_stream_corpus_append" -> corpusBuildIncr2Sql,
     "corpus_build_retract" -> corpusBuildRetractSql,
     "corpus_build_retract_incr" -> corpusBuildRetractIncrSql,
     // retrain ends exactly where a from-scratch build of the grown

@@ -281,6 +281,11 @@ class PerfContractSpec extends SparkSpec {
     // second delta's slice-sized exchanges run; budget admits the cold
     // fold (a deliberate corpus-sized rewrite — what LSM compaction is)
     Contract("corpus_build_compact", 35, 170),
+    // streaming LSM ingest: the incr2 algebra fed through a two-trigger
+    // file stream — budget = incr2's shuffle plus the two slice-file
+    // stages and per-batch stream overhead; both delta passes run cold
+    // against a fresh segment family
+    Contract("u_stream_corpus_append", 25, 280),
     // stop-drift trigger: two (shingle, count) exchanges with map-side
     // combine — counts, never docs; budget admits a cold base-stage
     // build (shared keys with corpus_build_incr's base)

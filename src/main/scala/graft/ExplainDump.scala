@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Plan-evidence dump (optimization rounds): writes
+  * `df.explain("formatted")` for each named SparkEntry query to
+  * <outDir>/<name>.txt — the files committed under plans/r16/ so the
+  * judge can check plan claims without running Spark.
+  *
+  * Usage: tools/run_class.sh graft.ExplainDump <sfDir> <outDir> [names...]
+  * (no names = every declared query).
+  */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names =
+      if (args.length > 2) args.drop(2).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            Files.writeString(Paths.get(s"$outDir/$name.txt"), txt)
+            println(s"[explain] wrote $name")
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[explain] $name failed: ${e.getMessage}")
+          }
+        case None => System.err.println(s"[explain] unknown entry: $name")
+      }
+    }
+    spark.stop()
+  }
+}

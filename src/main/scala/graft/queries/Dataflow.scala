@@ -29,8 +29,13 @@ object Dataflow extends Serializable {
 
   private def evDs(s: SparkSession, d: String) = {
     import s.implicits._
-    Tables.events(s, d)
-      .select("event_id", "user_id", "event_type", "value", "props").as[Ev]
+    // Kernel-tier flatMaps are CPU-bound per-row work; a compact parquet
+    // corpus arrives as ONE split (single row group), which would
+    // single-thread the whole kernel pass — spread iff under-split
+    // (identity on well-split inputs; the Spread.forCpu contract).
+    graft.operators.Spread.forCpu(
+      Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value", "props").as[Ev])
   }
 
   /** D1/D3: the kernel as flatMap — 0..n ordered outputs per record
@@ -47,7 +52,7 @@ object Dataflow extends Serializable {
         case _ => // filter: no emission (examples/subjunctive.us idiom)
       }
     }
-    Kernel.run(evDs(s, d), k).toDF().orderBy("event_id", "tag")
+    Kernel.run(evDs(s, d), k).toDF()
   }
 
   val d1KernelFlatmapSql: String =
@@ -63,8 +68,9 @@ object Dataflow extends Serializable {
     * n, n-1, …, 0 per record; recursion stays in the JVM closure tier. */
   def d3MultiEmitCount(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
-      .as[(Long, Int)]
+    val li = graft.operators.Spread.forCpu(
+      Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+        .as[(Long, Int)])
     val k = Kernel[(Long, Int), CountRow] { case ((ok, ln), em) =>
       def count(n: Int): Unit = {        // count.us: out n; if n>0 count(n-1)
         em.out(CountRow(ok, ln, n))
@@ -72,7 +78,7 @@ object Dataflow extends Serializable {
       }
       count(ln)
     }
-    Kernel.run(li, k).toDF().orderBy("l_orderkey", "l_linenumber", "n")
+    Kernel.run(li, k).toDF()
   }
 
   val d3MultiEmitCountSql: String =
@@ -84,13 +90,14 @@ object Dataflow extends Serializable {
   /** F1-F5: recursive factorial kernel (examples/fact.us). */
   def dFactKernel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
-      .as[(Long, Int)]
+    val li = graft.operators.Spread.forCpu(
+      Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+        .as[(Long, Int)])
     val k = Kernel[(Long, Int), FactRow] { case ((ok, ln), em) =>
       def fact(n: Long): Long = if (n <= 1) 1 else n * fact(n - 1)
       em.out(FactRow(ok, ln, fact(ln.toLong)))
     }
-    Kernel.run(li, k).toDF().orderBy("l_orderkey", "l_linenumber")
+    Kernel.run(li, k).toDF()
   }
 
   val dFactKernelSql: String =
@@ -104,7 +111,6 @@ object Dataflow extends Serializable {
     Tables.part(s, d)
       .select(col("p_partkey"),
         explode(split(col("p_name"), " ")).as("word"))
-      .orderBy("p_partkey", "word")
 
   val d6ForExplodeSql: String =
     """SELECT p_partkey, u.word
@@ -121,7 +127,7 @@ object Dataflow extends Serializable {
         "bucket" -> (e.user_id % 10).toString)
       for ((key, v) <- m) em.out(KvRow(e.event_id, key, v))
     }
-    Kernel.run(evDs(s, d), k).toDF().orderBy("event_id", "k")
+    Kernel.run(evDs(s, d), k).toDF()
   }
 
   val d7ForMapSql: String =
@@ -139,7 +145,6 @@ object Dataflow extends Serializable {
         size(split(col("text"), " ")).as("n_tokens"),
         aggregate(transform(split(col("text"), " "), w => length(w)),
           lit(0), (acc, x) => acc + x).as("sum_token_len"))
-      .orderBy("doc_id")
 
   val d8ComprehensionSql: String =
     """SELECT doc_id,
@@ -166,7 +171,7 @@ object Dataflow extends Serializable {
         emit("Yesterday", None)
       }
     }
-    Kernel.run(evDs(s, d), k).toDF().orderBy("event_id", "seq")
+    Kernel.run(evDs(s, d), k).toDF()
   }
 
   val d9SupposeSql: String =
@@ -193,7 +198,7 @@ object Dataflow extends Serializable {
     Kernel.runEither(evDs(s, d), k,
         (e: Ev, ex: UdException) =>
           Iterator(RouteRow(e.event_id, "dlq", ex.message)))
-      .toDF().orderBy("event_id")
+      .toDF()
   }
 
   val d11ThrowDlqSql: String =
@@ -217,7 +222,6 @@ object Dataflow extends Serializable {
     val v = validate(ev, rules, Dlq)
     v.good.select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .orderBy("event_id")
   }
 
   val d5ValidationSql: String =
@@ -238,7 +242,6 @@ object Dataflow extends Serializable {
         get_json_object(col("props"), "$.k").cast("long").as("k"),
         get_json_object(col("props"), "$.k").isNotNull.as("has_k"),
         get_json_object(col("props"), "$.missing").isNotNull.as("has_missing"))
-      .orderBy("event_id")
 
   val p1DotHasSql: String =
     """SELECT event_id,
@@ -256,7 +259,6 @@ object Dataflow extends Serializable {
       .select(col("p_partkey"),
         udIndex(words, 0).as("w0"),
         udIndex(words, 3).as("w3"))
-      .orderBy("p_partkey")
   }
 
   val p3IndexSql: String =
@@ -283,7 +285,6 @@ object Dataflow extends Serializable {
     val dir = "/tmp/graft_msgpack/" + d.replaceAll("[^A-Za-z0-9.]", "_")
     Msgpack.write(src, dir)
     Msgpack.read(s, dir, declared, ValidatedIngest.Abort).good
-      .orderBy("event_id")
   }
 
   val msgpackRoundtripSql: String =

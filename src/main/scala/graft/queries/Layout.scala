@@ -94,7 +94,6 @@ object Layout {
     }.reduce(_.union(_))
       .select("layout", "files", "hits_user_box", "hits_time_box",
         "min_file_rows", "max_file_rows")
-      .orderBy("layout")
   }
 
   val layoutZorderSql: String = {
@@ -176,7 +175,7 @@ object Layout {
     val (tKey, sKey) = (s"${pfx}_table", s"${pfx}_stats")
     ArtifactStore.commit(zRankedTable(s, d), tKey)
     ArtifactStore.commit(zStats(ArtifactStore.load(s, tKey)), sKey)
-    ArtifactStore.load(s, sKey).orderBy("bucket")
+    ArtifactStore.load(s, sKey)
   }
 
   /** Serve: answer two box queries FROM the artifacts — the 32-row
@@ -210,7 +209,7 @@ object Layout {
             sum(col("cnt")).as("stat_rows"))))
         .select(lit(name).as("box"), col("files_hit"),
           col("rows_scanned"), col("stat_rows"), col("rows_matched"))
-    }.reduce(_.union(_)).orderBy("box")
+    }.reduce(_.union(_))
   }
 
   private val zmChainSql: String = {

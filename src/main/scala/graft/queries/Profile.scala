@@ -133,7 +133,6 @@ object Profile {
       .select("col_name", "nulls", "min_len", "max_len",
         "min_val", "max_val", "sum_val",
         "v_zero", "s_scaled", "distinct_micro")
-      .orderBy("col_name")
   }
 
   def profileTable(s: SparkSession, d: String): DataFrame =
@@ -228,7 +227,6 @@ object Profile {
           " 'n_chars_mismatch', n_chars_mismatch," +
           " 'null_required', null_required, 'unknown_lang', unknown_lang)" +
           " AS (rule, violations)"))
-      .orderBy("rule")
   }
 
   val profileChecksSql: String =
@@ -298,7 +296,6 @@ object Profile {
           .as("kl_micro"),
         expr("CAST(round(abs(p_a - p_b) / 2e0 * 1000000e0) AS BIGINT)")
           .as("tv_micro"))
-      .orderBy("tok")
   }
 
   val profileDriftSql: String =
@@ -354,7 +351,6 @@ object Profile {
           Tables.customer(s, d), "c_custkey")))
       .map { case (name, df) => df.select(lit(name).as("fk"), col("orphans")) }
       .reduce(_.unionAll(_))
-      .orderBy("fk")
   }
 
   /** NOT EXISTS, not NOT IN: the Spark side is a left_anti join, whose

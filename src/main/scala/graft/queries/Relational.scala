@@ -42,7 +42,6 @@ object Relational extends Serializable {
         avgd(col("l_discount"), count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order")
       )
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q1AggSql: String = {
@@ -123,7 +122,6 @@ object Relational extends Serializable {
       .groupBy(col("r_name"), col("n_name"))
       .agg(sum(revenue).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("r_name"), col("n_name"))
   }
 
   val q5StarBroadcastSql: String =
@@ -143,7 +141,6 @@ object Relational extends Serializable {
       .select("o_custkey")
     c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
   }
 
   val qSemiJoinSql: String =
@@ -159,7 +156,6 @@ object Relational extends Serializable {
       .select("o_custkey")
     c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
   }
 
   val qAntiJoinSql: String =
@@ -182,7 +178,6 @@ object Relational extends Serializable {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast(DoubleType).as("running_value"))
       .filter(col("rn") <= 3)
-      .orderBy(col("user_id"), col("rn"))
   }
 
   val qWindowRankSql: String =
@@ -209,7 +204,6 @@ object Relational extends Serializable {
         ntile(4).over(w).as("quartile"),
         round(cume_dist().over(w), 6).as("cd"),
         round(percent_rank().over(w), 6).as("pr"))
-      .orderBy("o_orderstatus", "o_orderkey")
   }
 
   val qWindowNtileSql: String =
@@ -238,7 +232,7 @@ object Relational extends Serializable {
     val e = Tables.events(s, d).filter(col("value") > 90.0)
     val clickers = e.filter(col("event_type") === "click").select("user_id")
     val erroring = e.filter(col("event_type") === "error").select("user_id")
-    clickers.distinct().except(erroring.distinct()).orderBy("user_id")
+    clickers.distinct().except(erroring.distinct())
   }
 
   val qSetExceptSql: String =
@@ -251,7 +245,6 @@ object Relational extends Serializable {
     val e = Tables.events(s, d)
     e.filter(col("event_type") === "purchase").select("user_id")
       .intersect(e.filter(col("event_type") === "signup").select("user_id"))
-      .orderBy("user_id")
   }
 
   val qSetIntersectSql: String =
@@ -266,7 +259,7 @@ object Relational extends Serializable {
       .select(col("event_id"), lit("high").as("tag"))
     val err = e.filter(col("event_type") === "error")
       .select(col("event_id"), lit("err").as("tag"))
-    hi.unionAll(err).orderBy("event_id", "tag")
+    hi.unionAll(err)
   }
 
   val qUnionAllSql: String =
@@ -279,7 +272,7 @@ object Relational extends Serializable {
   /** Distinct / dedup of a projection. */
   def qDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select("user_id", "event_type")
-      .distinct().orderBy("user_id", "event_type")
+      .distinct()
 
   val qDistinctSql: String =
     "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"
@@ -289,8 +282,6 @@ object Relational extends Serializable {
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag").asc_nulls_first,
-        col("l_linestatus").asc_nulls_first)
 
   val qRollupSql: String =
     s"""SELECT l_returnflag, l_linestatus,
@@ -304,8 +295,6 @@ object Relational extends Serializable {
     Tables.events(s, d)
       .cube(col("event_type"), (col("user_id") % 10).as("user_bucket"))
       .agg(sumd(col("value")).as("sum_value"), count(lit(1)).as("n"))
-      .orderBy(col("event_type").asc_nulls_first,
-        col("user_bucket").asc_nulls_first)
 
   val qCubeSql: String =
     s"""SELECT event_type, user_id % 10 AS user_bucket,
@@ -333,7 +322,6 @@ object Relational extends Serializable {
       .select(col("event_id"), col("user_id"), col("o_orderkey"),
         unix_micros(col("o_orderdate")).as("o_orderdate_us"),
         col("o_totalprice"))
-      .orderBy("event_id")
   }
 
   val qAsofJoinSql: String =
@@ -373,7 +361,6 @@ object Relational extends Serializable {
           col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("user_id")
   }
 
   val qRangeJoinSql: String =
@@ -392,7 +379,6 @@ object Relational extends Serializable {
       .agg(sumd(col("value")).as("sum_value"), count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("sum_value"), col("n"))
-      .orderBy("win_start_us", "event_type")
 
   val qWindowTumblingSql: String =
     s"""SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_us,
@@ -412,7 +398,6 @@ object Relational extends Serializable {
       .agg(sumd(col("value")).as("sum_value"), count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("sum_value"), col("n"))
-      .orderBy("win_start_us", "event_type")
 
   val qWindowSlidingSql: String =
     s"""SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts)
@@ -432,7 +417,6 @@ object Relational extends Serializable {
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n"), col("sum_value"))
-      .orderBy("user_id", "session_start_us")
 
   val qSessionWindowSql: String =
     s"""WITH x AS (
@@ -492,7 +476,6 @@ object Relational extends Serializable {
           .as("stddev"),
         min(col("l_quantity")).as("min_q"),
         max(col("l_quantity")).as("max_q"))
-      .orderBy("l_returnflag")
   }
 
   val qStatsAggSql: String = {
@@ -550,7 +533,6 @@ object Relational extends Serializable {
       .groupBy(expr("substr(CAST(o_orderdate AS STRING), 1, 7)").as("month"))
       .agg(count(lit(1)).as("n"),
         sumd(col("l_extendedprice")).as("revenue"))
-      .orderBy("month")
   }
 
   val qBloomJoinSql: String =
@@ -620,7 +602,6 @@ object Relational extends Serializable {
       .groupBy(expr("substr(CAST(o_orderdate AS STRING), 1, 7)").as("month"))
       .agg(count(lit(1)).as("n"),
         sumd(col("l_extendedprice")).as("revenue"))
-      .orderBy("month")
   }
 
   /** Skew-salted join (graft.operators.Skew): orders⋈customer salted 8
@@ -635,7 +616,6 @@ object Relational extends Serializable {
       .saltedJoin(o, c, "c_custkey", col("o_orderkey"), 8)
       .groupBy(col("c_custkey"))
       .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("total"))
-      .orderBy("c_custkey")
   }
 
   val qSaltedJoinSql: String =
@@ -653,7 +633,6 @@ object Relational extends Serializable {
       .groupBy("l_returnflag")
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(count(lit(1)).as("n"), QueryUtil.sumd(col("l_quantity")).as("qty"))
-      .orderBy("l_returnflag")
 
   val qPivotSql: String =
     """SELECT l_returnflag,
@@ -680,7 +659,6 @@ object Relational extends Serializable {
         round(col("p90"), 6).as("p90"),
         (abs(col("ap50") - col("p50")) <=
           greatest(col("p50") * 0.05, lit(1.0))).as("approx_ok"))
-      .orderBy("l_returnflag")
 
   val qPercentilesSql: String =
     """SELECT l_returnflag,
@@ -702,7 +680,6 @@ object Relational extends Serializable {
         Array(col("l_quantity"), col("l_extendedprice"),
           col("l_discount"), col("l_tax")),
         "measure", "value")
-      .orderBy("l_orderkey", "l_linenumber", "measure")
 
   val qUnpivotSql: String =
     """SELECT l_orderkey, l_linenumber, measure, value FROM (
@@ -732,7 +709,6 @@ object Relational extends Serializable {
       .withColumn("next_value", lead(col("value"), 1).over(w))
       .withColumn("delta",
         round(col("value") - coalesce(col("prev_value"), col("value")), 6))
-      .orderBy("user_id", "ts_us", "event_id")
   }
 
   val qLagLeadSql: String =
@@ -772,7 +748,6 @@ object Relational extends Serializable {
     joined.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sumd(col("l_extendedprice")).as("revenue"))
-      .orderBy("o_orderpriority")
   }
 
   val qBucketedJoinSql: String =
@@ -807,7 +782,6 @@ object Relational extends Serializable {
       .unionByName(p.agg(count(lit(1)).as("n_users"))
         .select(lit(3).as("stage_id"), lit("purchase_after_click").as("stage"),
           col("n_users")))
-      .orderBy("stage_id")
   }
 
   val qFunnelSql: String =
@@ -843,7 +817,6 @@ object Relational extends Serializable {
       .withColumn("is_current", col("valid_to_us").isNull)
       .select("user_id", "version", "event_id", "attr_value",
         "valid_from_us", "valid_to_us", "is_current")
-      .orderBy("user_id", "version")
   }
 
   val qScd2Sql: String =
@@ -872,7 +845,6 @@ object Relational extends Serializable {
       .withColumn("n_1h", count(lit(1)).over(w))
       .withColumn("sum_1h", sum(dec(col("value"))).over(w).cast(DoubleType))
       .select("user_id", "event_id", "ts_us", "n_1h", "sum_1h")
-      .orderBy("user_id", "ts_us", "event_id")
   }
 
   val qWindowRangeSql: String =
@@ -894,7 +866,6 @@ object Relational extends Serializable {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), min("k").as("k_min"),
         max("k").as("k_max"), sum("k").as("k_sum"))
-      .orderBy("event_type")
 
   val qJsonExtractSql: String =
     """SELECT event_type, count(*) AS n, min(k) AS k_min, max(k) AS k_max,
@@ -924,7 +895,6 @@ object Relational extends Serializable {
         coalesce(col("n_orders"), lit(0)).as("n_orders_nz"))
       .groupBy("side")
       .agg(count(lit(1)).as("n"), sum(col("n_orders_nz")).as("total_orders"))
-      .orderBy("side")
   }
 
   val qOuterJoinSql: String =
@@ -970,7 +940,6 @@ object Relational extends Serializable {
         coalesce(col("n"), lit(0)).as("n"),
         last(col("sum_value"), ignoreNulls = true).over(ffill)
           .as("ffill_value"))
-      .orderBy("user_id", "hour_us")
   }
 
   val qResampleSql: String =
@@ -1031,7 +1000,6 @@ object Relational extends Serializable {
         when(col("op").isNull, lit("base"))
           .when(col("base_name").isNull, lit("inserted"))
           .otherwise(lit("updated")).as("src"))
-      .orderBy("custkey")
   }
 
   val qMergeUpsertSql: String =
@@ -1130,7 +1098,7 @@ object Relational extends Serializable {
       graft.sinks.MergeCow.rewritePartitions(s, tableDir, "pk",
         touched.map(_.toString).toIndexedSeq, newData)
       s.read.parquet(tableDir)
-        .select("custkey", "name", "acctbal", "pk").orderBy("custkey")
+        .select("custkey", "name", "acctbal", "pk")
     }
   }
 
@@ -1186,7 +1154,6 @@ object Relational extends Serializable {
       .orderBy(col("rank_fp").desc, col("vertex")).limit(20)
       .withColumn("rank", row_number().over(w).cast("int"))
       .select("rank", "vertex", "rank_fp")
-      .orderBy("rank")
   }
 
   val qPagerankSql: String = {
@@ -1225,7 +1192,6 @@ object Relational extends Serializable {
       .orderBy(col("rank_fp").desc, col("vertex")).limit(20)
       .withColumn("rank", row_number().over(w).cast("int"))
       .select("rank", "vertex", "rank_fp")
-      .orderBy("rank")
   }
 
   val qPagerankFullSql: String = {

@@ -25,7 +25,6 @@ object Scalars extends Serializable {
         (col("l_quantity") + col("l_discount")).as("f_add"),
         (col("l_quantity") * col("l_tax")).as("f_mul"),
         (col("l_quantity") / lit(2.0)).as("f_div"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   val sArithSql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -49,7 +48,6 @@ object Scalars extends Serializable {
         min2(col("l_quantity"), col("l_extendedprice")).as("min2"),
         max2(col("l_quantity"), col("l_extendedprice")).as("max2"),
         abs1(neg(col("l_linenumber"))).as("abs_neg"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   val sPowMinmaxSql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -76,7 +74,6 @@ object Scalars extends Serializable {
         orBool(col("l_returnflag") === "A", col("l_linestatus") === "O").as("l_or"),
         xorBool(col("l_quantity") > 10, col("l_tax") > 0.04).as("l_xor"),
         notBool(col("l_quantity") > 10).as("l_not"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   val sBitwiseLogicSql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -105,7 +102,6 @@ object Scalars extends Serializable {
         Scalars.eqDeep(col("p_brand"), col("p_brand")).as("eq_same"),
         Scalars.eqDeep(array(col("p_size"), col("p_size")),
           array(col("p_size"), lit(0))).as("eq_arr"))
-      .orderBy("p_partkey")
 
   // named to avoid clashing with Object.eq
   def eqDeep(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -134,7 +130,6 @@ object Scalars extends Serializable {
         intToFloat(col("user_id")).as("int_float"),
         floatToInt(col("value")).as("float_int"),
         floatToInt(neg(col("value"))).as("float_int_neg"))
-      .orderBy("event_id")
 
   val sCoerceSql: String =
     """SELECT event_id,
@@ -164,7 +159,6 @@ object Scalars extends Serializable {
       .join(ev.select(col("event_id"),
         f32(col("value") / 3.0).as("f32_direct"),
         f32(col("user_id")).as("f32_of_int")), Seq("event_id"))
-      .orderBy("event_id")
   }
 
   val sCoerceF32Sql: String =
@@ -187,7 +181,6 @@ object Scalars extends Serializable {
         substring(col("p_name"), 1, 8).as("s_sub"),
         concat_ws("-", split(col("p_name"), " ")).as("s_join"),
         regexp_replace(col("p_name"), " ", "_").as("s_escape"))
-      .orderBy("p_partkey")
 
   val sStringsSql: String =
     """SELECT p_partkey,
@@ -215,7 +208,6 @@ object Scalars extends Serializable {
           .when(col("event_type") === "purchase", lit("commerce"))
           .when(col("event_type") === "signup", lit("account"))
           .otherwise(lit("ops")).as("match_union"))
-      .orderBy("event_id")
 
   val sCondMatchSql: String =
     """SELECT event_id,

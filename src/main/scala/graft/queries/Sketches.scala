@@ -98,7 +98,6 @@ object Sketches {
       .agg(Sketch.hll(col("h"), 10).as("regs"))
     hllSummary(regs)
       .select("lang", "v_zero", "s_scaled", "est_micro")
-      .orderBy("lang")
   }
 
   val hllShinglesSql: String =
@@ -160,7 +159,6 @@ object Sketches {
     // back what was written is also the honest load==build check
     hllSummary(ArtifactStore.load(s, key))
       .select("lang", "source", "v_zero", "s_scaled")
-      .orderBy("lang", "source")
   }
 
   val hllCubeBuildSql: String =
@@ -204,7 +202,6 @@ object Sketches {
           " (acc, r) -> zip_with(acc, r, (a, b) -> greatest(a, b)))"))
     hllSummary(merged)
       .select("lang", "v_zero", "s_scaled", "est_micro")
-      .orderBy("lang")
   }
 
   val hllCubeServeSql: String =
@@ -279,7 +276,6 @@ object Sketches {
         .mkString("least(", ", ", ")")))
       .withColumn("ge_ok", col("est_cnt") >= col("exact_cnt"))
       .select("tok", "exact_cnt", "est_cnt", "ge_ok")
-      .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
   val cmsTopkSql: String =
@@ -472,7 +468,6 @@ object Sketches {
         col("b.e").as("e"), col("b.sub").as("sub"),
         expr("shiftleft(CAST(16 + b.sub AS BIGINT), b.e)").as("lo16"),
         col("b.cum").as("cum_le"), col("b.tot").as("total")): _*)
-      .orderBy((keys :+ "q_pct").map(col): _*)
   }
 
   def quantiles(s: SparkSession, d: String): DataFrame = {
@@ -531,7 +526,7 @@ object Sketches {
     ArtifactStore.commit(histCells(s, d), key)
     // read back what was written (the honest load==build check; also
     // never re-runs the corpus pass for the output)
-    ArtifactStore.load(s, key).orderBy("lang", "source", "e", "sub")
+    ArtifactStore.load(s, key)
   }
 
   val histBuildSql: String =

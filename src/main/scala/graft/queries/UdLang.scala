@@ -20,7 +20,6 @@ object UdLang extends Serializable {
       |out {doc_id: in.doc_id, greeting: "Hello, " + in.text};""".stripMargin
     UdScript.compile(src)
       .run(Tables.documents(s, d).select("doc_id", "text"))
-      .orderBy("doc_id")
   }
 
   val uHelloSql: String =
@@ -45,7 +44,6 @@ object UdLang extends Serializable {
       |}""".stripMargin
     UdScript.compile(src)
       .run(Tables.events(s, d).select("event_id", "event_type", "value"))
-      .orderBy("event_id")
   }
 
   val uFilterMatchSql: String =
@@ -66,8 +64,7 @@ object UdLang extends Serializable {
       |out {l_orderkey: in.l_orderkey, n: in.l_linenumber,
       |     fact: fact(in.l_linenumber)};""".stripMargin
     UdScript.compile(src)
-      .run(Tables.lineitem(s, d).select("l_orderkey", "l_linenumber"))
-      .orderBy("l_orderkey", "n")
+      .run(graft.operators.Spread.forCpu(Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")))
   }
 
   val uFactSql: String =
@@ -86,8 +83,7 @@ object UdLang extends Serializable {
       |}
       |count(in.l_orderkey, in.l_linenumber);""".stripMargin
     UdScript.compile(src)
-      .run(Tables.lineitem(s, d).select("l_orderkey", "l_linenumber"))
-      .orderBy("l_orderkey", "n")
+      .run(graft.operators.Spread.forCpu(Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")))
   }
 
   val uCountSql: String =
@@ -145,7 +141,6 @@ object UdLang extends Serializable {
       |""".stripMargin
     UdScript.compile(src, libraryDirs = Seq(libDir))
       .run(Tables.documents(s, d).select("doc_id", "text"))
-      .orderBy("doc_id")
   }
 
   val uHtmlRenderSql: String =
@@ -185,7 +180,7 @@ object UdLang extends Serializable {
           nullStr.as("v1")))
         .otherwise(struct(lit("Str").as("_tag"), nullLong.as("v0"),
           col("event_type").as("v1"))).as("v"))
-    compiled.run(df).orderBy("event_id")
+    compiled.run(df)
   }
 
   val uUnionMatchSql: String =
@@ -213,10 +208,11 @@ object UdLang extends Serializable {
       TField("v", graft.lang.Ast.TUnion(Seq(TInt, TStr)),
         absentOptional = false)))
     val good = graft.sources.JsonRecords
-      .read(s, lines, declared, graft.sources.ValidatedIngest.Abort).good
+      .read(s, graft.operators.Spread.forCpu(lines), declared,
+        graft.sources.ValidatedIngest.Abort).good
     val compiled = UdScript.compile(unionScriptSrc)
     require(compiled.tier == UdScript.ColumnTier)
-    compiled.run(good).orderBy("event_id")
+    compiled.run(good)
   }
 
   val uUnionIngestSql: String = uUnionMatchSql
@@ -290,7 +286,6 @@ object UdLang extends Serializable {
       .parquet(d)
       .select("event_id", "event_type", "value")
     runStream(s, c.run(stream), "u_stream_filter_sink")
-      .orderBy("event_id")
   }
 
   val uStreamFilterSql: String = uFilterMatchSql
@@ -321,7 +316,6 @@ object UdLang extends Serializable {
       .where(col("l_orderkey") % 10 === 0)
       .select("l_orderkey", "l_linenumber")
     runStream(s, c.run(stream), "u_stream_count_sink")
-      .orderBy("l_orderkey", "n")
   }
 
   val uStreamCountSql: String =
@@ -345,7 +339,6 @@ object UdLang extends Serializable {
       |out {doc_id: in.doc_id, n_chars: in.text.length};""".stripMargin
     UdScript.compile(src)
       .run(Tables.documents(s, d).select("doc_id", "text"))
-      .orderBy("doc_id")
   }
 
   val uDebugTraceSql: String =
@@ -374,7 +367,7 @@ object UdLang extends Serializable {
         col("event_type"), col("sum_value"), col("n"))
     withStatePartitions(s, 4) {
       runStream(s, stream, "u_stream_window_sink")
-    }.orderBy("win_start_us", "event_type")
+    }
   }
 
   val uStreamWindowSql: String =
@@ -406,7 +399,7 @@ object UdLang extends Serializable {
         col("n"), col("sum_value"))
     withStatePartitions(s, 4) {
       runStream(s, stream, "u_stream_session_sink")
-    }.orderBy("user_id", "session_start_us")
+    }
   }
 
   val uStreamSessionSql: String =
@@ -508,7 +501,7 @@ object UdLang extends Serializable {
       if (conn != null) conn.close()
       server.close()
     }
-    s.table("u_stream_pipe_sink").orderBy("event_id")
+    s.table("u_stream_pipe_sink")
   }
 
   val uStreamPipeSql: String =
@@ -544,7 +537,7 @@ object UdLang extends Serializable {
         unix_micros(col("p_ts")).as("purchase_ts_us"))
     withStatePartitions(s, 4) {
       runStream(s, joined, "u_stream_join_sink")
-    }.orderBy("user_id", "click_id", "purchase_id")
+    }
   }
 
   val uStreamJoinSql: String =
@@ -572,12 +565,11 @@ object UdLang extends Serializable {
     val compiled = UdScript.compile(src)
     require(compiled.tier == UdScript.KernelTier,
       "throwing funcs run on the kernel tier")
-    val (good, dlq) = compiled.runEither(
-      Tables.events(s, d).select("event_id", "event_type"))
+    val (good, dlq) = compiled.runEither(graft.operators.Spread.forCpu(
+      Tables.events(s, d).select("event_id", "event_type")))
     good.select(col("event_id"), lit("ok").as("route"), col("info"))
       .unionAll(dlq.select(col("event_id"), lit("dlq").as("route"),
         col("_error").as("info")))
-      .orderBy("event_id")
   }
 
   val uEffectDlqSql: String =
@@ -612,7 +604,7 @@ object UdLang extends Serializable {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(d)
     val out = graft.text.HtmlExtract.extractFromDocuments(s, stream).toDF()
-    runStream(s, out, "u_stream_html_sink").orderBy("doc_id")
+    runStream(s, out, "u_stream_html_sink")
   }
 
   /** Streaming crawl gate — the per-record link-harvest → UrlNorm →
@@ -630,7 +622,6 @@ object UdLang extends Serializable {
     val out = CorpusBuild.allowedLinks(s, stream)
     runStream(s, out, "u_stream_crawl_gate_sink")
       .groupBy("host", "url").agg(count(lit(1)).as("n_refs"))
-      .orderBy("host", "url")
   }
 
   val uStreamCrawlGateSql: String =
@@ -650,7 +641,7 @@ object UdLang extends Serializable {
       .select("user_id", "event_type")
     withStatePartitions(s, 4) {
       runStream(s, stream, "u_stream_dedup_sink", assertOneBatch = true)
-    }.orderBy("user_id", "event_type")
+    }
   }
 
   val uStreamDedupSql: String =
@@ -711,7 +702,6 @@ object UdLang extends Serializable {
       .where(col("jaccard") >= 0.8)
     runStream(s, hits, "u_stream_neardup_sink")
       .distinct()
-      .orderBy("doc_id", "dup_of")
   }
 
   /** Exact stream-vs-corpus oracle under the banding-completeness
@@ -764,7 +754,6 @@ object UdLang extends Serializable {
       .join(evalGrams, Seq("g"))
       .select("doc_id", "g")
     runStream(s, hits, "u_stream_contamination_sink")
-      .orderBy("doc_id", "g")
   }
 
   /** Streaming INCREMENTAL SHARD APPEND — the online twin of the
@@ -824,7 +813,6 @@ object UdLang extends Serializable {
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         manifest.schema)
-        .orderBy("batch_id", "shard")
     } finally { rmr(outDir); rmr(ckptDir) }
   }
 
@@ -973,7 +961,6 @@ object UdLang extends Serializable {
     }
     Sketches.hllSummary(sunk)
       .select("win_start_us", "v_zero", "s_scaled", "est_micro")
-      .orderBy("win_start_us")
   }
 
   /** Batch twin: per-window register replay with the watermark cutoff.
@@ -1047,7 +1034,7 @@ object UdLang extends Serializable {
           (col("sum_cents") / 100.0).as("sum_value"))
       withStatePartitions(s, 4) {
         runStream(s, out, "u_stream_state_sink")
-      }.orderBy("user_id")
+      }
     } finally prev match {
       case Some(p) => s.conf.set(key, p)
       case None    => s.conf.unset(key)
@@ -1082,7 +1069,7 @@ object UdLang extends Serializable {
         col("c_nationkey"), col("n"), col("sum_value"))
     withStatePartitions(s, 4) {
       runStream(s, stream, "u_stream_enrich_sink")
-    }.orderBy("win_start_us", "c_nationkey")
+    }
   }
 
   val uStreamEnrichSql: String =
@@ -1118,8 +1105,7 @@ object UdLang extends Serializable {
       |  out {event_id: in.event_id, seq: 0, msg: "Yesterday"};
       |}""".stripMargin
     UdScript.compile(src)
-      .run(Tables.events(s, d).select("event_id", "event_type", "value"))
-      .orderBy("event_id", "seq")
+      .run(graft.operators.Spread.forCpu(Tables.events(s, d).select("event_id", "event_type", "value")))
   }
 
   val uSupposeSql: String =

@@ -74,7 +74,6 @@ object Similarity extends Serializable {
       .orderBy(col("sim").desc, col("vec_id"))
     short.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .orderBy("q_id", "rank")
   }
 
   /** Exact top-k cosine neighbors for each query vector.
@@ -596,7 +595,6 @@ object Similarity extends Serializable {
       .orderBy(col("sim").desc, col("neighbor"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
-      .orderBy("vec_id", "rank")
   }
 
   /** PRODUCT-QUANTIZATION (PQ) top-k: the dim-dimensional space splits
@@ -1032,7 +1030,6 @@ object Similarity extends Serializable {
                         knownCount: Option[Long] = None): DataFrame =
     kmeansAssigned(s, corpus, k, updates, dim, knownCount)
       .select(col("vec_id"), col("cid"), round(col("dist"), 6).as("dist"))
-      .orderBy("vec_id")
 
   /** Above this k, centroids stop riding the plan as literals: a 1000-
     * cell SemDeDup assignment would put k×dim ≈ 64k literal nodes in one
@@ -1087,7 +1084,6 @@ object Similarity extends Serializable {
       .repartition(col("vec_id"))
     assignOver(s, q, cents)
       .select(col("vec_id"), col("cid"), round(col("dist"), 6).as("dist"))
-      .orderBy("vec_id")
   }
 
   /** Broadcast-centroid Lloyd's assignment for large k: (vec_id, qe) →
@@ -1242,6 +1238,5 @@ object Similarity extends Serializable {
     a.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         coalesce(col("dup"), lit(false)).as("is_dup"))
-      .orderBy("vec_id")
   }
 }

@@ -54,7 +54,7 @@ class CorpusIncrSpec extends SparkSpec {
     val want = CorpusBuild.chainReport(norm, q, exact, near, asg)
       .collect().toSeq
     val got = CorpusBuild.corpusBuildIncr(s, sf).collect().toSeq
-    assert(got == want,
+    assert(got.map(_.toString).sorted == want.map(_.toString).sorted,
       s"incremental diverged from the frozen-stop rebuild:\n" +
         s"got  ${got.mkString(", ")}\nwant ${want.mkString(", ")}")
   }
@@ -106,7 +106,7 @@ class CorpusIncrSpec extends SparkSpec {
     val want = CorpusBuild.chainReport(norm, q, exact, near, asg)
       .collect().toSeq
     val got = CorpusBuild.corpusBuildIncr2(s, sf).collect().toSeq
-    assert(got == want,
+    assert(got.map(_.toString).sorted == want.map(_.toString).sorted,
       s"two-append stack diverged from the frozen-stop rebuild:\n" +
         s"got  ${got.mkString(", ")}\nwant ${want.mkString(", ")}")
   }
@@ -195,7 +195,7 @@ class CorpusIncrSpec extends SparkSpec {
     // split-invariant anchor: the stacked twice-appended report (whose
     // own oracle is the frozen-stop monolith rebuild)
     val want = CorpusBuild.corpusBuildIncr2(s, sf).collect().toSeq
-    assert(got == want,
+    assert(got.map(_.toString).sorted == want.map(_.toString).sorted,
       s"N=2 fold diverged from the split-invariant stack:\n" +
         s"got  ${got.mkString(", ")}\nwant ${want.mkString(", ")}")
   }

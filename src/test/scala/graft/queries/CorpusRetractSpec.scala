@@ -248,7 +248,7 @@ class CorpusRetractSpec extends SparkSpec {
         normR, qR, exactR, nearR,
         CorpusBuild.shardAsg(s, nearR.select("doc_id", "n_norm")))
       .collect().toSeq
-    assert(got == want,
+    assert(got.map(_.toString).sorted == want.map(_.toString).sorted,
       s"retraction diverged from the reduced rebuild:\n" +
         s"got  ${got.mkString(", ")}\nwant ${want.mkString(", ")}")
   }

@@ -831,7 +831,7 @@ class LlmPipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(shards.map(_.getAs[Long]("n_docs")).sum == docs.length)
     assert(shards.map(_.getAs[Long]("n_tokens")).sum == docs.sum)
-    assert(shards.map(_.getAs[Int]("shard")).toSeq == (0 until 16))
+    assert(shards.map(_.getAs[Int]("shard")).toSeq.sorted == (0 until 16))
     // contiguous token ranges bound each shard within one document of
     // the ideal mass total/16
     val mean = docs.sum.toDouble / 16

